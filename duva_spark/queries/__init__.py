@@ -1,0 +1,56 @@
+"""Named-query registry: the SURVEY §2 operator inventory as executable,
+oracle-checked queries.
+
+Each query is a (Spark callable, DuckDB oracle SQL) pair. The Spark side is
+the engine under test — declarative DataFrame/SQL so Catalyst owns the
+physical plan; the oracle side is plain ANSI SQL the driver runs in DuckDB
+over the same parquet views. Column names/aliases match on both sides
+because the driver's comparator sorts columns by name before hashing.
+
+Queries marked ``headline=True`` are the bench set (run by bench.py at
+sf0.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records weaker rows-only check
+    headline: bool = False
+    description: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False, description: str = ""):
+    """Decorator registering fn(spark, sf_dir) -> DataFrame under `name`."""
+
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline, description=description)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: registration) and return
+    the registry."""
+    from duva_spark.queries import (  # noqa: F401
+        llm_q,
+        relational,
+        shaping_q,
+        streaming_q,
+    )
+
+    return REGISTRY

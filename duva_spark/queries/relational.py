@@ -1,0 +1,1154 @@
+"""Relational operator inventory (SURVEY §2b) as oracle-checked queries.
+
+The reference (onaio/duva) implements no relational operators itself — the
+SELECT-side capability it ships is delegated to the Tableau Hyper SQL
+engine inside the extracts it builds (SURVEY §2a-iii; the only SQL duva
+emits is CREATE/COPY, app/core/importer.py:242-256). This module is the
+native Spark ownership of that delegated query surface: projections,
+filters, every join shape (equi/outer/semi/anti/cross/range/as-of),
+aggregation (multi-agg, distinct, rollup/cube/grouping sets, exact
+percentiles, approx-distinct), window functions, sort/limit/top-k, set
+operations, scalar function families (string/date/math/array/map/JSON),
+and subqueries.
+
+Scale notes (100 TB posture):
+- Filters/projections are plain Catalyst expressions → parquet pushdown +
+  column pruning for free (verified in tests/test_plans.py).
+- region/nation are broadcast explicitly (constant-size dims); all other
+  join sides are left to AQE's dynamic broadcast/skew handling.
+- No collect()-driven logic anywhere: scalar subqueries are computed as
+  1-row DataFrames cross-joined (broadcast) into the plan.
+- Top-k per group is window + filter (no global sort); global top-n is
+  orderBy().limit() which Spark executes as TakeOrderedAndProject (no full
+  sort materialization).
+
+Float discipline for the DuckDB oracle: every float aggregate is rounded
+on BOTH sides (summation order differs across engines; rounding absorbs
+the ~1e-12 relative drift). Timestamps are emitted as epoch seconds or
+ISO strings (Spark session TZ is pinned UTC to match DuckDB's naive UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from duva_spark.catalog import load_table
+from duva_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Aggregation spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    description="TPC-H Q1-shaped pricing summary: filter → hash agg (8 aggregates) over lineitem.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS p_name_upper,
+           p_size,
+           ROUND(p_retailprice * 1.1, 2) AS marked_up
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_type IN ('ECONOMY', 'PROMO')
+      AND p_name LIKE '%bolt%'
+    """,
+    description="Projection + predicate filter (BETWEEN / IN / LIKE) with parquet pushdown.",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(10, 30)
+            & F.col("p_type").isin("ECONOMY", "PROMO")
+            & F.col("p_name").like("%bolt%")
+        )
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("p_name_upper"),
+            "p_size",
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    description="TPC-H Q3-shaped: 3-way join → agg → global top-n (TakeOrderedAndProject).",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+    description="TPC-H Q5-shaped: 6-way star join with broadcast dims (region/nation).",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    headline=True,
+    description="TPC-H Q10-shaped: returned-item revenue per customer, top 20.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey)                              AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2)       AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 300000
+    GROUP BY c_custkey
+    """,
+    description="Left outer join with join-side predicate; preserved rows count 0.",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c
+    RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c_custkey = o_custkey
+    """,
+    description="Right outer join: all qualifying orders, customer attrs nullable.",
+)
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier WHERE s_acctbal > 7000 GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey, n_cust, n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    description="Full outer join of two aggregates; nulls on both non-matching sides.",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 7000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey
+                    AND l_shipdate >= TIMESTAMP '2001-01-01'
+                    AND l_quantity >= 45)
+    """,
+    description="Left semi join (EXISTS): suppliers with a large recent shipment.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")) & (F.col("l_quantity") >= 45)
+    )
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    description="Left anti join (NOT EXISTS): customers with no very large order.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, os AS orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS os FROM orders)
+    """,
+    description="Cross join of two tiny relations (5 regions × 3 statuses).",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    st = load_table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("orderstatus")).distinct()
+    return region.crossJoin(st)
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+    FROM part
+    JOIN (VALUES ('low', 900.0, 940.0), ('mid', 940.0, 970.0), ('high', 970.0, 1000.0))
+         bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    description="Range (theta) join against a broadcast band table; non-equi condition.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 940.0), ("mid", 940.0, 970.0), ("high", 970.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    # Non-equi join: broadcast the tiny band table so this is a
+    # BroadcastNestedLoopJoin over 3 rows, never a cartesian shuffle.
+    return (
+        part.join(F.broadcast(bands), (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           v.event_id AS last_view_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    headline=True,
+    description=(
+        "As-of join (Spark has no native one): for each purchase, the most recent "
+        "prior view by the same user. Implemented distributedly as union → single "
+        "per-key sort → last(ignoreNulls) window; no pairwise join blowup."
+    ),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join via the union-sort-fill pattern.
+
+    Both sides are unioned with a side tag, hash-partitioned by the join
+    key, sorted by (ts, side) within the key, and the right side's payload
+    is carried forward with last(..., ignoreNulls) — one shuffle total,
+    linear in |L|+|R|, robust to 100 TB (vs. a range join which is
+    quadratic per key). Right rows sort before left rows at equal ts so
+    `>=` (inclusive) as-of semantics hold.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("event_id").alias("view_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "view_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("last_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "last_view_id",
+            F.round("purchase_value", 4).alias("purchase_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                              AS n,
+           ROUND(MIN(l_extendedprice), 2)        AS min_price,
+           ROUND(MAX(l_extendedprice), 2)        AS max_price,
+           ROUND(AVG(l_extendedprice), 4)        AS avg_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Multi-aggregate hash agg: count/min/max/avg/stddev + integer sum.",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS n_supp,
+           COUNT(DISTINCT l_partkey)  AS n_part,
+           ROUND(SUM(DISTINCT l_quantity), 2) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Distinct aggregates (expand-based multi-distinct plan).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    description="ROLLUP hierarchy with GROUPING() disambiguation of null group keys.",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    description="CUBE over two dimensions (all 4 grouping sets).",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    description="Explicit GROUPING SETS (two independent groupings in one pass).",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(MEDIAN(o_totalprice), 4)                       AS med,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4)          AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4)          AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="Exact median + interpolated quantiles per group.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle=None,  # HLL++ sketch values are engine-specific; driver does rows-only
+    description="approx_count_distinct (HLL++) — sketch output, no exact oracle by design.",
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 50
+    """,
+    description="Ranking window family (row_number/rank/dense_rank/ntile) per segment.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "q_window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="Analytic window family: lag/lead/first_value + running-sum frame.",
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    description="Top-k per group: window + filter, no global sort (scales per-partition).",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+    description="Global top-n: Spark plans TakeOrderedAndProject (no full sort).",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    UNION
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    description="UNION (distinct) of two key sets.",
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    description="INTERSECT (distinct).",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9500
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    description="EXCEPT (distinct).",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)  # EXCEPT (set semantics): values of c absent from s
+
+
+@register(
+    "q_set_union_by_name",
+    oracle="""
+    SELECT c_name AS name, ROUND(c_acctbal, 2) AS balance, 'customer' AS kind
+    FROM customer WHERE c_acctbal > 9950
+    UNION ALL
+    SELECT s_name AS name, ROUND(s_acctbal, 2) AS balance, 'supplier' AS kind
+    FROM supplier WHERE s_acctbal > 9500
+    """,
+    description="unionByName across differently-ordered projections (UNION ALL).",
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9950)
+        .select(
+            F.col("c_name").alias("name"),
+            F.round("c_acctbal", 2).alias("balance"),
+            F.lit("customer").alias("kind"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(
+            F.lit("supplier").alias("kind"),
+            F.col("s_name").alias("name"),
+            F.round("s_acctbal", 2).alias("balance"),
+        )
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "q_distinct_projection",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    description="DISTINCT over a projection (dropDuplicates on full row).",
+)
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name)                                   AS lname,
+           UPPER(p_type)                                   AS utype,
+           LENGTH(p_name)                                  AS name_len,
+           split_part(p_name, ' ', 1)                      AS first_word,
+           CONCAT(p_brand, ':', p_type)                    AS brand_type,
+           regexp_extract(p_brand, '([0-9]+)', 1)          AS brand_num,
+           REPLACE(p_name, ' ', '_')                       AS snake_name,
+           SUBSTRING(p_name, 1, 3)                         AS prefix3,
+           LPAD(CAST(p_size AS VARCHAR), 3, '0')           AS padded_size,
+           TRIM('  ' || p_type || ' ')                     AS trimmed,
+           CASE WHEN p_name LIKE 'b%' THEN 1 ELSE 0 END    AS starts_b
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+    description="String function family: case, length, split, concat, regexp, pad, trim.",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_type").alias("utype"),
+        F.length("p_name").alias("name_len"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.substring("p_name", 1, 3).alias("prefix3"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("padded_size"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+        F.when(F.col("p_name").like("b%"), 1).otherwise(0).alias("starts_b"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate)                          AS yr,
+           EXTRACT(MONTH FROM o_orderdate)                         AS mo,
+           EXTRACT(QUARTER FROM o_orderdate)                       AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')  AS month_start,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    description="Date/time function family: extract, trunc, diff, add, last_day.",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch0"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 30000)                   AS abs_dev,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT)         AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT)        AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 4)                AS sqrt_price,
+           ROUND(LN(l_extendedprice + 1), 4)              AS ln_price,
+           ROUND(POW(1 + l_discount, 3), 6)               AS disc_cubed,
+           CAST(l_quantity AS BIGINT) % 5                 AS qty_mod
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+    description="Math function family: abs/ceil/floor/sqrt/ln/pow/mod.",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000).alias("abs_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("ln_price"),
+        F.round(F.pow(1 + F.col("l_discount"), 3), 6).alias("disc_cubed"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                         AS n_words,
+           len(list_distinct(string_split(text, ' ')))          AS n_distinct_words,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3_sorted,
+           CAST(list_contains(string_split(text, ' '), 'spark') AS INT) AS has_spark
+    FROM documents
+    WHERE doc_id <= 100
+    """,
+    description="Array function family: split, size, distinct, sort, slice, contains.",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(words)), 1, 3)).alias("first3_sorted"),
+        F.array_contains(words, "spark").cast("int").alias("has_spark"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)       AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSON extraction over the events.props payload column + aggregation.",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k.cast("long")).alias("sum_k"),
+        F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value * CASE event_type
+                 WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+                 WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+                 ELSE 0.0 END), 4) AS weighted_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Map functions: literal map lookup (element_at) feeding an aggregate.",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weights = F.create_map(
+        F.lit("purchase"), F.lit(5.0),
+        F.lit("signup"), F.lit(3.0),
+        F.lit("click"), F.lit(1.0),
+        F.lit("view"), F.lit(0.5),
+    )
+    w = F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0.0))
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * w), 4).alias("weighted_value")
+    )
+
+
+@register(
+    "q_fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END                        AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_nationkey % 2 = 0 THEN NULL ELSE c_nationkey END AS odd_nation
+    FROM customer
+    """,
+    description="Conditional family: CASE WHEN tiers, NULLIF/COALESCE null funneling.",
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 9000, "mid")
+        .otherwise("high")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, F.lit(None)).otherwise(F.col("c_nationkey")).alias(
+            "odd_nation"
+        ),
+    )
+
+
+@register(
+    "q_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer WHERE c_custkey <= 150),
+         b AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer WHERE c_custkey <= 150)
+    SELECT COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+    """,
+    description="Null-safe equality join (<=> / IS NOT DISTINCT FROM) with null keys.",
+)
+def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150)
+    a = cust.select("c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"))
+    b = a.select(F.col("c_custkey").alias("b_custkey"), F.col("seg").alias("b_seg"))
+    return (
+        a.join(b, a.seg.eqNullSafe(b.b_seg) & (a.c_custkey < b.b_custkey))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot + subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    description="Pivot: order counts per segment × status (static value list).",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_above
+    FROM lineitem
+    WHERE l_extendedprice > (SELECT AVG(l_extendedprice) * 1.9 FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    description="Scalar subquery: global average computed once, broadcast into the filter.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    threshold = li.agg((F.avg("l_extendedprice") * 1.9).alias("thr"))
+    # Broadcast cross-join of a 1-row aggregate — the distributed version of
+    # a scalar subquery; never a driver-side collect().
+    return (
+        li.crossJoin(F.broadcast(threshold))
+        .filter(F.col("l_extendedprice") > F.col("thr"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+    description="Correlated EXISTS subquery (TPC-H Q4-shaped, late-shipment predicate).",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ex_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_ex_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM _ex_orders
+        WHERE EXISTS (SELECT 1 FROM _ex_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+      AND c_acctbal > 9000
+    """,
+    description="Nested IN subqueries (planned as semi joins against broadcast dims).",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_in_{t}")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _in_customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM _in_nation
+                              WHERE n_regionkey IN (SELECT r_regionkey FROM _in_region WHERE r_name = 'ASIA'))
+          AND c_acctbal > 9000
+        """
+    )
