@@ -1,0 +1,174 @@
+"""Deterministic MinHash + banded LSH near-duplicate detection.
+
+Everything is JVM-side Column arithmetic (md5 → hex→int → affine hashes →
+array_min), so signatures are computed in whole-stage codegen with no
+Python UDFs and are reproducible across engines — the DuckDB oracle
+recomputes the identical pipeline (same md5-derived base hash, same
+affine constants, same banding).
+
+Scale design: candidate pairs come from an equi-join on (band_index,
+band_hash) — data shuffles once by band key, cost linear in corpus size;
+no O(n²) comparisons. The final Jaccard verification only touches
+candidate pairs. Skewed buckets (e.g. boilerplate-heavy corpora) are
+handled by AQE skew-join splitting; a hard bucket-size cap can be added
+by filtering bucket counts before the self-join.
+
+(The reference has no dedup of any kind — duva full-refreshes every
+sync, SURVEY §2a; this is part of the BASELINE.json LLM-pipeline
+extension.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+# 2^31 - 1 (prime). Affine hash products stay < 2^62: no int64 overflow
+# in either Spark or DuckDB.
+MERSENNE_P = 2147483647
+
+N_HASHES = 24
+N_BANDS = 8  # 3 rows per band
+
+
+def hash_params(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic affine-hash constants (a_i, b_i), identical to the
+    generator used for the SQL oracle."""
+    return [
+        (((2 * i + 1) * 2654435761) % MERSENNE_P, ((i + 1) * 40503) % MERSENNE_P)
+        for i in range(n_hashes)
+    ]
+
+
+def md5_hash60(col: Column) -> Column:
+    """String → uniform 60-bit non-negative int (first 15 hex chars of md5).
+
+    Cross-engine reproducible: DuckDB equivalent is
+    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def base_hash(col: Column) -> Column:
+    """String → uniform int in [0, P)."""
+    return md5_hash60(col) % MERSENNE_P
+
+
+def word_shingles(words: Column, k: int = 3) -> Column:
+    """k-word shingles of a words array (distinct, order-insensitive set).
+
+    Documents shorter than k words yield an empty shingle set (their
+    minhash values are null and they never enter LSH buckets).
+    """
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + j).cast("int")) for j in range(1, k + 1)]
+    )
+    return F.when(
+        F.size(words) >= k,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(words) - k), shingle)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> list[Column]:
+    """n_hashes min-hash values over a shingle array (null if empty)."""
+    hs = F.transform(shingles, base_hash)
+
+    def affine(a: int, b: int):
+        # closure, not default-arg lambda: PySpark counts lambda params to
+        # pick the HOF arity, so defaults would mis-bind.
+        return lambda h: (a * h + b) % MERSENNE_P
+
+    return [
+        F.array_min(F.transform(hs, affine(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(hash_params(n_hashes))
+    ]
+
+
+def with_signature(
+    df: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = N_HASHES
+) -> DataFrame:
+    words = F.split(F.col(text_col), " ")
+    return df.withColumn("_shingles", word_shingles(words, k)).select(
+        "*", *minhash_signature(F.col("_shingles"), n_hashes)
+    )
+
+
+def band_hashes(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> list[Column]:
+    rows = n_hashes // n_bands
+    return [
+        F.md5(F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
+        for b in range(n_bands)
+    ]
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Plan shape: signature (scan, codegen) → explode to (band_idx,
+    band_hash) → shuffle by band key → self-join within buckets →
+    distinct pairs. One shuffle for bucketing, one for distinct.
+    """
+    sig = with_signature(df.select(id_col, text_col), text_col, k, n_hashes).select(
+        id_col, "_shingles", *band_hashes(n_hashes, n_bands)
+    )
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.col("_shingles"), F.explode(bands_arr).alias("bk")
+    ).select(id_col, "_shingles", "bk.band_idx", "bk.band_hash")
+    a = buckets.select(
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col(id_col).alias("id_a"),
+        F.col("_shingles").alias("sh_a"),
+    )
+    b = buckets.select(
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col(id_col).alias("id_b"),
+        F.col("_shingles").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, jaccard) — jaccard rounded to 6 places.
+    """
+    cand = candidate_pairs(df, id_col, text_col, k, n_hashes, n_bands)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,155 @@
+"""Embedding similarity search: brute-force cosine top-k baseline and an
+IVF-bucketed approximate path for scale.
+
+The embedding column is array<float>; all math is promoted to double and
+stays in JVM Column expressions (zip_with/aggregate fold → whole-stage
+codegen). No pandas UDF needed for cosine — Arrow batching only wins once
+you need BLAS-level matrix products, at which point the IVF path reduces
+the candidate set first anyway.
+
+Scale design:
+- brute-force: queries are broadcast (a top-k probe set is small by
+  definition); the corpus is scanned once, partial top-k per partition
+  via window-rank is AQE-coalesced. Cost O(|corpus| · |queries| · dim)
+  but embarrassingly parallel with zero shuffle on the corpus side.
+- IVF: corpus is assigned once to nearest-centroid buckets (a narrow
+  shuffle by bucket id, analogous to FAISS IVF lists). A query probes
+  its nprobe nearest centroids and scans only those buckets —
+  1/nlist·nprobe of the data touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine_sim, rank).
+
+    Self-matches (same id) are excluded. Ties break by neighbor id so
+    results are deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(
+    corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Elementwise-mean centroid per label: (label, centroid array<double>).
+
+    posexplode → (label, pos) avg → re-assemble sorted by pos. Two narrow
+    shuffles over (label × dim) rows — independent of corpus width.
+    """
+    exploded = corpus.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    means = exploded.groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(label_col, F.transform("pm", lambda s: s.getField("m")).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine): adds `bucket`."""
+    c = centroids.select(F.col(label_col).alias("bucket"), F.col("centroid"))
+    # Round before ranking: the argmax over buckets must be reproducible
+    # across engines despite ~1e-15 summation-order drift.
+    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
+        "_sim", F.round(cosine(F.col(vec_col), F.col("centroid")), 9)
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("bucket"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sim", "_rn", "centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k: probe the nprobe nearest centroid buckets only.
+
+    Same output shape as brute_force_topk; recall < 1 by design — the
+    scale path when the corpus no longer fits a full scan per query.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, label_col)
+    c = centroids.select(F.col(label_col).alias("bucket"), F.col("centroid"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qprobe = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("_sim", F.round(cosine(F.col("q_vec"), F.col("centroid")), 9))
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("bucket"))),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "bucket")
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    sims = (
+        cand.join(F.broadcast(qprobe), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,116 @@
+"""Text analysis operators: tokenization, quality scoring, language-ID,
+document fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no UDFs) — at 100 TB
+these run at parquet-scan speed with full column pruning. A BPE-ish
+regex token count is included alongside whitespace tokens for
+token-budget estimation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+# Minimal per-language stopword markers for the n-gram/stopword language
+# heuristic. Real deployments plug in fasttext via a pandas UDF; the
+# heuristic keeps the operator dependency-free and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
+
+
+def words_of(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_of(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: count of word-piece matches (runs of
+    letters, digits, or single non-space symbols), the standard cheap
+    proxy for subword-tokenizer budgets."""
+    pieces = F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 0)
+    return F.size(pieces)
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    ws = words_of(text)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    return n_stop / F.size(ws)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def mean_word_len(text: Column) -> Column:
+    ws = words_of(text)
+    return (F.length(text) - F.size(ws) + 1) / F.size(ws)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: favors mid-length documents with
+    low punctuation density and a sane stopword ratio (C4-style filters)."""
+    n = token_count_ws(text)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = 1 - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop = stopword_ratio(text)
+    stop_term = 1 - F.abs(stop - 0.1) * 2
+    return F.round((len_term + punct_term + F.greatest(stop_term, F.lit(0.0))) / 3, 6)
+
+
+def _isin_filter(markers: tuple[str, ...]):
+    # NB: a plain `lambda w, m=markers:` won't do — PySpark counts default
+    # params and would bind the 2-arg (element, index) HOF variant.
+    return lambda w: w.isin(*markers)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    ws = words_of(text)
+    return {
+        lang: F.size(F.filter(ws, _isin_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax over stopword-marker hit counts; 'und' when all zero.
+    Ties break by language code order (deterministic)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    word set — robust to word reordering, the classic cheap near-dup key."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_of(text)))))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        predicted_lang(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,1 +1,438 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-pipeline operator queries (dedup / similarity / text analysis /
+multimodal), oracle-checked against DuckDB.
+
+The MinHash/SimHash oracles are *generated* from the same constants as
+the Spark implementation (duva_spark.llm.minhash.hash_params), so both
+engines compute bit-identical signatures — the correctness check covers
+the full pipeline, not a toy subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duva_spark.catalog import load_table
+from duva_spark.llm import dedup, minhash, multimodal, similarity, simhash, textstats
+from duva_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="Exact dedup: duplicate groups by content hash with deterministic keeper.",
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_groups(docs, ["text"], "doc_id")
+
+
+@register(
+    "q_dedup_exact_keep",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+    """,
+    description="Exact dedup: surviving rows (min-id per content-hash group).",
+)
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, ["text"], "doc_id").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SQL oracle generated from the same marker lists)
+# ---------------------------------------------------------------------------
+
+
+def _sql_in_list(vals) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+_WS = "string_split(text, ' ')"
+_STOP_N = f"len(list_filter({_WS}, w -> w IN ({_sql_in_list(textstats.STOPWORDS)})))"
+_PUNCT = f"(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / LENGTH(text)"
+_NTOK = f"len({_WS})"
+_LANG_SCORES = {
+    lang: f"len(list_filter({_WS}, w -> w IN ({_sql_in_list(m)})))"
+    for lang, m in textstats.LANG_MARKERS.items()
+}
+_BEST = "GREATEST(" + ", ".join(_LANG_SCORES.values()) + ")"
+_LANG_PRED = "CASE "
+for _lang in sorted(_LANG_SCORES):
+    _LANG_PRED += f"WHEN {_LANG_SCORES[_lang]} = {_BEST} AND {_BEST} > 0 THEN '{_lang}' "
+_LANG_PRED += "ELSE 'und' END"
+_QUALITY = (
+    f"ROUND((LEAST({_NTOK} / 100.0, 1.0)"
+    f" + (1 - LEAST({_PUNCT} * 5, 1.0))"
+    f" + GREATEST(1 - ABS({_STOP_N} / {_NTOK} - 0.1) * 2, 0.0)) / 3, 6)"
+)
+_FPRINT = f"md5(array_to_string(list_sort(list_distinct({_WS})), ' '))"
+_BPE = r"len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))"
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_NTOK}                          AS n_tokens_ws,
+           {_BPE}                           AS n_tokens_bpe,
+           ROUND({_STOP_N} / {_NTOK}, 6)    AS stopword_ratio,
+           ROUND({_PUNCT}, 6)               AS punct_ratio,
+           {_QUALITY}                       AS quality,
+           {_LANG_PRED}                     AS lang_pred,
+           {_FPRINT}                        AS fingerprint
+    FROM documents
+    WHERE doc_id <= 100
+    """,
+    description="Per-document text analysis: tokens (ws + BPE-ish), stopword/punct ratios, quality score, language-ID heuristic, fingerprint.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    return textstats.with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+@register(
+    "q_text_quality_by_source",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG({_QUALITY}), 6) AS avg_quality,
+           ROUND(AVG({_NTOK}), 4)    AS avg_tokens,
+           COUNT(CASE WHEN {_LANG_PRED} = 'en' THEN 1 END) AS n_pred_en
+    FROM documents
+    GROUP BY source
+    """,
+    description="Corpus-level quality profile per source (text-stats exprs under aggregation).",
+)
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(textstats.quality_score(t)), 6).alias("avg_quality"),
+        F.round(F.avg(textstats.token_count_ws(t)), 4).alias("avg_tokens"),
+        F.count(F.when(textstats.predicted_lang(t) == "en", 1)).alias("n_pred_en"),
+    )
+
+
+@register(
+    "q_fingerprint_collisions",
+    oracle=f"""
+    SELECT {_FPRINT} AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+    description="Fingerprint-based near-dup groups (order-insensitive word-set md5).",
+)
+def q_fingerprint_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(textstats.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (oracle generated from identical constants)
+# ---------------------------------------------------------------------------
+
+_P = minhash.MERSENNE_P
+_SHINGLES = (
+    "CASE WHEN len(ws) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) "
+    "ELSE [] END"
+)
+_H60 = "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
+
+
+def _sql_minhash(i: int, a: int, b: int) -> str:
+    return (
+        f"list_min(list_transform(sh, s -> ({a} * ({_H60} % {_P}) + {b}) % {_P})) AS mh_{i}"
+    )
+
+
+def _minhash_sig_sql(n_hashes: int) -> str:
+    cols = ",\n           ".join(
+        _sql_minhash(i, a, b) for i, (a, b) in enumerate(minhash.hash_params(n_hashes))
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES} AS sh FROM w)
+    SELECT doc_id,
+           len(sh) AS n_shingles,
+           {cols}
+    FROM s
+    """
+
+
+@register(
+    "q_minhash_signature",
+    oracle=_minhash_sig_sql(8),
+    description="MinHash signatures (8 hashes) over 3-word shingles — bit-identical to the oracle's arithmetic.",
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    sh = minhash.word_shingles(words, 3)
+    return docs.select(
+        "doc_id", F.size(sh).alias("n_shingles"), *[c for c in minhash.minhash_signature(sh, 8)]
+    ).select("doc_id", "n_shingles", *[f"mh_{i}" for i in range(8)])
+
+
+def _lsh_pairs_sql(n_hashes: int, n_bands: int, threshold: float) -> str:
+    rows = n_hashes // n_bands
+    mh_cols = ",\n           ".join(
+        _sql_minhash(i, a, b) for i, (a, b) in enumerate(minhash.hash_params(n_hashes))
+    )
+    band_cols = ", ".join(
+        "md5(" + " || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows)) + f") AS band_{b}"
+        for b in range(n_bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_idx, band_{b} AS band_hash FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES} AS sh FROM w),
+    mh AS (SELECT doc_id, sh,
+           {mh_cols}
+           FROM s),
+    sig AS (SELECT doc_id, sh, {band_cols} FROM mh),
+    buckets AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(sh_a, sh_b)) * 1.0 /
+                 len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jaccard
+    FROM cand
+    WHERE ROUND(len(list_intersect(sh_a, sh_b)) * 1.0 /
+                len(list_distinct(list_concat(sh_a, sh_b))), 6) >= {threshold}
+    """
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    oracle=_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5),
+    headline=True,
+    description="Fuzzy dedup: MinHash(24) → 8-band LSH buckets → candidate equi-join → exact shingle-Jaccard ≥ 0.5 verification. Linear, never pairwise.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard (exact within blocks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, lang, source, {_SHINGLES} AS sh FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+    """,
+    description="Blocked exact n-gram Jaccard: pairwise only within (lang, source) blocks.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    s = docs.select("doc_id", "lang", "source", minhash.word_shingles(words, 3).alias("sh"))
+    a = s.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = s.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (oracle generated per-bit)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql(n_bits: int) -> str:
+    h = "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(ws, w -> (({h} >> {j}) & 1) * 2 - 1), 'sum') > 0 "
+        f"THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id <= 200)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+    FROM w
+    """
+
+
+@register(
+    "q_simhash",
+    oracle=_simhash_sql(16),
+    description="SimHash fingerprints (16-bit here; 32/64 in the library) — per-bit majority over md5 word hashes, computed in a single codegen fold.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    return docs.select("doc_id", simhash.simhash(F.split(F.col("text"), " "), 16).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+_NORM = (
+    "sqrt(list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))"
+)
+_COS_QC = (
+    _DOT.format(a="qv", b="cv")
+    + " / ("
+    + _NORM.format(a="qv")
+    + " * "
+    + _NORM.format(a="cv")
+    + ")"
+)
+
+
+@register(
+    "q_embed_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM c CROSS JOIN q
+          WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 5
+    """,
+    headline=True,
+    description="Similarity search baseline: brute-force cosine top-5 for 5 probe vectors (broadcast probes, zero corpus shuffle).",
+)
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "q_embed_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS bucket,
+             list(avgv ORDER BY i) AS centroid
+      FROM (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS avgv
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, i)
+      GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, bucket
+      FROM (SELECT e.vec_id, e.embedding, c.bucket,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_DOT.format(a="e.embedding", b="c.centroid")} /
+                             ({_NORM.format(a="e.embedding")} * {_NORM.format(a="c.centroid")}), 9) DESC,
+                             c.bucket) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, qv, bucket
+      FROM (SELECT e.vec_id AS query_id, e.embedding AS qv, c.bucket,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_DOT.format(a="e.embedding", b="c.centroid")} /
+                             ({_NORM.format(a="e.embedding")} * {_NORM.format(a="c.centroid")}), 9) DESC,
+                             c.bucket) AS rn
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id < 5)
+      WHERE rn <= 2
+    ),
+    s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM assigned JOIN qprobe USING (bucket)
+          WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 5
+    """,
+    description="ANN scale path: IVF bucketing by nearest label-centroid, nprobe=2 probe, top-5 within probed buckets only.",
+)
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
+           'image' AS media_type
+    FROM documents
+    WHERE doc_id <= 100
+    """,
+    description="Multimodal column plumbing: opaque binary payload + typed metadata; JVM-side byte stats (decode stage stubbed behind mapInPandas).",
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    return multimodal.payload_stats(media, "doc_id")
