@@ -1,0 +1,101 @@
+"""Ingestion parity with duva: null markers, 3-type schema universe,
+empty-input abort, XLSForm schema-first path.
+
+Reference semantics under test: app/core/importer.py:38-74 (type map +
+null markers), :236-240 (empty abort); app/utils/hyper_utils.py:40-46
+(XLSForm map).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from duva_spark.sources.csv_source import (
+    EmptyInputError,
+    infer_csv_schema,
+    read_csv_duva,
+    schema_from_form,
+)
+
+CSV = """respondent_name,age,household_income,consented,visit_date
+alice,34,1200.5,yes,2024-01-01
+bob,41,n/a,no,2024-01-02
+,19,880.0,yes,2024-01-03
+carol,n/a,,yes,
+"""
+
+
+@pytest.fixture(scope="module")
+def csv_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "submissions.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+def test_null_markers_become_null(spark, csv_path):
+    df = read_csv_duva(spark, csv_path)
+    rows = {r.respondent_name: r for r in df.collect()}
+    assert rows["bob"].household_income is None  # "n/a" → NULL
+    assert rows["carol"].visit_date is None  # "" → NULL
+    assert rows["carol"].age is None
+    assert None in rows  # empty respondent_name → NULL row key
+
+
+def test_three_type_universe(spark, csv_path):
+    schema = {f.name: f.dataType for f in read_csv_duva(spark, csv_path).schema.fields}
+    assert schema["age"] == T.LongType()  # kind i → BIG_INT
+    assert schema["household_income"] == T.DoubleType()  # kind f → DOUBLE
+    # everything else collapses to TEXT, including booleans and dates
+    assert schema["consented"] == T.StringType()
+    assert schema["visit_date"] == T.StringType()
+    assert schema["respondent_name"] == T.StringType()
+
+
+def test_widened_types(spark, csv_path):
+    schema = {f.name: f.dataType for f in infer_csv_schema(spark, csv_path, widen_types=True).fields}
+    assert schema["visit_date"] in (T.DateType(), T.TimestampType())
+    assert schema["consented"] in (T.BooleanType(), T.StringType())
+
+
+def test_empty_input_aborts(spark, tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("a,b,c\n")  # header only
+    with pytest.raises(EmptyInputError):
+        read_csv_duva(spark, str(p))
+
+
+def test_schema_from_form():
+    schema = schema_from_form(
+        [
+            {"name": "age", "type": "integer"},
+            {"name": "income", "type": "decimal"},
+            {"name": "name", "type": "text"},
+            {"name": "services", "type": "select all that apply"},
+        ]
+    )
+    assert schema["age"].dataType == T.LongType()
+    assert schema["income"].dataType == T.DoubleType()
+    assert schema["services"].dataType == T.StringType()
+
+
+def test_row_count_contract(spark, csv_path, tmp_path):
+    from duva_spark.sinks import full_refresh
+
+    df = read_csv_duva(spark, csv_path)
+    n = full_refresh(df, str(tmp_path / "out"))
+    assert n == 4  # COPY-style row count (app/core/importer.py:251-256)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 4
+
+
+def test_full_refresh_overwrites_with_schema_drift(spark, tmp_path):
+    from duva_spark.sinks import full_refresh
+
+    out = str(tmp_path / "drift")
+    full_refresh(spark.createDataFrame([(1, "x")], "id long, a string"), out)
+    # second sync drops a column and adds another — full refresh tolerates it
+    full_refresh(spark.createDataFrame([(2, 3.5)], "id long, b double"), out)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"id", "b"}
+    assert back.count() == 1

@@ -1,0 +1,85 @@
+"""Real Structured Streaming runs (memory sink, Trigger.AvailableNow):
+batch-equivalence of windowed aggs and stateful dedup — the streaming
+semantics the batch oracle can't observe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duva_spark.catalog import load_table
+from duva_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    tumbling_window_agg,
+)
+from duva_spark.streaming.jobs import dedup_within_watermark
+
+
+def _batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir, watermark="1 hour")
+    result = run_available_now(tumbling_window_agg(stream, "1 day"), "t_tumble")
+    batch = tumbling_window_agg(_batch_events(spark, sf_dir), "1 day")
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir, watermark="2 hours")
+    result = run_available_now(session_agg(stream, "30 minutes"), "t_sess")
+    batch = session_agg(_batch_events(spark, sf_dir), "30 minutes")
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir, watermark="1 hour")
+    deduped = dedup_within_watermark(stream, ["user_id", "event_type"])
+    result = run_available_now(
+        deduped.select("user_id", "event_type"), "t_dedup", output_mode="append"
+    )
+    n_stream = result.distinct().count()
+    n_batch = (
+        _batch_events(spark, sf_dir).select("user_id", "event_type").distinct().count()
+    )
+    # watermark-bounded dedup can only keep ≥ the fully-deduped count and
+    # ≤ the raw count; with all data in one AvailableNow batch it equals
+    # the exact distinct count
+    assert n_stream == n_batch
+
+
+def test_late_data_dropped_behind_watermark(spark, tmp_path):
+    """Events behind the watermark are excluded from closed windows."""
+    src = tmp_path / "late"
+    src.mkdir()
+    rows1 = [(i, f"2024-01-01 10:{m:02d}:00", 1, "click", 1.0) for i, m in enumerate(range(0, 50, 10))]
+    spark.createDataFrame(
+        rows1, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, value double, ts timestamp")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only windows closed by the watermark: the 10:00
+    # hour window is NOT closed (max ts 10:40, watermark 10:30 < 11:00),
+    # so nothing is emitted yet — late-data semantics are active.
+    assert spark.sql("SELECT * FROM t_late").count() == 0
