@@ -1,0 +1,93 @@
+"""Dataset lifecycle state machine + failure tracking.
+
+Reference behavior reproduced:
+- 5 lifecycle states (app/schemas/hyperfile.py:11-16):
+  queued → syncing → {file_available | latest_sync_failed |
+  file_unavailable};
+- per-job failure counter in meta_data["sync-failures"], reset on
+  success, auto-deactivate at ≥3 consecutive failures
+  (app/utils/hyper_utils.py:222-268, threshold :254);
+- status transitions written before/after each import
+  (app/crud/crud_hyperfile.py:55-62, app/core/importer.py:129-131,
+  :196-225).
+
+The store is a pluggable dict-backed catalog (swap for Postgres/Delta in
+production); the engine only needs get/put semantics.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+FAILURE_CAP = 3  # app/utils/hyper_utils.py:254
+
+
+class FileStatus(str, enum.Enum):
+    QUEUED = "Sync Queued"
+    SYNCING = "Syncing file"
+    LATEST_SYNC_FAILED = "Latest Sync Failed"
+    FILE_AVAILABLE = "File available"
+    FILE_UNAVAILABLE = "File unavailable"
+
+
+@dataclass
+class DatasetState:
+    dataset_id: str
+    file_status: str = FileStatus.QUEUED.value
+    is_active: bool = True
+    sync_failures: int = 0
+    last_updated: float | None = None
+    failure_reason: str | None = None
+    job_id: str | None = None
+
+
+class MetadataStore:
+    """JSON-file-backed catalog of DatasetState rows (the duva Postgres
+    HyperFile table, minus auth)."""
+
+    def __init__(self, path: str | Path):
+        self._path = Path(path)
+        self._rows: dict[str, DatasetState] = {}
+        if self._path.exists():
+            for rid, raw in json.loads(self._path.read_text()).items():
+                self._rows[rid] = DatasetState(**raw)
+
+    def _flush(self) -> None:
+        self._path.write_text(
+            json.dumps({rid: asdict(s) for rid, s in self._rows.items()}, indent=1)
+        )
+
+    def get(self, dataset_id: str) -> DatasetState:
+        if dataset_id not in self._rows:
+            self._rows[dataset_id] = DatasetState(dataset_id)
+        return self._rows[dataset_id]
+
+    def update_status(self, dataset_id: str, status: FileStatus) -> None:
+        self.get(dataset_id).file_status = status.value
+        self._flush()
+
+    def record_success(self, dataset_id: str) -> None:
+        s = self.get(dataset_id)
+        s.file_status = FileStatus.FILE_AVAILABLE.value
+        s.sync_failures = 0  # reset on success (hyper_utils.py:241-246)
+        s.failure_reason = None
+        s.last_updated = time.time()
+        self._flush()
+
+    def record_failure(self, dataset_id: str, reason: str, unavailable: bool = False) -> None:
+        """Increment the consecutive-failure counter; deactivate at the cap
+        (cancelling any schedule is the caller's concern, as in
+        hyper_utils.py:254-263)."""
+        s = self.get(dataset_id)
+        s.file_status = (
+            FileStatus.FILE_UNAVAILABLE if unavailable else FileStatus.LATEST_SYNC_FAILED
+        ).value
+        s.sync_failures += 1
+        s.failure_reason = reason
+        if s.sync_failures >= FAILURE_CAP:
+            s.is_active = False
+        self._flush()

@@ -1,0 +1,113 @@
+"""Control-plane semantics: state transitions, failure cap, locking, and
+the end-to-end sync job (reference: EP2 flow + hyper_utils.py:222-268)."""
+
+from __future__ import annotations
+
+import pytest
+
+from duva_spark.orchestration import (
+    FAILURE_CAP,
+    DatasetLock,
+    FileStatus,
+    LockHeld,
+    MetadataStore,
+    SyncJob,
+)
+
+CSV_OK = "name,age\nalice,34\nbob,41\n"
+
+
+def _store(tmp_path):
+    return MetadataStore(tmp_path / "catalog.json")
+
+
+def test_success_path_resets_failures(spark, tmp_path):
+    store = _store(tmp_path)
+    store.get("d1").sync_failures = 2
+    csv = tmp_path / "d1.csv"
+    csv.write_text(CSV_OK)
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: csv)
+    n = job.run("d1", str(tmp_path / "out"))
+    assert n == 2
+    s = store.get("d1")
+    assert s.file_status == FileStatus.FILE_AVAILABLE.value
+    assert s.sync_failures == 0 and s.last_updated is not None
+
+
+def test_three_failures_deactivate(spark, tmp_path):
+    store = _store(tmp_path)
+
+    def bad_fetch(_id):
+        raise IOError("export download failed")
+
+    job = SyncJob(spark, store, tmp_path, fetch=bad_fetch)
+    for i in range(FAILURE_CAP):
+        with pytest.raises(IOError):
+            job.run("d2", str(tmp_path / "out"))
+    s = store.get("d2")
+    assert s.is_active is False
+    assert s.sync_failures == FAILURE_CAP
+    assert s.file_status == FileStatus.LATEST_SYNC_FAILED.value
+    # further runs refuse outright
+    with pytest.raises(RuntimeError, match="deactivated"):
+        job.run("d2", str(tmp_path / "out"))
+
+
+def test_lock_excludes_concurrent_sync(tmp_path):
+    with DatasetLock(tmp_path, "d3"):
+        with pytest.raises(LockHeld):
+            with DatasetLock(tmp_path, "d3"):
+                pass
+    # released → acquirable again
+    with DatasetLock(tmp_path, "d3"):
+        pass
+
+
+def test_state_survives_store_reload(tmp_path):
+    store = _store(tmp_path)
+    store.record_failure("d4", "boom")
+    reloaded = MetadataStore(tmp_path / "catalog.json")
+    s = reloaded.get("d4")
+    assert s.sync_failures == 1 and s.failure_reason == "boom"
+
+
+def test_empty_export_records_failure(spark, tmp_path):
+    store = _store(tmp_path)
+    csv = tmp_path / "empty.csv"
+    csv.write_text("a,b\n")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: csv)
+    with pytest.raises(Exception):
+        job.run("d5", str(tmp_path / "out"))
+    assert store.get("d5").sync_failures == 1
+
+
+def test_http_source_retry_and_poll():
+    from duva_spark.sources.http import (
+        FailedExternalRequest,
+        fetch_to_local,
+        poll_async_export,
+    )
+
+    calls = []
+
+    def flaky(url):
+        calls.append(url)
+        return (503, b"") if len(calls) < 3 else (200, b"a,b\n1,2\n")
+
+    p = fetch_to_local("http://x/export.csv", flaky, sleep=lambda _: None)
+    assert p.read_text() == "a,b\n1,2\n" and len(calls) == 3
+
+    with pytest.raises(FailedExternalRequest):
+        fetch_to_local("http://x/gone", lambda u: (404, b""), sleep=lambda _: None)
+
+    polls = []
+
+    def poller(url):
+        polls.append(url)
+        if len(polls) == 1:
+            return (202, {"job_uuid": "j1", "job_status": "PENDING"})
+        return (202, {"job_status": "SUCCESS", "export_url": "http://x/data.csv"})
+
+    url = poll_async_export("http://x/export_async.json?format=csv", poller, sleep=lambda _: None)
+    assert url == "http://x/data.csv"
+    assert "job_uuid=j1" in polls[1]  # re-attaches the job id (onadata.py:113-116)
