@@ -51,9 +51,14 @@ def test_s3_client_roundtrip(tmp_path):
     assert url.endswith("?exp=3600")  # 3600 s validity (config.py:27)
 
 
-def test_missing_boto3_raises_cleanly():
-    with pytest.raises(ImportError, match="boto3"):
-        S3ArtifactClient("bkt")
+def test_default_client_construction():
+    try:
+        import boto3  # noqa: F401
+
+        assert S3ArtifactClient("bkt").bucket == "bkt"
+    except ImportError:
+        with pytest.raises(ImportError, match="boto3"):
+            S3ArtifactClient("bkt")
 
 
 def test_missing_tableau_raises_cleanly():
