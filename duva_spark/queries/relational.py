@@ -1152,3 +1152,106 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND c_acctbal > 9000
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 additions: scan-bound aggregate, unpivot, range frames, from_json
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    headline=True,
+    description="TPC-H Q6-shaped: pure scan+filter+agg — the parquet-pushdown showcase (all four predicates reach the scan).",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, ROUND(val, 2) AS val
+    FROM (SELECT c_custkey, c_acctbal AS balance, CAST(c_nationkey AS DOUBLE) AS nation
+          FROM customer WHERE c_custkey <= 300)
+    UNPIVOT (val FOR metric IN (balance, nation))
+    """,
+    description="Unpivot (wide→long): Spark unpivot/melt ≙ SQL UNPIVOT.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_nationkey").cast("double").alias("nation"),
+        )
+    )
+    return cust.unpivot("c_custkey", ["balance", "nation"], "metric", "_v").select(
+        "c_custkey", "metric", F.round("_v", 2).alias("val")
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    description="RANGE window frame (value-based bounds): orders within ±10k of each order's price.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 10000)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_similar"),
+    )
+
+
+@register(
+    "q_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    WHERE event_id <= 1000
+    """,
+    description="from_json with an explicit schema → typed struct field access (vs. per-path get_json_object).",
+)
+def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 1000)
+    parsed = ev.withColumn("p", F.from_json("props", "struct<k:bigint>"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_bucket"),
+    )
