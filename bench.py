@@ -31,11 +31,13 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once with the flagship query so
     # per-query numbers measure execution, not first-touch JIT.
-    headline_first = next(iter(headline.values()))
-    headline_first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    registry["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
-    for name, q in headline.items():
+    for name, q in sorted(headline.items()):
+        spark.catalog.clearCache()  # no cross-query cache flattery
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

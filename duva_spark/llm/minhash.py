@@ -88,9 +88,29 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> list[Column
 def with_signature(
     df: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = N_HASHES
 ) -> DataFrame:
+    """Adds _shingles and mh_0..mh_{n-1}.
+
+    The per-shingle base hash (md5 → int) is materialized once as `_hs`
+    and the n affine minima are computed over it — without this, Catalyst
+    re-evaluates the md5 pipeline once per signature column (n× the
+    dominant cost).
+    """
     words = F.split(F.col(text_col), " ")
-    return df.withColumn("_shingles", word_shingles(words, k)).select(
-        "*", *minhash_signature(F.col("_shingles"), n_hashes)
+
+    def affine(a: int, b: int):
+        return lambda h: (a * h + b) % MERSENNE_P
+
+    return (
+        df.withColumn("_shingles", word_shingles(words, k))
+        .withColumn("_hs", F.transform("_shingles", base_hash))
+        .select(
+            "*",
+            *[
+                F.array_min(F.transform("_hs", affine(a, b))).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(hash_params(n_hashes))
+            ],
+        )
+        .drop("_hs")
     )
 
 
@@ -114,39 +134,41 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
-    Plan shape: signature (scan, codegen) → explode to (band_idx,
-    band_hash) → shuffle by band key → self-join within buckets →
-    distinct pairs. One shuffle for bucketing, one for distinct.
+    Plan shape, tuned for scale:
+    1. signature stage computed ONCE and persisted (it feeds the band
+       explode and both sides of the shingle re-join — at 100 TB this is
+       "write the signature table, then join against it");
+    2. bands explode to narrow (id, band_idx, band_hash) rows — shingle
+       arrays never enter the bucket shuffle;
+    3. self-equi-join on the band key + pair dedup on narrow rows;
+    4. shingle sets re-joined only for surviving candidate pairs.
     """
     sig = with_signature(df.select(id_col, text_col), text_col, k, n_hashes).select(
         id_col, "_shingles", *band_hashes(n_hashes, n_bands)
     )
+    sig = sig.persist()
     bands_arr = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
             for b in range(n_bands)
         ]
     )
-    buckets = sig.select(
-        F.col(id_col), F.col("_shingles"), F.explode(bands_arr).alias("bk")
-    ).select(id_col, "_shingles", "bk.band_idx", "bk.band_hash")
-    a = buckets.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_a"),
-        F.col("_shingles").alias("sh_a"),
+    buckets = sig.select(F.col(id_col), F.explode(bands_arr).alias("bk")).select(
+        id_col, "bk.band_idx", "bk.band_hash"
     )
-    b = buckets.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col(id_col).alias("id_b"),
-        F.col("_shingles").alias("sh_b"),
-    )
-    return (
+    a = buckets.select("band_idx", "band_hash", F.col(id_col).alias("id_a"))
+    b = buckets.select("band_idx", "band_hash", F.col(id_col).alias("id_b"))
+    pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sig.select(id_col, "_shingles")
+    return (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", "sh_a", "sh_b")
     )
 
 
