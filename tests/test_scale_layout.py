@@ -1,0 +1,96 @@
+"""Scale-layout behaviors must be visible in plans: partition pruning,
+bucketed shuffle-free joins, salted-join correctness, and the reusable
+operators' equivalence to their inline query forms."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from duva_spark.catalog import load_table
+from duva_spark.layout import read_table, write_bucketed, write_partitioned_by_day
+from duva_spark.operators import asof_join, salted_join, top_k_per_group
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(load_table(spark, sf_dir, "events"), out)
+    df = spark.read.parquet(out).filter(F.col("dt") == "2024-01-05")
+    plan = _explain(df)
+    assert "PartitionFilters: [isnotnull(dt" in plan  # pruned at the scan
+    assert df.count() > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        write_bucketed(orders, "b_orders", "o_custkey", 8)
+        write_bucketed(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", 8
+        )
+        joined = read_table(spark, "b_orders").join(read_table(spark, "b_customer"), "o_custkey")
+        plan = _explain(joined, "simple")
+        assert "Exchange hashpartitioning" not in plan  # buckets co-located
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4).agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    assert plain.collect() == salted.collect()
+
+
+def test_asof_operator_matches_query(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(purchases, views, on="user_id", ts="ts")
+    from duva_spark.queries import load_all
+
+    q = load_all()["q_join_asof"].fn(spark, sf_dir)
+    got = {(r.event_id, r.asof_view_id) for r in out.collect()}
+    want = {(r.purchase_id, r.last_view_id) for r in q.collect()}
+    assert got == want
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame([(1, 10), (1, 25)], "k long, t long")
+    right = spark.createDataFrame([(1, 12, "a"), (1, 30, "b")], "k long, t long, v string")
+    out = asof_join(left, right, on="k", ts="t", direction="forward")
+    got = {(r.t, r.asof_v) for r in out.collect()}
+    assert got == {(10, "a"), (25, "b")}
+
+
+def test_top_k_per_group_operator(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders, ["o_orderpriority"], [F.desc("o_totalprice"), F.asc("o_orderkey")], 3
+    )
+    counts = out.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] == 3 for r in counts)
