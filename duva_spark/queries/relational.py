@@ -1255,3 +1255,162 @@ def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         (F.col("p.k") % 10).alias("k_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deeper TPC-H-shaped analogs (correlated subqueries, HAVING, histograms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH min_price AS (
+      SELECT p_type, MIN(p_retailprice) AS min_rp FROM part GROUP BY p_type
+    )
+    SELECT p.p_type, p.p_partkey, p.p_name, ROUND(p.p_retailprice, 2) AS price
+    FROM part p JOIN min_price m
+      ON p.p_type = m.p_type AND p.p_retailprice = m.min_rp
+    """,
+    description="TPC-H Q2-shaped: per-group minimum via aggregate + join-back (correlated-min pattern).",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    min_price = part.groupBy(F.col("p_type").alias("mp_type")).agg(
+        F.min("p_retailprice").alias("min_rp")
+    )
+    return (
+        part.join(
+            min_price,
+            (part.p_type == min_price.mp_type) & (part.p_retailprice == min_price.min_rp),
+        )
+        .select("p_type", "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.04 FROM supplier)
+    """,
+    description="TPC-H Q11-shaped: HAVING against a global-total scalar subquery (broadcast, no collect).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    total = supp.agg((F.sum("s_acctbal") * 0.04).alias("thr"))
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(F.sum("s_acctbal").alias("_bal"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_bal") > F.col("thr"))
+        .select("s_nationkey", F.round("_bal", 2).alias("nation_bal"))
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13-shaped: two-level aggregation — per-customer order counts, then the histogram of counts.",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q18_large_quantity_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY o_orderkey, o_totalprice
+    """,
+    description="TPC-H Q18-shaped: IN over a grouped-HAVING subquery (semi join against an aggregate).",
+)
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 300000)
+    GROUP BY c_nationkey
+    """,
+    description="TPC-H Q22-shaped: above-average balance filter (scalar subquery) + NOT EXISTS anti join + aggregate.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@register(
+    "q_fn_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, 'blue bolt')             AS lev_dist,
+           CAST(jaccard(p_name, 'blue bolt') >= 0.99 AS INT) AS char_match
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+    description="String-distance functions: levenshtein edit distance (+ a char-set similarity flag).",
+)
+def q_fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    chars = lambda c: F.array_distinct(F.split(c, ""))  # noqa: E731
+    a, b = chars(F.col("p_name")), chars(F.lit("blue bolt"))
+    jac = F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_name", F.lit("blue bolt")).alias("lev_dist"),
+        (jac >= 0.99).cast("int").alias("char_match"),
+    )
