@@ -436,3 +436,48 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
     media = multimodal.to_media_table(docs, "doc_id", "text")
     return multimodal.payload_stats(media, "doc_id")
+
+
+_L2 = (
+    "sqrt(list_aggregate(list_transform(range(1, 65), "
+    "i -> (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) * "
+    "(CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))), 'sum'))"
+)
+
+
+@register(
+    "q_embed_l2_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, ROUND({_L2}, 6) AS l2_dist
+          FROM c CROSS JOIN q
+          WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, l2_dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY l2_dist, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 5
+    """,
+    description="Euclidean (L2) nearest neighbors: the metric variant of the similarity-search baseline.",
+)
+def q_embed_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    diff2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(F.sqrt(diff2), 6).alias("l2_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)

@@ -83,3 +83,36 @@ def test_late_data_dropped_behind_watermark(spark, tmp_path):
     # hour window is NOT closed (max ts 10:40, watermark 10:30 < 11:00),
     # so nothing is emitted yet — late-data semantics are active.
     assert spark.sql("SELECT * FROM t_late").count() == 0
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    """applyInPandasWithState: running per-user totals equal the batch
+    aggregate once all data is processed."""
+    from duva_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir, watermark="1 hour").select("user_id", "value")
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user == final running total
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM t_state) WHERE rn = 1
+        """
+    )
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    want = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
+    assert got == want
