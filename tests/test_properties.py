@@ -1,0 +1,127 @@
+"""Property-style tests: seeded-random batches for Spark operators
+(one job per property, not per example) and hypothesis for the pure-
+Python protocol code."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from duva_spark.llm import dedup, simhash
+from duva_spark.operators import asof_join
+from duva_spark.shaping import split_select_multiple, unsplit_select_multiple
+
+RNG = np.random.default_rng(42)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": RNG.integers(0, 20, n_l),
+            "t": RNG.integers(0, 10_000, n_l),
+            "lid": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": RNG.integers(0, 20, n_r),
+            "t": RNG.integers(0, 10_000, n_r),
+            "v": RNG.normal(size=n_r).round(6),
+        }
+    )
+    # merge_asof needs unique sort keys per group for determinism
+    right = right.drop_duplicates(subset=["k", "t"])
+    sl = spark.createDataFrame(left.astype({"k": "int64", "t": "int64"}))
+    sr = spark.createDataFrame(right.astype({"k": "int64", "t": "int64"}))
+    got = (
+        asof_join(sl, sr, on="k", ts="t", payload_cols=["v"])
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["asof_v"].rename("v"), want["v"], check_exact=False, rtol=1e-9
+    )
+
+
+def test_split_unsplit_roundtrip_random(spark):
+    choices = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(200):
+        picked = [c for c in choices if RNG.random() < 0.4]
+        rows.append((i, " ".join(picked) if picked else None))
+    df = spark.createDataFrame(rows, "id long, q string")
+    split = split_select_multiple(df, "q", choices, binary_select_multiples=True)
+    back = unsplit_select_multiple(split.drop("q"), "q", choices)
+    got = {r.id: r.q for r in back.collect()}
+    for i, multi in rows:
+        want = [c for c in choices if multi and c in multi.split(" ")]
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+
+def test_exact_dedup_idempotent(spark):
+    texts = [f"doc {i % 37}" for i in range(500)]  # heavy duplication
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    once = dedup.dedup_exact(df, ["text"], "doc_id")
+    twice = dedup.dedup_exact(once, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in once.collect()) == sorted(r.doc_id for r in twice.collect())
+    assert once.count() == 37
+
+
+def test_simhash_word_order_invariant(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    words = base.split()
+    perms = [" ".join(RNG.permutation(words)) for _ in range(10)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate([base] + perms)], "id long, text string")
+    vals = {r.sh for r in simhash.with_simhash(df, out="sh").collect()}
+    assert len(vals) == 1  # bag-of-words fingerprint ignores order
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.sampled_from([200, 404, 500, 502, 503, 504]), min_size=1, max_size=6)
+)
+def test_fetch_retry_protocol(statuses):
+    """fetch_to_local terminates for every status sequence: returns a file
+    iff a 200 appears within the retry budget among retryable statuses."""
+    from duva_spark.sources.http import FailedExternalRequest, fetch_to_local
+
+    seq = iter(statuses + [200] * 10)
+    calls = []
+
+    def getter(url):
+        s = next(seq)
+        calls.append(s)
+        return (s, b"x")
+
+    try:
+        p = fetch_to_local("http://x", getter, retries=3, sleep=lambda _: None)
+        assert calls[-1] == 200
+        p.unlink()
+    except FailedExternalRequest:
+        # must have stopped on a non-retryable status or exhausted retries
+        assert calls[-1] == 404 or len(calls) == 4
+    assert len(calls) <= 4  # never more than retries+1 attempts
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=5))
+def test_failure_cap_monotone(tmp_path_factory, n_failures):
+    """is_active flips exactly at the cap and stays off."""
+    from duva_spark.orchestration.state import FAILURE_CAP, MetadataStore
+
+    store = MetadataStore(tmp_path_factory.mktemp("s") / "c.json")
+    for _ in range(n_failures):
+        store.record_failure("d", "x")
+    assert store.get("d").is_active == (n_failures < FAILURE_CAP)

@@ -99,3 +99,19 @@ def test_full_refresh_overwrites_with_schema_drift(spark, tmp_path):
     back = spark.read.parquet(out)
     assert set(back.columns) == {"id", "b"}
     assert back.count() == 1
+
+
+def test_json_source_with_schema(spark, tmp_path):
+    """JSON source (SURVEY §2b scans row): explicit schema, no inference."""
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "tags": ["a","b"], "meta": {"x": 2.5}}\n{"id": 2, "tags": [], "meta": {"x": null}}\n')
+    df = spark.read.schema("id long, tags array<string>, meta struct<x:double>").json(str(p))
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].tags == ["a", "b"] and rows[1].meta.x == 2.5
+    assert rows[2].meta.x is None
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "orc")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.orc(out)
+    assert spark.read.orc(out).collect()[0].v == "a"
