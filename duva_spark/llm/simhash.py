@@ -56,3 +56,51 @@ def with_simhash(
 def hamming_distance(a: Column, b: Column, n_bits: int = 32) -> Column:
     """Popcount of a XOR b via bit_count (JVM intrinsic)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_bits: int = 32,
+    n_chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk-banded LSH.
+
+    Pigeonhole: two hashes within `max_hamming` (< n_chunks) bits must
+    agree exactly on at least one of n_chunks bit-chunks — so candidates
+    come from equi-joins on (chunk_idx, chunk_value), linear like
+    MinHash banding, and are verified with an exact popcount. Returns
+    (id_a, id_b, hamming).
+    """
+    chunk = n_bits // n_chunks
+    mask = (1 << chunk) - 1
+    sig = with_simhash(df.select(id_col, text_col), text_col, "sh", n_bits).select(
+        id_col, "sh"
+    )
+    chunks_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("sh"), i * chunk).bitwiseAND(mask).alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.col("sh"), F.explode(chunks_arr).alias("c")).select(
+        id_col, "sh", "c.chunk_idx", "c.chunk_val"
+    )
+    a = buckets.select(
+        "chunk_idx", "chunk_val", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = buckets.select(
+        "chunk_idx", "chunk_val", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

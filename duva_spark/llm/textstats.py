@@ -114,3 +114,31 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         predicted_lang(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (rolling-hash scheme): hash every
+    k-char-gram, then keep the minimum hash of each sliding window of
+    `window` consecutive gram hashes. Robust local fingerprints for
+    plagiarism/near-dup detection; output is the sorted distinct
+    fingerprint set.
+
+    Built entirely from array ops: char k-grams via zip_with over shifted
+    slices, window minima likewise via iterated least() zips.
+    """
+    from duva_spark.llm.minhash import base_hash
+
+    chars = F.split(text, "")
+    grams = chars
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(chars, j + 1, F.size(chars)), lambda a, b: F.concat(a, b))
+    grams = F.filter(grams, lambda x: x.isNotNull() & (F.length(x) == k))
+    hashes = F.transform(grams, base_hash)
+    mins = hashes
+    for j in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice(hashes, j + 1, F.size(hashes)), lambda a, b: F.least(a, b)
+        )
+    mins = F.filter(mins, lambda x: x.isNotNull())
+    n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
+    return F.array_sort(F.array_distinct(F.slice(mins, 1, n_windows)))

@@ -481,3 +481,101 @@ def q_embed_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def _simhash_pairs_sql(n_bits: int, n_chunks: int, max_hamming: int) -> str:
+    h = "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(ws, w -> (({h} >> {j}) & 1) * 2 - 1), 'sum') > 0 "
+        f"THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    chunk = n_bits // n_chunks
+    mask = (1 << chunk) - 1
+    chunk_union = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {i} AS chunk_idx, (sh >> {i * chunk}) & {mask} AS chunk_val FROM sig"
+        for i in range(n_chunks)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sig AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sh FROM w),
+    buckets AS ({chunk_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM buckets a JOIN buckets b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+@register(
+    "q_simhash_near_dup",
+    oracle=_simhash_pairs_sql(16, 4, 2),
+    description="SimHash near-dup pairs: chunk-banded LSH candidates (pigeonhole) verified by exact popcount hamming ≤ 2.",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash.near_duplicate_pairs(docs, "doc_id", "text", n_bits=16, n_chunks=4, max_hamming=2)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "q_embed_cosine_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT.format(a="a.embedding", b="b.embedding")} /
+                 ({_NORM.format(a="a.embedding")} * {_NORM.format(a="b.embedding")}), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DOT.format(a="a.embedding", b="b.embedding")} /
+                ({_NORM.format(a="a.embedding")} * {_NORM.format(a="b.embedding")}), 6) >= 0.4
+    """,
+    description="Embedding-cosine near-dup pairs, blocked by IVF bucket (label): the dedup-by-embedding operator; blocking keeps it linear per bucket.",
+)
+def q_embed_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= 0.4)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+@register(
+    "q_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, LENGTH(text) - 5 + 2), i -> substr(text, i, 5)) AS grams
+      FROM documents WHERE doc_id <= 50
+    ),
+    h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs
+          FROM g),
+    m AS (SELECT doc_id, hs,
+                 list_sort(list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                     i -> list_min(hs[i:i+3])))) AS fps
+          FROM h)
+    SELECT doc_id, len(fps) AS n_fingerprints,
+           fps[1] AS min_fp, fps[len(fps)] AS max_fp
+    FROM m
+    """,
+    description="Winnowing fingerprints (rolling-hash scheme): min-hash of each sliding window over char-5-gram hashes.",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    fps = textstats.winnowing_fingerprints(F.col("text"), k=5, window=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.element_at(fps, 1).alias("min_fp"),
+        F.element_at(fps, -1).alias("max_fp"),
+    )
