@@ -125,3 +125,29 @@ def test_failure_cap_monotone(tmp_path_factory, n_failures):
     for _ in range(n_failures):
         store.record_failure("d", "x")
     assert store.get("d").is_active == (n_failures < FAILURE_CAP)
+
+
+def test_minhash_deterministic_under_partitioning(spark):
+    """Signatures must not depend on parallelism — same values at 1 and
+    32 partitions (the property that makes results reproducible across
+    cluster sizes)."""
+    from duva_spark.llm import minhash
+
+    texts = [(i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(30))) for i in range(100)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    one = minhash.with_signature(df.repartition(1), n_hashes=4)
+    many = minhash.with_signature(df.repartition(32), n_hashes=4)
+    cols = ["doc_id", "mh_0", "mh_1", "mh_2", "mh_3"]
+    assert sorted(map(tuple, one.select(cols).collect())) == sorted(
+        map(tuple, many.select(cols).collect())
+    )
+
+
+def test_dedup_keeper_deterministic_under_partitioning(spark):
+    from duva_spark.llm import dedup
+
+    rows = [(i, f"t{i % 11}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(r.doc_id for r in dedup.dedup_exact(df.repartition(1), ["text"], "doc_id").collect())
+    b = sorted(r.doc_id for r in dedup.dedup_exact(df.repartition(32), ["text"], "doc_id").collect())
+    assert a == b == sorted(range(11))
