@@ -106,8 +106,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(
         "*",
-        token_count_ws(t).alias("n_tokens_ws"),
-        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        token_count_ws(t).cast("long").alias("n_tokens_ws"),
+        token_count_bpe_ish(t).cast("long").alias("n_tokens_bpe"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         quality_score(t).alias("quality"),

@@ -197,7 +197,7 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     sh = minhash.word_shingles(words, 3)
     return docs.select(
-        "doc_id", F.size(sh).alias("n_shingles"), *[c for c in minhash.minhash_signature(sh, 8)]
+        "doc_id", F.size(sh).cast("long").alias("n_shingles"), *[c for c in minhash.minhash_signature(sh, 8)]
     ).select("doc_id", "n_shingles", *[f"mh_{i}" for i in range(8)])
 
 
@@ -575,7 +575,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = textstats.winnowing_fingerprints(F.col("text"), k=5, window=4)
     return docs.select(
         "doc_id",
-        F.size(fps).alias("n_fingerprints"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
         F.element_at(fps, 1).alias("min_fp"),
         F.element_at(fps, -1).alias("max_fp"),
     )

@@ -939,8 +939,8 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
         F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(words)), 1, 3)).alias("first3_sorted"),
         F.array_contains(words, "spark").cast("int").alias("has_spark"),
     )
@@ -1551,5 +1551,93 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
             "day_offset",
             "n_active",
+        )
+    )
+
+
+@register(
+    "q_explode_word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    description="The canonical word count: explode (UNNEST) → groupBy → top-20.",
+)
+def q_explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           len(list(DISTINCT c_nationkey)) AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    description="Collection aggregates: collect_set (sorted for determinism) + cardinality.",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.size(F.collect_set("c_nationkey")).cast("long").alias("n_nations"),
+    )
+
+
+@register(
+    "q_date_spine_gapfill",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY 1
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+           COALESCE(daily.revenue, 0.0) AS revenue,
+           COALESCE(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.d = daily.d
+    """,
+    description="Gap-filled time series: generated date spine (sequence+explode) left-joined to daily aggregates, zeros filled.",
+)
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n"))
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
         )
     )
