@@ -49,7 +49,7 @@ def payload_stats(df: DataFrame, id_col: str) -> DataFrame:
     """Cheap JVM-side byte-level stats — no Python involved."""
     return df.select(
         F.col(id_col),
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.lower(F.substring(F.hex("payload"), 1, 8)).alias("header_hex"),
         F.col("meta.media_type").alias("media_type"),
     )

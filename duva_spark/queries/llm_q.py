@@ -480,7 +480,7 @@ def q_embed_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.round(F.sqrt(diff2), 6).alias("l2_dist"))
     )
     w = W.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 5)
 
 
 def _simhash_pairs_sql(n_bits: int, n_chunks: int, max_hamming: int) -> str:

@@ -621,10 +621,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(
             "c_custkey",
             "c_mktsegment",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
         )
         .filter(F.col("rn") <= 50)
     )
@@ -847,7 +847,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.lower("p_name").alias("lname"),
         F.upper("p_type").alias("utype"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
@@ -1411,7 +1411,7 @@ def q_fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
     return part.select(
         "p_partkey",
-        F.levenshtein("p_name", F.lit("blue bolt")).alias("lev_dist"),
+        F.levenshtein("p_name", F.lit("blue bolt")).cast("long").alias("lev_dist"),
         (jac >= 0.99).cast("int").alias("char_match"),
     )
 
