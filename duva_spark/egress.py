@@ -94,18 +94,60 @@ def publish_to_tableau(
 
 
 def export_hyper(df, hyper_path: str, table_name: str = "Extract") -> int:
-    """Optional byte-compatible `.hyper` artifact (K1): requires
-    tableauhyperapi; the Parquet dataset is the primary sink."""
+    """Optional byte-compatible `.hyper` artifact (K1): the reference's
+    primary sink (schema "Extract"."Extract", CREATE_AND_REPLACE,
+    app/core/importer.py:242-256). The Parquet dataset is our primary
+    sink; this egress reproduces the artifact for Tableau consumers.
+
+    Returns the row count (the COPY contract). Requires tableauhyperapi;
+    the data is brought to the writer via toPandas (the Hyper API is a
+    single-process embedded engine — there is no distributed write path,
+    matching the reference's own constraint).
+    """
     try:
         from tableauhyperapi import (  # noqa: PLC0415
             Connection,
             CreateMode,
             HyperProcess,
+            SqlType,
+            TableDefinition,
             TableName,
             Telemetry,
         )
     except ImportError as exc:
         raise ImportError("tableauhyperapi not installed — .hyper egress unavailable") from exc
-    raise NotImplementedError(
-        "hyper export wired but exercised only where tableauhyperapi exists"
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    # duva's 3-type universe (app/core/importer.py:38-51), widened like
+    # our CSV source
+    def sql_type(dt):
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return SqlType.big_int()
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return SqlType.double()
+        if isinstance(dt, T.BooleanType):
+            return SqlType.bool()
+        if isinstance(dt, T.DateType):
+            return SqlType.date()
+        if isinstance(dt, T.TimestampType):
+            return SqlType.timestamp()
+        return SqlType.text()
+
+    table = TableName("Extract", table_name)
+    definition = TableDefinition(
+        table, [TableDefinition.Column(f.name, sql_type(f.dataType)) for f in df.schema.fields]
     )
+    pdf = df.toPandas()
+    with HyperProcess(telemetry=Telemetry.DO_NOT_SEND_USAGE_DATA_TO_TABLEAU) as hyper:
+        with Connection(
+            hyper.endpoint, database=hyper_path, create_mode=CreateMode.CREATE_AND_REPLACE
+        ) as conn:
+            conn.catalog.create_schema("Extract")
+            conn.catalog.create_table(definition)
+            from tableauhyperapi import Inserter  # noqa: PLC0415
+
+            with Inserter(conn, definition) as inserter:
+                inserter.add_rows(pdf.itertuples(index=False, name=None))
+                inserter.execute()
+    return len(pdf)

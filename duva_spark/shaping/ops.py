@@ -161,3 +161,25 @@ def apply_export_settings(
     if settings.include_labels_only and question_labels:
         out = rename_to_labels(out, question_labels)
     return out
+
+
+def attach_labels_metadata(df: DataFrame, labels: dict[str, str]) -> DataFrame:
+    """include_labels=True with include_labels_only=False: keep question
+    names as column names and carry the labels alongside
+    (app/schemas/configuration.py:7-8 — the CSV export emits labels as an
+    extra header row; the DataFrame-native equivalent is column
+    metadata, which survives Parquet round-trips)."""
+    out = df
+    for c, label in labels.items():
+        if c in out.columns:
+            out = out.withMetadata(c, {"label": label})
+    return out
+
+
+def labels_of(df: DataFrame) -> dict[str, str]:
+    """Read back attached question labels."""
+    return {
+        f.name: f.metadata["label"]
+        for f in df.schema.fields
+        if f.metadata and "label" in f.metadata
+    }

@@ -126,3 +126,15 @@ def test_apply_export_settings_default_bundle(spark, submissions):
     assert "water" in cols
     r = {row._id: row for row in out.collect()}
     assert r[1]["water"] == "Clean water"  # value mode + choice label
+
+
+def test_labels_metadata_roundtrip(spark, submissions, tmp_path):
+    from duva_spark.shaping.ops import attach_labels_metadata, labels_of
+
+    out = attach_labels_metadata(submissions, {"respondent": "What is your name?"})
+    assert labels_of(out) == {"respondent": "What is your name?"}
+    # survives a Parquet round-trip (label metadata is part of the schema)
+    p = str(tmp_path / "labeled")
+    out.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert labels_of(back) == {"respondent": "What is your name?"}
