@@ -579,3 +579,25 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fps, 1).alias("min_fp"),
         F.element_at(fps, -1).alias("max_fp"),
     )
+
+
+@register(
+    "q_pandas_group_regression",
+    oracle="""
+    SELECT event_type,
+           ROUND(regr_slope(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS slope,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Arrow path exercised for real: per-group OLS slope via a grouped-agg pandas UDF, oracle-checked against DuckDB regr_slope.",
+)
+def q_pandas_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.pandas_ops import slope_grouped_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+        "value",
+    )
+    return slope_grouped_agg(ev, ["event_type"], "k", "value")

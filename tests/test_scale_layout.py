@@ -94,3 +94,14 @@ def test_top_k_per_group_operator(spark, sf_dir):
     )
     counts = out.groupBy("o_orderpriority").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_apply_in_pandas_slope_matches_grouped_agg(spark, sf_dir):
+    from duva_spark.operators.pandas_ops import group_ols_slope, slope_grouped_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").alias("y"), F.col("user_id").cast("double").alias("x")
+    )
+    a = {r.event_type: round(r.slope, 6) for r in group_ols_slope(ev, ["event_type"], "x", "y").collect()}
+    b = {r.event_type: round(r.slope, 6) for r in slope_grouped_agg(ev, ["event_type"], "x", "y").collect()}
+    assert a == b and len(a) == 5
