@@ -47,3 +47,38 @@ def full_refresh(
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(path)
     return int(obs.get["n_rows"])
+
+
+def merge_upsert(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    key: str,
+) -> int:
+    """Incremental upsert keyed on `key` — the improvement duva never had
+    (it drop-and-recreates every sync, app/core/importer.py:242-246; the
+    natural key is the OnaData `_id`/`_uuid` system column).
+
+    Without a table format that supports MERGE (Delta/Iceberg jars absent
+    here), the portable emulation is: existing ⟕anti⟕ new → union → write
+    to a staging dir → atomic swap. At scale the swap is a metastore
+    pointer flip or a Delta MERGE — the dataflow (one anti-join shuffle on
+    the key) is identical. Returns the resulting row count.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(path):
+        return full_refresh(new_df, path)
+    existing = spark.read.parquet(path)
+    keep = existing.join(new_df.select(key), on=key, how="left_anti")
+    merged = keep.unionByName(new_df, allowMissingColumns=True)
+    staging = f"{path}__staging"
+    n = full_refresh(merged, staging)
+    backup = f"{path}__old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n

@@ -115,3 +115,23 @@ def test_orc_roundtrip(spark, tmp_path):
     out = str(tmp_path / "orc")
     spark.createDataFrame([(1, "a")], "id long, v string").write.orc(out)
     assert spark.read.orc(out).collect()[0].v == "a"
+
+
+def test_merge_upsert_incremental_sync(spark, tmp_path):
+    """Upsert keyed on _id: updated rows replaced, new rows appended,
+    untouched rows preserved — the incremental alternative to duva's
+    full refresh."""
+    from duva_spark.sinks import merge_upsert
+
+    out = str(tmp_path / "ds")
+    first = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "`_id` long, name string, score double",
+    )
+    assert merge_upsert(spark, first, out, "_id") == 3
+    second = spark.createDataFrame(
+        [(2, "bob", 99.0), (4, "dave", 40.0)], "`_id` long, name string, score double"
+    )
+    assert merge_upsert(spark, second, out, "_id") == 4
+    rows = {r._id: (r.name, r.score) for r in spark.read.parquet(out).collect()}
+    assert rows == {1: ("alice", 10.0), 2: ("bob", 99.0), 3: ("carol", 30.0), 4: ("dave", 40.0)}
