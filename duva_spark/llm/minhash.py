@@ -137,6 +137,7 @@ def candidate_pairs(
     k: int = 3,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -162,6 +163,18 @@ def candidate_pairs(
     buckets = sig.select(F.col(id_col), F.explode(bands_arr).alias("bk")).select(
         id_col, "bk.band_idx", "bk.band_hash"
     )
+    if max_bucket_size is not None:
+        # Hot-bucket cap: boilerplate-heavy corpora put thousands of docs
+        # in one band bucket, turning the self-join quadratic. Dropping
+        # oversized buckets bounds the join at the cost of recall on
+        # content that frequent (usually exact-dup boilerplate better
+        # handled by exact dedup first). One extra narrow aggregation.
+        sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bn"))
+        buckets = buckets.join(
+            sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
     a = buckets.select("band_idx", "band_hash", F.col(id_col).alias("id_a"))
     b = buckets.select("band_idx", "band_hash", F.col(id_col).alias("id_b"))
     pairs = (
@@ -186,12 +199,13 @@ def near_duplicates(
     k: int = 3,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 
     Returns (id_a, id_b, jaccard) — jaccard rounded to 6 places.
     """
-    cand = candidate_pairs(df, id_col, text_col, k, n_hashes, n_bands)
+    cand = candidate_pairs(df, id_col, text_col, k, n_hashes, n_bands, max_bucket_size)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / union
