@@ -70,3 +70,37 @@ def run_available_now(
     )
     q.awaitTermination()
     return result.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_upsert_sink(
+    result: DataFrame,
+    path: str,
+    key: str,
+    query_name: str = "upsert_sink",
+    checkpoint: str | None = None,
+):
+    """Exactly-once streaming sink via foreachBatch + idempotent upsert.
+
+    Each micro-batch is merged into the Parquet dataset keyed on `key`
+    (duva_spark.sinks.merge_upsert): replays of a failed epoch re-merge
+    the same keys, so the sink is idempotent — the standard
+    exactly-once-to-storage recipe when the sink itself has no
+    transactional streaming support. Runs with Trigger.AvailableNow
+    (≙ the reference's sync tick) and returns the finished query.
+    """
+    from duva_spark.sinks import merge_upsert
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, batch_df, path, key)
+
+    writer = (
+        result.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return q

@@ -116,3 +116,34 @@ def test_stateful_running_totals(spark, sf_dir):
     got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
     want = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
+    """Streaming aggregation lands in a Parquet dataset via the
+    idempotent foreachBatch merge — rerunning the same data leaves the
+    dataset unchanged (exactly-once to storage)."""
+    from duva_spark.streaming.jobs import stream_upsert_sink
+
+    out = str(tmp_path / "user_totals")
+
+    def run(name):
+        stream = read_events_stream(spark, sf_dir, watermark="1 hour")
+        totals = stream.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value")
+        )
+        stream_upsert_sink(
+            totals, out, "user_id", query_name=name,
+            checkpoint=str(tmp_path / f"ckpt_{name}"),
+        )
+
+    run("up1")
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    run("up2")  # fresh checkpoint → same batches replayed → idempotent merge
+    second = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert first == second
+    batch = (
+        _batch_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    assert first == sorted(map(tuple, batch.collect()))
