@@ -1,0 +1,86 @@
+"""End-to-end pipeline composition: the duva ingest path feeding the
+LLM-data-pipeline operators, with row accounting at every stage.
+
+This is the "user of the reference switches to this repo" scenario plus
+the 100 TB-pipeline extension: CSV submissions with duva null semantics
+→ shaping → exact dedup → MinHash near-dup pruning → quality filter →
+partitioned Parquet, all in one lazily-composed Spark plan per stage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duva_spark.llm import dedup, minhash, textstats
+from duva_spark.orchestration import MetadataStore, SyncJob
+from duva_spark.shaping import ExportSettings, apply_export_settings
+from duva_spark.sinks import full_refresh
+
+
+@pytest.fixture(scope="module")
+def corpus_csv(tmp_path_factory):
+    """Submissions with planted exact dups, near dups, and a junk doc."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, f"doc one {base}", "en", "web data"),
+        (2, f"doc one {base}", "en", "web data"),  # exact dup of 1
+        (3, f"doc one {base} tonight", "en", "web data"),  # near dup of 1
+        (4, "completely different text about spark shuffle partitions and joins", "fr", "books data"),
+        (5, "x", "de", "junk"),  # too short → quality filtered
+        (6, "n/a", "es", "web data"),  # duva null marker → null text
+    ]
+    p = tmp_path_factory.mktemp("corpus") / "export.csv"
+    lines = ["_id,text,meta/lang,tags"]
+    for _id, text, lang, tags in rows:
+        lines.append(f'{_id},"{text}",{lang},"{tags}"')
+    p.write_text("\n".join(lines) + "\n")
+    return p
+
+
+def test_full_pipeline(spark, corpus_csv, tmp_path):
+    store = MetadataStore(tmp_path / "catalog.json")
+    staged = {}
+
+    def shape(df):
+        shaped = apply_export_settings(
+            df,
+            ExportSettings(do_not_split_select_multiple=True),
+            question_labels=None,
+        )
+        return shaped
+
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: corpus_csv, shape=shape)
+    n_ingested = job.run("corpus", str(tmp_path / "raw"))
+    assert n_ingested == 6
+
+    raw = spark.read.parquet(str(tmp_path / "raw"))
+    assert "lang" in raw.columns  # group prefix flattened (meta/lang → lang)
+
+    # null-text rows dropped ("n/a" became NULL at ingest — duva semantics)
+    docs = raw.filter(F.col("text").isNotNull())
+    assert docs.count() == 5
+
+    # exact dedup keeps the min-id of the identical pair
+    exact = dedup.dedup_exact(docs, ["text"], "_id")
+    assert sorted(r._id for r in exact.collect()) == [1, 3, 4, 5]
+
+    # near-dup pruning: drop the higher id of each verified near-pair
+    pairs = minhash.near_duplicates(exact, "_id", "text", threshold=0.5)
+    losers = pairs.select(F.col("id_b").alias("_id")).distinct()
+    pruned = exact.join(losers, "_id", "left_anti")
+    assert sorted(r._id for r in pruned.collect()) == [1, 4, 5]
+
+    # quality filter removes the junk doc
+    scored = pruned.withColumn("quality", textstats.quality_score(F.col("text"))).withColumn(
+        "n_tokens", textstats.token_count_ws(F.col("text"))
+    )
+    kept = scored.filter((F.col("n_tokens") >= 5) & (F.col("quality") > 0.3))
+    assert sorted(r._id for r in kept.collect()) == [1, 4]
+
+    # partitioned publish with row-count contract
+    n_out = full_refresh(kept, str(tmp_path / "training_set"), partition_by=["lang"])
+    assert n_out == 2
+    back = spark.read.parquet(str(tmp_path / "training_set"))
+    assert set(back.columns) >= {"_id", "text", "quality", "n_tokens", "lang"}
+    assert sorted(r.lang for r in back.select("lang").collect()) == ["en", "fr"]
