@@ -94,12 +94,17 @@ def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> list[Column
 def with_signature(
     df: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """Adds _shingles and mh_0..mh_{n-1}.
+    """Adds _shingles, _hs (the hashed shingle SET, array<long>) and
+    mh_0..mh_{n-1}.
 
     The per-shingle base hash (md5 → int) is materialized once as `_hs`
     and the n affine minima are computed over it — without this, Catalyst
     re-evaluates the md5 pipeline once per signature column (n× the
-    dominant cost).
+    dominant cost). `_hs` is kept (distinct) because downstream Jaccard
+    verification runs over hashed shingle sets — 10× narrower to persist
+    and compare than string arrays, with identical results on both
+    engines (the oracle hashes the same way, so the negligible collision
+    behavior is shared).
     """
     words = F.split(F.col(text_col), " ")
 
@@ -108,7 +113,7 @@ def with_signature(
 
     return (
         df.withColumn("_shingles", word_shingles(words, k))
-        .withColumn("_hs", F.transform("_shingles", base_hash))
+        .withColumn("_hs", F.array_distinct(F.transform("_shingles", base_hash)))
         .select(
             "*",
             *[
@@ -116,7 +121,6 @@ def with_signature(
                 for i, (a, b) in enumerate(hash_params(n_hashes))
             ],
         )
-        .drop("_hs")
     )
 
 
@@ -148,10 +152,12 @@ def candidate_pairs(
     2. bands explode to narrow (id, band_idx, band_hash) rows — shingle
        arrays never enter the bucket shuffle;
     3. self-equi-join on the band key + pair dedup on narrow rows;
-    4. shingle sets re-joined only for surviving candidate pairs.
+    4. HASHED shingle sets (array<long>, not strings) re-joined only for
+       surviving candidate pairs — Jaccard over hashes matches the
+       oracle, which hashes identically.
     """
     sig = with_signature(df.select(id_col, text_col), text_col, k, n_hashes).select(
-        id_col, "_shingles", *band_hashes(n_hashes, n_bands)
+        id_col, "_hs", *band_hashes(n_hashes, n_bands)
     )
     sig = sig.persist()
     bands_arr = F.array(
@@ -183,10 +189,10 @@ def candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = sig.select(id_col, "_shingles")
+    sh = sig.select(id_col, "_hs")
     return (
-        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_shingles").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_shingles").alias("sh_b")), "id_b")
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("sh_b")), "id_b")
         .select("id_a", "id_b", "sh_a", "sh_b")
     )
 

@@ -202,29 +202,34 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pairs_sql(n_hashes: int, n_bands: int, threshold: float) -> str:
+    # Mirrors the Spark pipeline exactly, including Jaccard over the
+    # HASHED shingle sets (list_distinct of the same md5-derived hash),
+    # so collision behavior is shared bit-for-bit.
     rows = n_hashes // n_bands
     mh_cols = ",\n           ".join(
-        _sql_minhash(i, a, b) for i, (a, b) in enumerate(minhash.hash_params(n_hashes))
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_P})) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash.hash_params(n_hashes))
     )
     band_cols = ", ".join(
         "md5(" + " || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows)) + f") AS band_{b}"
         for b in range(n_bands)
     )
     band_union = " UNION ALL ".join(
-        f"SELECT doc_id, sh, {b} AS band_idx, band_{b} AS band_hash FROM sig"
+        f"SELECT doc_id, hs, {b} AS band_idx, band_{b} AS band_hash FROM sig"
         for b in range(n_bands)
     )
     return f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     s AS (SELECT doc_id, {_SHINGLES} AS sh FROM w),
-    mh AS (SELECT doc_id, sh,
+    sh_h AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_H60} % {_P})) AS hs FROM s),
+    mh AS (SELECT doc_id, hs,
            {mh_cols}
-           FROM s),
-    sig AS (SELECT doc_id, sh, {band_cols} FROM mh),
+           FROM sh_h),
+    sig AS (SELECT doc_id, hs, {band_cols} FROM mh),
     buckets AS ({band_union}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.sh AS sh_a, b.sh AS sh_b
+             a.hs AS sh_a, b.hs AS sh_b
       FROM buckets a JOIN buckets b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
