@@ -502,7 +502,7 @@ def _simhash_pairs_sql(n_bits: int, n_chunks: int, max_hamming: int) -> str:
         for i in range(n_chunks)
     )
     return f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id <= 300),
     sig AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sh FROM w),
     buckets AS ({chunk_union}),
     cand AS (
@@ -522,7 +522,9 @@ def _simhash_pairs_sql(n_bits: int, n_chunks: int, max_hamming: int) -> str:
     description="SimHash near-dup pairs: chunk-banded LSH candidates (pigeonhole) verified by exact popcount hamming ≤ 2.",
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # 16-bit hashes (SQL-oracle tractability) saturate beyond a few hundred
+    # docs — the library default is 32/64-bit for real corpora.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
     out = simhash.near_duplicate_pairs(docs, "doc_id", "text", n_bits=16, n_chunks=4, max_hamming=2)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
@@ -606,3 +608,38 @@ def q_pandas_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return slope_grouped_agg(ev, ["event_type"], "k", "value")
+
+
+@register(
+    "q_token_shard_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT CAST(FLOOR((cum - n_tokens) / 5000.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM c
+    GROUP BY 1
+    """,
+    description="Token-budget shard packing: running token cumsum → ~5k-token training shards (the dataset-sharding op of an LLM pipeline).",
+)
+def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", textstats.token_count_ws(F.col("text")).cast("long").alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn("shard_id", F.floor((F.col("cum") - F.col("n_tokens")) / 5000.0))
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
+    )
