@@ -20,7 +20,7 @@ from __future__ import annotations
 import enum
 import json
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 from pathlib import Path
 
 FAILURE_CAP = 3  # app/utils/hyper_utils.py:254

@@ -23,7 +23,6 @@ Differences by design (Spark-first, not a port):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DUVA_NULL_MARKERS = ("n/a", "")

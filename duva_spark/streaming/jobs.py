@@ -10,8 +10,6 @@ strictly stronger than duva's drop-and-recreate (app/core/importer.py:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
