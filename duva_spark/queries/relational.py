@@ -1827,3 +1827,79 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(wp), 4).alias("dev_from_avg"),
     )
+
+
+@register(
+    "q_agg_boolean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bool_and(o_totalprice > 1000)   AS INT) AS all_over_1k,
+           CAST(bool_or(o_totalprice > 400000)  AS INT) AS any_over_400k,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="Boolean aggregates (bool_and/bool_or) and filtered counts.",
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).cast("int").alias("any_over_400k"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                        AS low_byte,
+           o_orderkey | 4096                       AS with_flag,
+           xor(o_orderkey, 21845)                  AS xored,
+           o_orderkey << 2                         AS shifted_l,
+           o_orderkey >> 3                         AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INT)      AS popcount
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    description="Bitwise function family: and/or/xor/shifts/popcount.",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(4096).alias("with_flag"),
+        k.bitwiseXOR(21845).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "q_events_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, event_type, value,
+             AVG(value)         OVER (PARTITION BY event_type) AS mu,
+             STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+      FROM events
+    )
+    SELECT event_id, event_type, ROUND((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE (value - mu) / sigma > 3
+    """,
+    description="Anomaly detection: per-type z-score outliers via window mean/stddev (one shuffle).",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("zscore", z)
+        .filter(F.col("zscore") > 3)
+        .select("event_id", "event_type", F.round("zscore", 4).alias("zscore"))
+    )
