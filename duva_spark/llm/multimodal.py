@@ -89,3 +89,51 @@ def decode_image_features(
             )
 
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
+
+
+def resize_images(df: DataFrame, id_col: str, width: int, height: int, fake: bool = False) -> DataFrame:
+    """Resize stage (stub): same Arrow-batched shape as decode. With
+    fake=True emits a deterministic truncated payload standing in for the
+    resized bytes, so the pipeline plumbing is testable end-to-end."""
+
+    out_schema = f"{id_col} long, payload binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize requires pillow — not in this container")
+            n = max(4, (width * height) % 64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [bytes(p[:n]) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, every_nth_byte: int = 16, fake: bool = False
+) -> DataFrame:
+    """Frame-sampling stage (stub for video): emits one row per sampled
+    "frame" (byte offset in the fake decoder) — demonstrates the
+    one-to-many mapInPandas shape real frame extraction uses."""
+
+    out_schema = f"{id_col} long, frame_idx int, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("frame sampling requires ffmpeg — not in this container")
+            ids, idxs, frames = [], [], []
+            for _id, payload in zip(pdf[id_col], pdf["payload"]):
+                for i, off in enumerate(range(0, len(payload), every_nth_byte)):
+                    ids.append(_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[off : off + every_nth_byte]))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, "payload").mapInPandas(run, out_schema)

@@ -133,3 +133,17 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     assert not any(a < 50 and b < 50 for a, b in pairs)  # flooded bucket dropped
     uncapped = minhash.near_duplicates(df, "doc_id", threshold=0.5)
     assert any(a < 50 and b < 50 for a, b in {(r.id_a, r.id_b) for r in uncapped.collect()})
+
+
+def test_multimodal_resize_and_frame_sample(docs):
+    from duva_spark.llm.multimodal import resize_images, sample_frames, to_media_table
+
+    media = to_media_table(docs, "doc_id", "text")
+    resized = resize_images(media, "doc_id", 32, 32, fake=True).collect()
+    assert all(r.width == 32 and r.height == 32 and len(r.payload) > 0 for r in resized)
+    frames = sample_frames(media, "doc_id", every_nth_byte=8, fake=True)
+    per_doc = {r.doc_id: r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc[5] == 1  # "tiny" = 4 bytes → one frame
+    assert per_doc[1] > 1  # longer doc → multiple frames
+    with pytest.raises(Exception, match="pillow|NotImplementedError"):
+        resize_images(media, "doc_id", 8, 8, fake=False).collect()
