@@ -643,3 +643,34 @@ def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("shard_tokens"))
     )
+
+
+def _fake_feat_sql(i: int) -> str:
+    # byte i of md5(payload) / 255 — mirrors multimodal._fake_features.
+    # duckdb md5 takes VARCHAR and hashes its utf-8 bytes == hashlib.md5(payload)
+    return f"(CAST('0x' || substr(md5(text), {2 * i + 1}, 2) AS BIGINT) / 255.0)"
+
+
+@register(
+    "q_multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND({_fake_feat_sql(0)}, 6) AS f0,
+           ROUND({_fake_feat_sql(7)}, 6) AS f7,
+           ROUND(({" + ".join(_fake_feat_sql(i) for i in range(8))}) / 8.0, 6) AS mean_feature
+    FROM documents
+    WHERE doc_id <= 100
+    """,
+    description="The Arrow decode path itself oracle-checked: mapInPandas fake features are md5-derived, so DuckDB recomputes them byte-for-byte.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    feats = multimodal.decode_image_features(media, "doc_id", dim=8, fake=True)
+    mean = F.aggregate("features", F.lit(0.0), lambda a, v: a + v) / 8.0
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.round(mean, 6).alias("mean_feature"),
+    )
