@@ -1903,3 +1903,64 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("zscore") > 3)
         .select("event_id", "event_type", F.round("zscore", 4).alias("zscore"))
     )
+
+
+@register(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+    description="Trailing 5-row moving average per customer (bounded ROWS frame).",
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-4, 0)
+    return orders.select(
+        "o_orderkey", "o_custkey", F.round(F.avg("o_totalprice").over(w), 4).alias("ma5")
+    )
+
+
+@register(
+    "q_agg_string",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations_csv
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    description="String aggregation (listagg/string_agg) with deterministic ordering.",
+)
+def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set(F.col("c_nationkey").cast("string")))).alias(
+            "nations_csv"
+        )
+    )
+
+
+@register(
+    "q_weekly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1
+    """,
+    description="Weekly time rollup (date_trunc to ISO week start, Monday).",
+)
+def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        orders.groupBy(F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
