@@ -61,15 +61,15 @@ class ControlPlane:
         return 201, self._view(dataset_id)
 
     def list_files(self) -> tuple[int, list]:
-        return 200, [self._view(d) for d in sorted(self.store._rows)]
+        return 200, [self._view(d) for d in self.store.ids()]
 
     def get_file(self, dataset_id: str) -> tuple[int, dict]:
-        if dataset_id not in self.store._rows:
+        if not self.store.exists(dataset_id):
             return 404, {"detail": "File not found"}
         return 200, self._view(dataset_id)
 
     def sync_file(self, dataset_id: str) -> tuple[int, dict]:
-        if dataset_id not in self.store._rows:
+        if not self.store.exists(dataset_id):
             return 404, {"detail": "File not found"}
         state = self.store.get(dataset_id)
         if state.file_status in (FileStatus.QUEUED.value, FileStatus.SYNCING.value):
@@ -83,10 +83,8 @@ class ControlPlane:
         return 200, self._view(dataset_id)
 
     def delete_file(self, dataset_id: str) -> tuple[int, dict | None]:
-        if dataset_id not in self.store._rows:
+        if not self.store.delete(dataset_id):
             return 404, {"detail": "File not found"}
-        del self.store._rows[dataset_id]
-        self.store._flush()
         self._forms.pop(dataset_id, None)
         return 204, None
 

@@ -1,0 +1,246 @@
+"""Bounded blocked-pairs near-dup operators.
+
+Plain blocking (pairwise self-join within a block key) is exact but
+quadratic per block: on a real corpus one (lang, source) block — or one
+IVF label bucket — holds billions of rows and the self-join explodes.
+These operators bound that: blocks at or under ``max_block_size`` take
+the exact pairwise path; oversized blocks are routed through an LSH
+sub-bucketing stage (MinHash bands for text, hyperplane bits for
+embeddings) so the candidate join stays near-linear, then candidates are
+verified with the *same* exact metric as the small-block path.
+
+Semantics: exact below the cap, LSH-recall above it (banding can miss a
+pair; it never admits a false positive because every candidate is
+re-verified). With a cap above the largest observed block the output is
+bit-identical to the unbounded exact operator — which is how the DuckDB
+oracle checks these at sf0.01 while tests force a tiny cap to prove the
+overflow path stays sub-quadratic.
+
+No counterpart in the reference (duva has no dedup at all — it
+full-refreshes every sync, SURVEY §2a); part of the LLM-pipeline
+extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duva_spark.llm import minhash, similarity
+
+
+def _split_by_block_size(
+    df: DataFrame, block_cols: list[str], max_block_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """(small, big) split by block population. One narrow aggregation over
+    the block keys; membership via left-semi joins (map-side combined,
+    never wider than the key columns)."""
+    sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn"))
+    small_keys = sizes.filter(F.col("_bn") <= max_block_size).drop("_bn")
+    big_keys = sizes.filter(F.col("_bn") > max_block_size).drop("_bn")
+    return (
+        df.join(small_keys, block_cols, "left_semi"),
+        df.join(big_keys, block_cols, "left_semi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: n-gram Jaccard pairs, exact within bounded blocks, MinHash-LSH above
+# ---------------------------------------------------------------------------
+
+
+def _exact_jaccard_pairs(s: DataFrame, block_cols: list[str], threshold: float) -> DataFrame:
+    """Pairwise string-shingle Jaccard within blocks. Input: block cols +
+    (_id, _sh). Quadratic per block — callers must bound block size."""
+    a = s.select(*block_cols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = s.select(*block_cols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_overflow_candidates(
+    big: DataFrame,
+    block_cols: list[str],
+    n_hashes: int = minhash.N_HASHES,
+    n_bands: int = minhash.N_BANDS,
+) -> DataFrame:
+    """MinHash-band candidate pairs within oversized blocks: the band key
+    is (block, band_idx, band_hash) so candidates never cross blocks and
+    the self-join is linear in the band-bucket sizes, not the block size.
+    Input: block cols + (_id, _sh); output: (id_a, id_b, sh_a, sh_b).
+    Exposed separately so tests can bound the candidate row count."""
+    hs = F.array_distinct(F.transform("_sh", minhash.base_hash))
+    sig = big.withColumn("_hs", hs).select(
+        *block_cols,
+        "_id",
+        "_sh",
+        *[
+            F.array_min(F.transform("_hs", _affine(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash.hash_params(n_hashes))
+        ],
+    )
+    sig = sig.persist()
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), bh.alias("band_hash"))
+            for b, bh in enumerate(minhash.band_hashes(n_hashes, n_bands))
+        ]
+    )
+    buckets = sig.select(*block_cols, "_id", F.explode(bands_arr).alias("bk")).select(
+        *block_cols, "_id", "bk.band_idx", "bk.band_hash"
+    )
+    key = [*block_cols, "band_idx", "band_hash"]
+    a = buckets.select(*key, F.col("_id").alias("id_a"))
+    b = buckets.select(*key, F.col("_id").alias("id_b"))
+    pairs = (
+        a.join(b, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sig.select("_id", "_sh")
+    return (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+
+
+def _affine(a: int, b: int):
+    # closure, not default-arg lambda: PySpark counts lambda params to
+    # pick the HOF arity, so defaults would mis-bind.
+    return lambda h: (a * h + b) % minhash.MERSENNE_P
+
+
+def bounded_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.3,
+    k: int = 3,
+    max_block_size: int | None = 2000,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard pairs with a block-size bound.
+
+    Blocks ≤ max_block_size: exact pairwise (quadratic but bounded by
+    cap² per block). Blocks above: MinHash-LSH candidates within the
+    block, verified with the identical string-shingle Jaccard — same
+    metric, LSH recall. ``max_block_size=None`` disables the bound
+    (exact everywhere; only safe when block sizes are known small).
+    """
+    words = F.split(F.col(text_col), " ")
+    s = df.select(
+        *block_cols,
+        F.col(id_col).alias("_id"),
+        minhash.word_shingles(words, k).alias("_sh"),
+    )
+    if max_block_size is None:
+        return _exact_jaccard_pairs(s, block_cols, threshold)
+    small, big = _split_by_block_size(s, block_cols, max_block_size)
+    exact = _exact_jaccard_pairs(small, block_cols, threshold)
+    cand = jaccard_overflow_candidates(big, block_cols)
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
+    )
+    lsh = (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return exact.unionByName(lsh)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: cosine pairs, exact within bounded blocks, hyperplane-LSH above
+# ---------------------------------------------------------------------------
+
+
+def _exact_cosine_pairs(e: DataFrame, block_cols: list[str], threshold: float) -> DataFrame:
+    a = e.select(*block_cols, F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = e.select(*block_cols, F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def cosine_overflow_candidates(
+    big: DataFrame,
+    block_cols: list[str],
+    dim: int,
+    n_bits: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Hyperplane-LSH candidates within oversized blocks: each of
+    ``n_tables`` independent tables assigns an ``n_bits`` sign-bit code;
+    pairs sharing (block, table, code) become candidates (OR across
+    tables for recall). Sub-bucket population ≈ block/2^n_bits per
+    table, so the self-join is near-linear. Input: block cols +
+    (_id, _v); output: (id_a, id_b, va, vb) distinct pairs."""
+    coded = big.select(
+        *block_cols,
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        similarity.hyperplane_code(F.col("_v"), dim, n_bits, seed=t).alias("code"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("hc"),
+    ).select(*block_cols, "_id", "_v", "hc.tbl", "hc.code")
+    key = [*block_cols, "tbl", "code"]
+    a = coded.select(*key, F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = coded.select(*key, F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def bounded_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: list[str],
+    threshold: float = 0.4,
+    dim: int = 64,
+    max_block_size: int | None = 2000,
+    n_bits: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with a block-size bound: exact
+    pairwise for blocks ≤ max_block_size, hyperplane-LSH sub-bucketing
+    (verified with the same exact cosine) above."""
+    e = df.select(*block_cols, F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if max_block_size is None:
+        return _exact_cosine_pairs(e, block_cols, threshold)
+    small, big = _split_by_block_size(e, block_cols, max_block_size)
+    exact = _exact_cosine_pairs(small, block_cols, threshold)
+    cand = cosine_overflow_candidates(big, block_cols, dim, n_bits, n_tables)
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    lsh = (
+        cand.withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+    return exact.unionByName(lsh)

@@ -43,6 +43,31 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _hyperplane(dim: int, bit: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim, derived from
+    md5 so it is reproducible across processes with no RNG state."""
+    import hashlib
+
+    coefs = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}:{bit}:{j}".encode()).hexdigest()
+        coefs.append(int(h[:15], 16) / float(0xFFFFFFFFFFFFFFF) * 2.0 - 1.0)
+    return coefs
+
+
+def hyperplane_code(vec: Column, dim: int, n_bits: int, seed: int = 0) -> Column:
+    """Sign-bit LSH code: bit i = [vec · plane_i >= 0]; collision
+    probability for angle θ is (1 - θ/π)^n_bits, so near-parallel vectors
+    share codes. Planes are md5-derived literals — the whole code is one
+    codegen expression, no UDF, no shuffle."""
+    code = F.lit(0).cast("long")
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, i, seed)])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        code = code + F.shiftleft(bit, i)
+    return code
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Salting replicates the build side once per salt, so join types where
+# unmatched BUILD rows survive (right/full outer) would emit each of them
+# n_salts times. Only probe-preserving types are sound.
+_SALTABLE = {"inner", "left", "leftouter", "left_outer", "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
@@ -27,6 +33,11 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join `probe ⋈ build` on `on`, salted to n_salts sub-keys."""
+    if how.lower() not in _SALTABLE:
+        raise ValueError(
+            f"salted_join supports probe-preserving join types only ({sorted(_SALTABLE)}); "
+            f"got {how!r} — right/full would duplicate unmatched build rows n_salts times"
+        )
     salted_probe = probe.withColumn("_salt", (F.rand(seed) * n_salts).cast("int"))
     salted_build = build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import enum
 import json
+import os
+import tempfile
+import threading
 import time
 from dataclasses import asdict, dataclass
 from pathlib import Path
@@ -52,42 +55,74 @@ class MetadataStore:
     def __init__(self, path: str | Path):
         self._path = Path(path)
         self._rows: dict[str, DatasetState] = {}
+        # Handlers of the stdlib ThreadingHTTPServer mutate the store from
+        # multiple threads; one re-entrant lock serializes row mutation +
+        # flush so updates can't interleave or get lost.
+        self._mu = threading.RLock()
         if self._path.exists():
             for rid, raw in json.loads(self._path.read_text()).items():
                 self._rows[rid] = DatasetState(**raw)
 
     def _flush(self) -> None:
-        self._path.write_text(
-            json.dumps({rid: asdict(s) for rid, s in self._rows.items()}, indent=1)
-        )
+        # Atomic: write a temp file in the same directory, then os.replace
+        # — a crash mid-write can never leave a truncated store behind.
+        payload = json.dumps({rid: asdict(s) for rid, s in self._rows.items()}, indent=1)
+        fd, tmp = tempfile.mkstemp(dir=self._path.parent or ".", suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.replace(tmp, self._path)
+        except BaseException:
+            Path(tmp).unlink(missing_ok=True)
+            raise
 
     def get(self, dataset_id: str) -> DatasetState:
-        if dataset_id not in self._rows:
-            self._rows[dataset_id] = DatasetState(dataset_id)
-        return self._rows[dataset_id]
+        with self._mu:
+            if dataset_id not in self._rows:
+                self._rows[dataset_id] = DatasetState(dataset_id)
+            return self._rows[dataset_id]
+
+    def ids(self) -> list[str]:
+        with self._mu:
+            return sorted(self._rows)
+
+    def exists(self, dataset_id: str) -> bool:
+        with self._mu:
+            return dataset_id in self._rows
+
+    def delete(self, dataset_id: str) -> bool:
+        with self._mu:
+            if dataset_id not in self._rows:
+                return False
+            del self._rows[dataset_id]
+            self._flush()
+            return True
 
     def update_status(self, dataset_id: str, status: FileStatus) -> None:
-        self.get(dataset_id).file_status = status.value
-        self._flush()
+        with self._mu:
+            self.get(dataset_id).file_status = status.value
+            self._flush()
 
     def record_success(self, dataset_id: str) -> None:
-        s = self.get(dataset_id)
-        s.file_status = FileStatus.FILE_AVAILABLE.value
-        s.sync_failures = 0  # reset on success (hyper_utils.py:241-246)
-        s.failure_reason = None
-        s.last_updated = time.time()
-        self._flush()
+        with self._mu:
+            s = self.get(dataset_id)
+            s.file_status = FileStatus.FILE_AVAILABLE.value
+            s.sync_failures = 0  # reset on success (hyper_utils.py:241-246)
+            s.failure_reason = None
+            s.last_updated = time.time()
+            self._flush()
 
     def record_failure(self, dataset_id: str, reason: str, unavailable: bool = False) -> None:
         """Increment the consecutive-failure counter; deactivate at the cap
         (cancelling any schedule is the caller's concern, as in
         hyper_utils.py:254-263)."""
-        s = self.get(dataset_id)
-        s.file_status = (
-            FileStatus.FILE_UNAVAILABLE if unavailable else FileStatus.LATEST_SYNC_FAILED
-        ).value
-        s.sync_failures += 1
-        s.failure_reason = reason
-        if s.sync_failures >= FAILURE_CAP:
-            s.is_active = False
-        self._flush()
+        with self._mu:
+            s = self.get(dataset_id)
+            s.file_status = (
+                FileStatus.FILE_UNAVAILABLE if unavailable else FileStatus.LATEST_SYNC_FAILED
+            ).value
+            s.sync_failures += 1
+            s.failure_reason = reason
+            if s.sync_failures >= FAILURE_CAP:
+                s.is_active = False
+            self._flush()

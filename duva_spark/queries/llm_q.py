@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
-from duva_spark.llm import dedup, minhash, multimodal, similarity, simhash, textstats
+from duva_spark.llm import blocked, dedup, minhash, multimodal, similarity, simhash, textstats
 from duva_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -272,27 +272,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
                 len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
     """,
-    description="Blocked exact n-gram Jaccard: pairwise only within (lang, source) blocks.",
+    description="Blocked exact n-gram Jaccard within (lang, source) blocks, bounded: blocks over 2000 docs route through MinHash-LSH instead of going quadratic.",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    s = docs.select("doc_id", "lang", "source", minhash.word_shingles(words, 3).alias("sh"))
-    a = s.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    b = s.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
-    )
-    return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.3)
-        .select("id_a", "id_b", "jaccard")
+    return blocked.bounded_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"], threshold=0.3, max_block_size=2000
     )
 
 
@@ -540,19 +525,12 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND({_DOT.format(a="a.embedding", b="b.embedding")} /
                 ({_NORM.format(a="a.embedding")} * {_NORM.format(a="b.embedding")}), 6) >= 0.4
     """,
-    description="Embedding-cosine near-dup pairs, blocked by IVF bucket (label): the dedup-by-embedding operator; blocking keeps it linear per bucket.",
+    description="Embedding-cosine near-dup pairs blocked by IVF bucket (label), bounded: buckets over 2000 vectors sub-bucket via hyperplane-LSH instead of going quadratic.",
 )
 def q_embed_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cos)
-        .filter(F.col("cosine_sim") >= 0.4)
-        .select("id_a", "id_b", "cosine_sim")
+    return blocked.bounded_cosine_pairs(
+        emb, "vec_id", "embedding", ["label"], threshold=0.4, dim=64, max_block_size=2000
     )
 
 
@@ -629,15 +607,14 @@ def q_pandas_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c
     GROUP BY 1
     """,
-    description="Token-budget shard packing: running token cumsum → ~5k-token training shards (the dataset-sharding op of an LLM pipeline).",
+    description="Token-budget shard packing: distributed two-pass prefix sum (range partition → per-range window + broadcast offsets) → ~5k-token training shards. No single-partition stage.",
 )
 def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from duva_spark.operators.prefix_sum import running_sum
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", textstats.token_count_ws(F.col("text")).cast("long").alias("n_tokens"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    c = running_sum(t, "doc_id", "n_tokens", out_col="cum")
     return (
         c.withColumn("shard_id", F.floor((F.col("cum") - F.col("n_tokens")) / 5000.0))
         .groupBy("shard_id")

@@ -52,7 +52,8 @@ def fetch_to_local(
         last_status = status
         if status not in RETRY_STATUS:
             break
-        sleep(backoff * (attempt + 1))
+        if attempt < retries:  # no pointless backoff after the final attempt
+            sleep(backoff * (attempt + 1))
     raise FailedExternalRequest(f"download failed with status {last_status}: {url}")
 
 

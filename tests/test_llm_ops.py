@@ -147,3 +147,96 @@ def test_multimodal_resize_and_frame_sample(docs):
     assert per_doc[1] > 1  # longer doc → multiple frames
     with pytest.raises(Exception, match="pillow|NotImplementedError"):
         resize_images(media, "doc_id", 8, 8, fake=False).collect()
+
+
+def _hot_block_docs(spark, n=200, n_planted=5):
+    """One (g) block of n mutually-distinct docs plus n_planted near-dup
+    pairs (ids n+2i / n+2i+1)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(500)]
+    rows = [(i, " ".join(rng.sample(vocab, 12))) for i in range(n)]
+    for i in range(n_planted):
+        base = " ".join(rng.sample(vocab, 12))
+        rows.append((n + 2 * i, base + " alpha"))
+        rows.append((n + 2 * i + 1, base + " beta"))
+    return spark.createDataFrame([(d, t, "g") for d, t in rows], "doc_id long, text string, g string")
+
+
+def test_bounded_jaccard_overflow_is_subquadratic(spark):
+    """A block over the cap routes through MinHash-LSH: candidate pairs
+    stay far below n(n-1)/2 and planted near-dups survive."""
+    from duva_spark.llm import blocked, minhash
+
+    n, n_planted = 200, 5
+    df = _hot_block_docs(spark, n, n_planted)
+    total = n + 2 * n_planted
+    s = df.select(
+        "g",
+        F.col("doc_id").alias("_id"),
+        minhash.word_shingles(F.split("text", " "), 3).alias("_sh"),
+    )
+    n_cand = blocked.jaccard_overflow_candidates(s, ["g"]).count()
+    assert n_cand < total * (total - 1) / 2 * 0.05  # sub-quadratic, not all-pairs
+    out = blocked.bounded_jaccard_pairs(
+        df, "doc_id", "text", ["g"], threshold=0.5, max_block_size=50
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    planted = {(n + 2 * i, n + 2 * i + 1) for i in range(n_planted)}
+    assert planted <= pairs
+
+
+def test_bounded_jaccard_matches_exact_under_cap(spark):
+    """With the cap above every block, bounded == unbounded exact."""
+    from duva_spark.llm import blocked
+
+    df = _hot_block_docs(spark, 40, 3)
+    capped = blocked.bounded_jaccard_pairs(df, "doc_id", "text", ["g"], 0.3, max_block_size=10_000)
+    exact = blocked.bounded_jaccard_pairs(df, "doc_id", "text", ["g"], 0.3, max_block_size=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def _hot_block_vectors(spark, n=200, n_planted=5, dim=16):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)], "b"))
+    for i in range(n_planted):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((n + 2 * i, v, "b"))
+        rows.append((n + 2 * i + 1, [x + rng.uniform(-1e-3, 1e-3) for x in v], "b"))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+
+def test_bounded_cosine_overflow_is_subquadratic(spark):
+    """An oversized label bucket sub-buckets via hyperplane-LSH: the
+    candidate join is bounded and near-parallel planted pairs survive."""
+    from duva_spark.llm import blocked
+
+    n, n_planted, dim = 200, 5, 16
+    df = _hot_block_vectors(spark, n, n_planted, dim)
+    total = n + 2 * n_planted
+    e = df.select("label", F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    n_cand = blocked.cosine_overflow_candidates(e, ["label"], dim=dim).count()
+    assert n_cand < total * (total - 1) / 2 * 0.25  # bounded, not all-pairs
+    out = blocked.bounded_cosine_pairs(
+        df, "vec_id", "embedding", ["label"], threshold=0.95, dim=dim, max_block_size=50
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    planted = {(n + 2 * i, n + 2 * i + 1) for i in range(n_planted)}
+    assert planted <= pairs
+
+
+def test_hyperplane_code_deterministic_and_bounded(spark):
+    from duva_spark.llm import similarity as sim
+
+    df = spark.createDataFrame([(1, [0.5, -0.25, 0.75, 1.0])], "id long, v array<double>")
+    c1 = df.select(sim.hyperplane_code(F.col("v"), 4, 6, seed=0).alias("c")).collect()[0].c
+    c2 = df.select(sim.hyperplane_code(F.col("v"), 4, 6, seed=0).alias("c")).collect()[0].c
+    c3 = df.select(sim.hyperplane_code(F.col("v"), 4, 6, seed=1).alias("c")).collect()[0].c
+    assert c1 == c2
+    assert 0 <= c1 < 64
+    assert 0 <= c3 < 64

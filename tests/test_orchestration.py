@@ -111,3 +111,77 @@ def test_http_source_retry_and_poll():
     url = poll_async_export("http://x/export_async.json?format=csv", poller, sleep=lambda _: None)
     assert url == "http://x/data.csv"
     assert "job_uuid=j1" in polls[1]  # re-attaches the job id (onadata.py:113-116)
+
+
+def test_stale_lock_reclaimed_when_holder_dead(tmp_path):
+    from duva_spark.orchestration.lock import DatasetLock, LockHeld
+
+    # Simulate a kill -9: lockfile left behind by a process that's gone.
+    dead = DatasetLock(tmp_path, "ds1")
+    stale = tmp_path / dead._path.name
+    stale.write_text("999999999")  # PID far beyond pid_max → not alive
+    with DatasetLock(tmp_path, "ds1"):  # reclaims, doesn't raise
+        with pytest.raises(LockHeld):  # but a live holder still excludes
+            DatasetLock(tmp_path, "ds1").__enter__()
+
+
+def test_unreadable_lock_respects_ttl(tmp_path):
+    import os
+    import time
+
+    from duva_spark.orchestration.lock import DatasetLock, LockHeld
+
+    lock = DatasetLock(tmp_path, "ds2", stale_ttl=3600)
+    stale = tmp_path / lock._path.name
+    stale.write_text("garbage")  # partial write: no parseable PID
+    with pytest.raises(LockHeld):  # fresh mtime → still held
+        lock.__enter__()
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    with DatasetLock(tmp_path, "ds2", stale_ttl=3600):  # past TTL → reclaimed
+        pass
+
+
+def test_store_flush_is_atomic_and_thread_safe(tmp_path):
+    import json
+    import threading
+
+    from duva_spark.orchestration.state import MetadataStore
+
+    store = MetadataStore(tmp_path / "meta.json")
+
+    def spin(ds):
+        for _ in range(25):
+            store.record_success(ds)
+            store.record_failure(ds, "boom")
+
+    threads = [threading.Thread(target=spin, args=(f"d{i}",)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # No lost rows, no torn file, no leftover temp files.
+    data = json.loads((tmp_path / "meta.json").read_text())
+    assert sorted(data) == [f"d{i}" for i in range(8)]
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_salted_join_rejects_build_preserving_types(spark):
+    from duva_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([(1, "a")], "k long, p string")
+    build = spark.createDataFrame([(1, "x"), (2, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(probe, build, "k", how="right")
+    with pytest.raises(ValueError, match="probe-preserving"):
+        salted_join(probe, build, "k", how="full_outer")
+    assert salted_join(probe, build, "k", how="left").count() == 1
+
+
+def test_fetch_no_sleep_after_final_attempt():
+    from duva_spark.sources.http import FailedExternalRequest, fetch_to_local
+
+    sleeps = []
+    with pytest.raises(FailedExternalRequest):
+        fetch_to_local("http://x", lambda u: (503, b""), retries=3, sleep=sleeps.append)
+    assert len(sleeps) == 3  # one per retry gap, none after the last try

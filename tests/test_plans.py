@@ -88,6 +88,35 @@ def test_lsh_pairs_plan_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan  # candidates via equi-join only
 
 
+def test_shard_packing_has_no_single_partition_stage(spark, sf_dir):
+    """The running-cumsum behind shard packing must be the distributed
+    two-pass prefix sum: range partition + per-range window + broadcast
+    offsets — never a global one-task window."""
+    q = load_all()["q_token_shard_packing"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()  # pass 1: ordered ranges
+    assert "BroadcastExchange" in plan  # offsets frame is broadcast, O(#partitions)
+
+
+def test_running_sum_matches_global_window(spark, sf_dir):
+    """Distributed prefix sum == the single-partition window it replaces."""
+    from pyspark.sql import Window as W
+
+    from duva_spark.catalog import load_table as lt
+    from duva_spark.operators.prefix_sum import running_sum
+
+    t = lt(spark, sf_dir, "orders").select("o_orderkey", F.col("o_totalprice").alias("v"))
+    got = {
+        r["o_orderkey"]: r["cum"]
+        for r in running_sum(t, "o_orderkey", "v", num_partitions=8).collect()
+    }
+    w = W.orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {r["o_orderkey"]: r["cum"] for r in t.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert len(got) == len(want)
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+
+
 def test_scalar_subquery_is_broadcast_not_collect(spark, sf_dir):
     q = load_all()["q_scalar_subquery"]
     plan = _plan(q.fn(spark, sf_dir))
