@@ -12,12 +12,17 @@ Endpoints (JSON in/out, mirroring the reference's routes):
   queued/syncing — file.py:163-201;
 - ``DELETE /api/v1/files/{id}``    remove the dataset — file.py:146-160.
 
+The OAuth2 code flow (``GET /oauth/login`` → 302 authorize redirect,
+``GET /oauth/callback`` → token; app/api/v1/endpoints/oauth.py) is
+served by duva_spark.oauth.OAuthFlow when one is attached, and
+``GET /metrics`` exposes the sync gauge/counters in Prometheus text
+format (app/main.py:56-64) when the SyncJob carries a MetricsRegistry.
+
 FastAPI isn't available in this environment, so the server is a
 ThreadingHTTPServer with a plain routing table — the HTTP semantics
-(status codes, the 202 already-syncing contract, encrypted-form 400)
-are what's being reproduced, not the framework. Auth (OAuth2/JWT,
-app/api/auth_deps.py) is a deployment concern left to a fronting proxy
-or a port to FastAPI where available.
+(status codes, the 202 already-syncing contract, encrypted-form 400,
+the OAuth state/redirect contract) are what's being reproduced, not the
+framework.
 """
 
 from __future__ import annotations
@@ -26,7 +31,9 @@ import json
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
 
+from duva_spark.oauth import OAuthFlow
 from duva_spark.orchestration import FileStatus, LockHeld, MetadataStore, SyncJob
 from duva_spark.security import EncryptedFormError, reject_encrypted_form
 
@@ -35,10 +42,17 @@ class ControlPlane:
     """Route logic, transport-free (easy to test and to graft onto any
     framework)."""
 
-    def __init__(self, store: MetadataStore, sync_job: SyncJob, out_root: str):
+    def __init__(
+        self,
+        store: MetadataStore,
+        sync_job: SyncJob,
+        out_root: str,
+        oauth: OAuthFlow | None = None,
+    ):
         self.store = store
         self.sync_job = sync_job
         self.out_root = out_root
+        self.oauth = oauth
         self._forms: dict[str, dict] = {}
 
     # ---- handlers: (status_code, body) --------------------------------
@@ -88,6 +102,22 @@ class ControlPlane:
         self._forms.pop(dataset_id, None)
         return 204, None
 
+    def oauth_login(self, params: dict) -> tuple[int, dict | None, dict]:
+        if self.oauth is None:
+            return 404, {"detail": "OAuth not configured"}, {}
+        server_url = params.get("server_url", "")
+        if not server_url:
+            return 422, {"detail": "server_url is required"}, {}
+        return self.oauth.login(server_url, params.get("redirect_url"))
+
+    def oauth_callback(self, params: dict) -> tuple[int, dict | None, dict]:
+        if self.oauth is None:
+            return 404, {"detail": "OAuth not configured"}, {}
+        code, state = params.get("code"), params.get("state")
+        if not code or not state:
+            return 422, {"detail": "code and state are required"}, {}
+        return self.oauth.callback(code, state)
+
     def _view(self, dataset_id: str) -> dict:
         s = self.store.get(dataset_id)
         return {
@@ -102,6 +132,9 @@ class ControlPlane:
 _ROUTES = [
     ("POST", re.compile(r"^/api/v1/files/?$"), "create"),
     ("GET", re.compile(r"^/api/v1/files/?$"), "list"),
+    ("GET", re.compile(r"^/oauth/login$"), "oauth_login"),
+    ("GET", re.compile(r"^/oauth/callback$"), "oauth_callback"),
+    ("GET", re.compile(r"^/metrics$"), "metrics"),
     ("GET", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "get"),
     ("POST", re.compile(r"^/api/v1/files/(?P<id>[^/]+)/sync$"), "sync"),
     ("DELETE", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "delete"),
@@ -125,10 +158,28 @@ def _make_handler(cp: ControlPlane):
                     n = int(self.headers.get("Content-Length") or 0)
                     if n:
                         body = json.loads(self.rfile.read(n) or b"{}")
+                if action == "metrics":
+                    reg = getattr(cp.sync_job, "metrics", None)
+                    if reg is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    text = reg.exposition().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+                    self.send_header("Content-Length", str(len(text)))
+                    self.end_headers()
+                    self.wfile.write(text)
+                    return
+                headers: dict = {}
                 if action == "create":
                     code, payload = cp.create_file(body)
                 elif action == "list":
                     code, payload = cp.list_files()
+                elif action in ("oauth_login", "oauth_callback"):
+                    qs = parse_qs(urlsplit(self.path).query)
+                    params = {k: v[0] for k, v in qs.items()}
+                    code, payload, headers = getattr(cp, action)(params)
                 elif action == "get":
                     code, payload = cp.get_file(match["id"])
                 elif action == "sync":
@@ -138,6 +189,8 @@ def _make_handler(cp: ControlPlane):
                 data = b"" if payload is None else json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
+                for k, v in headers.items():
+                    self.send_header(k, v)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)

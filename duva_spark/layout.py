@@ -34,7 +34,22 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed managed table (bucket pruning + shuffle-free
-    joins on bucket_col for any reader of the table)."""
+    joins on bucket_col for any reader of the table).
+
+    Idempotent across processes: with an in-memory catalog the table
+    registration dies with the session but its warehouse directory does
+    not, and a fresh session's saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS — so both the catalog entry and any orphaned
+    location are cleared first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if warehouse:
+            shutil.rmtree(f"{warehouse.rstrip('/')}/{table.lower()}", ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

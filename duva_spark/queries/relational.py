@@ -1964,3 +1964,41 @@ def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"))
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
+
+
+@register(
+    "q_bucketed_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    description=(
+        "Fact-fact join on pre-bucketed tables: lineitem and orders are "
+        "materialized bucketed+sorted on the join key, so the sort-merge "
+        "join reads co-located buckets with NO exchange on either side — "
+        "the layout that makes a repeated 100 TB fact-fact join viable "
+        "(duva_spark.layout.write_bucketed; plan asserted in tests)."
+    ),
+)
+def q_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.layout import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed(li, "bq_lineitem", "l_orderkey", 8, sort_col="l_orderkey")
+    write_bucketed(orders, "bq_orders", "l_orderkey", 8, sort_col="l_orderkey")
+    l, o = spark.table("bq_lineitem"), spark.table("bq_orders")
+    # merge hint: keep the sort-merge path even where AQE would broadcast
+    # at toy SF — the bucketed-SMJ plan is the thing being demonstrated.
+    joined = l.hint("merge").join(o, "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )

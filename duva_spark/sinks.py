@@ -49,11 +49,99 @@ def full_refresh(
     return int(obs.get["n_rows"])
 
 
+def _recover_rename_swap(path: str) -> None:
+    """Make `path` consistent after a crash mid-swap: a leftover
+    ``__staging`` is never authoritative (the swap hadn't started) and is
+    discarded; a leftover ``__old`` with no live dataset means we crashed
+    between the two renames — restore it."""
+    import os
+    import shutil
+
+    staging, backup = f"{path}__staging", f"{path}__old"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)  # crash between rename-out and rename-in
+        else:
+            shutil.rmtree(backup)  # crash before the final cleanup
+
+
+def _rename_swap_upsert(spark, merged: DataFrame, path: str) -> int:
+    """Directory-rename commit: POSIX-atomic per rename, with entry-time
+    recovery so a valid dataset exists at `path` at every instant except
+    the sub-millisecond gap between the two renames (restored on next run
+    if a crash lands in it). Local-filesystem semantics — object stores
+    should use commit='pointer'."""
+    import os
+    import shutil
+
+    staging = f"{path}__staging"
+    n = full_refresh(merged, staging)
+    backup = f"{path}__old"
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # put the old dataset back before failing
+        raise
+    shutil.rmtree(backup)
+    return n
+
+
+CURRENT_POINTER = "_CURRENT"
+
+
+def _pointer_read_path(path: str) -> str | None:
+    import os
+
+    ptr = os.path.join(path, CURRENT_POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return os.path.join(path, f.read().strip())
+
+
+def read_dataset(spark, path: str) -> DataFrame:
+    """Read a dataset written by merge_upsert, either layout: pointer
+    roots resolve ``_CURRENT``; plain parquet dirs read directly."""
+    return spark.read.parquet(_pointer_read_path(path) or path)
+
+
+def _pointer_commit_upsert(spark, merged: DataFrame, path: str, current: str) -> int:
+    """Pointer-file commit (object-store-safe): write a NEW immutable
+    version directory, then atomically replace the one small ``_CURRENT``
+    file naming it. No directory is ever renamed — on S3/GCS the pointer
+    replace is a single-object PUT, which is atomic; ``os.replace``
+    emulates that locally. A crash leaves at worst an orphan version
+    directory, garbage-collected at the next commit; the live dataset is
+    never absent. This is the same commit shape Delta/Iceberg use (log
+    entry → snapshot); swap in their native MERGE when the jars ship."""
+    import os
+    import shutil
+    import tempfile
+
+    cur_name = os.path.basename(current) if current else None
+    ver = int(cur_name[1:]) + 1 if cur_name and cur_name[0] == "v" else 0
+    new_name = f"v{ver}"
+    n = full_refresh(merged, os.path.join(path, new_name))
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".ptr")
+    with os.fdopen(fd, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, os.path.join(path, CURRENT_POINTER))
+    for entry in os.listdir(path):  # gc superseded + orphan versions
+        full = os.path.join(path, entry)
+        if entry.startswith("v") and entry != new_name and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+    return n
+
+
 def merge_upsert(
     spark,
     new_df: DataFrame,
     path: str,
     key: str,
+    commit: str = "rename",
 ) -> int:
     """Incremental upsert keyed on `key` — the improvement duva never had
     (it drop-and-recreates every sync, app/core/importer.py:242-246; the
@@ -61,24 +149,33 @@ def merge_upsert(
 
     Without a table format that supports MERGE (Delta/Iceberg jars absent
     here), the portable emulation is: existing ⟕anti⟕ new → union → write
-    to a staging dir → atomic swap. At scale the swap is a metastore
-    pointer flip or a Delta MERGE — the dataflow (one anti-join shuffle on
-    the key) is identical. Returns the resulting row count.
+    new data → commit. The dataflow (one anti-join shuffle on the key)
+    is identical to a native MERGE; `commit` picks the swap strategy:
+
+    - ``"rename"``: in-place directory swap, crash-recovering (local
+      filesystems; readers see plain parquet at `path`);
+    - ``"pointer"``: versioned directories + atomic ``_CURRENT`` pointer
+      replace (object-store-safe, zero-absence; read via read_dataset).
+
+    Returns the resulting row count.
     """
     import os
-    import shutil
 
-    from pyspark.sql import functions as F
-
-    if not os.path.exists(path):
-        return full_refresh(new_df, path)
-    existing = spark.read.parquet(path)
+    if commit not in ("rename", "pointer"):
+        raise ValueError(f"unknown commit strategy {commit!r}")
+    if commit == "pointer":
+        os.makedirs(path, exist_ok=True)
+        current = _pointer_read_path(path)
+        if current is None:
+            return _pointer_commit_upsert(spark, new_df, path, None)
+        existing = spark.read.parquet(current)
+    else:
+        _recover_rename_swap(path)
+        if not os.path.exists(path):
+            return full_refresh(new_df, path)
+        existing = spark.read.parquet(path)
     keep = existing.join(new_df.select(key), on=key, how="left_anti")
     merged = keep.unionByName(new_df, allowMissingColumns=True)
-    staging = f"{path}__staging"
-    n = full_refresh(merged, staging)
-    backup = f"{path}__old"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
-    return n
+    if commit == "pointer":
+        return _pointer_commit_upsert(spark, merged, path, current)
+    return _rename_swap_upsert(spark, merged, path)

@@ -175,7 +175,9 @@ def test_bounded_jaccard_overflow_is_subquadratic(spark):
     s = df.select(
         "g",
         F.col("doc_id").alias("_id"),
-        minhash.word_shingles(F.split("text", " "), 3).alias("_sh"),
+        F.array_distinct(
+            F.transform(minhash.word_shingles(F.split("text", " "), 3), minhash.md5_hash60)
+        ).alias("_sh"),
     )
     n_cand = blocked.jaccard_overflow_candidates(s, ["g"]).count()
     assert n_cand < total * (total - 1) / 2 * 0.05  # sub-quadratic, not all-pairs
@@ -240,3 +242,62 @@ def test_hyperplane_code_deterministic_and_bounded(spark):
     assert c1 == c2
     assert 0 <= c1 < 64
     assert 0 <= c3 < 64
+
+
+class _FakePILImage:
+    """Minimal PIL.Image-shaped module: open().convert().resize().getdata()."""
+
+    class _Img:
+        def __init__(self, payload):
+            self.payload = payload
+            self.size = (1, 1)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self.size = wh
+            return self
+
+        def getdata(self):
+            w, h = self.size
+            return [self.payload[i % len(self.payload)] for i in range(w * h)]
+
+        def save(self, buf, format=None):
+            buf.write(b"PNG" + bytes(self.payload[:8]))
+
+    @staticmethod
+    def open(fp):
+        return _FakePILImage._Img(fp.read())
+
+
+def test_multimodal_real_decoder_selected_when_importable():
+    """Task-level auto-detection: with a pillow-shaped module importable,
+    the real decode path runs; with none, fallback= controls fake vs raise."""
+    import pandas as pd
+
+    from duva_spark.llm import multimodal as mm
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [b"abcdefgh"]})
+    real = mm.decode_features_batch(pdf, "doc_id", 4, False, "raise", lambda: _FakePILImage)
+    assert real["features"][0] == [b / 255.0 for b in b"abcd"]  # pixels, not md5
+    fake = mm.decode_features_batch(pdf, "doc_id", 4, True, "raise", lambda: _FakePILImage)
+    assert fake["features"][0] == mm._fake_features(b"abcdefgh", 4)  # fake wins when asked
+    degraded = mm.decode_features_batch(pdf, "doc_id", 4, False, "fake", lambda: None)
+    assert degraded["features"][0] == fake["features"][0]  # fallback='fake'
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.decode_features_batch(pdf, "doc_id", 4, False, "raise", lambda: None)
+
+
+def test_multimodal_real_resize_and_frames_kernels():
+    import pandas as pd
+
+    from duva_spark.llm import multimodal as mm
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [bytes(range(64))]})
+    out = mm.resize_batch(pdf, "doc_id", 8, 8, False, "raise", lambda: _FakePILImage)
+    assert bytes(out["payload"][0]).startswith(b"PNG")  # re-encoded by the "library"
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mm.sample_frames_batch(pdf, "doc_id", 16, False, "raise", lambda: None)
+    frames = mm.sample_frames_batch(pdf, "doc_id", 16, False, "fake", lambda: None)
+    assert list(frames["frame_idx"]) == [0, 1, 2, 3]

@@ -121,3 +121,15 @@ def test_scalar_subquery_is_broadcast_not_collect(spark, sf_dir):
     q = load_all()["q_scalar_subquery"]
     plan = _plan(q.fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bucketed_fact_join_plan_has_no_join_exchange(spark, sf_dir):
+    """Both fact sides read pre-hashed buckets: the sort-merge join runs
+    with no Exchange under it (the only hashpartitioning exchange left is
+    the small post-join aggregation)."""
+    q = load_all()["q_bucketed_fact_join"]
+    df = q.fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # agg only, never the join
+    assert df.count() > 0

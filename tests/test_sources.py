@@ -135,3 +135,52 @@ def test_merge_upsert_incremental_sync(spark, tmp_path):
     assert merge_upsert(spark, second, out, "_id") == 4
     rows = {r._id: (r.name, r.score) for r in spark.read.parquet(out).collect()}
     assert rows == {1: ("alice", 10.0), 2: ("bob", 99.0), 3: ("carol", 30.0), 4: ("dave", 40.0)}
+
+
+def test_merge_upsert_pointer_commit_never_renames_a_directory(spark, tmp_path, monkeypatch):
+    """Object-store simulation: directory renames are impossible (S3 has
+    no rename); the pointer commit must still upsert correctly, and the
+    live dataset must be readable at every step."""
+    import os
+
+    from duva_spark.sinks import merge_upsert, read_dataset
+
+    real_rename = os.rename
+
+    def no_dir_rename(src, dst, **kw):
+        if os.path.isdir(src):
+            raise OSError(f"simulated object store: cannot rename directory {src}")
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", no_dir_rename)
+    out = str(tmp_path / "ds")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "`_id` long, v string")
+    assert merge_upsert(spark, first, out, "_id", commit="pointer") == 2
+    assert {r._id for r in read_dataset(spark, out).collect()} == {1, 2}
+    second = spark.createDataFrame([(2, "B"), (3, "c")], "`_id` long, v string")
+    assert merge_upsert(spark, second, out, "_id", commit="pointer") == 3
+    rows = {r._id: r.v for r in read_dataset(spark, out).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    # Superseded version directories were garbage-collected.
+    assert [d for d in os.listdir(out) if d.startswith("v")] == ["v1"]
+
+
+def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two renames (dataset absent, __old present)
+    and stale __staging leftovers are both repaired at the next call."""
+    import os
+
+    from duva_spark.sinks import merge_upsert
+
+    out = str(tmp_path / "ds")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "`_id` long, v string")
+    merge_upsert(spark, first, out, "_id")
+    # Simulate: crash after rename(path → __old), before rename(staging → path),
+    # with a half-written staging dir also left behind.
+    os.rename(out, f"{out}__old")
+    os.makedirs(f"{out}__staging")
+    (tmp_path / "ds__staging" / "part-junk").write_text("partial")
+    second = spark.createDataFrame([(3, "c")], "`_id` long, v string")
+    assert merge_upsert(spark, second, out, "_id") == 3  # recovered + merged
+    assert {r._id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    assert not os.path.exists(f"{out}__old") and not os.path.exists(f"{out}__staging")
