@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
     the registry."""
     from duva_spark.queries import (  # noqa: F401
         llm_q,
+        pipeline_q,
         relational,
         shaping_q,
         streaming_q,

@@ -1,0 +1,255 @@
+"""Training-data pipeline queries: the corpus-prep operations a
+large-scale LLM data pipeline runs between raw ingest and shard packing
+— deterministic sampling, normalization, vocabulary stats, quantization,
+and the composite filter→dedup→select pipeline. All oracle-checked.
+
+No counterpart in the reference (duva is an ETL/sync service, SURVEY
+§2a); these extend the LLM-pipeline surface of BASELINE.json alongside
+duva_spark/llm/*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duva_spark.catalog import load_table
+from duva_spark.llm import dedup, textstats
+from duva_spark.queries import register
+from duva_spark.queries.llm_q import _LANG_PRED, _NTOK, _QUALITY, _sql_in_list
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+_H100 = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+
+@register(
+    "q_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_H100} < 10
+    """,
+    description=(
+        "Deterministic 10% corpus sample by md5(doc_id): reproducible across "
+        "engines/runs/cluster sizes with zero coordination — the scalable "
+        "alternative to rand()-based sampling (no seed plumbing, no reservoir), "
+        "and a plain pushed-down filter at any corpus size."
+    ),
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    return docs.filter(h % 100 < 10).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Stopword-strip normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stopword_strip",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id <= 50),
+    k AS (SELECT doc_id, ws,
+                 list_filter(ws, x -> x NOT IN ({_sql_in_list(textstats.STOPWORDS)})) AS kept
+          FROM w)
+    SELECT doc_id,
+           len(ws)   AS n_before,
+           len(kept) AS n_after,
+           md5(array_to_string(kept, ' ')) AS norm_fp
+    FROM k
+    """,
+    description=(
+        "Stopword-strip normalization: per-doc token filter against the "
+        "language marker stopword list, with an md5 fingerprint of the "
+        "normalized text — per-row codegen array ops, scan-speed at any size."
+    ),
+)
+def q_stopword_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    ws = F.split(F.col("text"), " ")
+    stop = set(textstats.STOPWORDS)
+
+    def keep(w):
+        return ~w.isin(*stop)
+
+    kept = F.filter(ws, keep)
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        F.md5(F.concat_ws(" ", kept)).alias("norm_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: top bigrams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_bigrams",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+          FROM w)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    description=(
+        "Corpus-level top-20 bigrams: zip-shifted bigram arrays (no "
+        "per-index lookups) → explode → count → TakeOrderedAndProject. The "
+        "explode shuffle carries (bigram) rows only; top-n is per-partition "
+        "heaps + driver merge of 20 rows."
+    ),
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.filter(
+        F.zip_with(ws, F.slice(ws, 2, F.size(ws)), lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_length_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR({_NTOK} / 20) * 20 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG({_QUALITY}), 6) AS avg_quality
+    FROM documents
+    GROUP BY 1
+    """,
+    description=(
+        "Token-length histogram (width-20 buckets) with per-bucket quality — "
+        "the length-distribution profile every corpus-prep run starts with; "
+        "one partial-agg shuffle of (bucket) rows."
+    ),
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    bucket = (F.floor(textstats.token_count_ws(t) / 20) * 20).cast("long")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(textstats.quality_score(t)), 6).alias("avg_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8)
+# ---------------------------------------------------------------------------
+
+_EMB_D = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_min(v) AS mn, (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+    q AS (SELECT vec_id, v, mn, sc,
+                 list_transform(v, x -> CAST(ROUND((x - mn) / sc) AS INTEGER)) AS qv
+          FROM s)
+    SELECT vec_id,
+           qv[1]  AS q_first,
+           qv[64] AS q_last,
+           ROUND(list_aggregate(list_transform(range(1, 65),
+                     i -> ABS(qv[i] * sc + mn - v[i])), 'sum') / 64, 6) AS mae
+    FROM q
+    """,
+    description=(
+        "Per-vector int8 quantization (min/max affine, the FAISS SQ8 scheme) "
+        "with reconstruction MAE — 4× storage cut for the ANN path, computed "
+        "as pure codegen array math, zero shuffle. Assumes non-constant "
+        "vectors (scale > 0), as any real embedding table satisfies."
+    ),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    t = emb.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / 255.0).alias("sc"),
+    )
+
+    def quant(x):
+        return F.round((x - F.col("mn")) / F.col("sc")).cast("int")
+
+    q = t.select("vec_id", "v", "mn", "sc", F.transform("v", quant).alias("qv"))
+    mae = (
+        F.aggregate(
+            F.zip_with("qv", "v", lambda b, x: F.abs(b * F.col("sc") + F.col("mn") - x)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / 64
+    )
+    return q.select(
+        "vec_id",
+        F.element_at("qv", 1).alias("q_first"),
+        F.element_at("qv", 64).alias("q_last"),
+        F.round(mae, 6).alias("mae"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite corpus-prep pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_prep_pipeline",
+    oracle=f"""
+    WITH keep AS (
+      SELECT doc_id, source, text, {_NTOK} AS nt, {_QUALITY} AS q
+      FROM documents
+      WHERE {_QUALITY} >= 0.5 AND {_LANG_PRED} = 'en'
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT)  AS total_tokens,
+           ROUND(AVG(q), 6)         AS avg_quality
+    FROM keep
+    GROUP BY source
+    """,
+    description=(
+        "The composite corpus-prep pipeline end-to-end: quality filter → "
+        "language filter → exact dedup (min-id keeper among survivors) → "
+        "per-source token budget. Filters run at scan speed before the "
+        "single dedup shuffle; the final agg is map-side combined."
+    ),
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    filtered = docs.filter(
+        (textstats.quality_score(t) >= 0.5) & (textstats.predicted_lang(t) == "en")
+    )
+    kept = dedup.dedup_exact(filtered, ["text"], "doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(textstats.token_count_ws(t)).cast("long").alias("total_tokens"),
+        F.round(F.avg(textstats.quality_score(t)), 6).alias("avg_quality"),
+    )
