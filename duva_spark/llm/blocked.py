@@ -31,15 +31,22 @@ from duva_spark.llm import minhash, similarity
 
 def _split_by_block_size(
     df: DataFrame, block_cols: list[str], max_block_size: int
-) -> tuple[DataFrame, DataFrame]:
-    """(small, big) split by block population. One narrow aggregation over
-    the block keys; membership via BROADCAST left-semi joins — the key
-    frame is one row per distinct block (post-aggregation), orders of
-    magnitude smaller than the data, so neither branch shuffles the full
-    frame just to route it."""
-    sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn"))
-    small_keys = sizes.filter(F.col("_bn") <= max_block_size).drop("_bn")
+) -> tuple[DataFrame, DataFrame] | None:
+    """(small, big) split by block population, or None when no block
+    exceeds the cap (the common case — callers then keep the plain exact
+    plan with no routing joins and no overflow branch at all).
+
+    The existence check is a driver action, but on the AGGREGATED block-
+    size frame — O(#distinct blocks) rows, never O(data) — the same
+    runtime-adaptive planning AQE does with shuffle statistics. When a
+    split is needed, membership routes via BROADCAST left-semi joins on
+    that tiny key frame, so the data never shuffles just to be routed."""
+    sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn")).persist()
     big_keys = sizes.filter(F.col("_bn") > max_block_size).drop("_bn")
+    if big_keys.limit(1).count() == 0:
+        sizes.unpersist()
+        return None
+    small_keys = sizes.filter(F.col("_bn") <= max_block_size).drop("_bn")
     return (
         df.join(F.broadcast(small_keys), block_cols, "left_semi"),
         df.join(F.broadcast(big_keys), block_cols, "left_semi"),
@@ -196,7 +203,10 @@ def bounded_jaccard_pairs(
     )
     if max_block_size is None:
         return _exact_jaccard_pairs(s, block_cols, threshold)
-    small, big = _split_by_block_size(s, block_cols, max_block_size)
+    split = _split_by_block_size(s, block_cols, max_block_size)
+    if split is None:  # nothing oversized → pure exact plan
+        return _exact_jaccard_pairs(s, block_cols, threshold)
+    small, big = split
     exact = _exact_jaccard_pairs(small, block_cols, threshold)
     cand = jaccard_overflow_candidates(big, block_cols).withColumns(
         {"_sza": F.size("sh_a"), "_szb": F.size("sh_b")}
@@ -320,7 +330,10 @@ def bounded_cosine_pairs(
     e = df.select(*block_cols, F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if max_block_size is None:
         return _exact_cosine_pairs(e, block_cols, threshold)
-    small, big = _split_by_block_size(e, block_cols, max_block_size)
+    split = _split_by_block_size(e, block_cols, max_block_size)
+    if split is None:  # nothing oversized → pure exact plan
+        return _exact_cosine_pairs(e, block_cols, threshold)
+    small, big = split
     exact = _exact_cosine_pairs(small, block_cols, threshold)
     cand = cosine_overflow_candidates(big, block_cols, dim, n_bits, n_tables).withColumns(
         {"_na": similarity.norm(F.col("va")), "_nb": similarity.norm(F.col("vb"))}
