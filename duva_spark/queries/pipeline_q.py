@@ -253,3 +253,50 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(textstats.token_count_ws(t)).cast("long").alias("total_tokens"),
         F.round(F.avg(textstats.quality_score(t)), 6).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (token windows with stride)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_chunking",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id <= 100),
+    c AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) + 1, 40),
+                        st -> {'idx': CAST((st - 1) // 40 AS BIGINT),
+                               'ch': ws[st:st+49]})) AS u
+          FROM w)
+    SELECT doc_id,
+           u.idx AS chunk_idx,
+           CAST(len(u.ch) AS BIGINT) AS n_tokens,
+           md5(array_to_string(u.ch, ' ')) AS chunk_fp
+    FROM c
+    """,
+    description=(
+        "Document chunking into 50-token windows on a 40-token stride "
+        "(10-token overlap) — the context-window splitter every training "
+        "pipeline runs before tokenization. Pure codegen sequence/slice + "
+        "posexplode; rows fan out ~len/stride with no shuffle."
+    ),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    ws = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(40))
+
+    def chunk_at(st):
+        return F.slice(ws, st, 50)
+
+    chunks = F.transform(starts, chunk_at)
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_fp"),
+        )
+    )

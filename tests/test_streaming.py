@@ -147,3 +147,50 @@ def test_foreach_batch_upsert_sink(spark, sf_dir, tmp_path):
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
     )
     assert first == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks on both sides and a time
+    interval condition (view within 1 hour before the purchase) — the
+    state-bounded join shape for correlating two live event streams.
+    Verified against the identical batch join."""
+    purchases = (
+        read_events_stream(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    views = (
+        read_events_stream(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    cond = F.expr("p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts")
+    out = run_available_now(
+        purchases.join(views, cond, "inner").select("purchase_id", "view_id"),
+        "ss_interval_join",
+        output_mode="append",
+    )
+    got = {(r.purchase_id, r.view_id) for r in out.collect()}
+
+    ev = _batch_events(spark, sf_dir)
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    want = {
+        (r.purchase_id, r.view_id)
+        for r in bp.join(bv, cond, "inner").select("purchase_id", "view_id").collect()
+    }
+    assert got == want and len(want) > 0
