@@ -2105,3 +2105,36 @@ def q12_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
         F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
     )
+
+
+@register(
+    "q_salted_join_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    description=(
+        "Skew-resistant fact join: the salted join (probe side salted into "
+        "8 sub-keys, build side replicated once per salt) produces results "
+        "identical to the plain equi-join — the manual tool for power-law "
+        "keys that overwhelm even AQE's skew-split blocks."
+    ),
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
