@@ -142,3 +142,65 @@ def winnowing_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     mins = F.filter(mins, lambda x: x.isNotNull())
     n_windows = F.greatest(F.size(hashes) - window + 1, F.lit(0))
     return F.array_sort(F.array_distinct(F.slice(mins, 1, n_windows)))
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of word occurrences that
+    are repeats of an earlier word (1 - distinct/total)."""
+    ws = words_of(text)
+    return 1 - F.size(F.array_distinct(ws)) / F.size(ws)
+
+
+def _max_equal_adjacent_run(arr: Column) -> Column:
+    """Length (in elements) of the longest run of equal adjacent elements.
+
+    Linear, pure codegen: flag equal-adjacent pairs via a shifted zip, then
+    a single F.aggregate pass carries (current_run, best_run). Returns 1
+    for any non-empty array with no repeats; callers guard empty arrays.
+    """
+    flags = F.zip_with(
+        arr,
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.when(a.eqNullSafe(b), F.lit(1)).otherwise(F.lit(0)),
+    )
+    best = F.aggregate(
+        flags,
+        F.struct(F.lit(0).alias("cur"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            F.when(x == 1, acc.cur + 1).otherwise(F.lit(0)).alias("cur"),
+            F.greatest(acc.best, F.when(x == 1, acc.cur + 1).otherwise(F.lit(0))).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return best + 1
+
+
+def max_word_run(text: Column) -> Column:
+    """Longest run of the same word repeated consecutively ("a a a" -> 3).
+    The Gopher/RefinedWeb consecutive-repetition filter signal."""
+    return _max_equal_adjacent_run(words_of(text))
+
+
+def word_bigrams(text: Column) -> Column:
+    """Adjacent word pairs as strings; size = n_words - 1 (codegen zip)."""
+    ws = words_of(text)
+    pairs = F.zip_with(
+        ws,
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # zip_with pads the shorter side with NULL; concat(a, NULL) is NULL,
+    # so trimming to n-1 drops exactly the padded tail element.
+    return F.slice(pairs, 1, F.greatest(F.size(ws) - 1, F.lit(0)))
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of all word-bigram occurrences taken by the single most
+    frequent bigram (Gopher's top-2-gram repetition filter).
+
+    Shuffle-free mode computation: sort the bigram array, then the mode's
+    count is the longest equal-adjacent run in the sorted array — O(L log L)
+    per row, whole-stage codegen, no explode/groupBy."""
+    bg = word_bigrams(text)
+    top = _max_equal_adjacent_run(F.array_sort(bg))
+    return F.when(F.size(bg) > 0, top / F.size(bg)).otherwise(F.lit(0.0))

@@ -133,3 +133,15 @@ def test_bucketed_fact_join_plan_has_no_join_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # agg only, never the join
     assert df.count() > 0
+
+
+def test_repetition_signals_is_shuffle_free(spark, sf_dir):
+    """Gopher repetition signals are pure per-row array math: the mode of
+    the bigram multiset comes from a sorted-run trick, so the plan has no
+    Exchange at all — the operator runs at parquet-scan speed."""
+    q = load_all()["q_repetition_signals"]
+    df = q.fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # codegen only, no Python UDFs
+    assert df.count() > 0
