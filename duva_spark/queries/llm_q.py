@@ -712,3 +712,65 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.max_word_run(t).cast("long").alias("max_word_run"),
         F.round(textstats.top_bigram_fraction(t), 6).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "q_pii_redaction",
+    oracle="""
+    WITH contaminated AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or https://site'
+                    || CAST(doc_id AS VARCHAR)
+                    || '.example.org/d?ref=a b at 555-0199 (host 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7).' AS text
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, 'https?://[^\\s]+', '[URL]', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')) AS redacted_md5
+    FROM contaminated
+    """,
+    description=(
+        "PII/URL scrubbing: the corpus is deterministically contaminated "
+        "with a doc_id-derived contact line (the raw documents carry no "
+        "PII), then redacted with the shared Java/RE2 pattern set. Counts "
+        "per category plus an md5 of the scrubbed text prove the exact "
+        "replacement arithmetic on both engines. Pure codegen regex ops — "
+        "scan-speed, no shuffle."
+    ),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import redact as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    contaminated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.org/d?ref=a b at 555-0199 (host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7)."),
+        ).alias("text"),
+    )
+    t = F.col("text")
+    return contaminated.select(
+        "doc_id",
+        R.match_count(t, "url").cast("long").alias("n_urls"),
+        R.match_count(t, "email").cast("long").alias("n_emails"),
+        R.match_count(t, "phone").cast("long").alias("n_phones"),
+        R.match_count(t, "ipv4").cast("long").alias("n_ips"),
+        F.md5(R.redact(t)).alias("redacted_md5"),
+    )

@@ -301,3 +301,28 @@ def test_multimodal_real_resize_and_frames_kernels():
         mm.sample_frames_batch(pdf, "doc_id", 16, False, "raise", lambda: None)
     frames = mm.sample_frames_batch(pdf, "doc_id", 16, False, "fake", lambda: None)
     assert list(frames["frame_idx"]) == [0, 1, 2, 3]
+
+
+def test_redact_scrubs_real_pii_and_counts(spark):
+    from duva_spark.llm import redact as R
+
+    text = (
+        "Mail jane.doe+spam@corp.example.co.uk or visit "
+        "https://example.com/a?x=1&u=bob@evil.com then call 555-0142; "
+        "server at 192.168.10.255 end"
+    )
+    df = spark.range(1).select(F.lit(text).alias("text"))
+    row = df.select(
+        R.redact(F.col("text")).alias("clean"),
+        R.match_count(F.col("text"), "email").alias("n_email"),
+        R.match_count(F.col("text"), "url").alias("n_url"),
+        R.match_count(F.col("text"), "phone").alias("n_phone"),
+        R.match_count(F.col("text"), "ipv4").alias("n_ip"),
+    ).first()
+    clean = row["clean"]
+    assert "[EMAIL]" in clean and "[URL]" in clean and "[PHONE]" in clean and "[IP]" in clean
+    assert "jane.doe" not in clean and "192.168" not in clean and "555-0142" not in clean
+    # URL applied first: the email inside the URL query string is scrubbed
+    # as part of the URL, leaving exactly one [EMAIL] marker.
+    assert clean.count("[URL]") == 1 and clean.count("[EMAIL]") == 1
+    assert (row["n_email"], row["n_url"], row["n_phone"], row["n_ip"]) == (2, 1, 1, 1)
