@@ -300,3 +300,60 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", "chunk")).alias("chunk_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+_GRAM8 = (
+    "list_distinct(list_transform(range(1, len(ws) - 6), i -> "
+    + " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(8))
+    + "))"
+)
+
+
+@register(
+    "q_ngram_contamination",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, {_H100} AS h
+               FROM documents),
+    g AS (SELECT doc_id, h,
+                 CAST('0x' || substr(md5(unnest({_GRAM8})), 1, 15) AS BIGINT) AS gh
+          FROM d WHERE len(ws) >= 8),
+    ev AS (SELECT DISTINCT gh FROM g WHERE h < 10),
+    tr AS (SELECT doc_id, gh FROM g WHERE h >= 10)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM tr JOIN ev USING (gh)
+    GROUP BY doc_id
+    """,
+    description=(
+        "Benchmark-contamination check: training docs sharing any word "
+        "8-gram with the held-out eval split (deterministic 10% hash "
+        "sample). Grams are hashed to fixed-width 60-bit keys; the eval "
+        "gram set is broadcast (benchmark suites are tiny next to a "
+        "100 TB corpus), so the only shuffle is the per-doc overlap "
+        "count. The standard pre-training decontamination gate "
+        "(GPT-3/PaLM style n-gram overlap)."
+    ),
+)
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+    grams = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(minhash.word_shingles(F.split(F.col("text"), " "), 8)).alias("gram"),
+    ).select("doc_id", "h", minhash.md5_hash60(F.col("gram")).alias("gh"))
+    ev = grams.filter(F.col("h") < 10).select("gh").distinct()
+    tr = grams.filter(F.col("h") >= 10)
+    return (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
