@@ -357,3 +357,75 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Source/language mixture sampling
+# ---------------------------------------------------------------------------
+
+# Target language mixture (multilingual-pretraining style reweighting:
+# downsample the dominant language, upsample the low-resource ones).
+MIX_WEIGHTS: dict[str, float] = {"en": 0.4, "de": 0.2, "es": 0.15, "fr": 0.15, "zh": 0.1}
+
+_MIX_CASE = (
+    "CASE lang " + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items()) + " END"
+)
+_H10000 = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000"
+
+
+@register(
+    "q_mixture_sampling",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, {_MIX_CASE} AS tw
+               FROM documents GROUP BY lang),
+    cap AS (SELECT MIN(n_docs / tw) AS cap FROM c),
+    thr AS (SELECT lang, n_docs,
+                   CAST(FLOOR(10000 * tw * cap / n_docs) AS BIGINT) AS hash_threshold
+            FROM c, cap),
+    s AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+          FROM documents d JOIN thr ON d.lang = thr.lang
+          WHERE {_H10000} < hash_threshold
+          GROUP BY d.lang)
+    SELECT thr.lang AS lang, n_docs, hash_threshold,
+           COALESCE(n_sampled, 0) AS n_sampled
+    FROM thr LEFT JOIN s ON thr.lang = s.lang
+    """,
+    description=(
+        "Deterministic mixture sampling: resample the corpus toward a "
+        "target language mix. Per-language acceptance thresholds derive "
+        "from observed counts (largest feasible corpus at the target mix, "
+        "no language oversampled past 1.0), and acceptance is an integer "
+        "hash-threshold test — reproducible across engines, runs, and "
+        "cluster sizes, zero coordination. The per-language stats table "
+        "is tiny and broadcast; the corpus-side pass is a pushed-down "
+        "filter + one partial-agg shuffle."
+    ),
+)
+def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tw = F.lit(None).cast("double")
+    for k, v in reversed(MIX_WEIGHTS.items()):
+        tw = F.when(F.col("lang") == k, F.lit(v)).otherwise(tw)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).withColumn("tw", tw)
+    cap = counts.agg(F.min(F.col("n_docs") / F.col("tw")).alias("cap"))
+    thr = counts.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "n_docs",
+        F.floor(F.lit(10000) * F.col("tw") * F.col("cap") / F.col("n_docs")).alias(
+            "hash_threshold"
+        ),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 10000
+    )
+    sampled = (
+        docs.select("lang", h.alias("h"))
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("h") < F.col("hash_threshold"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return thr.join(sampled, "lang", "left").select(
+        "lang", "n_docs", "hash_threshold", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")
+    )
