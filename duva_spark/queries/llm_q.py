@@ -660,6 +660,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_repetition_signals",
+    headline=True,
     oracle="""
     WITH w AS (
         SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i

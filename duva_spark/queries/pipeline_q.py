@@ -315,6 +315,7 @@ _GRAM8 = (
 
 @register(
     "q_ngram_contamination",
+    headline=True,
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, {_H100} AS h
                FROM documents),
@@ -375,6 +376,7 @@ _H10000 = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) %
 
 @register(
     "q_mixture_sampling",
+    headline=True,
     oracle=f"""
     WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, {_MIX_CASE} AS tw
                FROM documents GROUP BY lang),
