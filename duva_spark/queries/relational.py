@@ -2270,3 +2270,82 @@ def q20_majority_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(majority, "s_suppkey", "left_semi").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events),
+    c AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n_transitions,
+           ROUND(n_transitions / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                                      AS DOUBLE), 6) AS p_next
+    FROM c
+    """,
+    description=(
+        "Event-transition (Markov) matrix: per-user LAG pairs adjacent "
+        "events, then counts and per-row conditional probabilities. One "
+        "shuffle for the user-partitioned window, one for the tiny pair "
+        "aggregate; the probability window runs over the |types|^2 result, "
+        "not the event stream."
+    ),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    total = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(total), 6).alias("p_next"),
+    )
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT o_orderpriority AS pri FROM orders WHERE o_totalprice > 200000
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    description="INTERSECT ALL (bag semantics: min multiplicity per value).",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 200000).select(F.col("o_orderpriority").alias("pri"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pri"))
+    return a.intersectAll(b)
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+    SELECT o_orderpriority AS pri FROM orders WHERE o_totalprice > 200000
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    description="EXCEPT ALL (bag semantics: multiplicity subtraction).",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 200000).select(F.col("o_orderpriority").alias("pri"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pri"))
+    return a.exceptAll(b)
