@@ -2349,3 +2349,59 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.col("o_totalprice") > 200000).select(F.col("o_orderpriority").alias("pri"))
     b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("pri"))
     return a.exceptAll(b)
+
+
+def _zorder_oracle() -> str:
+    from duva_spark.operators.zorder import zorder_key_sql
+
+    zk = zorder_key_sql(["ck", "dy"], 16)
+    return f"""
+    WITH dims AS (
+        SELECT o_orderkey,
+               o_custkey & 65535 AS ck,
+               CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+                    AS BIGINT) & 65535 AS dy
+        FROM orders),
+    keyed AS (SELECT o_orderkey, ck, dy, {zk} AS zkey FROM dims)
+    SELECT zkey >> 16 AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(ck) AS ck_min, MAX(ck) AS ck_max,
+           MIN(dy) AS dy_min, MAX(dy) AS dy_max
+    FROM keyed
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_zorder_layout",
+    oracle=_zorder_oracle(),
+    description=(
+        "Z-order (Morton) clustering key over (custkey, order-day): bit "
+        "interleave as a pure codegen expression, then per-z-bucket "
+        "min/max extents showing every bucket covers a tight rectangle in "
+        "BOTH dimensions — the multi-column data-skipping layout "
+        "(OPTIMIZE ZORDER) that single-column sorting cannot give. Oracle "
+        "SQL is generated from the same bit-placement constants."
+    ),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.zorder import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    dy = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    ).bitwiseAND(F.lit(65535))
+    keyed = orders.select(
+        "o_orderkey", ck.alias("ck"), dy.alias("dy")
+    ).withColumn("zkey", zorder_key([F.col("ck"), F.col("dy")], 16))
+    return (
+        keyed.groupBy(F.shiftright("zkey", 16).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ck").alias("ck_min"),
+            F.max("ck").alias("ck_max"),
+            F.min("dy").alias("dy_min"),
+            F.max("dy").alias("dy_max"),
+        )
+    )

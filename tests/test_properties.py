@@ -151,3 +151,68 @@ def test_dedup_keeper_deterministic_under_partitioning(spark):
     a = sorted(r.doc_id for r in dedup.dedup_exact(df.repartition(1), ["text"], "doc_id").collect())
     b = sorted(r.doc_id for r in dedup.dedup_exact(df.repartition(32), ["text"], "doc_id").collect())
     assert a == b == sorted(range(11))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_zorder_key_is_a_bijective_interleave(pairs):
+    """Pure-Python replica of the bit placement: the Morton key must
+    decode back to its inputs (bijectivity) and be monotone in each
+    coordinate when the other is fixed."""
+
+    def morton(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    def demorton(z, bits=16):
+        x = y = 0
+        for i in range(bits):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for x, y in pairs:
+        assert demorton(morton(x, y)) == (x, y)
+    xs = sorted({x for x, _ in pairs})
+    assert [morton(x, 7) for x in xs] == sorted(morton(x, 7) for x in xs)
+
+
+def test_zorder_spark_matches_python_and_clusters_tightly(spark):
+    from duva_spark.operators.zorder import cluster_by_zorder, zorder_key
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1024).alias("x"),
+        (F.col("id") * 40503 % 1024).alias("y"),
+    )
+    rows = df.withColumn("z", zorder_key([F.col("x"), F.col("y")], 10)).collect()
+
+    def morton(x, y, bits=10):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert all(r["z"] == morton(r["x"], r["y"]) for r in rows)
+
+    # Clustered layout: per-partition extents must be tight rectangles in
+    # BOTH dims vs the ~full-range extents of round-robin partitions.
+    clustered = cluster_by_zorder(df, [F.col("x"), F.col("y")], 10, num_partitions=16)
+    ext = (
+        clustered.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .agg(F.avg((F.col("xr") + F.col("yr")) / 2).alias("avg_extent"))
+        .first()["avg_extent"]
+    )
+    assert ext < 0.55 * 1023  # each dim's average extent roughly halves (or better)
