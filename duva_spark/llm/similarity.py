@@ -182,3 +182,49 @@ def ivf_topk(
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def rplsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    n_bits: int = 6,
+    k: int = 5,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection (sign-bit) LSH top-k: corpus and queries are
+    coded by `hyperplane_code`; a query scans only its own code bucket.
+
+    The third ANN strategy next to brute-force and IVF: no training/
+    centroid stage at all (the planes are constants), so it works on a
+    cold corpus in one pass. Corpus-side cost is a pure projection —
+    the only join is against the broadcast query set on bucket equality,
+    zero corpus shuffle; expected candidate set is |corpus| / 2^n_bits
+    per query. Recall is tunable via n_bits (fewer bits → wider buckets).
+    """
+    code = lambda c: hyperplane_code(c, dim, n_bits, seed)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        code(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        code(F.col(vec_col)).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -775,3 +775,47 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         R.match_count(t, "ipv4").cast("long").alias("n_ips"),
         F.md5(R.redact(t)).alias("redacted_md5"),
     )
+
+
+def _rplsh_code_sql(var: str, dim: int = 64, n_bits: int = 6, seed: int = 0) -> str:
+    """DuckDB replica of similarity.hyperplane_code, generated from the
+    same md5-derived plane constants (shared-constant oracle pattern)."""
+    terms = []
+    for i in range(n_bits):
+        plane = "list_value(" + ", ".join(repr(c) for c in similarity._hyperplane(dim, i, seed)) + ")"
+        dotexpr = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({var}[i] AS DOUBLE) * ({plane})[i]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dotexpr} >= 0 THEN 1 ELSE 0 END << {i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "q_embed_rplsh_topk",
+    oracle=f"""
+    WITH pc AS (
+        SELECT vec_id, embedding, {_rplsh_code_sql("embedding")} AS bucket
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM pc WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM pc),
+    s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM c JOIN q USING (bucket)
+          WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 5
+    """,
+    description=(
+        "ANN via random-projection (sign-bit) LSH: 6 md5-derived "
+        "hyperplanes code every vector in one codegen projection (no "
+        "training stage, unlike IVF); a query scans only its own code "
+        "bucket — |corpus|/64 expected candidates, zero corpus shuffle. "
+        "Third ANN strategy beside brute-force (exact) and IVF."
+    ),
+)
+def q_embed_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rplsh_topk(emb, emb.filter(F.col("vec_id") < 5), 64, 6, 5)
