@@ -326,3 +326,22 @@ def test_redact_scrubs_real_pii_and_counts(spark):
     # as part of the URL, leaving exactly one [EMAIL] marker.
     assert clean.count("[URL]") == 1 and clean.count("[EMAIL]") == 1
     assert (row["n_email"], row["n_url"], row["n_phone"], row["n_ip"]) == (2, 1, 1, 1)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from duva_spark.llm.components import connected_components, dedup_clusters
+
+    # A 6-node chain (diameter 5 — forces several propagation rounds),
+    # a triangle, and an isolated pair.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comp = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5, 6)} == {1}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+    assert {comp[i] for i in (20, 21)} == {20}
+
+    sizes = {r["id"]: r["n_members"] for r in dedup_clusters(df).collect()}
+    assert sizes[3] == 6 and sizes[12] == 3 and sizes[21] == 2
+    # keep-list = representative per cluster
+    keep = {i for i, c in comp.items() if i == c}
+    assert keep == {1, 10, 20}
