@@ -428,6 +428,6 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"))
     )
-    return thr.join(sampled, "lang", "left").select(
+    return thr.join(F.broadcast(sampled), "lang", "left").select(
         "lang", "n_docs", "hash_threshold", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")
     )

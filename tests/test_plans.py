@@ -145,3 +145,35 @@ def test_repetition_signals_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # codegen only, no Python UDFs
     assert df.count() > 0
+
+
+def test_contamination_plan_broadcasts_eval_grams(spark, sf_dir):
+    """The eval gram set reaches the corpus side as a broadcast hash join;
+    the only shuffles are the eval-side DISTINCT and the per-doc count —
+    no corpus-vs-corpus join, no single-partition stage."""
+    q = load_all()["q_ngram_contamination"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mixture_sampling_plan_is_broadcast_only(spark, sf_dir):
+    """Per-language stats frames join the corpus only as broadcasts; the
+    single-partition exchanges carry the 1-row cap and |langs|-row frames,
+    never corpus data (no sort-merge join anywhere)."""
+    q = load_all()["q_mixture_sampling"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_layout_single_shuffle(spark, sf_dir):
+    """Morton keys are a pure projection: the only exchange is the final
+    per-bucket aggregation."""
+    q = load_all()["q_zorder_layout"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
