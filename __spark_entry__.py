@@ -30,13 +30,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _previously_checked() -> set[str]:
-    """Query names already green in a prior round's CORRECTNESS file."""
+    """Query names already GREEN in a prior round's CORRECTNESS file.
+    A red or errored row does not count — that query rotates back to the
+    front so the driver rechecks it next round."""
     import json
 
     seen: set[str] = set()
     for f in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
         try:
-            seen.update(json.loads(f.read_text()).keys())
+            for name, row in json.loads(f.read_text()).items():
+                if not isinstance(row, dict):
+                    seen.add(name)  # unknown shape: assume checked
+                elif row.get("err") is None and row.get("rows_match", True) and row.get(
+                    "schema_match", True
+                ) and row.get("hash_match", True):
+                    seen.add(name)
         except (OSError, ValueError):
             pass
     return seen

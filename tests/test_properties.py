@@ -216,3 +216,35 @@ def test_zorder_spark_matches_python_and_clusters_tightly(spark):
         .first()["avg_extent"]
     )
     assert ext < 0.55 * 1023  # each dim's average extent roughly halves (or better)
+
+
+def test_repetition_signals_match_python_reference(spark):
+    """The shuffle-free sorted-run mode trick == a literal Counter-based
+    reference, across seeded random word sequences (incl. heavy repeats)."""
+    from collections import Counter
+
+    from duva_spark.llm import textstats
+
+    vocab = ["a", "b", "c", "dd", "ee"]
+    texts = [
+        " ".join(RNG.choice(vocab, size=int(n)))
+        for n in RNG.integers(2, 60, size=40)
+    ] + ["a a a a a", "a b a b a b", "x"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = df.select(
+        "text",
+        textstats.dup_word_fraction(F.col("text")).alias("dup"),
+        textstats.max_word_run(F.col("text")).alias("run"),
+        textstats.top_bigram_fraction(F.col("text")).alias("top_bg"),
+    ).collect()
+    for r in got:
+        ws = r["text"].split(" ")
+        assert abs(r["dup"] - (1 - len(set(ws)) / len(ws))) < 1e-9
+        best = cur = 1
+        for i in range(1, len(ws)):
+            cur = cur + 1 if ws[i] == ws[i - 1] else 1
+            best = max(best, cur)
+        assert r["run"] == best
+        bgs = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        want = max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
+        assert abs(r["top_bg"] - want) < 1e-9

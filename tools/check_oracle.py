@@ -47,6 +47,54 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
+def make_duckdb(sf: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')")
+    return con
+
+
+def compare_one(spark, con, sf: str, name: str, fn, oracle: str | None):
+    """Run one Spark query and its oracle, return (status, detail) where
+    status is 'pass' | 'fail' | 'rows-only'. Shared by check_oracle and
+    driver_sim so both gates use the identical comparator."""
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+    except Exception:
+        return "fail", "spark error:\n" + traceback.format_exc()
+    dt = time.time() - t0
+    if oracle is None:
+        return "rows-only", f"{len(srows)} rows ({dt:.1f}s)"
+    try:
+        ores = con.sql(oracle)
+        ocols = [c.lower() for c in ores.columns]
+        orows = ores.fetchall()
+    except Exception:
+        return "fail", "duckdb error:\n" + traceback.format_exc()
+    scols_l = [c.lower() for c in scols]
+    problems = []
+    if sorted(scols_l) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols_l)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if not problems:
+        h1, h2 = value_hash(scols_l, srows), value_hash(ocols, orows)
+        if h1 != h2:
+            problems.append("value-hash mismatch")
+            sset = {tuple(_norm_cell(v) for v in r) for r in srows}
+            oset = {tuple(_norm_cell(v) for v in r) for r in orows}
+            for r in list(sset - oset)[:3]:
+                problems.append(f"spark-only: {r}")
+            for r in list(oset - sset)[:3]:
+                problems.append(f"oracle-only: {r}")
+    if problems:
+        return "fail", "; ".join(problems)
+    return "pass", f"{len(srows)} rows ({dt:.1f}s)"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -54,61 +102,22 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')")
-
+    con = make_duckdb(args.sf)
     registry = load_all()
     names = args.only.split(",") if args.only else list(registry)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         q = registry[name]
-        t0 = time.time()
-        try:
-            sdf = q.fn(spark, args.sf)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
-        except Exception:
-            print(f"FAIL {name}: spark error")
-            traceback.print_exc()
-            n_fail += 1
-            continue
-        dt = time.time() - t0
-        if q.oracle is None:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({dt:.1f}s)")
-            n_rows_only += 1
-            continue
-        try:
-            ores = con.sql(q.oracle)
-            ocols = [c.lower() for c in ores.columns]
-            orows = ores.fetchall()
-        except Exception:
-            print(f"FAIL {name}: duckdb error")
-            traceback.print_exc()
-            n_fail += 1
-            continue
-        scols_l = [c.lower() for c in scols]
-        problems = []
-        if sorted(scols_l) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols_l)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            h1, h2 = value_hash(scols_l, srows), value_hash(ocols, orows)
-            if h1 != h2:
-                problems.append("value-hash mismatch")
-                sset = {tuple(_norm_cell(v) for v in r) for r in srows}
-                oset = {tuple(_norm_cell(v) for v in r) for r in orows}
-                for r in list(sset - oset)[:3]:
-                    print(f"   spark-only: {r}")
-                for r in list(oset - sset)[:3]:
-                    print(f"   oracle-only: {r}")
-        if problems:
-            print(f"FAIL {name}: {'; '.join(problems)}")
-            n_fail += 1
-        else:
-            print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
+        status, detail = compare_one(spark, con, args.sf, name, q.fn, q.oracle)
+        if status == "pass":
+            print(f"PASS {name}: {detail}")
             n_pass += 1
+        elif status == "rows-only":
+            print(f"ROWS-ONLY {name}: {detail}")
+            n_rows_only += 1
+        else:
+            print(f"FAIL {name}: {detail}")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 
