@@ -431,3 +431,51 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return thr.join(F.broadcast(sampled), "lang", "left").select(
         "lang", "n_docs", "hash_threshold", F.coalesce("n_sampled", F.lit(0)).alias("n_sampled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (percentile-derived) quality filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_adaptive_quality_filter",
+    oracle=f"""
+    WITH q AS (SELECT source, {_QUALITY} AS quality, {_NTOK} AS n_tok FROM documents),
+    thr AS (SELECT source, quantile_cont(quality, 0.25) AS q25 FROM q GROUP BY source)
+    SELECT q.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+           ROUND(AVG(quality), 6) AS avg_kept_quality
+    FROM q JOIN thr ON q.source = thr.source
+    WHERE q.quality >= q25
+    GROUP BY q.source
+    """,
+    description=(
+        "Adaptive quality filtering: the cut line is the per-source p25 "
+        "of the quality score (data-derived, not a global constant — the "
+        "CCNet-style per-bucket approach), then the corpus is filtered "
+        "against its own source's threshold. Per-source thresholds are a "
+        "tiny broadcast frame; the corpus sees one scan + one agg "
+        "shuffle. Exact interpolated percentile matches quantile_cont."
+    ),
+)
+def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = docs.select(
+        "source",
+        textstats.quality_score(t).alias("quality"),
+        textstats.token_count_ws(t).alias("n_tok"),
+    )
+    thr = q.groupBy("source").agg(F.percentile("quality", 0.25).alias("q25"))
+    return (
+        q.join(F.broadcast(thr), "source")
+        .filter(F.col("quality") >= F.col("q25"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_kept_quality"),
+        )
+    )
