@@ -108,7 +108,9 @@ def read_dataset(spark, path: str) -> DataFrame:
     return spark.read.parquet(_pointer_read_path(path) or path)
 
 
-def _pointer_commit_upsert(spark, merged: DataFrame, path: str, current: str) -> int:
+def _pointer_commit_upsert(
+    spark, merged: DataFrame, path: str, current: str, retain: int = 1
+) -> int:
     """Pointer-file commit (object-store-safe): write a NEW immutable
     version directory, then atomically replace the one small ``_CURRENT``
     file naming it. No directory is ever renamed — on S3/GCS the pointer
@@ -116,9 +118,12 @@ def _pointer_commit_upsert(spark, merged: DataFrame, path: str, current: str) ->
     emulates that locally. A crash leaves at worst an orphan version
     directory, garbage-collected at the next commit; the live dataset is
     never absent. This is the same commit shape Delta/Iceberg use (log
-    entry → snapshot); swap in their native MERGE when the jars ship."""
+    entry → snapshot); swap in their native MERGE when the jars ship.
+
+    ``retain`` keeps that many trailing versions (current included) for
+    time travel via `read_version`; older ones and any orphans newer
+    than current (crashed commits) are garbage-collected."""
     import os
-    import shutil
     import tempfile
 
     cur_name = os.path.basename(current) if current else None
@@ -129,11 +134,56 @@ def _pointer_commit_upsert(spark, merged: DataFrame, path: str, current: str) ->
     with os.fdopen(fd, "w") as f:
         f.write(new_name)
     os.replace(tmp, os.path.join(path, CURRENT_POINTER))
-    for entry in os.listdir(path):  # gc superseded + orphan versions
-        full = os.path.join(path, entry)
-        if entry.startswith("v") and entry != new_name and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
+    vacuum(path, retain=retain)
     return n
+
+
+def list_versions(path: str) -> list[int]:
+    """Version numbers present on disk, oldest first."""
+    import os
+
+    out = []
+    for entry in os.listdir(path):
+        if entry.startswith("v") and entry[1:].isdigit() and os.path.isdir(
+            os.path.join(path, entry)
+        ):
+            out.append(int(entry[1:]))
+    return sorted(out)
+
+
+def read_version(spark, path: str, version: int) -> DataFrame:
+    """Time travel: read a retained historical version of a pointer
+    dataset (Delta's ``VERSION AS OF`` on the pointer scheme). Raises if
+    the version was vacuumed."""
+    import os
+
+    full = os.path.join(path, f"v{version}")
+    if not os.path.isdir(full):
+        raise FileNotFoundError(
+            f"version {version} not on disk (retained: {list_versions(path)})"
+        )
+    return spark.read.parquet(full)
+
+
+def vacuum(path: str, retain: int = 1) -> list[int]:
+    """Drop all but the trailing `retain` versions up to the current
+    pointer, plus any orphan directories NEWER than current (half-written
+    crashed commits). Returns the removed version numbers."""
+    import os
+    import shutil
+
+    current = _pointer_read_path(path)
+    if current is None:
+        return []
+    cur_ver = int(os.path.basename(current)[1:])
+    keep = {v for v in list_versions(path) if v <= cur_ver}
+    keep = set(sorted(keep)[-max(retain, 1):])
+    removed = []
+    for v in list_versions(path):
+        if v not in keep and v != cur_ver:
+            shutil.rmtree(os.path.join(path, f"v{v}"), ignore_errors=True)
+            removed.append(v)
+    return removed
 
 
 def merge_upsert(
@@ -142,6 +192,7 @@ def merge_upsert(
     path: str,
     key: str,
     commit: str = "rename",
+    retain: int = 1,
 ) -> int:
     """Incremental upsert keyed on `key` — the improvement duva never had
     (it drop-and-recreates every sync, app/core/importer.py:242-246; the
@@ -156,6 +207,9 @@ def merge_upsert(
       filesystems; readers see plain parquet at `path`);
     - ``"pointer"``: versioned directories + atomic ``_CURRENT`` pointer
       replace (object-store-safe, zero-absence; read via read_dataset).
+      ``retain`` > 1 keeps trailing versions for time travel
+      (`read_version` / `vacuum`), Delta's VERSION AS OF on the pointer
+      scheme.
 
     Returns the resulting row count.
     """
@@ -167,7 +221,7 @@ def merge_upsert(
         os.makedirs(path, exist_ok=True)
         current = _pointer_read_path(path)
         if current is None:
-            return _pointer_commit_upsert(spark, new_df, path, None)
+            return _pointer_commit_upsert(spark, new_df, path, None, retain)
         existing = spark.read.parquet(current)
     else:
         _recover_rename_swap(path)
@@ -177,5 +231,5 @@ def merge_upsert(
     keep = existing.join(new_df.select(key), on=key, how="left_anti")
     merged = keep.unionByName(new_df, allowMissingColumns=True)
     if commit == "pointer":
-        return _pointer_commit_upsert(spark, merged, path, current)
+        return _pointer_commit_upsert(spark, merged, path, current, retain)
     return _rename_swap_upsert(spark, merged, path)

@@ -184,3 +184,32 @@ def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path):
     assert merge_upsert(spark, second, out, "_id") == 3  # recovered + merged
     assert {r._id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
     assert not os.path.exists(f"{out}__old") and not os.path.exists(f"{out}__staging")
+
+
+def test_pointer_time_travel_and_vacuum(spark, tmp_path):
+    """retain=3 keeps trailing versions readable as of their commit
+    (Delta VERSION AS OF on the pointer scheme); vacuum prunes to the
+    requested horizon and read_version raises past it."""
+    import pytest as _pytest
+
+    from duva_spark.sinks import (
+        list_versions,
+        merge_upsert,
+        read_dataset,
+        read_version,
+        vacuum,
+    )
+
+    out = str(tmp_path / "ds")
+    for i, batch in enumerate([[(1, "a")], [(2, "b")], [(2, "B"), (3, "c")], [(4, "d")]]):
+        df = spark.createDataFrame(batch, "`_id` long, v string")
+        merge_upsert(spark, df, out, "_id", commit="pointer", retain=3)
+    assert list_versions(out) == [1, 2, 3]  # v0 vacuumed, 3 retained
+    assert {r._id for r in read_dataset(spark, out).collect()} == {1, 2, 3, 4}
+    # time travel: v1 was the state after the second commit
+    assert {r._id for r in read_version(spark, out, 1).collect()} == {1, 2}
+    assert {r._id: r.v for r in read_version(spark, out, 2).collect()}[2] == "B"
+    assert vacuum(out, retain=1) == [1, 2]
+    with _pytest.raises(FileNotFoundError, match="retained"):
+        read_version(spark, out, 1)
+    assert {r._id for r in read_dataset(spark, out).collect()} == {1, 2, 3, 4}
