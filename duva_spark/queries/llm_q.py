@@ -853,3 +853,86 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
     return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "table", "query")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    tf = {t: f"len(list_filter(ws, w -> w = '{t}'))" for t in _BM25_TERMS}
+    df_ = {t: f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in _BM25_TERMS}
+    idf = {
+        t: f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1)"
+        for t in _BM25_TERMS
+    }
+    score_terms = " + ".join(
+        f"{idf[t]} * (tf_{t} * ({_BM25_K1} + 1)) / "
+        f"(tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * n_tok / avg_len))"
+        for t in _BM25_TERMS
+    )
+    tf_cols = ", ".join(f"{tf[t]} AS tf_{t}" for t in _BM25_TERMS)
+    df_cols = ", ".join(f"{df_[t]} AS df_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    t AS (SELECT doc_id, len(ws) AS n_tok, {tf_cols} FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 AVG(n_tok) AS avg_len, {df_cols} FROM t)
+    SELECT doc_id, ROUND({score_terms}, 4) AS bm25
+    FROM t, g
+    WHERE tf_{_BM25_TERMS[0]} + tf_{_BM25_TERMS[1]} + tf_{_BM25_TERMS[2]} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register(
+    "q_bm25_search",
+    oracle=_bm25_sql(),
+    description=(
+        "BM25 ranked retrieval for a 3-term query: per-doc term "
+        "frequencies are codegen array counts; corpus stats (N, avgdl, "
+        "per-term document frequencies) come from ONE global aggregate "
+        "broadcast back as a 1-row frame; top-20 plans as "
+        "TakeOrderedAndProject. The oracle recomputes the identical "
+        "k1=1.2/b=0.75 formula."
+    ),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+
+    def _eq(term):  # closure factory: a plain default-arg lambda mis-binds HOF arity
+        return lambda w: w == term
+
+    tf_cols = [F.size(F.filter(ws, _eq(t))).alias(f"tf_{t}") for t in _BM25_TERMS]
+    t = docs.select("doc_id", F.size(ws).alias("n_tok"), *tf_cols)
+    g = t.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("n_tok").alias("avg_len"),
+        *[
+            F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    joined = t.crossJoin(F.broadcast(g))
+    score = None
+    for term in _BM25_TERMS:
+        tf = F.col(f"tf_{term}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{term}") + 0.5) / (F.col(f"df_{term}") + 0.5) + 1
+        )
+        part = idf * (tf * (_BM25_K1 + 1)) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("n_tok") / F.col("avg_len"))
+        )
+        score = part if score is None else score + part
+    return (
+        joined.filter(sum((F.col(f"tf_{term}") for term in _BM25_TERMS), F.lit(0)) > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -2405,3 +2405,44 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dy").alias("dy_max"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_shipdate",
+)
+
+
+@register(
+    "q_table_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    description=(
+        "Table profiler (ANALYZE-style column statistics): per-column "
+        "null and distinct counts for six lineitem columns computed in "
+        "ONE multi-distinct aggregate pass (Catalyst's expand operator), "
+        "then unpivoted with stack — never six scans. The oracle pays "
+        "six scans instead; results match."
+    ),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_null, n_distinct)"
+    )
