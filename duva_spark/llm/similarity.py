@@ -188,41 +188,57 @@ def rplsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int = 64,
-    n_bits: int = 6,
+    n_bits: int = 4,
     k: int = 5,
     seed: int = 0,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-projection (sign-bit) LSH top-k: corpus and queries are
-    coded by `hyperplane_code`; a query scans only its own code bucket.
+    """Random-projection (sign-bit) LSH top-k with OR'd hash tables.
 
     The third ANN strategy next to brute-force and IVF: no training/
     centroid stage at all (the planes are constants), so it works on a
-    cold corpus in one pass. Corpus-side cost is a pure projection —
-    the only join is against the broadcast query set on bucket equality,
-    zero corpus shuffle; expected candidate set is |corpus| / 2^n_bits
-    per query. Recall is tunable via n_bits (fewer bits → wider buckets).
+    cold corpus in one pass. Each of `n_tables` independent sign-bit
+    codes (seeds seed..seed+T-1) buckets both sides; a pair is a
+    candidate if it collides in ANY table -- recall 1-(1-p^bits)^T, the
+    same AND/OR construction as MinHash bands, and the same plan shape:
+    explode to narrow (table, code) rows, ONE equi-join against the
+    broadcast query codes, dedupe, verify with exact cosine. Corpus-side
+    cost stays a projection + explode; expected candidates are
+    |corpus| * T / 2^bits per query before dedup.
     """
-    code = lambda c: hyperplane_code(c, dim, n_bits, seed)  # noqa: E731
+
+    def codes(c):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_code(c, dim, n_bits, seed + t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        code(F.col(vec_col)).alias("bucket"),
-    )
+        F.explode(codes(F.col(vec_col))).alias("bk"),
+    ).select("neighbor_id", "c_vec", "bk.tbl", "bk.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        code(F.col(vec_col)).alias("bucket"),
-    )
+        F.explode(codes(F.col(vec_col))).alias("bk"),
+    ).select("query_id", "q_vec", "bk.tbl", "bk.bucket")
     sims = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(

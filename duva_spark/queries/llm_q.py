@@ -777,7 +777,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rplsh_code_sql(var: str, dim: int = 64, n_bits: int = 6, seed: int = 0) -> str:
+def _rplsh_code_sql(var: str, dim: int = 64, n_bits: int = 4, seed: int = 0) -> str:
     """DuckDB replica of similarity.hyperplane_code, generated from the
     same md5-derived plane constants (shared-constant oracle pattern)."""
     terms = []
@@ -791,16 +791,24 @@ def _rplsh_code_sql(var: str, dim: int = 64, n_bits: int = 6, seed: int = 0) -> 
     return "(" + " | ".join(terms) + ")"
 
 
+def _rplsh_buckets_sql(n_bits: int, n_tables: int) -> str:
+    """UNION ALL of the per-table code projections (one seed per table),
+    mirroring the Spark explode over (tbl, bucket) structs."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, "
+        f"{_rplsh_code_sql('embedding', 64, n_bits, t)} AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+
+
 @register(
     "q_embed_rplsh_topk",
     oracle=f"""
-    WITH pc AS (
-        SELECT vec_id, embedding, {_rplsh_code_sql("embedding")} AS bucket
-        FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM pc WHERE vec_id < 5),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM pc),
-    s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine_sim
-          FROM c JOIN q USING (bucket)
+    WITH pc AS ({_rplsh_buckets_sql(4, 8)}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket FROM pc WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, tbl, bucket FROM pc),
+    s AS (SELECT DISTINCT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM c JOIN q USING (tbl, bucket)
           WHERE neighbor_id <> query_id)
     SELECT query_id, neighbor_id, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY query_id
@@ -809,50 +817,18 @@ def _rplsh_code_sql(var: str, dim: int = 64, n_bits: int = 6, seed: int = 0) -> 
     QUALIFY rank <= 5
     """,
     description=(
-        "ANN via random-projection (sign-bit) LSH: 6 md5-derived "
-        "hyperplanes code every vector in one codegen projection (no "
-        "training stage, unlike IVF); a query scans only its own code "
-        "bucket — |corpus|/64 expected candidates, zero corpus shuffle. "
-        "Third ANN strategy beside brute-force (exact) and IVF."
+        "ANN via random-projection (sign-bit) LSH: 8 OR'd hash tables of "
+        "4 md5-derived hyperplanes each, coded in one codegen projection "
+        "(no training stage, unlike IVF); candidates collide in ANY "
+        "table (the MinHash AND/OR construction for cosine space), then "
+        "verify with exact cosine. Explodes to narrow (table, code) rows "
+        "-- one equi-join against broadcast query codes, zero corpus "
+        "shuffle. Third ANN strategy beside brute-force (exact) and IVF."
     ),
 )
 def q_embed_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.rplsh_topk(emb, emb.filter(F.col("vec_id") < 5), 64, 6, 5)
-
-
-@register(
-    "q_dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
-    SELECT id, comp, COUNT(*) OVER (PARTITION BY comp) AS n_members
-    FROM cc
-    """,
-    description=(
-        "Fuzzy-dedup cluster formation: transitive closure over the "
-        "verified MinHash-LSH pair graph via distributed min-label "
-        "propagation (one shuffle per round, localCheckpoint lineage "
-        "cuts, O(cluster diameter) rounds; large-star/small-star is the "
-        "documented high-diameter upgrade). Output is (doc, component, "
-        "cluster size); keep-list = id == component. Oracle recomputes "
-        "the same pairs then closes them with a recursive CTE."
-    ),
-)
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duva_spark.llm.components import dedup_clusters
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
-    return dedup_clusters(pairs.select("id_a", "id_b"))
+    return similarity.rplsh_topk(emb, emb.filter(F.col("vec_id") < 5), 64, 4, 5, 0, 8)
 
 
 # ---------------------------------------------------------------------------

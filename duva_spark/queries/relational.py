@@ -2446,3 +2446,39 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_null, n_distinct)"
     )
+
+
+@register(
+    "q_key_skew_profile",
+    oracle="""
+    WITH k AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           ROUND(MAX(cnt) / AVG(cnt), 4) AS max_over_avg,
+           ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top1_share
+    FROM k
+    """,
+    description=(
+        "Join-key skew diagnostics: the pre-flight check before choosing "
+        "a shuffle strategy (AQE skew split vs operators/skew.salted_join "
+        "vs broadcast). Two narrow aggregates — per-key counts, then "
+        "distribution stats over the count frame; the second agg sees "
+        "|keys| rows, not data."
+    ),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.percentile("cnt", 0.5), 4).alias("p50_cnt"),
+        F.round(F.percentile("cnt", 0.99), 4).alias("p99_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("max_over_avg"),
+        F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 6).alias("top1_share"),
+    )
