@@ -81,3 +81,33 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "q_stream_true_tumbling",
+    oracle=f"""
+    SELECT {_EPOCH.format(x="time_bucket(INTERVAL '1 day', ts)")} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description=(
+        "TRUE streaming execution under the value-hash gate: a real "
+        "readStream file source -> watermarked tumbling window agg -> "
+        "memory sink with Trigger.AvailableNow, run to completion inside "
+        "the query. A single in-order replay drops nothing at the "
+        "watermark, so the streaming result equals the batch oracle "
+        "exactly — the strongest streaming/batch unification evidence "
+        "the driver can check."
+    ),
+)
+def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from duva_spark.streaming.jobs import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"q_true_tumble_{uuid.uuid4().hex[:8]}"
+    return run_available_now(windows.tumbling_window_agg(stream, "1 day"), name)
