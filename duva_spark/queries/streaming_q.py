@@ -111,3 +111,44 @@ def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     name = f"q_true_tumble_{uuid.uuid4().hex[:8]}"
     return run_available_now(windows.tumbling_window_agg(stream, "1 day"), name)
+
+
+@register(
+    "q_stream_true_sessions",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           {_EPOCH.format(x="MIN(ts)")} AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    description=(
+        "TRUE streaming session windows under the value-hash gate: real "
+        "readStream -> session_window merging-state agg -> memory sink, "
+        "Trigger.AvailableNow, run to completion inside the query. The "
+        "single in-order replay makes the stateful session merge equal "
+        "the batch gaps-and-islands oracle exactly."
+    ),
+)
+def q_stream_true_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from duva_spark.streaming.jobs import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"q_true_sess_{uuid.uuid4().hex[:8]}"
+    return run_available_now(windows.session_agg(stream, "30 minutes"), name)

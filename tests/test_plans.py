@@ -177,3 +177,15 @@ def test_zorder_layout_single_shuffle(spark, sf_dir):
     plan = _plan(q.fn(spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_no_headline_query_has_toxic_plan_nodes(spark, sf_dir):
+    """Safety net across the whole bench set: no headline query may plan
+    a cartesian product or row-at-a-time Python eval, ever. (Streaming
+    queries execute eagerly, so they are covered by their own tests.)"""
+    for name, q in load_all().items():
+        if not q.headline or name.startswith("q_stream"):
+            continue
+        plan = _plan(q.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
