@@ -2482,3 +2482,38 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("max_over_avg"),
         F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 6).alias("top1_share"),
     )
+
+
+# One SQL text, two engines: this string is BOTH the Spark query (run
+# via spark.sql over temp views) and the DuckDB oracle, character for
+# character — SQL-entry-point parity in the strictest possible form.
+_PORTABLE_SQL = """
+    SELECT n_name,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+@register(
+    "q_sql_unchanged",
+    oracle=_PORTABLE_SQL,
+    description=(
+        "SQL-text entry point: the identical ANSI string executes on "
+        "Spark SQL (over temp views) and on DuckDB as its own oracle — "
+        "zero translation. Proves the engine's SQL surface, not just the "
+        "DataFrame API; Catalyst still owns the physical plan (broadcast "
+        "dims, partial aggs)."
+    ),
+)
+def q_sql_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_SQL)
