@@ -912,3 +912,37 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+    SELECT id, comp, COUNT(*) OVER (PARTITION BY comp) AS n_members
+    FROM cc
+    """,
+    description=(
+        "Fuzzy-dedup cluster formation: transitive closure over the "
+        "verified MinHash-LSH pair graph via distributed min-label "
+        "propagation (one shuffle per round, localCheckpoint lineage "
+        "cuts, O(cluster diameter) rounds; large-star/small-star is the "
+        "documented high-diameter upgrade). Output is (doc, component, "
+        "cluster size); keep-list = id == component. Oracle recomputes "
+        "the same pairs then closes them with a recursive CTE."
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    return dedup_clusters(pairs.select("id_a", "id_b"))
