@@ -946,3 +946,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
     return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+_DOT8 = "list_aggregate(list_transform(range(1, 9), i -> {a}[i] * {b}[i]), 'sum')"
+_NORM8 = "sqrt(list_aggregate(list_transform(range(1, 9), i -> {a}[i] * {a}[i]), 'sum'))"
+
+
+@register(
+    "q_multimodal_ann",
+    oracle=f"""
+    WITH f AS (SELECT doc_id,
+                      list_value({", ".join(_fake_feat_sql(i) for i in range(8))}) AS v
+               FROM documents WHERE doc_id <= 100),
+    q AS (SELECT doc_id AS query_id, v AS qv FROM f WHERE doc_id < 3),
+    c AS (SELECT doc_id AS neighbor_id, v AS cv FROM f),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND({_DOT8.format(a="qv", b="cv")} /
+                       ({_NORM8.format(a="qv")} * {_NORM8.format(a="cv")}), 6) AS cosine_sim
+          FROM c CROSS JOIN q
+          WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 3
+    """,
+    description=(
+        "Multimodal -> similarity composite: binary payloads decode to "
+        "feature vectors through the Arrow mapInPandas path (deterministic "
+        "md5-derived fake — the decode kernel swaps in when pillow is "
+        "present), then cosine top-3 over the decoded features. The whole "
+        "two-stage pipeline — Python decode batch AND JVM similarity math "
+        "— sits under one value-hash oracle."
+    ),
+)
+def q_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    feats = multimodal.decode_image_features(media, "doc_id", dim=8, fake=True)
+    q = feats.filter(F.col("doc_id") < 3)
+    return similarity.brute_force_topk(feats, q, k=3, id_col="doc_id", vec_col="features")
