@@ -46,11 +46,11 @@ from duva_spark.queries import register
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)    AS sum_base_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                                   AS avg_price,
            ROUND(AVG(l_discount), 4)                                        AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
@@ -58,7 +58,14 @@ from duva_spark.queries import register
     GROUP BY l_returnflag, l_linestatus
     """,
     headline=True,
-    description="TPC-H Q1-shaped pricing summary: filter → hash agg (8 aggregates) over lineitem.",
+    description=(
+        "TPC-H Q1-shaped pricing summary: filter → hash agg (8 aggregates) "
+        "over lineitem. Currency sums use scaled-integer (cents) LONG "
+        "arithmetic: the 2/4/6-dp money values scale to exact integers, so "
+        "the sum is associative (identical under any partial-agg order — "
+        "double sums drift at sf0.1) at long-sum speed, faster than "
+        "decimal aggregation on this agg-dominated scan."
+    ),
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -68,11 +75,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(F.round(disc_price * 10000, 0).cast("long")) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("long")) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0 / F.count("*"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -114,7 +121,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -141,7 +148,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -151,7 +158,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -183,7 +190,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
     )
 
 
@@ -191,7 +198,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -220,7 +227,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -456,7 +463,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                              AS n,
            ROUND(MIN(l_extendedprice), 2)        AS min_price,
            ROUND(MAX(l_extendedprice), 2)        AS max_price,
-           ROUND(AVG(l_extendedprice), 4)        AS avg_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)        AS avg_price,
            ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
@@ -470,7 +477,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / F.count("*"), 4).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
     )
@@ -504,7 +511,7 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
            COUNT(*) AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -516,7 +523,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("total"),
     )
 
 
@@ -1162,7 +1169,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1183,7 +1190,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -1291,22 +1298,23 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_important_stock",
     oracle="""
-    SELECT s_nationkey, ROUND(SUM(s_acctbal), 2) AS nation_bal
+    SELECT s_nationkey, CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS nation_bal
     FROM supplier
     GROUP BY s_nationkey
-    HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.04 FROM supplier)
+    HAVING CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) > (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) * 0.04 FROM supplier)
     """,
     description="TPC-H Q11-shaped: HAVING against a global-total scalar subquery (broadcast, no collect).",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
-    total = supp.agg((F.sum("s_acctbal") * 0.04).alias("thr"))
+    bal = F.col("s_acctbal").cast("decimal(18,6)")
+    total = supp.agg((F.sum(bal).cast("double") * 0.04).alias("thr"))
     return (
         supp.groupBy("s_nationkey")
-        .agg(F.sum("s_acctbal").alias("_bal"))
+        .agg(F.sum(bal).alias("_bal"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("_bal") > F.col("thr"))
-        .select("s_nationkey", F.round("_bal", 2).alias("nation_bal"))
+        .filter(F.col("_bal").cast("double") > F.col("thr"))
+        .select("s_nationkey", F.round("_bal", 2).cast("double").alias("nation_bal"))
     )
 
 
@@ -1371,7 +1379,7 @@ def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_global_sales_opportunity",
     oracle="""
     WITH avg_bal AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0)
-    SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+    SELECT c_nationkey, COUNT(*) AS n_cust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
     FROM customer, avg_bal
     WHERE c_acctbal > ab
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -1389,7 +1397,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2).cast("double").alias("total_bal"))
     )
 
 
@@ -1419,9 +1427,11 @@ def q_fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue_ratio",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-               / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                        AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-07-01'
     """,
@@ -1438,7 +1448,9 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0).cast("decimal(18,6)")).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("promo_pct")
         )
@@ -1448,7 +1460,7 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_discounted_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
@@ -1466,7 +1478,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
     )
     return joined.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -1603,7 +1615,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS d
     ),
     daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n
+      SELECT CAST(o_orderdate AS DATE) AS d, CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue, COUNT(*) AS n
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
       GROUP BY 1
@@ -1631,7 +1643,7 @@ def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = (
         orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("revenue"), F.count("*").alias("n"))
     )
     return (
         spine.join(daily, "d", "left")
@@ -1648,7 +1660,7 @@ def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            EXTRACT(YEAR FROM l_shipdate) AS ship_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1686,7 +1698,7 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sn, supp.s_nationkey == F.col("s_nk"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("volume"))
     )
 
 
@@ -1695,7 +1707,7 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH all_orders AS (
       SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
              s_nationkey
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -1706,7 +1718,8 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN s_nationkey = 3 THEN volume ELSE 0 END) / SUM(volume), 6)
+           ROUND(CAST(SUM(CASE WHEN s_nationkey = 3 THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6)
              AS mkt_share
     FROM all_orders
     GROUP BY o_year
@@ -1727,12 +1740,16 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
-        .select(F.year("o_orderdate").cast("long").alias("o_year"), vol.alias("volume"), "s_nationkey")
+        .select(F.year("o_orderdate").cast("long").alias("o_year"), vol.cast("decimal(18,6)").alias("volume"), "s_nationkey")
     )
     return base.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("s_nationkey") == 3, F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
+            F.sum(
+                F.when(F.col("s_nationkey") == 3, F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
             6,
         ).alias("mkt_share")
     )
@@ -1741,7 +1758,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#5'
@@ -1762,7 +1779,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_q, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("thr"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -1948,7 +1965,7 @@ def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
     GROUP BY 1
@@ -1962,7 +1979,7 @@ def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.groupBy(F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"))
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
     )
 
 
@@ -1971,7 +1988,7 @@ def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -2000,7 +2017,7 @@ def q_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = l.hint("merge").join(o, "l_orderkey")
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
     )
 
 
@@ -2042,7 +2059,8 @@ def q04_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                AS DECIMAL(18, 6))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2054,7 +2072,11 @@ def q04_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "TPC-H Q9 analog: profit by supplier nation and order year over a "
         "5-way star join — part filter pushed before the join, constant dims "
-        "broadcast, one fact shuffle."
+        "broadcast, one fact shuffle. Currency sums aggregate as "
+        "DECIMAL(18,6): exact and associative, so the result is identical "
+        "under ANY partial-agg order (double sums drift ~1e-8 at sf0.1 and "
+        "can flip a half-cent rounding boundary — caught by the sf0.1 "
+        "sweep)."
     ),
 )
 def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2072,7 +2094,14 @@ def q09_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("profit"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
     )
 
 
@@ -2145,7 +2174,7 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -2169,9 +2198,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("total_revenue")
         )
     )
     top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
@@ -2491,7 +2520,7 @@ _PORTABLE_SQL = """
     SELECT n_name,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
