@@ -189,3 +189,16 @@ def test_no_headline_query_has_toxic_plan_nodes(spark, sf_dir):
         plan = _plan(q.fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine exposes physical join-strategy control: broadcast,
+    shuffle-hash, and sort-merge hints each surface as their operator.
+    At 100 TB picking the wrong strategy is the difference between a
+    broadcast and shuffling a fact table — the knob must actually work."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cond = li.l_orderkey == orders.o_orderkey
+    assert "BroadcastHashJoin" in _plan(li.join(orders.hint("broadcast"), cond))
+    assert "ShuffledHashJoin" in _plan(li.join(orders.hint("shuffle_hash"), cond))
+    assert "SortMergeJoin" in _plan(li.join(orders.hint("merge"), cond))
