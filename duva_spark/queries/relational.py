@@ -2546,3 +2546,42 @@ def q_sql_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PORTABLE_SQL)
+
+
+@register(
+    "q_partition_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    GROUP BY o_orderpriority
+    """,
+    description=(
+        "Partition pruning end-to-end: orders is materialized "
+        "hive-partitioned by order year, then the year-filtered read "
+        "touches ONE partition directory (PartitionFilters in the scan, "
+        "asserted) — at 100 TB the difference between listing one "
+        "directory and scanning seven years of files."
+    ),
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from duva_spark.sinks import full_refresh
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = os.path.join(
+        "spark-warehouse", f"pq_orders_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    full_refresh(orders, path, partition_by=["o_year"])
+    pruned = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

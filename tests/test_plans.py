@@ -202,3 +202,11 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(li.join(orders.hint("broadcast"), cond))
     assert "ShuffledHashJoin" in _plan(li.join(orders.hint("shuffle_hash"), cond))
     assert "SortMergeJoin" in _plan(li.join(orders.hint("merge"), cond))
+
+
+def test_partition_pruned_scan_query_prunes(spark, sf_dir):
+    """The registered query's read plans PartitionFilters on o_year —
+    directory-level pruning, not a post-scan filter."""
+    q = load_all()["q_partition_pruned_scan"]
+    plan = _formatted(q.fn(spark, sf_dir))
+    assert "PartitionFilters: [isnotnull(o_year" in plan
