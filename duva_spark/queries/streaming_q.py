@@ -152,3 +152,30 @@ def q_stream_true_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     name = f"q_true_sess_{uuid.uuid4().hex[:8]}"
     return run_available_now(windows.session_agg(stream, "30 minutes"), name)
+
+
+@register(
+    "q_stream_true_sliding",
+    oracle=f"""
+    SELECT {_EPOCH.format(x="time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes'")} AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) offsets(o)
+    GROUP BY 1, 2
+    """,
+    description=(
+        "TRUE streaming sliding windows (1h every 30min) under the "
+        "value-hash gate: every event lands in both overlapping windows "
+        "through a real readStream -> memory-sink AvailableNow run."
+    ),
+)
+def q_stream_true_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from duva_spark.streaming.jobs import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    name = f"q_true_slide_{uuid.uuid4().hex[:8]}"
+    return run_available_now(
+        windows.sliding_window_agg(stream, "1 hour", "30 minutes"), name
+    )
