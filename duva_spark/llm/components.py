@@ -45,6 +45,7 @@ def connected_components(
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     ).localCheckpoint()
+    converged = False
     try:
         for _ in range(max_iter):
             nbr_min = (
@@ -70,7 +71,16 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # Silent non-convergence would split one real cluster into
+            # several and silently keep duplicates — fail loudly instead.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                "(component diameter exceeds max_iter); raise max_iter or "
+                "switch to the large-star/small-star variant"
+            )
         return labels
     finally:
         sym.unpersist()

@@ -65,4 +65,5 @@ def cluster_by_zorder(
     return (
         keyed.repartitionByRange(int(parts), "_zkey")
         .sortWithinPartitions("_zkey")
+        .drop("_zkey")  # layout helper only — never part of the output schema
     )

@@ -689,10 +689,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents)
     SELECT base.doc_id AS doc_id, n_words, dup_word_frac,
            CAST(max_run AS BIGINT) AS max_word_run,
-           ROUND(top_cnt / CAST(n_bg AS DOUBLE), 6) AS top_bigram_frac
+           COALESCE(ROUND(top_cnt / CAST(n_bg AS DOUBLE), 6), 0.0) AS top_bigram_frac
     FROM base
     JOIN runs ON base.doc_id = runs.doc_id
-    JOIN bgc ON base.doc_id = bgc.doc_id
+    LEFT JOIN bgc ON base.doc_id = bgc.doc_id
     """,
     description=(
         "Gopher/RefinedWeb repetition quality signals per document: "

@@ -2574,8 +2574,11 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
+    # repo-anchored (not cwd-relative) so any harness cwd reads/writes the
+    # same layout; the overwrite-per-run keeps the query self-contained
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     path = os.path.join(
-        "spark-warehouse", f"pq_orders_{os.path.basename(sf_dir.rstrip('/'))}"
+        repo_root, "spark-warehouse", f"pq_orders_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     full_refresh(orders, path, partition_by=["o_year"])
     pruned = spark.read.parquet(path).filter(F.col("o_year") == 1996)

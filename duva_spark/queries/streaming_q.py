@@ -104,13 +104,11 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from duva_spark.streaming.jobs import read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
-    name = f"q_true_tumble_{uuid.uuid4().hex[:8]}"
-    return run_available_now(windows.tumbling_window_agg(stream, "1 day"), name)
+    # stable sink name: re-runs replace the view instead of accumulating
+    return run_available_now(windows.tumbling_window_agg(stream, "1 day"), "q_true_tumble")
 
 
 @register(
@@ -145,13 +143,10 @@ def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_stream_true_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from duva_spark.streaming.jobs import read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
-    name = f"q_true_sess_{uuid.uuid4().hex[:8]}"
-    return run_available_now(windows.session_agg(stream, "30 minutes"), name)
+    return run_available_now(windows.session_agg(stream, "30 minutes"), "q_true_sess")
 
 
 @register(
@@ -170,12 +165,9 @@ def q_stream_true_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_stream_true_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from duva_spark.streaming.jobs import read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
-    name = f"q_true_slide_{uuid.uuid4().hex[:8]}"
     return run_available_now(
-        windows.sliding_window_agg(stream, "1 hour", "30 minutes"), name
+        windows.sliding_window_agg(stream, "1 hour", "30 minutes"), "q_true_slide"
     )

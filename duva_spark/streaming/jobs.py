@@ -58,7 +58,13 @@ def run_available_now(
 ) -> DataFrame:
     """Run a streaming DataFrame to completion over currently-available
     data (Trigger.AvailableNow ≙ duva's sync tick) into an in-memory
-    table; returns the final result as a batch DataFrame."""
+    table; returns the final result as a batch DataFrame.
+
+    Re-running under the same `query_name` replaces the previous run's
+    memory-sink view (bounded driver memory: one copy per name, not per
+    call — callers should use a stable name, not a fresh one per run)."""
+    spark = result.sparkSession
+    spark.catalog.dropTempView(query_name)  # no-op when absent
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
@@ -67,7 +73,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return result.sparkSession.sql(f"SELECT * FROM {query_name}")
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 def stream_upsert_sink(

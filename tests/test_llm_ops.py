@@ -374,3 +374,15 @@ def test_rplsh_multi_table_recall_beats_single(spark, sf_dir):
     assert recall_multi >= 0.5  # measured 0.7 at sf0.001 with 8x4-bit tables
     for pair in bf.keys() & multi.keys():  # sims are exact, never estimated
         assert multi[pair] == bf[pair]
+
+
+def test_connected_components_raises_rather_than_splitting_clusters(spark):
+    """An exhausted iteration budget must fail loudly — silently returning
+    partial propagation would report one real cluster as several."""
+    import pytest as _pytest
+
+    from duva_spark.llm.components import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
