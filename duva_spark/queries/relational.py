@@ -2588,3 +2588,38 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "q_agg_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)            AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)      AS qty_price_covar,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4)       AS qty_price_covar_pop,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6)      AS price_per_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)  AS price_intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)         AS fit_r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description=(
+        "Statistical co-moment aggregates: correlation, sample/population "
+        "covariance, and the regr_* least-squares family per group — "
+        "single-pass distributed co-moment accumulation (Welford-style "
+        "partial merge), one partial-agg shuffle. Complements "
+        "q_pandas_group_regression, which re-derives regr_slope through "
+        "the Arrow UDF surface."
+    ),
+)
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp(q, p), 4).alias("qty_price_covar"),
+        F.round(F.covar_pop(q, p), 4).alias("qty_price_covar_pop"),
+        F.round(F.regr_slope(p, q), 6).alias("price_per_qty"),
+        F.round(F.regr_intercept(p, q), 4).alias("price_intercept"),
+        F.round(F.regr_r2(p, q), 6).alias("fit_r2"),
+    )
