@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         relational,
         shaping_q,
         streaming_q,
+        warehouse_q,
     )
 
     return REGISTRY
