@@ -986,3 +986,77 @@ def q_multimodal_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.decode_image_features(media, "doc_id", dim=8, fake=True)
     q = feats.filter(F.col("doc_id") < 3)
     return similarity.brute_force_topk(feats, q, k=3, id_col="doc_id", vec_col="features")
+
+
+@register(
+    "q_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    ),
+    spans AS (SELECT doc_id, n, cum - n AS st, cum AS en FROM c),
+    e AS (
+      SELECT doc_id, st, en,
+             unnest(generate_series(CAST(FLOOR(st / 512.0) AS BIGINT),
+                                    CAST(FLOOR((en - 1) / 512.0) AS BIGINT))) AS seq_id
+      FROM spans
+    )
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEAST(en, (seq_id + 1) * 512)
+                    - GREATEST(st, seq_id * 512)) AS BIGINT) AS seq_tokens,
+           CAST(SUM(CASE WHEN st < seq_id * 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_carryover
+    FROM e
+    GROUP BY seq_id
+    """,
+    description=(
+        "Fixed-length training-sequence packing (concat-and-chunk): docs "
+        "are laid end-to-end on a global token axis via the distributed "
+        "two-pass prefix sum (operators/prefix_sum.py — no single-partition "
+        "stage), then each doc explodes to the 512-token sequences its span "
+        "intersects (per-doc fan-out is ceil(n/512), bounded and local). "
+        "Output: per-sequence doc count, token fill, and carryover docs "
+        "spanning a boundary — the exact bookkeeping a packed-pretraining "
+        "loader needs. Same scale shape as q_token_shard_packing; the "
+        "explode is narrow so the only full-data exchanges are the range "
+        "partition and the final hash agg on seq_id."
+    ),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.prefix_sum import running_sum
+
+    seq_len = 512
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", textstats.token_count_ws(F.col("text")).cast("long").alias("n")
+    )
+    c = running_sum(t, "doc_id", "n", out_col="cum")
+    spans = c.select(
+        "doc_id", "n", (F.col("cum") - F.col("n")).alias("st"), F.col("cum").alias("en")
+    )
+    e = spans.select(
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("st") / float(seq_len)),
+                F.floor((F.col("en") - 1) / float(seq_len)),
+            )
+        ).alias("seq_id"),
+    )
+    lo = F.col("seq_id") * seq_len
+    hi = (F.col("seq_id") + 1) * seq_len
+    return e.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.least(F.col("en"), hi) - F.greatest(F.col("st"), lo))
+        .cast("long")
+        .alias("seq_tokens"),
+        F.sum(F.when(F.col("st") < lo, 1).otherwise(0)).cast("long").alias("n_carryover"),
+    )

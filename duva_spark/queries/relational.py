@@ -2623,3 +2623,72 @@ def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(p, q), 4).alias("price_intercept"),
         F.round(F.regr_r2(p, q), 6).alias("fit_r2"),
     )
+
+
+@register(
+    "q_sessionize_batch",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, session_seq,
+             COUNT(*) AS n_events,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT)
+               - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s,
+             SUM(value) AS sess_value
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s,
+           ROUND(SUM(sess_value), 4) AS total_value
+    FROM per_session
+    GROUP BY user_id
+    """,
+    description=(
+        "Batch gap-based sessionization: a 30-minute inactivity gap opens a "
+        "new session (lag + conditional running count within the user "
+        "partition — the classic sessionize idiom), then per-user session "
+        "stats. One shuffle on user_id serves the lag window, the running "
+        "sum, and both aggregations; the batch twin of q_stream_sessions' "
+        "session_window. Scales as keys, not as a global sort: every stage "
+        "is partitioned by user_id."
+    ),
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    prev = F.lag(F.col("ts")).over(wo).cast("long")
+    new_sess = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    # Two steps: a window expression can't nest inside another window
+    # aggregate, so materialize new_sess, then running-count it.
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        (F.max(sec) - F.min(sec)).alias("duration_s"),
+        F.sum("value").alias("sess_value"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.max("duration_s").alias("max_duration_s"),
+        F.round(F.sum("sess_value"), 4).alias("total_value"),
+    )

@@ -210,3 +210,14 @@ def test_partition_pruned_scan_query_prunes(spark, sf_dir):
     q = load_all()["q_partition_pruned_scan"]
     plan = _formatted(q.fn(spark, sf_dir))
     assert "PartitionFilters: [isnotnull(o_year" in plan
+
+
+def test_sequence_packing_has_no_single_partition_stage(spark, sf_dir):
+    """Sequence packing rides the same distributed prefix sum as shard
+    packing; the explode fan-out must stay narrow (no extra exchange
+    between the span computation and the final hash agg)."""
+    q = load_all()["q_sequence_packing"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    assert "Generate explode" in plan  # the per-doc fan-out is a Generate, not a join
