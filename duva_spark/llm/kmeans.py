@@ -1,0 +1,107 @@
+"""KMeans (Lloyd's) centroid training over an embedding column — the
+training step that produces the IVF index's nlist centroids
+(``similarity.ivf_topk`` takes them as given; this closes the loop).
+
+Reference parity: duva has no vector operators; this extends the
+LLM-pipeline inventory (BASELINE.json extension) alongside
+``llm/similarity.py``.
+
+Scale design:
+- Centroids live in a k-row DataFrame that is **broadcast** into the
+  assignment join — they are never collected to the driver, matching
+  the no-driver-loop rule the scalar-subquery queries follow.
+- Squared distance is a zip_with/aggregate fold in whole-stage codegen,
+  summed in index order — bit-identical to the unrolled DuckDB oracle's
+  ``list_aggregate(..., 'sum')``, so assignment ties cannot diverge.
+- The centroid update is ONE hash shuffle per iteration: ``groupBy
+  (cluster)`` with dim per-element AVGs as plain codegen aggregates —
+  no posexplode of the n×dim matrix.
+- Centroids are rounded to a fixed decimal grid after every update, so
+  the trajectory is insensitive to float summation order (the property
+  a cross-engine oracle needs) and ``localCheckpoint`` cuts the k-row
+  lineage so the plan stays constant-size across iterations (same
+  trick as ``llm/components.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+
+def sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance between two array columns, folded in index
+    order (matches DuckDB ``list_aggregate('sum')`` exactly)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def init_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Deterministic init: the first k vectors by id, promoted to double
+    and rounded to the decimal grid."""
+    return emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster"),
+        F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), dp)).alias("cen"),
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid frame,
+    one window shuffle on the point id for the argmin (ties broken by
+    cluster id, mirrored in the oracle)."""
+    d = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", sq_dist(vec_col, "cen")
+    )
+    w = W.partitionBy(id_col).orderBy("dist", "cluster")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cen", "dist")
+    )
+
+
+def update_centroids(
+    assigned: DataFrame, dim: int, vec_col: str = "embedding", dp: int = 6
+) -> DataFrame:
+    """Mean of members per cluster: dim scalar AVG aggregates in one
+    hash shuffle (no explode), rounded to the decimal grid."""
+    aggs = [
+        F.round(F.avg(F.col(vec_col)[i].cast("double")), dp).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    return assigned.groupBy("cluster").agg(*aggs).select(
+        "cluster", F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cen")
+    )
+
+
+def lloyd(
+    emb: DataFrame, k: int, iters: int, dim: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", dp: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Run `iters` Lloyd rounds; returns (centroids, last_assignment).
+
+    The returned centroids are the ones computed FROM the returned
+    assignment, so downstream cluster sizes and centroid values are
+    mutually consistent.
+    """
+    cen = init_centroids(emb, k, id_col, vec_col, dp)
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_clusters(emb, cen, id_col, vec_col)
+        # k rows: collapse to one partition before materializing so the
+        # checkpoint job doesn't schedule shuffle-partition-count tasks
+        cen = update_centroids(assigned, dim, vec_col, dp).coalesce(1).localCheckpoint()
+    return cen, assigned

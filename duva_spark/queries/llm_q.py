@@ -1060,3 +1060,67 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seq_tokens"),
         F.sum(F.when(F.col("st") < lo, 1).otherwise(0)).cast("long").alias("n_carryover"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMeans centroid training (the IVF index's training step)
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM, _KM_DP = 8, 3, 64, 6
+
+
+def _kmeans_sql(k: int, iters: int, dim: int, dp: int) -> str:
+    """Unroll Lloyd's iterations as chained CTEs with the SAME constants
+    and the SAME index-order arithmetic as llm/kmeans.py (PageRank-style
+    generated oracle — covers the full fixpoint, not a toy)."""
+    ctes = [
+        "p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster,"
+        f" list_transform(e, x -> ROUND(x, {dp})) AS cen FROM p WHERE vec_id < {k})",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"d{it} AS (SELECT p.vec_id, p.e, c.cluster,"
+            f" list_aggregate(list_transform(range(1, {dim + 1}),"
+            f" i -> (p.e[i] - c.cen[i]) * (p.e[i] - c.cen[i])), 'sum') AS dist"
+            f" FROM p CROSS JOIN c{it} c)"
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, e, cluster FROM d{it}"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cluster) = 1)"
+        )
+        dims = ", ".join(f"ROUND(AVG(e[{i + 1}]), {dp})" for i in range(dim))
+        ctes.append(f"c{it + 1} AS (SELECT cluster, [{dims}] AS cen FROM a{it} GROUP BY cluster)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT n.cluster, n.n_points, c.cen AS centroid
+    FROM (SELECT cluster, COUNT(*) AS n_points FROM a{iters - 1} GROUP BY cluster) n
+    JOIN c{iters} c ON n.cluster = c.cluster"""
+    )
+
+
+@register(
+    "q_kmeans_centroids",
+    oracle=_kmeans_sql(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP),
+    description=(
+        "KMeans centroid training (3 Lloyd rounds, k=8, dim=64): the "
+        "training step behind the IVF index. Centroids stay in a k-row "
+        "broadcast frame (never collected); assignment is one window "
+        "shuffle on vec_id; the update is one hash shuffle with 64 "
+        "codegen AVGs (no explode of the n×dim matrix); per-round "
+        "rounding to a 1e-6 grid makes the fixpoint order-independent "
+        "so the unrolled DuckDB oracle matches value-for-value. "
+        "Lineage is cut per round with localCheckpoint like PageRank."
+    ),
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen, assigned = kmeans.lloyd(emb, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM, dp=_KM_DP)
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_points"))
+    return counts.join(cen, "cluster").select(
+        "cluster", "n_points", F.col("cen").alias("centroid")
+    )

@@ -479,3 +479,49 @@ def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_kept_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle (shard + position assignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hh
+      FROM documents
+    )
+    SELECT doc_id, hh % 16 AS shard,
+           ROW_NUMBER() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS pos
+    FROM h
+    """,
+    description=(
+        "Deterministic global shuffle for training-data ordering: each doc "
+        "gets a seeded md5 hash; shard = hash % n_shards, position = rank "
+        "of the hash within the shard. Reproducible across engines, runs, "
+        "and cluster sizes with zero coordination — and it never does a "
+        "global sort: the only exchange is a hash partition on shard, and "
+        "each shard orders independently (n_shards scales with the corpus, "
+        "so per-shard sorts stay bounded). The scalable replacement for "
+        "orderBy(rand())."
+    ),
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    hh = F.conv(
+        F.substring(F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("shard").orderBy("hh", "doc_id")
+    return (
+        docs.select("doc_id", hh.alias("hh"))
+        .withColumn("shard", F.col("hh") % 16)
+        .select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+    )

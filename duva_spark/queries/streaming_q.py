@@ -171,3 +171,65 @@ def q_stream_true_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         windows.sliding_window_agg(stream, "1 hour", "30 minutes"), "q_true_slide"
     )
+
+
+@register(
+    "q_stream_true_interval_join",
+    oracle=f"""
+    SELECT p.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(v.event_id) AS BIGINT) AS first_view,
+           CAST(MAX(p.event_id) AS BIGINT) AS last_purchase
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    GROUP BY p.user_id
+    """,
+    description=(
+        "TRUE stream-stream interval join under the value-hash gate: two "
+        "real readStream legs (purchases and views, both watermarked 2h) "
+        "joined on user with a 1-hour interval condition, run to "
+        "completion with Trigger.AvailableNow into an append memory sink, "
+        "then aggregated per user in batch. The interval bound is what "
+        "keeps join state finite on an unbounded stream — state for a "
+        "view row is dropped once the watermark passes its 1-hour "
+        "window, so executor memory is O(events-in-window), not O(stream). "
+        "A single in-order replay drops nothing, so the result equals the "
+        "batch join oracle exactly."
+    ),
+)
+def q_stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from duva_spark.streaming.jobs import read_events_stream, run_available_now
+
+    purchases = (
+        read_events_stream(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    views = (
+        read_events_stream(spark, sf_dir, watermark="2 hours")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    cond = F.expr("p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts")
+    pairs = run_available_now(
+        purchases.join(views, cond, "inner").select("p_user", "purchase_id", "view_id"),
+        "q_true_ssjoin",
+        output_mode="append",
+    )
+    return pairs.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("view_id").alias("first_view"),
+        F.max("purchase_id").alias("last_purchase"),
+    )

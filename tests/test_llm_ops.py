@@ -386,3 +386,41 @@ def test_connected_components_raises_rather_than_splitting_clusters(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], ["id_a", "id_b"])
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    """Two tight blobs far apart: 2-means must assign each blob to one
+    cluster and land the centroids on the blob means."""
+    from duva_spark.llm import kmeans
+
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]),  # the two seeds
+            (2, [0.2, 0.0]), (3, [0.0, 0.2]),
+            (4, [10.2, 10.0]), (5, [10.0, 10.2])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cen, assigned = kmeans.lloyd(emb, k=2, iters=2, dim=2)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got[0] == got[2] == got[3]
+    assert got[1] == got[4] == got[5]
+    assert got[0] != got[1]
+    cents = {r["cluster"]: r["cen"] for r in cen.collect()}
+    lo = cents[got[0]]
+    assert abs(lo[0] - 0.2 / 3) < 1e-6 and abs(lo[1] - 0.2 / 3) < 1e-6
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The centroid side of the assignment join must be broadcast — a
+    shuffle there would move the full corpus per iteration."""
+    from duva_spark.llm import kmeans
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    import contextlib
+    import io
+
+    cen = kmeans.init_centroids(emb, 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kmeans.assign_clusters(emb, cen).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
