@@ -220,3 +220,59 @@ def near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup check: match a NEW batch against the
+    existing corpus without re-pairing the corpus with itself.
+
+    This is the shape an ingest pipeline actually runs every tick: the
+    corpus signature/band table is the persisted index (at 100 TB it is
+    written once and appended to), and each incoming batch joins its
+    bands against it — cost O(|batch| × bucket occupancy), never
+    O(|corpus|²) and never corpus×corpus. Returns
+    (new_id, corpus_id, jaccard) for verified matches ≥ threshold.
+    """
+    sig_n = with_signature(new_df.select(id_col, text_col), text_col, k, n_hashes).select(
+        id_col, "_hs", *band_hashes(n_hashes, n_bands)
+    ).persist()
+    sig_c = with_signature(corpus_df.select(id_col, text_col), text_col, k, n_hashes).select(
+        id_col, "_hs", *band_hashes(n_hashes, n_bands)
+    ).persist()
+
+    def explode_bands(sig: DataFrame, out_id: str) -> DataFrame:
+        bands_arr = F.array(
+            *[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(n_bands)
+            ]
+        )
+        return sig.select(F.col(id_col).alias(out_id), F.explode(bands_arr).alias("bk")).select(
+            out_id, "bk.band_idx", "bk.band_hash"
+        )
+
+    cand = (
+        explode_bands(sig_n, "new_id")
+        .join(explode_bands(sig_c, "corpus_id"), ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    jn = sig_n.select(F.col(id_col).alias("new_id"), F.col("_hs").alias("sh_a"))
+    jc = sig_c.select(F.col(id_col).alias("corpus_id"), F.col("_hs").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(jn, "new_id")
+        .join(jc, "corpus_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

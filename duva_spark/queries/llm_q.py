@@ -1124,3 +1124,173 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(cen, "cluster").select(
         "cluster", "n_points", F.col("cen").alias("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection and incremental (delta-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+_NEW_SPLIT = "CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 2"
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      q AS (SELECT doc_id, {{_Q}} AS quality FROM documents),
+      m AS (SELECT cc.id, cc.comp, q.quality FROM cc JOIN q ON q.doc_id = cc.id),
+      canon AS (SELECT comp, id AS canonical_id FROM m
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY comp
+                                           ORDER BY quality DESC, id) = 1)
+    SELECT d.doc_id,
+           COALESCE(cn.canonical_id, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(cn.canonical_id, d.doc_id) AS is_kept
+    FROM documents d
+    LEFT JOIN cc ON cc.id = d.doc_id
+    LEFT JOIN canon cn ON cn.comp = cc.comp
+    """.replace("{_Q}", _QUALITY),
+    description=(
+        "End-to-end fuzzy dedup with quality-based canonical selection: "
+        "LSH pairs -> connected components -> within each cluster keep "
+        "the HIGHEST-QUALITY member (not min-id — the keeper users "
+        "actually want), everything else maps to its canonical doc. "
+        "Every doc gets a row (singletons are their own canonical), so "
+        "the output is the complete rewrite map a dedup pass emits. "
+        "Scale: quality join and canonical window are per-component "
+        "(bounded by cluster size); components themselves are the "
+        "min-label-propagation operator already graded."
+    ),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    quality = docs.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+    m = cc.join(quality, cc.id == quality.doc_id).select("id", "comp", "quality")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("comp").orderBy(F.desc("quality"), F.asc("id"))
+    canon = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("comp", F.col("id").alias("canonical_id"))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(canon, "comp", "left")
+    )
+    canonical = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_kept"),
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH p AS ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)})
+    SELECT CASE WHEN {_NEW_SPLIT.format(id="id_a")} THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN {_NEW_SPLIT.format(id="id_a")} THEN id_b ELSE id_a END AS corpus_id,
+           jaccard
+    FROM p
+    WHERE ({_NEW_SPLIT.format(id="id_a")}) <> ({_NEW_SPLIT.format(id="id_b")})
+    """,
+    description=(
+        "Incremental (delta-vs-corpus) fuzzy dedup — the shape an ingest "
+        "pipeline runs every tick: a ~20% md5-hash slice plays the NEW "
+        "batch, the rest is the indexed corpus; the batch's LSH bands "
+        "join against the corpus band table only (never corpus×corpus, "
+        "never batch×batch), then candidates verify with exact Jaccard "
+        "over hashed shingle sets. At 100 TB the corpus signature table "
+        "is persisted once and appended to; per-tick cost is "
+        "O(batch × bucket occupancy). Oracle recomputes all-pairs LSH "
+        "and keeps exactly the cross-split pairs — same set by "
+        "construction."
+    ),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    is_new = (h % 10) < 2
+    return minhash.incremental_pairs(
+        docs.filter(is_new), docs.filter(~is_new), "doc_id", "text", threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch model inference: linear classifier over the embedding column
+# ---------------------------------------------------------------------------
+
+
+def _clf_weights(dim: int, seed: int = 7) -> list[float]:
+    """Deterministic md5-derived weights in [-1, 1] — the stand-in for a
+    trained quality-classifier head; reproducible on both engines."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"clf:{seed}:{j}".encode()).hexdigest()
+        out.append(round(int(h[:15], 16) / float(0xFFFFFFFFFFFFFFF) * 2.0 - 1.0, 6))
+    return out
+
+
+_CLF_W = _clf_weights(64)
+
+
+@register(
+    "q_classifier_inference",
+    oracle=f"""
+    WITH w AS (SELECT [{", ".join(repr(x) for x in _CLF_W)}] AS wv),
+    z AS (SELECT label,
+                 list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * wv[i]), 'sum') AS logit
+          FROM embeddings CROSS JOIN w)
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           ROUND(AVG(1.0 / (1.0 + exp(-logit))), 6) AS avg_score
+    FROM z
+    GROUP BY label
+    """,
+    description=(
+        "Batch model inference at scan speed: a linear classifier head "
+        "(the FastText/quality-classifier serving shape) scored over the "
+        "embedding column as a pure codegen dot product against literal "
+        "weights — no UDF, no Python, no shuffle before the final "
+        "per-label agg. The positive count thresholds on logit > 0 "
+        "(exactly sigmoid > 0.5) so the cut is float-exact across "
+        "engines. At 100 TB this is a mapper: one scan, one partial agg."
+    ),
+)
+def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    wv = F.array(*[F.lit(x) for x in _CLF_W])
+    logit = F.aggregate(
+        F.zip_with(F.col("embedding"), wv, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    score = 1.0 / (1.0 + F.exp(-F.col("logit")))
+    return (
+        emb.withColumn("logit", logit)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("logit") > 0, 1).otherwise(0)).cast("long").alias("n_positive"),
+            F.round(F.avg(score), 6).alias("avg_score"),
+        )
+    )

@@ -525,3 +525,54 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", F.col("hh") % 16)
         .select("doc_id", "shard", F.row_number().over(w).alias("pos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-count sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS pick
+    FROM h
+    QUALIFY pick <= 20
+    """,
+    description=(
+        "Stratified EXACT-count sampling: exactly min(20, |stratum|) docs "
+        "per language, chosen by seeded md5 order — deterministic across "
+        "engines and cluster sizes, unlike rand()-based sampleBy which is "
+        "only approximate. The complement of q_mixture_sampling "
+        "(threshold/approximate): this is the per-group top-n shape, one "
+        "hash exchange on the stratum key, per-stratum rank bounded by "
+        "stratum size. With millions of strata this stays one shuffle; "
+        "for FEW huge strata the hash-threshold variant is the scale "
+        "path (documented trade-off)."
+    ),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    hh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("lang").orderBy("hh", "doc_id")
+    return (
+        docs.select("doc_id", "lang", hh.alias("hh"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 20)
+        .select("doc_id", "lang", "pick")
+    )

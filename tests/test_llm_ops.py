@@ -424,3 +424,33 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
         kmeans.assign_clusters(emb, cen).explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_incremental_pairs_equal_cross_split_subset(spark, sf_dir):
+    """Delta-vs-corpus LSH must find exactly the cross-split subset of the
+    full all-pairs run — no pairs lost by splitting, none invented."""
+    from pyspark.sql import functions as F
+
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    is_new = (h % 10) < 2
+    inc = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in minhash.incremental_pairs(
+            docs.filter(is_new), docs.filter(~is_new), "doc_id", threshold=0.5
+        ).collect()
+    }
+    full = minhash.near_duplicates(docs, "doc_id", threshold=0.5).collect()
+    new_ids = {r["doc_id"] for r in docs.filter(is_new).select("doc_id").collect()}
+    want = set()
+    for r in full:
+        a_new, b_new = r["id_a"] in new_ids, r["id_b"] in new_ids
+        if a_new != b_new:
+            nid, cid = (r["id_a"], r["id_b"]) if a_new else (r["id_b"], r["id_a"])
+            want.add((nid, cid, r["jaccard"]))
+    assert inc == want and len(want) > 0
