@@ -2692,3 +2692,106 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("duration_s").alias("max_duration_s"),
         F.round(F.sum("sess_value"), 4).alias("total_value"),
     )
+
+
+@register(
+    "q_peak_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL '30 minutes', -1 FROM events
+    ),
+    sweep AS (
+      SELECT event_type, t, d,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM deltas
+    )
+    SELECT event_type,
+           CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+           CAST(floor(epoch(MIN(t) FILTER (WHERE concurrent =
+                (SELECT MAX(s2.concurrent) FROM sweep s2
+                 WHERE s2.event_type = sweep.event_type)))) AS BIGINT)
+             AS first_peak_s
+    FROM sweep
+    GROUP BY event_type
+    """,
+    description=(
+        "Interval-overlap / sweep-line analytics: each event opens a "
+        "30-minute presence interval; +1/-1 deltas at interval ends, a "
+        "running sum partitioned by event_type gives the concurrency "
+        "curve, then max + first time the peak is reached. The classic "
+        "'peak concurrent sessions' op, expressed without a self-join "
+        "(the naive interval-overlap pairing is quadratic). Scales as "
+        "keys: every stage is partitioned by event_type; for a single "
+        "global key the distributed prefix sum (operators/prefix_sum) "
+        "is the drop-in replacement for the window."
+    ),
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    deltas = opens.unionAll(closes)
+    w = W.partitionBy("event_type").orderBy("t", "d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sweep = deltas.withColumn("concurrent", F.sum("d").over(w))
+    wmax = W.partitionBy("event_type")
+    peak = sweep.withColumn("_peak", F.max("concurrent").over(wmax))
+    return (
+        peak.filter(F.col("concurrent") == F.col("_peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("concurrent").cast("long").alias("peak_concurrent"),
+            F.min("t").cast("long").alias("first_peak_s"),
+        )
+    )
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    description=(
+        "Source-format coverage beyond parquet/CSV/JSON: the lineitem "
+        "projection is written out as ORC (into the session warehouse), "
+        "read back through the ORC reader with the ship-date predicate "
+        "pushed into the ORC scan, and aggregated — value-hash-equal to "
+        "the same aggregation over the original parquet. Quantities sum "
+        "as scaled integers (order-independent exact arithmetic, same "
+        "policy as the currency aggregates)."
+    ),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_shipdate"
+    )
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    path = f"{warehouse.rstrip('/')}/orc_lineitem"
+    shutil.rmtree(path, ignore_errors=True)
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_quantity") * 100).cast("long")).cast("long").alias("qty_cents"),
+        )
+    )

@@ -221,3 +221,12 @@ def test_sequence_packing_has_no_single_partition_stage(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
     assert "Generate explode" in plan  # the per-doc fan-out is a Generate, not a join
+
+
+def test_orc_roundtrip_pushes_filter_to_orc_scan(spark, sf_dir):
+    """The ship-date predicate must reach the ORC scan itself — format
+    coverage is only real if pushdown works there like on parquet."""
+    q = load_all()["q_orc_roundtrip"]
+    plan = _formatted(q.fn(spark, sf_dir))
+    assert "Scan orc" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
