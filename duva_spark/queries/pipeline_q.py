@@ -576,3 +576,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") <= 20)
         .select("doc_id", "lang", "pick")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-gram detection (boilerplate mining)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repeated_ngrams",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(unnest({_GRAM8})), 1, 15) AS BIGINT) AS gh
+          FROM d WHERE len(ws) >= 8)
+    SELECT gh,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM g
+    GROUP BY gh
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, gh
+    LIMIT 50
+    """,
+    description=(
+        "Cross-document repeated-substring mining: every word 8-gram "
+        "(per-doc distinct, hashed to a 60-bit key) grouped corpus-wide; "
+        "grams appearing in ≥2 docs are boilerplate/template candidates — "
+        "the detection pass behind exact-substring dedup (Lee et al.'s "
+        "dedup-training-data shape, bounded to fixed-width grams so it "
+        "stays one explode + one count shuffle instead of suffix-array "
+        "construction). Top-50 by doc frequency plans as "
+        "TakeOrderedAndProject; gram keys are fixed-width ints, so the "
+        "shuffle carries no strings."
+    ),
+)
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(minhash.word_shingles(F.split(F.col("text"), " "), 8)).alias("gram"),
+    ).select("doc_id", minhash.md5_hash60(F.col("gram")).alias("gh"))
+    return (
+        grams.groupBy("gh")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gh"))
+        .limit(50)
+    )

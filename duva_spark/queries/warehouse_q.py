@@ -471,3 +471,64 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round(F.col("pr") * 1000, 6).alias("pagerank_x1000")
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    ed AS (
+      SELECT doc_id AS src,
+             CAST('0x' || substr(md5(CAST(doc_id * 4 + t.i AS VARCHAR)), 1, 15)
+                  AS BIGINT) % (SELECT n FROM nn) AS dst
+      FROM documents CROSS JOIN (VALUES (1), (2), (3)) t(i)
+    ),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ed WHERE src <> dst)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    description=(
+        "Triangle counting on the deterministic md5 3-out-regular graph "
+        "(same generator as q_pagerank): edges orient low->high id, so "
+        "each triangle is enumerated exactly once as (a<b<c) — the "
+        "standard compact-forward scheme that keeps the two-hop join "
+        "from exploding on high-degree nodes (each wedge is built from "
+        "the low endpoint only). Two equi-join shuffles on node id; "
+        "completes the graph-operator family (PageRank, connected "
+        "components) with the clustering-coefficient building block."
+    ),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # scalar modulus, same one-action bound as q_pagerank
+
+    i_col = F.explode(F.array(*[F.lit(i) for i in range(1, 4)])).alias("i")
+    h = (
+        F.conv(
+            F.substring(F.md5((F.col("doc_id") * 4 + F.col("i")).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    ed = docs.select("doc_id", i_col).select(F.col("doc_id").alias("src"), h.alias("dst"))
+    und = (
+        ed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        und.agg(F.count("*").alias("n_edges"))
+    )
