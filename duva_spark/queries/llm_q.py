@@ -1294,3 +1294,44 @@ def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(score), 6).alias("avg_score"),
         )
     )
+
+
+@register(
+    "q_embedding_column_stats",
+    oracle="""
+    WITH e AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    )
+    SELECT pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(val), 6) AS mean,
+           ROUND(STDDEV_POP(val), 6) AS std,
+           ROUND(MIN(val), 6) AS min_val,
+           ROUND(MAX(val), 6) AS max_val
+    FROM e
+    GROUP BY pos
+    """,
+    description=(
+        "Per-dimension corpus statistics over the embedding column — the "
+        "fit step of embedding normalization/whitening (and the sanity "
+        "check before ANN indexing: dead dims, scale imbalance). "
+        "posexplode to (pos, val) then one agg shuffle with only 64 "
+        "reduce keys — safe because partial aggregation collapses each "
+        "map task to 64 rows before the exchange, so the shuffle volume "
+        "is O(dim × tasks), not O(rows × dim)."
+    ),
+)
+def q_embedding_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos0", "val")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val")
+    )
+    return e.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.stddev_pop("val"), 6).alias("std"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+    )
