@@ -230,3 +230,43 @@ def test_orc_roundtrip_pushes_filter_to_orc_scan(spark, sf_dir):
     plan = _formatted(q.fn(spark, sf_dir))
     assert "Scan orc" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_sessionize_batch_reuses_one_exchange(spark, sf_dir):
+    """Lag window, running count, and both aggregations must all ride ONE
+    hash partitioning on user_id — a second exchange would double the
+    shuffle volume of the hottest stage at scale."""
+    import re
+
+    q = load_all()["q_sessionize_batch"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_peak_concurrency_is_single_exchange_no_self_join(spark, sf_dir):
+    """Sweep-line formulation: no Join operator (the naive interval
+    overlap is a quadratic self-join) and one event_type exchange."""
+    import re
+
+    q = load_all()["q_peak_concurrency"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_classifier_inference_stays_jvm_side(spark, sf_dir):
+    """Model inference must be a codegen mapper: no Python eval nodes,
+    one partial-agg exchange."""
+    import re
+
+    q = load_all()["q_classifier_inference"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_repeated_ngrams_top50_is_take_ordered(spark, sf_dir):
+    q = load_all()["q_repeated_ngrams"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
