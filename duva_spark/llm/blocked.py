@@ -193,8 +193,12 @@ def bounded_jaccard_pairs(
     is long-vs-long — identical Jaccard values modulo ~2^-60 collisions,
     shared with the DuckDB oracle which hashes the same way.
     """
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
     words = F.split(F.col(text_col), " ")
-    s = df.select(
+    # shingle hashing is the compute-heavy leg; floor its parallelism so
+    # a single-row-group input doesn't serialize it (no-op at scale)
+    s = ensure_min_parallelism(df).select(
         *block_cols,
         F.col(id_col).alias("_id"),
         F.array_distinct(

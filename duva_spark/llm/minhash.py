@@ -156,7 +156,12 @@ def candidate_pairs(
        surviving candidate pairs — Jaccard over hashes matches the
        oracle, which hashes identically.
     """
-    sig = with_signature(df.select(id_col, text_col), text_col, k, n_hashes).select(
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
+    # single-file inputs scan as one task; the signature stage is the
+    # compute-heavy leg, so floor its parallelism (no-op at scale)
+    src = ensure_min_parallelism(df.select(id_col, text_col))
+    sig = with_signature(src, text_col, k, n_hashes).select(
         id_col, "_hs", *band_hashes(n_hashes, n_bands)
     )
     sig = sig.persist()
