@@ -248,3 +248,55 @@ def test_repetition_signals_match_python_reference(spark):
         bgs = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
         want = max(Counter(bgs).values()) / len(bgs) if bgs else 0.0
         assert abs(r["top_bg"] - want) < 1e-9
+
+
+def test_prefix_sum_invariant_under_partitioning(spark):
+    """running_sum must equal the single-partition window cumsum for any
+    input partitioning — the two-pass offsets are the thing under test."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from duva_spark.operators.prefix_sum import running_sum
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 50)) for i in range(300)]
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "k long, v long").repartition(nparts)
+        got = {r["k"]: r["cum"] for r in running_sum(df, "k", "v", out_col="cum").collect()}
+        want_df = spark.createDataFrame(rows, "k long, v long").withColumn(
+            "cum",
+            F.sum("v").over(
+                W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        want = {r["k"]: r["cum"] for r in want_df.collect()}
+        assert got == want
+
+
+def test_kmeans_invariant_under_partitioning(spark):
+    """Lloyd's with grid-rounded centroids must converge to identical
+    centroids and assignments regardless of input partitioning."""
+    import random
+
+    from duva_spark.llm import kmeans
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(0, 1) + (5.0 if i % 3 == 0 else 0.0), rng.uniform(0, 1)])
+        for i in range(90)
+    ]
+    results = []
+    for nparts in (1, 13):
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(
+            nparts
+        )
+        cen, assigned = kmeans.lloyd(emb, k=3, iters=3, dim=2)
+        results.append(
+            (
+                sorted((r["cluster"], tuple(r["cen"])) for r in cen.collect()),
+                sorted((r["vec_id"], r["cluster"]) for r in assigned.collect()),
+            )
+        )
+    assert results[0] == results[1]
