@@ -2795,3 +2795,83 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_quantity") * 100).cast("long")).cast("long").alias("qty_cents"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, ROUND(c_acctbal, 2) AS c_acctbal
+  FROM customer WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@register(
+    "q_sql_lateral",
+    oracle=_LATERAL_SQL,
+    description=(
+        "Second SQL-text parity proof, exercising LATERAL correlated "
+        "subqueries (per-nation top-2 customers): the identical string "
+        "runs on Spark SQL and DuckDB. Catalyst decorrelates the lateral "
+        "into a ranked join rather than re-executing the subquery per "
+        "outer row — the plan a 100 TB per-key top-k needs."
+    ),
+)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q_udtf_chunks",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id <= 50),
+    c AS (SELECT doc_id, ws,
+                 unnest(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS ci
+          FROM w)
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(LEAST(20, len(ws) - ci * 20) AS INT) AS n_words,
+           md5(array_to_string(
+             list_transform(range(CAST(ci * 20 + 1 AS BIGINT),
+                                  CAST(ci * 20 + LEAST(20, len(ws) - ci * 20) + 1 AS BIGINT)),
+                            i -> ws[CAST(i AS INT)]), ' ')) AS chunk_fp
+    FROM c
+    """,
+    description=(
+        "Python UDTF surface (Spark 4's table-function API): a lateral "
+        "chunking UDTF emits one row per 20-word window, value-hash-equal "
+        "to the SQL oracle. This completes the Python-execution surface "
+        "(scalar pandas UDF, grouped-map, grouped-agg, mapInPandas, "
+        "applyInPandasWithState, UDTF); the production chunking path is "
+        "the codegen q_doc_chunking — this demonstrates the API, bounded "
+        "to 51 docs because per-row Python is the slow path by design."
+    ),
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, n_words: int, chunk_fp: string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF signature
+            ws = text.split(" ")
+            for i in range(0, len(ws), 20):
+                chunk = ws[i : i + 20]
+                yield (
+                    doc_id,
+                    i // 20,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("duva_chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT c.* FROM documents d, LATERAL duva_chunk_doc(d.doc_id, d.text) c "
+        "WHERE d.doc_id <= 50"
+    )
