@@ -233,3 +233,43 @@ def q_stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("view_id").alias("first_view"),
         F.max("purchase_id").alias("last_purchase"),
     )
+
+
+@register(
+    "q_stream_true_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    description=(
+        "TRUE custom stateful streaming under the value-hash gate: "
+        "applyInPandasWithState keeps an Arrow-batched (count, sum) "
+        "state per user, run to completion with Trigger.AvailableNow "
+        "into an update-mode memory sink; the final emission per user "
+        "(highest running count) equals the batch aggregate exactly. "
+        "This is the escape-hatch operator for stateful semantics "
+        "watermarked aggregations can't express — state partitioned by "
+        "key, idle keys GC-able via timeouts, per-trigger Arrow batches "
+        "(never row-at-a-time Python)."
+    ),
+)
+def q_stream_true_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from duva_spark.streaming.jobs import read_events_stream, run_available_now
+    from duva_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir, watermark="1 hour").select("user_id", "value")
+    out = run_available_now(
+        running_user_totals(stream), "q_true_state", output_mode="update"
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
