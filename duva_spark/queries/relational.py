@@ -2910,3 +2910,38 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "q_try_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS n_numeric,
+           CAST(COUNT(*) FILTER (WHERE TRY_CAST(event_id AS INTEGER) IS NOT NULL)
+                AS BIGINT) AS n_int_ids,
+           ROUND(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) % 97 = 0 THEN NULL
+                          ELSE value / (CAST(floor(epoch(ts)) AS BIGINT) % 97) END), 4)
+             AS safe_ratio_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    description=(
+        "ANSI-safe error-free arithmetic surface: try_cast for lossy "
+        "casts (string JSON field -> bigint, bigint -> int), try_divide "
+        "turning division-by-zero into NULL instead of a job-killing "
+        "exception — at 100 TB one malformed row must not fail a "
+        "9-hour job. All codegen; the oracle mirrors NULL-on-error "
+        "semantics with TRY_CAST and a guarded CASE."
+    ),
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k_num = F.get_json_object("props", "$.k").try_cast("bigint")
+    id_int = F.col("event_id").cast("string").try_cast("int")
+    denom = F.col("ts").cast("long") % 97
+    return ev.groupBy("event_type").agg(
+        F.count(k_num).alias("n_numeric"),
+        F.count(F.when(id_int.isNotNull(), 1)).alias("n_int_ids"),
+        F.round(F.sum(F.try_divide(F.col("value"), denom)), 4).alias("safe_ratio_sum"),
+    )
