@@ -244,3 +244,70 @@ def rplsh_topk(
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS variant of ``brute_force_topk``: the query matrix is
+    collected once (a top-k probe set is small by definition — the same
+    assumption the JVM path's broadcast makes) and each corpus Arrow
+    batch computes ALL similarities as one numpy matmul, emitting only
+    each batch's local top-k per query; a final JVM window rank merges
+    partial top-ks.
+
+    Same contract and the same 6-dp rounding as the JVM path — an
+    equivalence test pins them to identical output. This is the
+    documented escape hatch for when per-element JVM folds lose to
+    BLAS-level matrix products (wide dims × many probes); per-partition
+    top-k pre-reduction keeps the shuffle at O(partitions × queries × k)
+    rows instead of O(corpus × queries).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+    b_norm = spark.sparkContext.broadcast(q_norm)
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def score(batches):
+        qi, qm, qn = b_ids.value, b_mat.value, b_norm.value
+        for pdf in batches:
+            c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(c, axis=1)
+            sims = (c @ qm.T) / np.outer(cn, qn)  # |batch| × |queries|
+            nid = pdf[id_col].to_numpy().astype(np.int64)
+            for j, qid in enumerate(qi):
+                col = sims[:, j]
+                mask = nid != qid
+                cand_idx = np.nonzero(mask)[0]
+                if not len(cand_idx):
+                    continue
+                top = min(k, len(cand_idx))
+                # local top-k by (sim desc, id asc) — stable pre-reduction
+                order = np.lexsort((nid[cand_idx], -col[cand_idx]))[:top]
+                pick = cand_idx[order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nid[pick],
+                        "cosine_sim": np.round(col[pick], 6),
+                    }
+                )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return partial.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -454,3 +454,15 @@ def test_incremental_pairs_equal_cross_split_subset(spark, sf_dir):
             nid, cid = (r["id_a"], r["id_b"]) if a_new else (r["id_b"], r["id_a"])
             want.add((nid, cid, r["jaccard"]))
     assert inc == want and len(want) > 0
+
+
+def test_arrow_topk_equals_jvm_topk(spark, sf_dir):
+    """The BLAS matmul path must return bit-identical rows to the JVM
+    fold path — same rounding, same tie-breaks, same top-k."""
+    from duva_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 7)
+    a = sorted(map(tuple, similarity.brute_force_topk(emb, q, 4).collect()))
+    b = sorted(map(tuple, similarity.brute_force_topk_arrow(emb, q, 4).collect()))
+    assert a == b and len(a) > 0
