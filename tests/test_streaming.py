@@ -194,3 +194,38 @@ def test_stream_stream_interval_join(spark, sf_dir):
         for r in bp.join(bv, cond, "inner").select("purchase_id", "view_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The same windowed aggregation runs under the RocksDB state store
+    provider — the production backend once streaming state outgrows the
+    JVM heap (the default HDFS-backed store keeps every key in memory;
+    RocksDB spills to local disk with incremental checkpoints). Proves
+    the engine's state backend is a config knob, not a rewrite."""
+    from duva_spark.streaming.jobs import read_events_stream, run_available_now
+    from duva_spark.streaming.windows import tumbling_window_agg
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = run_available_now(tumbling_window_agg(stream, "1 day"), "t_rocksdb")
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+            for r in out.collect()
+        }
+        batch = tumbling_window_agg(_batch_events(spark, sf_dir), "1 day")
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+            for r in batch.collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
