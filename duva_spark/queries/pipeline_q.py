@@ -629,3 +629,52 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("gh"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction + OOV coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    vocab AS (SELECT word FROM freq ORDER BY cnt DESC, word LIMIT 100)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+           ROUND(COUNT(*) FILTER (WHERE v.word IS NULL) * 1.0 / COUNT(*), 6)
+             AS oov_rate
+    FROM w LEFT JOIN vocab v USING (word)
+    GROUP BY source
+    """,
+    description=(
+        "Vocabulary induction + out-of-vocabulary coverage: the top-100 "
+        "corpus vocabulary (by frequency, deterministic tie-break) is "
+        "built with one count shuffle + TakeOrderedAndProject, then "
+        "BROADCAST left-joined back to the token stream for per-source "
+        "OOV rates — the tokenizer-coverage report a pretraining "
+        "pipeline runs before committing to a vocab. The corpus explodes "
+        "once; the vocab side is always driver-size by construction."
+    ),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(100)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    j = w.join(F.broadcast(vocab), "word", "left")
+    oov = F.count(F.when(F.col("_in_vocab").isNull(), 1))
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        oov.alias("n_oov"),
+        F.round(oov * 1.0 / F.count("*"), 6).alias("oov_rate"),
+    )

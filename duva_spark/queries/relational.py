@@ -2945,3 +2945,97 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(id_int.isNotNull(), 1)).alias("n_int_ids"),
         F.round(F.sum(F.try_divide(F.col("value"), denom)), 4).alias("safe_ratio_sum"),
     )
+
+
+@register(
+    "q_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS li_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE li.l_orderkey IS NULL) AS BIGINT) AS n_no_items,
+           CAST(COUNT(*) FILTER (
+             WHERE li.li_cents IS NOT NULL
+               AND li.li_cents <> CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+             AS n_total_mismatch
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    description=(
+        "Cross-table aggregate reconciliation — the audit every warehouse "
+        "runs after load: per-order lineitem totals (exact integer cents) "
+        "left-joined back to the order header, counting orders with no "
+        "items and orders whose header total disagrees with the item sum. "
+        "One partial-agg shuffle on orderkey feeds the join on the same "
+        "key (no second exchange of lineitem), then a 3-key rollup. "
+        "Complements the row-level q_data_quality_report with "
+        "aggregate-level consistency."
+    ),
+)
+def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum((F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("li_cents"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("n_no_items"),
+        F.count(
+            F.when(
+                F.col("li_cents").isNotNull()
+                & (F.col("li_cents") != (F.col("o_totalprice") * 100).cast("long")),
+                1,
+            )
+        ).alias("n_total_mismatch"),
+    )
+
+
+@register(
+    "q_week_over_week",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 * 604800 AS week_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n - LAG(n) OVER w AS DOUBLE)
+                 / NULLIF(LAG(n) OVER w, 0) * 100, 4) AS pct_change
+    FROM wk
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    """,
+    description=(
+        "Week-over-week growth: weekly event counts per type, then lag "
+        "percent change — the standard trend-report shape. The window "
+        "runs over the tiny aggregated series (types × weeks), never the "
+        "event stream; NULLIF guards the zero-denominator week. Weeks "
+        "bucket by explicit epoch integer arithmetic because engines "
+        "disagree on week origins (DuckDB time_bucket aligns 7-day "
+        "buckets to Monday 2000-01-03, Spark window() to the epoch)."
+    ),
+)
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.col("ts").cast("long") - (F.col("ts").cast("long") % 604800)).alias(
+        "week_start"
+    )
+    wk = ev.groupBy("event_type", week).agg(F.count("*").alias("n"))
+    win = W.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n").over(win)
+    return wk.select(
+        "event_type",
+        "week_start",
+        F.col("n").cast("long").alias("n_events"),
+        F.round((F.col("n") - prev).cast("double") / F.nullif(prev, F.lit(0)) * 100, 4).alias(
+            "pct_change"
+        ),
+    )
