@@ -97,6 +97,8 @@ def lloyd(
     assignment, so downstream cluster sizes and centroid values are
     mutually consistent.
     """
+    if iters < 1:
+        raise ValueError("lloyd requires iters >= 1 (no assignment exists otherwise)")
     cen = init_centroids(emb, k, id_col, vec_col, dp)
     assigned = None
     for _ in range(iters):

@@ -284,6 +284,8 @@ def brute_force_topk_arrow(
     def score(batches):
         qi, qm, qn = b_ids.value, b_mat.value, b_norm.value
         for pdf in batches:
+            if not len(pdf):  # empty partitions yield empty Arrow batches
+                continue
             c = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cn = np.linalg.norm(c, axis=1)
             sims = (c @ qm.T) / np.outer(cn, qn)  # |batch| × |queries|
