@@ -39,7 +39,7 @@ def main() -> None:
     # run-to-run interference (documented in BASELINE.md), and min-of-2
     # is the standard estimator of steady-state runtime under external
     # noise. Both samples are emitted for transparency.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     samples: dict[str, list[float]] = {name: [] for name in headline}
     for _ in range(runs):
         for name, q in sorted(headline.items()):

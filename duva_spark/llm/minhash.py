@@ -134,6 +134,21 @@ def band_hashes(n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> list[Column
     ]
 
 
+def band_explode(sig: DataFrame, id_col: str, n_bands: int, out_id: str | None = None) -> DataFrame:
+    """Explode a signature frame to narrow (id, band_idx, band_hash) rows —
+    the only columns that enter the LSH bucket shuffle."""
+    bands_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+            for b in range(n_bands)
+        ]
+    )
+    out = out_id or id_col
+    return sig.select(F.col(id_col).alias(out), F.explode(bands_arr).alias("bk")).select(
+        out, "bk.band_idx", "bk.band_hash"
+    )
+
+
 def candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,15 +180,7 @@ def candidate_pairs(
         id_col, "_hs", *band_hashes(n_hashes, n_bands)
     )
     sig = sig.persist()
-    bands_arr = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
-            for b in range(n_bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(bands_arr).alias("bk")).select(
-        id_col, "bk.band_idx", "bk.band_hash"
-    )
+    buckets = band_explode(sig, id_col, n_bands)
     if max_bucket_size is not None:
         # Hot-bucket cap: boilerplate-heavy corpora put thousands of docs
         # in one band bucket, turning the self-join quadratic. Dropping
@@ -247,27 +254,18 @@ def incremental_pairs(
     O(|corpus|²) and never corpus×corpus. Returns
     (new_id, corpus_id, jaccard) for verified matches ≥ threshold.
     """
-    sig_n = with_signature(new_df.select(id_col, text_col), text_col, k, n_hashes).select(
-        id_col, "_hs", *band_hashes(n_hashes, n_bands)
-    ).persist()
-    sig_c = with_signature(corpus_df.select(id_col, text_col), text_col, k, n_hashes).select(
-        id_col, "_hs", *band_hashes(n_hashes, n_bands)
-    ).persist()
+    from duva_spark.operators.parallel import ensure_min_parallelism
 
-    def explode_bands(sig: DataFrame, out_id: str) -> DataFrame:
-        bands_arr = F.array(
-            *[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
-                for b in range(n_bands)
-            ]
-        )
-        return sig.select(F.col(id_col).alias(out_id), F.explode(bands_arr).alias("bk")).select(
-            out_id, "bk.band_idx", "bk.band_hash"
-        )
+    def signature(side: DataFrame) -> DataFrame:
+        src = ensure_min_parallelism(side.select(id_col, text_col))
+        return with_signature(src, text_col, k, n_hashes).select(
+            id_col, "_hs", *band_hashes(n_hashes, n_bands)
+        ).persist()
 
+    sig_n, sig_c = signature(new_df), signature(corpus_df)
     cand = (
-        explode_bands(sig_n, "new_id")
-        .join(explode_bands(sig_c, "corpus_id"), ["band_idx", "band_hash"])
+        band_explode(sig_n, id_col, n_bands, "new_id")
+        .join(band_explode(sig_c, id_col, n_bands, "corpus_id"), ["band_idx", "band_hash"])
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )

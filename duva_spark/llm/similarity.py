@@ -271,6 +271,10 @@ def brute_force_topk_arrow(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:  # mirror the JVM path: empty probes -> empty result
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank long"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -297,8 +301,10 @@ def brute_force_topk_arrow(
                 if not len(cand_idx):
                     continue
                 top = min(k, len(cand_idx))
-                # local top-k by (sim desc, id asc) — stable pre-reduction
-                order = np.lexsort((nid[cand_idx], -col[cand_idx]))[:top]
+                # local top-k by (ROUNDED sim desc, id asc): the final rank
+                # and the JVM path order by the 6-dp value, so pre-reducing
+                # on the unrounded value could drop the true tie-winner
+                order = np.lexsort((nid[cand_idx], -np.round(col[cand_idx], 6)))[:top]
                 pick = cand_idx[order]
                 yield pd.DataFrame(
                     {

@@ -1224,7 +1224,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    h = minhash.md5_hash60(F.col("doc_id").cast("string"))
     is_new = (h % 10) < 2
     return minhash.incremental_pairs(
         docs.filter(is_new), docs.filter(~is_new), "doc_id", "text", threshold=0.5

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
-from duva_spark.llm import dedup, textstats
+from duva_spark.llm import dedup, minhash, textstats
 from duva_spark.queries import register
 from duva_spark.queries.llm_q import _LANG_PRED, _NTOK, _QUALITY, _sql_in_list
 
@@ -514,11 +514,7 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    hh = F.conv(
-        F.substring(F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    hh = minhash.md5_hash60(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
     w = W.partitionBy("shard").orderBy("hh", "doc_id")
     return (
         docs.select("doc_id", hh.alias("hh"))
@@ -562,13 +558,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    hh = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    hh = minhash.md5_hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
     w = W.partitionBy("lang").orderBy("hh", "doc_id")
     return (
         docs.select("doc_id", "lang", hh.alias("hh"))

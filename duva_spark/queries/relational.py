@@ -2776,7 +2776,6 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     from urllib.parse import urlparse
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -2784,7 +2783,6 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
     path = f"{warehouse.rstrip('/')}/orc_lineitem"
-    shutil.rmtree(path, ignore_errors=True)
     li.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (
@@ -2952,7 +2950,8 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH li AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) AS li_cents
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS li_cents
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o_orderstatus,
@@ -2960,7 +2959,7 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE li.l_orderkey IS NULL) AS BIGINT) AS n_no_items,
            CAST(COUNT(*) FILTER (
              WHERE li.li_cents IS NOT NULL
-               AND li.li_cents <> CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+               AND li.li_cents <> CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
              AS n_total_mismatch
     FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
     GROUP BY o_orderstatus
@@ -2977,10 +2976,14 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROUND-then-cast on BOTH sides: a bare double->long cast truncates on
+    # Spark but rounds on DuckDB, silently skewing per-order cents (~5% of
+    # rows at sf0.01) — same exact-cents policy as q01.
+    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
     li = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sum((F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("li_cents"))
+        .agg(F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("li_cents"))
     )
     o = load_table(spark, sf_dir, "orders")
     j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
@@ -2990,7 +2993,7 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(
             F.when(
                 F.col("li_cents").isNotNull()
-                & (F.col("li_cents") != (F.col("o_totalprice") * 100).cast("long")),
+                & (F.col("li_cents") != cents(F.col("o_totalprice"))),
                 1,
             )
         ).alias("n_total_mismatch"),

@@ -506,15 +506,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # scalar modulus, same one-action bound as q_pagerank
 
+    from duva_spark.llm.minhash import md5_hash60
+
     i_col = F.explode(F.array(*[F.lit(i) for i in range(1, 4)])).alias("i")
-    h = (
-        F.conv(
-            F.substring(F.md5((F.col("doc_id") * 4 + F.col("i")).cast("string")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % n
-    )
+    h = md5_hash60((F.col("doc_id") * 4 + F.col("i")).cast("string")) % n
     ed = docs.select("doc_id", i_col).select(F.col("doc_id").alias("src"), h.alias("dst"))
     und = (
         ed.filter(F.col("src") != F.col("dst"))
