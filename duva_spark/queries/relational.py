@@ -3042,3 +3042,66 @@ def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           nv.next_view_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT v.event_id AS next_view_id
+      FROM events v
+      WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts >= p.ts
+      ORDER BY v.ts, v.event_id LIMIT 1
+    ) nv ON true
+    """,
+    description=(
+        "FORWARD as-of join: for each purchase, the next view at-or-after "
+        "it by the same user — the direction DuckDB's ASOF JOIN doesn't "
+        "speak (oracle uses LEFT JOIN LATERAL instead). Same union-sort "
+        "pattern as the backward q_join_asof, mirrored: one hash "
+        "partition on the key, first(ignoreNulls) over the FOLLOWING "
+        "frame, ties pinned by (ts, side, view_id) so equal-timestamp "
+        "views are eligible and deterministic. Still one shuffle, linear "
+        "in |L|+|R|."
+    ),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("event_id").alias("view_id"),
+    )
+    # left sorts BEFORE right at equal ts (side 0 < 1) so the FOLLOWING
+    # frame includes same-timestamp views; view_id pins right-side ties.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "view_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("next_view_id", F.first("view_id", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            "purchase_id",
+            "user_id",
+            "next_view_id",
+            F.round("purchase_value", 4).alias("purchase_value"),
+        )
+    )

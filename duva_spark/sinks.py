@@ -233,3 +233,29 @@ def merge_upsert(
     if commit == "pointer":
         return _pointer_commit_upsert(spark, merged, path, current, retain)
     return _rename_swap_upsert(spark, merged, path)
+
+
+def delete_where(
+    spark,
+    path: str,
+    condition,
+    retain: int = 2,
+) -> int:
+    """Versioned DELETE on a pointer-commit dataset (right-to-be-forgotten
+    / data-retention enforcement — the op a GDPR request needs; duva can
+    only drop whole tables, app/core/importer.py:242-246).
+
+    Rows matching `condition` (a Column predicate) are removed by writing
+    a NEW immutable version containing the complement and atomically
+    advancing the ``_CURRENT`` pointer — the same object-store-safe
+    commit as merge_upsert(commit="pointer"). The previous version stays
+    readable via `read_version` until `vacuum` drops it, which is what
+    makes the delete auditable AND reversible within the retention
+    window. One filtered scan, no shuffle. Returns the surviving row
+    count.
+    """
+    current = _pointer_read_path(path)
+    if current is None:
+        raise FileNotFoundError(f"{path} is not a pointer-commit dataset")
+    remaining = spark.read.parquet(current).filter(~condition)
+    return _pointer_commit_upsert(spark, remaining, path, current, retain)

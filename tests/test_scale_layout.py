@@ -105,3 +105,31 @@ def test_apply_in_pandas_slope_matches_grouped_agg(spark, sf_dir):
     a = {r.event_type: round(r.slope, 6) for r in group_ols_slope(ev, ["event_type"], "x", "y").collect()}
     b = {r.event_type: round(r.slope, 6) for r in slope_grouped_agg(ev, ["event_type"], "x", "y").collect()}
     assert a == b and len(a) == 5
+
+
+def test_delete_where_is_versioned_and_auditable(spark, tmp_path):
+    """GDPR-style delete: matching rows vanish from the current dataset,
+    the pre-delete version stays readable for audit, and vacuum finally
+    forgets it."""
+    from pyspark.sql import functions as F
+
+    from duva_spark import sinks
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(i, f"user{i % 3}", i * 1.0) for i in range(30)], "id long, owner string, v double"
+    )
+    sinks.merge_upsert(spark, df, path, "id", commit="pointer", retain=3)
+    n = sinks.delete_where(spark, path, F.col("owner") == "user1", retain=3)
+    assert n == 20
+    cur = {r.id for r in sinks.read_dataset(spark, path).collect()}
+    assert len(cur) == 20 and not any(i % 3 == 1 for i in cur)
+    # audit: version 0 still holds the deleted rows
+    v0 = {r.id for r in sinks.read_version(spark, path, 0).collect()}
+    assert len(v0) == 30
+    # retention expiry: vacuum to 1 version forgets the pre-delete state
+    sinks.vacuum(path, retain=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        sinks.read_version(spark, path, 0)
