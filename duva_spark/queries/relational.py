@@ -3105,3 +3105,40 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("purchase_value", 4).alias("purchase_value"),
         )
     )
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_seen_s,
+           event_type AS last_event_type,
+           ROUND(value, 4) AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    description=(
+        "Latest record per entity — the most common warehouse op there "
+        "is (CDC snapshot compaction, 'current state' views): one window "
+        "shuffle on the entity key, ties pinned by event_id. At scale "
+        "this is the dedup-to-latest pass every mutable-source ingest "
+        "runs; the window formulation beats a groupBy + self-join "
+        "(one shuffle instead of two)."
+    ),
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").cast("long").alias("last_seen_s"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
