@@ -259,3 +259,33 @@ def delete_where(
         raise FileNotFoundError(f"{path} is not a pointer-commit dataset")
     remaining = spark.read.parquet(current).filter(~condition)
     return _pointer_commit_upsert(spark, remaining, path, current, retain)
+
+
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    retain: int = 2,
+) -> tuple[int, int]:
+    """Small-file compaction on a pointer-commit dataset — the OPTIMIZE
+    pass every streaming/incremental ingest needs: micro-batch commits
+    accumulate many small files, and at 100 TB the resulting task-per-
+    file scheduling and footer overhead dominate scan cost. Rewrites the
+    current version into ceil(bytes / target_file_bytes) files via
+    repartition and commits it as a new version (object-store-safe, old
+    version retained for time travel). Returns (files_before,
+    files_after).
+    """
+    import os
+
+    current = _pointer_read_path(path)
+    if current is None:
+        raise FileNotFoundError(f"{path} is not a pointer-commit dataset")
+    files = [f for f in os.listdir(current) if f.endswith(".parquet")]
+    total_bytes = sum(os.path.getsize(os.path.join(current, f)) for f in files)
+    n_target = max(1, -(-total_bytes // target_file_bytes))
+    df = spark.read.parquet(current).repartition(n_target)
+    _pointer_commit_upsert(spark, df, path, current, retain)
+    new_current = _pointer_read_path(path)
+    files_after = len([f for f in os.listdir(new_current) if f.endswith(".parquet")])
+    return len(files), files_after

@@ -133,3 +133,33 @@ def test_delete_where_is_versioned_and_auditable(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         sinks.read_version(spark, path, 0)
+
+
+def test_compact_merges_small_files_losslessly(spark, tmp_path):
+    """Many micro-batch files compact to few, content byte-identical."""
+    from duva_spark import sinks
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame([(i, f"p{i}") for i in range(1000)], "id long, p string")
+    # simulate micro-batch ingest: 40 tiny files
+    sinks.merge_upsert(spark, df.repartition(40), path, "id", commit="pointer", retain=3)
+    before, after = sinks.compact(spark, path, target_file_bytes=10**9, retain=3)
+    assert before >= 40 and after == 1
+    got = sorted(r.id for r in sinks.read_dataset(spark, path).collect())
+    assert got == list(range(1000))
+
+
+def test_analyze_table_feeds_cost_based_optimizer(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE STATISTICS populates catalog stats (row
+    count/size) — the input Spark's CBO join reordering reads."""
+    from duva_spark.catalog import load_table
+    from duva_spark.layout import write_bucketed
+
+    nat = load_table(spark, sf_dir, "nation")
+    write_bucketed(nat, "stats_nation", "n_nationkey", 2)
+    spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS")
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED stats_nation").collect()
+    }
+    assert "Statistics" in desc and "rows" in desc["Statistics"]
