@@ -235,11 +235,18 @@ def merge_upsert(
     return _rename_swap_upsert(spark, merged, path)
 
 
+def _retain_all(path: str, retain: int | None) -> int:
+    """None = preserve every version currently on disk plus the new one —
+    a maintenance op must not silently shrink a retention window the
+    caller built with a larger retain."""
+    return retain if retain is not None else len(list_versions(path)) + 1
+
+
 def delete_where(
     spark,
     path: str,
     condition,
-    retain: int = 2,
+    retain: int | None = None,
 ) -> int:
     """Versioned DELETE on a pointer-commit dataset (right-to-be-forgotten
     / data-retention enforcement — the op a GDPR request needs; duva can
@@ -254,18 +261,25 @@ def delete_where(
     window. One filtered scan, no shuffle. Returns the surviving row
     count.
     """
+    from pyspark.sql import functions as F
+
     current = _pointer_read_path(path)
     if current is None:
         raise FileNotFoundError(f"{path} is not a pointer-commit dataset")
-    remaining = spark.read.parquet(current).filter(~condition)
-    return _pointer_commit_upsert(spark, remaining, path, current, retain)
+    # SQL DELETE semantics: only rows where the predicate is TRUE go;
+    # a NULL-evaluating predicate must KEEP the row (a bare ~condition
+    # would silently over-delete NULL rows — fatal in a GDPR helper).
+    remaining = spark.read.parquet(current).filter(
+        ~F.coalesce(condition, F.lit(False))
+    )
+    return _pointer_commit_upsert(spark, remaining, path, current, _retain_all(path, retain))
 
 
 def compact(
     spark,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
-    retain: int = 2,
+    retain: int | None = None,
 ) -> tuple[int, int]:
     """Small-file compaction on a pointer-commit dataset — the OPTIMIZE
     pass every streaming/incremental ingest needs: micro-batch commits
@@ -284,8 +298,11 @@ def compact(
     files = [f for f in os.listdir(current) if f.endswith(".parquet")]
     total_bytes = sum(os.path.getsize(os.path.join(current, f)) for f in files)
     n_target = max(1, -(-total_bytes // target_file_bytes))
-    df = spark.read.parquet(current).repartition(n_target)
-    _pointer_commit_upsert(spark, df, path, current, retain)
+    # coalesce, not repartition: merging small files needs NO shuffle
+    # (coalesce only narrows partitioning); at 100 TB a repartition
+    # would double the IO of the OPTIMIZE pass for nothing.
+    df = spark.read.parquet(current).coalesce(n_target)
+    _pointer_commit_upsert(spark, df, path, current, _retain_all(path, retain))
     new_current = _pointer_read_path(path)
     files_after = len([f for f in os.listdir(new_current) if f.endswith(".parquet")])
     return len(files), files_after

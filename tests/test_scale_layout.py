@@ -163,3 +163,28 @@ def test_analyze_table_feeds_cost_based_optimizer(spark, sf_dir):
         for r in spark.sql("DESCRIBE TABLE EXTENDED stats_nation").collect()
     }
     assert "Statistics" in desc and "rows" in desc["Statistics"]
+
+
+def test_delete_where_keeps_null_predicate_rows_and_history(spark, tmp_path):
+    """SQL DELETE semantics: NULL-evaluating predicates keep the row; and
+    a maintenance delete must not shrink the existing retention window."""
+    from pyspark.sql import functions as F
+
+    from duva_spark import sinks
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(1, "user1"), (2, "user2"), (3, None)], "id long, owner string"
+    )
+    sinks.merge_upsert(spark, df, path, "id", commit="pointer", retain=5)
+    sinks.merge_upsert(
+        spark, df.withColumn("owner", F.upper("owner")), path, "id",
+        commit="pointer", retain=5,
+    )
+    assert sinks.list_versions(path) == [0, 1]
+    n = sinks.delete_where(spark, path, F.col("owner") == "USER1")
+    assert n == 2  # NULL-owner row survives
+    kept = {r.id for r in sinks.read_dataset(spark, path).collect()}
+    assert kept == {2, 3}
+    # default retain preserved all prior versions plus the new one
+    assert sinks.list_versions(path) == [0, 1, 2]
