@@ -1368,3 +1368,53 @@ def q_embed_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 100)
     return similarity.brute_force_topk_arrow(emb, q, k=5)
+
+
+@register(
+    "q_threshold_sweep",
+    oracle=f"""
+    WITH w AS (SELECT [{", ".join(repr(x) for x in _CLF_W)}] AS wv),
+    z AS (SELECT label,
+                 1.0 / (1.0 + exp(-list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * wv[i]), 'sum'))) AS score
+          FROM embeddings CROSS JOIN w),
+    t AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold)
+    SELECT t.threshold,
+           CAST(COUNT(*) FILTER (WHERE z.score >= t.threshold) AS BIGINT) AS n_kept,
+           ROUND(COUNT(*) FILTER (WHERE z.score >= t.threshold) * 1.0 / COUNT(*), 6)
+             AS keep_rate
+    FROM z CROSS JOIN t
+    GROUP BY t.threshold
+    """,
+    description=(
+        "Classifier threshold calibration sweep: one scoring pass (the "
+        "same codegen dot product as q_classifier_inference), then a "
+        "cross join against a 5-row broadcast threshold frame gives the "
+        "kept-count/keep-rate curve in ONE aggregation — the sweep a "
+        "quality-filter operator runs to pick its cut before committing "
+        "to a corpus-wide filter. The corpus is scanned once regardless "
+        "of how many thresholds are probed."
+    ),
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    wv = F.array(*[F.lit(x) for x in _CLF_W])
+    logit = F.aggregate(
+        F.zip_with(F.col("embedding"), wv, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.select((1.0 / (1.0 + F.exp(-logit))).alias("score"))
+    thresholds = F.explode(F.array(*[F.lit(t) for t in (0.3, 0.4, 0.5, 0.6, 0.7)])).alias(
+        "threshold"
+    )
+    t = load_table(spark, sf_dir, "region").limit(1).select(thresholds)
+    kept = F.count(F.when(F.col("score") >= F.col("threshold"), 1))
+    return (
+        scored.crossJoin(F.broadcast(t))
+        .groupBy("threshold")
+        .agg(
+            kept.alias("n_kept"),
+            F.round(kept * 1.0 / F.count("*"), 6).alias("keep_rate"),
+        )
+    )

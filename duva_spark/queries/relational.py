@@ -3142,3 +3142,46 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("last_value"),
         )
     )
+
+
+@register(
+    "q_event_pattern",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM o
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    """,
+    description=(
+        "Strict CONSECUTIVE sequence detection (MATCH_RECOGNIZE-style "
+        "view->click->purchase with NO intervening event, unlike the "
+        "gap-tolerant q_funnel_conversion): lead(1)/lead(2) over the "
+        "per-user time order turns pattern matching into a row-local "
+        "predicate — one window shuffle on user_id, state bounded by "
+        "the pattern length, no self-joins. The standard trick for "
+        "fixed-length patterns on engines without MATCH_RECOGNIZE."
+    ),
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    m = o.filter(
+        (F.col("event_type") == "view") & (F.col("t1") == "click") & (F.col("t2") == "purchase")
+    )
+    return m.agg(
+        F.count("*").alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
