@@ -108,3 +108,43 @@ def stream_upsert_sink(
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+class ProgressRecorder:
+    """StreamingQueryListener capturing per-batch progress (rows in,
+    batch duration) — the observability hook a production stream needs
+    next to the Prometheus counters: attach with
+    ``spark.streams.addListener(rec.listener(spark))``, read
+    ``rec.events`` after (or during) the run.
+    """
+
+    def __init__(self) -> None:
+        self.events: list[dict] = []
+
+    def listener(self, spark: SparkSession):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        rec = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                rec.events.append({"kind": "started", "id": str(event.id)})
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                rec.events.append(
+                    {
+                        "kind": "progress",
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                    }
+                )
+
+            def onQueryTerminated(self, event) -> None:
+                rec.events.append({"kind": "terminated", "id": str(event.id)})
+
+            def onQueryIdle(self, event) -> None:  # pragma: no cover - spark>=3.5 hook
+                pass
+
+        return _L()

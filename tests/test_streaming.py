@@ -229,3 +229,34 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_streaming_progress_listener_records_batches(spark, sf_dir):
+    """The ProgressRecorder listener sees the AvailableNow run's batches
+    with real row counts — the observability contract for production
+    streams (feeds the same /metrics surface as sync counters)."""
+    import time as _time
+
+    from duva_spark.streaming.jobs import (
+        ProgressRecorder,
+        read_events_stream,
+        run_available_now,
+    )
+    from duva_spark.streaming.windows import tumbling_window_agg
+
+    rec = ProgressRecorder()
+    listener = rec.listener(spark)
+    spark.streams.addListener(listener)
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        run_available_now(tumbling_window_agg(stream, "1 day"), "t_listener")
+        # listener delivery is async; give the event bus a moment
+        for _ in range(40):
+            if any(e["kind"] == "progress" and e["num_input_rows"] > 0 for e in rec.events):
+                break
+            _time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    rows = sum(e.get("num_input_rows", 0) for e in rec.events if e["kind"] == "progress")
+    assert rows > 0
+    assert any(e["kind"] == "started" for e in rec.events)
