@@ -668,3 +668,65 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("n_oov"),
         F.round(oov * 1.0 / F.count("*"), 6).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unigram_perplexity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, -ln(v.cnt / tot.n) AS nll
+      FROM tok t JOIN vocab v USING (word) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll, COUNT(*) AS n_tok
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(MIN(p.avg_nll), 6) AS best_doc_nll,
+           ROUND(MAX(p.avg_nll), 6) AS worst_doc_nll
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    description=(
+        "Unigram-LM perplexity scoring — the CCNet-style statistical "
+        "quality filter (docs whose tokens are improbable under the "
+        "corpus LM are outliers/noise): token counts in one shuffle, "
+        "corpus total as a 1-row broadcast, per-token -ln p joined back "
+        "on the fixed-width word key, then per-doc average negative "
+        "log-likelihood aggregated per language. At 100 TB the vocab "
+        "table is Zipf-bounded (≪ corpus) and the join is "
+        "broadcast-able after a frequency cut; every stage here is a "
+        "plain hash shuffle — no driver-side model state."
+    ),
+)
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    scored = (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            F.round(F.min("avg_nll"), 6).alias("best_doc_nll"),
+            F.round(F.max("avg_nll"), 6).alias("worst_doc_nll"),
+        )
+    )
