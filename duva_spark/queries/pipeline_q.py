@@ -730,3 +730,83 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("avg_nll"), 6).alias("worst_doc_nll"),
         )
     )
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS word FROM tok),
+    ucnt AS (SELECT word, COUNT(*) AS cnt FROM uni GROUP BY word),
+    utot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+               AS bigram
+      FROM tok
+    ),
+    bcnt AS (SELECT bigram, COUNT(*) AS bcount FROM bi GROUP BY bigram HAVING COUNT(*) >= 5),
+    btot AS (SELECT CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS bn FROM bi LIMIT 1),
+    pmi AS (
+      SELECT b.bigram, b.bcount,
+             ROUND(ln((b.bcount / btot.bn) /
+                      ((a.cnt / utot.n) * (c.cnt / utot.n))), 6) AS pmi
+      FROM bcnt b
+      JOIN ucnt a ON a.word = string_split(b.bigram, ' ')[1]
+      JOIN ucnt c ON c.word = string_split(b.bigram, ' ')[2]
+      CROSS JOIN utot CROSS JOIN btot
+    )
+    SELECT bigram, CAST(bcount AS BIGINT) AS bcount, pmi
+    FROM pmi
+    ORDER BY pmi DESC, bigram
+    LIMIT 20
+    """,
+    description=(
+        "Pointwise mutual information collocations: top-20 bigrams by "
+        "PMI (min support 5) — the classic statistical phrase miner "
+        "(word2vec-phrases / tokenizer-merge precursor). Unigram and "
+        "bigram counts are two hash shuffles; totals are 1-row "
+        "broadcasts; the per-bigram probability join hits the "
+        "Zipf-bounded vocab table twice (broadcast-able at scale); "
+        "top-20 is TakeOrderedAndProject."
+    ),
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    tok = docs.select(ws.alias("ws"))
+    uni = tok.select(F.explode("ws").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count("*").alias("cnt"))
+    utot = ucnt.agg(F.sum("cnt").cast("double").alias("n"))
+    bigrams = tok.select(
+        F.explode(
+            F.zip_with(
+                F.col("ws"),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    ).filter(~F.col("bigram").rlike("^[^ ]*$"))  # drop the unpaired tail
+    bcnt = bigrams.groupBy("bigram").agg(F.count("*").alias("bcount")).filter("bcount >= 5")
+    btot = bigrams.agg(F.count("*").cast("double").alias("bn"))
+    parts = F.split("bigram", " ")
+    b = bcnt.withColumn("w1", parts[0]).withColumn("w2", parts[1])
+    a1 = ucnt.select(F.col("word").alias("w1"), F.col("cnt").alias("cnt1"))
+    a2 = ucnt.select(F.col("word").alias("w2"), F.col("cnt").alias("cnt2"))
+    pmi = (
+        b.join(a1, "w1")
+        .join(a2, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bigram",
+            F.col("bcount").cast("long").alias("bcount"),
+            F.round(
+                F.log(
+                    (F.col("bcount") / F.col("bn"))
+                    / ((F.col("cnt1") / F.col("n")) * (F.col("cnt2") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
