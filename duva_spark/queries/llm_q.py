@@ -1418,3 +1418,49 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(kept * 1.0 / F.count("*"), 6).alias("keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall of the approximate path vs exact
+# ---------------------------------------------------------------------------
+
+from duva_spark.queries import REGISTRY as _REG  # noqa: E402 — both oracles exist by now
+
+
+@register(
+    "q_ann_recall",
+    oracle=f"""
+    WITH bf AS ({_REG["q_embed_cosine_topk"].oracle}),
+    ivf AS ({_REG["q_embed_ivf_topk"].oracle})
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(ivf.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+    description=(
+        "ANN quality evaluation IN the engine: recall@5 of the IVF "
+        "(nprobe=2) path against the exact brute-force top-5, per probe "
+        "vector — the measurement that decides nlist/nprobe before an "
+        "index ships. Composes the two existing operators and joins "
+        "their result sets (both driver-size: probes × k rows); the "
+        "oracle reuses the SAME oracle texts as the component queries, "
+        "so the eval is pinned to already-verified semantics."
+    ),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    centroids = similarity.label_centroids(emb)
+    ivf = similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=2).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    j = bf.join(
+        ivf, (bf.query_id == ivf.q2) & (bf.neighbor_id == ivf.n2), "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )
