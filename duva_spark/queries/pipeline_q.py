@@ -810,3 +810,93 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pmi.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
+
+
+@register(
+    "q_train_val_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN {_H100} < 80 THEN 'train'
+                  WHEN {_H100} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split
+    """,
+    description=(
+        "Canonical 80/10/10 train/val/test split by doc-id hash: "
+        "disjoint and exhaustive BY CONSTRUCTION (one hash, three "
+        "half-open ranges), reproducible across engines/runs/cluster "
+        "sizes, and stable under corpus growth (a doc's split never "
+        "changes when others arrive — the property random splits lose). "
+        "Same md5 ranges the contamination check keys on, so eval "
+        "leakage is checkable against the very same function."
+    ),
+)
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = minhash.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split")
+    )
+    return docs.select(split, textstats.token_count_ws(F.col("text")).alias("n_tok")).groupBy(
+        "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "q_length_bucketed_batching",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok, (n_tok - 1) // 16 AS len_bucket,
+             ROW_NUMBER() OVER (PARTITION BY (n_tok - 1) // 16
+                                ORDER BY n_tok, doc_id) - 1 AS pos
+      FROM t
+    ),
+    batches AS (
+      SELECT len_bucket, pos // 8 AS batch_idx, n_tok FROM b
+    )
+    SELECT len_bucket, batch_idx,
+           CAST(COUNT(*) AS BIGINT) AS batch_size,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len,
+           CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS padding_waste
+    FROM batches
+    GROUP BY len_bucket, batch_idx
+    """,
+    description=(
+        "Length-bucketed batching — the padding-efficiency op every "
+        "training loader runs: docs bucket by length/16, rank within "
+        "the bucket (ties pinned by id), chunk into batches of 8, and "
+        "report per-batch padding waste (max_len x size - sum_len). "
+        "Grouping similar lengths cuts pad-token compute versus random "
+        "batching. One window shuffle on the bucket key; buckets scale "
+        "with length range, not corpus size, and each bucket's rank is "
+        "independent — at extreme per-bucket cardinality the "
+        "distributed prefix sum replaces the ranking window."
+    ),
+)
+def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", textstats.token_count_ws(F.col("text")).alias("n_tok"))
+    b = t.withColumn("len_bucket", ((F.col("n_tok") - 1) / 16).cast("long")).withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("len_bucket").orderBy("n_tok", "doc_id")) - 1,
+    )
+    batches = b.withColumn("batch_idx", (F.col("pos") / 8).cast("long"))
+    return batches.groupBy("len_bucket", "batch_idx").agg(
+        F.count("*").alias("batch_size"),
+        F.max("n_tok").cast("long").alias("max_len"),
+        (F.max("n_tok") * F.count("*") - F.sum("n_tok")).cast("long").alias("padding_waste"),
+    )
