@@ -1464,3 +1464,38 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n2").alias("n_hits"),
         F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
     )
+
+
+@register(
+    "q_embed_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({_REG["q_embed_cosine_near_dup"].oracle}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+    SELECT id, comp, COUNT(*) OVER (PARTITION BY comp) AS n_members
+    FROM cc
+    """,
+    description=(
+        "Embedding-space dedup clusters: the bounded cosine near-dup "
+        "pairs (the already-verified operator — its oracle text is "
+        "reused verbatim) closed transitively with the same distributed "
+        "min-label propagation as the text path. Completes the fuzzy-"
+        "dedup symmetry: MinHash for text, cosine for embeddings, one "
+        "cluster-formation operator behind both."
+    ),
+)
+def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.components import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = blocked.bounded_cosine_pairs(
+        emb, "vec_id", "embedding", ["label"], threshold=0.4, dim=64, max_block_size=2000
+    )
+    return dedup_clusters(pairs.select("id_a", "id_b"))
