@@ -270,3 +270,26 @@ def test_repeated_ngrams_top50_is_take_ordered(spark, sf_dir):
     q = load_all()["q_repeated_ngrams"]
     plan = _plan(q.fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_text_statistics_queries_stay_broadcast_and_bounded(spark, sf_dir):
+    """Perplexity/PMI: corpus totals ride 1-row broadcast nested-loop
+    joins (their SinglePartition exchanges carry ONE row — the corpus
+    never converges to a single task), no cartesian products, PMI's
+    top-20 is TakeOrderedAndProject."""
+    qs = load_all()
+    for name in ("q_unigram_perplexity", "q_pmi_bigrams"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in _plan(qs["q_pmi_bigrams"].fn(spark, sf_dir))
+
+
+def test_batching_and_split_have_no_single_partition_stage(spark, sf_dir):
+    """Length-bucketed batching and the hash split stay fully partitioned
+    — no stage funnels the corpus through one task."""
+    qs = load_all()
+    for name in ("q_length_bucketed_batching", "q_train_val_test", "q_vocab_coverage"):
+        plan = _plan(qs[name].fn(spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, name
