@@ -40,14 +40,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # parquet reader rejects; read nanos as long (runtime-settable
-        # legacy conf) and convert to a microsecond TimestampType column.
+        # The generator has shipped events.ts as TIMESTAMP(NANOS) in some
+        # rounds and TIMESTAMP(MICROS, ntz) in others. Normalize both to a
+        # session-UTC TimestampType column so every downstream window /
+        # watermark / oracle comparison sees identical instants:
+        #   - nanos: vectorized reader rejects it; read as long (legacy
+        #     conf) and convert to micros.
+        #   - micros-ntz: plain cast (session tz is pinned to UTC, so the
+        #     wall-clock value IS the instant).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -14,16 +14,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see catalog.load_table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """Stream-source schema with the on-disk ts type (nanos-as-long or a
+    native timestamp — see catalog.load_table for the two generations)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
@@ -33,15 +36,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hou
     identical logical plan.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Peek at the batch-read footer to learn which ts generation is on
+    # disk (long nanos vs native timestamp), then declare the matching
+    # stream-source schema and normalize to session-UTC TimestampType.
+    import os
+
+    ts_on_disk = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
+    )
     # the file stream source wants a directory; glob-filter to the events
     # table inside the sf_dir layout
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_on_disk))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(ts_on_disk, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream.withWatermark("ts", watermark)
 
 
