@@ -900,3 +900,321 @@ def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tok").cast("long").alias("max_len"),
         (F.max("n_tok") * F.count("*") - F.sum("n_tok")).cast("long").alias("padding_waste"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and vector search
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+
+
+@register(
+    "q_rrf_hybrid_search",
+    oracle=None,  # set below — composed from the BM25 + cosine leg SQL
+    description=(
+        "Hybrid retrieval: reciprocal-rank fusion (1/(60+rank)) of the "
+        "BM25 lexical top-20 and the cosine vector top-20 for one probe "
+        "(doc_id == vec_id keys the two legs together). Each leg is a "
+        "TakeOrderedAndProject over scan-level scoring — the fusion "
+        "itself joins two <=k-row frames, so at 100 TB the cost IS the "
+        "two legs; the RRF join is broadcast-trivial. Rank windows run "
+        "on <=20 rows post-top-k, never on the corpus."
+    ),
+)
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from duva_spark.llm import similarity
+    from duva_spark.queries.llm_q import q_bm25_search
+
+    lex = q_bm25_search(spark, sf_dir).limit(20)
+    lex_ranked = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    vec_ranked = vec.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _rrf_sql() -> str:
+    from duva_spark.queries.llm_q import _COS_QC, _bm25_sql
+
+    return f"""
+    WITH bm AS ({_bm25_sql()}),
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM bm),
+    qv_t AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT c.vec_id AS doc_id, ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM (SELECT vec_id, embedding AS cv FROM embeddings) c, qv_t
+          WHERE c.vec_id <> 0),
+    vec AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS vec_rank
+            FROM s
+            QUALIFY vec_rank <= 20),
+    f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
+          FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, lex_rank, vec_rank,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf_score
+    FROM f
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
+# late-bind the oracle: _bm25_sql lives in llm_q which is already imported
+from duva_spark.queries import REGISTRY as _PIPE_REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_PIPE_REG["q_rrf_hybrid_search"] = _dc.replace(
+    _PIPE_REG["q_rrf_hybrid_search"], oracle=_rrf_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# Character-class entropy (gibberish / binary-blob detector)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_char_class_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_lower,
+             CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+             CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS n_space
+      FROM documents
+      WHERE length(text) > 0
+    ),
+    e AS (
+      SELECT doc_id, n, n_lower, n_upper, n_digit, n_space,
+             n - n_lower - n_upper - n_digit - n_space AS n_other
+      FROM c
+    )
+    SELECT doc_id,
+           ROUND(
+             (CASE WHEN n_lower > 0 THEN -(n_lower / n) * ln(n_lower / n) ELSE 0 END)
+           + (CASE WHEN n_upper > 0 THEN -(n_upper / n) * ln(n_upper / n) ELSE 0 END)
+           + (CASE WHEN n_digit > 0 THEN -(n_digit / n) * ln(n_digit / n) ELSE 0 END)
+           + (CASE WHEN n_space > 0 THEN -(n_space / n) * ln(n_space / n) ELSE 0 END)
+           + (CASE WHEN n_other > 0 THEN -(n_other / n) * ln(n_other / n) ELSE 0 END),
+           4) AS char_entropy_nats
+    FROM e
+    """,
+    description=(
+        "Quality signal: Shannon entropy (nats) of the 5-way character-"
+        "class distribution (lower/upper/digit/space/other) per document "
+        "— near-zero entropy flags single-class blobs (base64 dumps, "
+        "digit walls, whitespace floods) that slip past length/stopword "
+        "filters. Pure codegen column arithmetic (regexp_replace length "
+        "deltas — no explode, no UDF): runs at scan speed with zero "
+        "exchanges, so it composes into any ingest pass for free."
+    ),
+)
+def q_char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text").cast("double")
+    klass = {
+        "n_lower": F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double"),
+        "n_upper": F.length(F.regexp_replace("text", "[^A-Z]", "")).cast("double"),
+        "n_digit": F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double"),
+        "n_space": (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("double"),
+    }
+    base = docs.select("doc_id", n.alias("n"), *[v.alias(k) for k, v in klass.items()])
+    base = base.withColumn(
+        "n_other",
+        F.col("n") - F.col("n_lower") - F.col("n_upper") - F.col("n_digit") - F.col("n_space"),
+    )
+
+    def term(c: str):
+        p = F.col(c) / F.col("n")
+        return F.when(F.col(c) > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    entropy = term("n_lower") + term("n_upper") + term("n_digit") + term("n_space") + term("n_other")
+    return base.select("doc_id", F.round(entropy, 4).alias("char_entropy_nats"))
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair counting (the tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+      FROM w
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+    description=(
+        "Tokenizer training inner loop: corpus-wide adjacent character-"
+        "pair frequencies within words — exactly the statistic one BPE "
+        "merge round maximizes. Two Generate (explode) stages fan out "
+        "linearly in corpus bytes, then ONE count shuffle on the 2-char "
+        "pair key (alphabet-bounded cardinality, map-side combined) and "
+        "a TakeOrderedAndProject top-30 — the same shape at 100 TB, "
+        "where the pair-count table stays tiny regardless of corpus."
+    ),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event debounce (burst suppression against the previous raw event)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_debounce",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM g
+    GROUP BY event_type
+    """,
+    description=(
+        "Debounce / burst suppression: per (user, event_type) stream, an "
+        "event within 5 minutes of its predecessor is noise (double-"
+        "clicks, retry storms) — LAG over one hash partitioning on the "
+        "key, compared in exact integer microseconds, then a per-type "
+        "keep/drop census. One shuffle; per-key window state is O(1). "
+        "The streaming sibling is dropDuplicatesWithinWatermark; this is "
+        "the batch/backfill form with value-hash-checked semantics."
+    ),
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    kept = F.when(gap.isNull() | (gap >= 300_000_000), 1).otherwise(0)
+    return (
+        ev.select("event_type", kept.alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF per-source signature terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE length(term) > 3
+      GROUP BY source, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term,
+             ROUND(tf * ln(CAST(n_src AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN ns
+    )
+    SELECT source, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    description=(
+        "Per-source signature terms by TF-IDF: term frequency per "
+        "(source, term), document frequency ACROSS sources reuses the "
+        "tf frame (no second corpus pass), the source count broadcasts "
+        "as a 1-row frame, and the per-source top-5 window runs on the "
+        "vocab-sized agg output — corpus-sized data crosses the wire "
+        "once, in the tf shuffle (map-side combined)."
+    ),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 3)
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ns = docs.agg(F.countDistinct("source").alias("n_src"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_src").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 5
+    )

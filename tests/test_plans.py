@@ -293,3 +293,51 @@ def test_batching_and_split_have_no_single_partition_stage(spark, sf_dir):
     for name in ("q_length_bucketed_batching", "q_train_val_test", "q_vocab_coverage"):
         plan = _plan(qs[name].fn(spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_char_entropy_is_scan_level_projection(spark, sf_dir):
+    """Character-class entropy is pure codegen column arithmetic: zero
+    exchanges, zero Python — it composes into any ingest scan for free."""
+    q = load_all()["q_char_class_entropy"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "*(1) Project" in plan  # whole-stage codegen covers the math
+
+
+def test_bpe_pair_counts_is_one_shuffle_top30(spark, sf_dir):
+    """BPE pair mining: explodes are Generate stages, the only exchange is
+    the pair-count aggregation, and the top-30 never globally sorts."""
+    q = load_all()["q_bpe_pair_counts"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" in plan
+
+
+def test_event_debounce_no_single_partition_stage(spark, sf_dir):
+    """Debounce: the LAG window partitions by (user, event_type) — the
+    corpus never funnels through one task."""
+    q = load_all()["q_event_debounce"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rrf_fusion_legs_are_take_ordered(spark, sf_dir):
+    """Hybrid RRF: both retrieval legs cut to top-k via
+    TakeOrderedAndProject before any window/join — the only
+    single-partition work is over <=20-row leg outputs."""
+    q = load_all()["q_rrf_hybrid_search"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_source_count_broadcasts(spark, sf_dir):
+    """TF-IDF: the 1-row source-count frame broadcasts; corpus-sized data
+    crosses the wire once (the tf aggregation)."""
+    q = load_all()["q_tfidf_top_terms"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
