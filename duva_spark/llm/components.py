@@ -98,3 +98,88 @@ def dedup_clusters(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFr
         "comp",
         F.count("*").over(W.partitionBy("comp")).alias("n_members"),
     )
+
+
+def connected_components_star(
+    pairs: DataFrame, a: str = "id_a", b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, comp) via alternating large-star/small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — converges in
+    O(log n) rounds regardless of component diameter, where min-label
+    propagation needs O(diameter) rounds. Same output contract as
+    ``connected_components``: comp = min node id of the group.
+
+    Per round: large-star hooks every neighbor v > u onto u's local min
+    (keeps high-degree stars shallow); small-star re-hooks the small side
+    of each edge onto the per-node min. Both are one groupBy(min) + one
+    equi-join — the same shuffle shape as a label-propagation round, just
+    exponentially fewer of them on path-like graphs. Edge frames shrink
+    toward n-1 star edges; each round localCheckpoints to cut lineage."""
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    edges = edges.localCheckpoint()
+    try:
+        prev = None
+        for _ in range(max_iter):
+            # large-star: connect strictly-larger neighbors to the local min
+            sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mu = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+            )
+            ls = (
+                sym.join(mu, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star: orient (big, small), re-hook every small neighbor
+            # (and the center) onto the per-center min
+            e2 = ls.select(
+                F.greatest(F.col("u"), F.col("v")).alias("u"),
+                F.least(F.col("u"), F.col("v")).alias("v"),
+            )
+            mu2 = e2.groupBy("u").agg(F.min("v").alias("m"))
+            ss = (
+                e2.join(mu2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mu2.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint()
+            )
+            # fixpoint test on the orientation-normalized edge set
+            norm = ss.select(
+                F.greatest(F.col("u"), F.col("v")).alias("u"),
+                F.least(F.col("u"), F.col("v")).alias("v"),
+            )
+            if prev is not None and (
+                norm.subtract(prev).count() == 0 and prev.subtract(norm).count() == 0
+            ):
+                edges = ss
+                break
+            prev = norm.localCheckpoint()
+            edges = ss
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge in {max_iter} rounds"
+            )
+        # at the fixpoint every edge is (node -> component min); nodes
+        # missing from the left side are the roots themselves
+        comp_map = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
+        return nodes.join(comp_map, "id", "left").select(
+            "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+        )
+    finally:
+        nodes.unpersist()

@@ -1499,3 +1499,84 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", ["label"], threshold=0.4, dim=64, max_block_size=2000
     )
     return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "q_dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+    SELECT id, comp FROM cc
+    """,
+    description=(
+        "Fuzzy-dedup clusters via the large-star/small-star algorithm "
+        "(Kiveris et al.): O(log n) rounds regardless of component "
+        "diameter, vs O(diameter) for min-label propagation — the "
+        "adversarial-graph insurance for 100 TB dedup (chained near-dups "
+        "form paths, not balls). Same pair graph, same oracle closure, "
+        "bit-identical components to q_dedup_clusters — both "
+        "implementations sit under the same recursive-CTE value hash."
+    ),
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.components import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    return connected_components_star(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "q_winnow_overlap_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, LENGTH(text) - 5 + 2), i -> substr(text, i, 5)) AS grams
+      FROM documents WHERE doc_id <= 100
+    ),
+    h AS (SELECT doc_id,
+                 list_transform(grams, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs
+          FROM g),
+    m AS (SELECT doc_id,
+                 list_sort(list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                     i -> list_min(hs[i:i+3])))) AS fps
+          FROM h),
+    f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, n_shared FROM j WHERE n_shared >= 5
+    """,
+    description=(
+        "MOSS-style near-dup detection: docs sharing >= 5 winnowing "
+        "fingerprints are copy candidates. The join is an EQUI-join on "
+        "the fingerprint value — cost is sum of posting-list-squared "
+        "per fingerprint (bounded: winnowing emits ~2/(window+1) of "
+        "positions, and hot fingerprints are boilerplate cappable like "
+        "LSH buckets via max_bucket_size) — never all-pairs. Third "
+        "near-dup family beside MinHash-LSH (set overlap) and SimHash "
+        "(Hamming): winnowing catches contiguous-substring plagiarism "
+        "that bag-of-shingles measures dilute."
+    ),
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    fps = textstats.winnowing_fingerprints(F.col("text"), k=5, window=4)
+    f = docs.select("doc_id", F.explode(fps).alias("fp"))
+    a = f.select(F.col("doc_id").alias("id_a"), "fp")
+    b = f.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )

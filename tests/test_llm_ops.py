@@ -466,3 +466,31 @@ def test_arrow_topk_equals_jvm_topk(spark, sf_dir):
     a = sorted(map(tuple, similarity.brute_force_topk(emb, q, 4).collect()))
     b = sorted(map(tuple, similarity.brute_force_topk_arrow(emb, q, 4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_star_components_handle_high_diameter_paths(spark):
+    """large-star/small-star converges in O(log n) rounds: a 64-node path
+    (diameter 63) resolves inside a 25-round budget, where min-label
+    propagation needs 63 rounds. Components still = min node id."""
+    from duva_spark.llm.components import connected_components_star
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(63)], ["id_a", "id_b"])
+    out = {r["id"]: r["comp"] for r in connected_components_star(path).collect()}
+    assert len(out) == 64
+    assert set(out.values()) == {0}
+
+
+def test_star_components_match_label_propagation(spark):
+    """Both algorithms reach the identical fixpoint (comp = min id of the
+    group) on a multi-component graph with chains, a triangle, and an
+    isolated pair."""
+    from duva_spark.llm.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12), (20, 21)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = sorted((r["id"], r["comp"]) for r in connected_components_star(df).collect())
+    prop = sorted((r["id"], r["comp"]) for r in connected_components(df).collect())
+    assert star == prop
