@@ -1580,3 +1580,89 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 20),
+    i AS (SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS k
+          FROM d)
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(length(substring(text, CAST(k * 32 + 1 AS BIGINT), 32)) AS BIGINT) AS n_bytes,
+           md5(substring(text, CAST(k * 32 + 1 AS BIGINT), 32)) AS frame_md5
+    FROM i
+    """,
+    description=(
+        "Video frame sampling through the one-to-many mapInPandas shape: "
+        "each binary payload fans out to one row per sampled frame "
+        "(PyAV decode when importable; the deterministic byte-stride "
+        "stand-in here — corpus is ASCII so the oracle mirrors the "
+        "stride in VARCHAR). The Arrow batch boundary, the fan-out "
+        "row multiplication, and the per-frame bytes all sit under the "
+        "value-hash gate via md5(frame)."
+    ),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 20)
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(media, "doc_id", every_nth_byte=32, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register(
+    "q_embed_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT i,
+             AVG(CAST(embedding[i] AS DOUBLE)) AS mu,
+             stddev_pop(CAST(embedding[i] AS DOUBLE)) AS sigma
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY i
+    ),
+    m AS (SELECT list(mu ORDER BY i) AS mus, list(sigma ORDER BY i) AS sigmas FROM s)
+    SELECT vec_id,
+           list_transform(range(1, 65),
+             i -> ROUND((CAST(embedding[i] AS DOUBLE) - mus[i]) / sigmas[i], 6)) AS znorm
+    FROM embeddings, m
+    """,
+    description=(
+        "Per-dimension z-score normalization of the embedding column — "
+        "the standard pre-whitening before quantization or clustering. "
+        "Dim stats come from a posexplode to narrow (pos, x) rows (64x "
+        "row fan-out of 8-byte pairs, one agg shuffle on pos), collapse "
+        "to ONE 2x64-array row broadcast back to the corpus, and the "
+        "normalization itself is a codegen transform() — the corpus is "
+        "scanned once and never shuffled."
+    ),
+)
+def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma"))
+    )
+    one = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s.mu
+        ).alias("mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sigma"))), lambda s: s.sigma
+        ).alias("sigmas"),
+    )
+    return emb.crossJoin(F.broadcast(one)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " round((cast(x as double) - mus[i]) / sigmas[i], 6))"
+        ).alias("znorm"),
+    )
