@@ -1666,3 +1666,43 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " round((cast(x as double) - mus[i]) / sigmas[i], 6))"
         ).alias("znorm"),
     )
+
+
+@register(
+    "q_cross_source_dup_leakage",
+    oracle=f"""
+    WITH p AS ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}),
+    lab AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab
+    GROUP BY source_a, source_b
+    """,
+    description=(
+        "Duplicate-leakage audit: verified near-dup pairs labeled with "
+        "the (unordered) source pair of their two sides — off-diagonal "
+        "counts are content leaking ACROSS corpus sources, the signal "
+        "that breaks mixture weights and contaminates held-out splits. "
+        "Two broadcast-able joins against the slim (doc_id, source) "
+        "projection on top of the banded LSH pair table; the census agg "
+        "keys on source pairs (tiny). Cost stays the LSH pass itself."
+    ),
+)
+def q_cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    lab = docs.select("doc_id", "source")
+    j = (
+        pairs.join(lab.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa"), "id_a")
+        .join(lab.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb"), "id_b")
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(F.count("*").alias("n_pairs"))
