@@ -1218,3 +1218,55 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 5
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+_TWO60 = 1152921504606846976  # 2^60: the 15-hex-digit md5 prefix universe
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT lang, doc_id,
+             -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 0.5)
+                 / {_TWO60}.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, ROUND(es_key, 8) AS es_key,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rank
+    FROM k
+    QUALIFY rank <= 5
+    """,
+    description=(
+        "Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        "A-ES): per-row key -ln(u)/w with u derived from md5(doc_id) — "
+        "deterministic across engines, runs, and cluster sizes, no "
+        "reservoir state, no coordination. Weight = n_chars (longer "
+        "docs proportionally likelier). Top-5 smallest keys per "
+        "language = a valid weighted sample; the rank window partitions "
+        "by language, and at extreme per-key cardinality the same key "
+        "feeds TakeOrdered per group instead. The production form of "
+        "'sample 1M docs proportional to quality' on 100 TB."
+    ),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(0.5)) / F.lit(float(_TWO60))
+    key = -F.log(u) / F.col("n_chars")
+    k = docs.select("lang", "doc_id", key.alias("es_key"))
+    w = W.partitionBy("lang").orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        k.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", F.round("es_key", 8).alias("es_key"), "rank")
+    )

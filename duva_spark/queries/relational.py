@@ -3185,3 +3185,110 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_matches"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "q_events_anomaly_robust",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    description=(
+        "Robust anomaly detection: median/MAD outlier census per event "
+        "type — immune to the outliers themselves, unlike the z-score "
+        "variant (q_events_anomaly) whose mean/std the anomalies drag. "
+        "Two aggregation passes on the same 5-key partitioning (median, "
+        "then MAD of deviations) with slim broadcast joins back. Exact "
+        "interpolated medians keep oracle parity; at 100 TB the same "
+        "shape runs on approx_percentile sketches (one pass, mergeable) "
+        "with identical downstream logic."
+    ),
+)
+def q_events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds
+      FROM orders
+    ),
+    assigned AS (
+      SELECT CAST(len(list_filter(bnds, x -> x <= o_totalprice)) AS BIGINT) AS bucket,
+             o_totalprice
+      FROM orders, b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM assigned
+    GROUP BY bucket
+    """,
+    description=(
+        "Equi-depth (decile) histogram WITHOUT a global sort: the 9 "
+        "boundary quantiles collapse to one broadcast array row, bucket "
+        "assignment is a codegen array filter-count against it, and the "
+        "per-bucket census is an ordinary 10-key aggregation. The "
+        "NTILE formulation needs a single-partition total order — this "
+        "shape replaces it with scan + broadcast + partial agg, which "
+        "is how histogram statistics are actually collected at 100 TB "
+        "(swap the exact quantiles for approx_percentile, same plan)."
+    ),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.percentile("o_totalprice", F.array([F.lit(i / 10.0) for i in range(1, 10)])).alias(
+            "bnds"
+        )
+    )
+    assigned = orders.crossJoin(F.broadcast(b)).select(
+        F.size(F.filter("bnds", lambda x: x <= F.col("o_totalprice")))
+        .cast("long")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )

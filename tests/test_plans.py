@@ -341,3 +341,32 @@ def test_tfidf_source_count_broadcasts(spark, sf_dir):
     plan = _plan(q.fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_equidepth_histogram_avoids_global_sort(spark, sf_dir):
+    """Decile histogram: the only single-partition stage carries the
+    1-row boundary frame (broadcast back); the corpus itself is never
+    globally sorted — no Sort over the full orders scan."""
+    q = load_all()["q_equidepth_histogram"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_weighted_sample_stays_partitioned(spark, sf_dir):
+    """A-ES weighted sampling: the rank window partitions by language —
+    no stage funnels the corpus through one task."""
+    q = load_all()["q_weighted_sample"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_robust_anomaly_broadcasts_the_stats_frames(spark, sf_dir):
+    """Median/MAD anomaly census: both per-type stat frames come back as
+    broadcasts — the events table never shuffles for the joins."""
+    q = load_all()["q_events_anomaly_robust"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
