@@ -3292,3 +3292,79 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 4).alias("lo"),
         F.round(F.max("o_totalprice"), 4).alias("hi"),
     )
+
+
+@register(
+    "q_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id, MIN(s) AS island_s, MAX(e) AS island_e
+      FROM islands
+      GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us
+    FROM merged
+    GROUP BY user_id
+    """,
+    description=(
+        "Gaps-and-islands interval union: each event claims a 5-minute "
+        "activity interval; overlapping intervals merge (start > running "
+        "max of prior ends starts a new island) and the per-user union "
+        "length comes out exact in integer microseconds — double-counted "
+        "overlap is the classic wrong answer this operator exists to "
+        "avoid. Both windows and both aggregations share ONE hash "
+        "partitioning on user_id (Catalyst reuses the exchange); state "
+        "per key is a running max. The interval-analytics sibling of "
+        "sweep-line peak concurrency (q_peak_concurrency)."
+    ),
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max("e").over(w)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    w2 = W.partitionBy("user_id").orderBy("s", "e")
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w2))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s")).cast("long").alias("covered_us"),
+    )

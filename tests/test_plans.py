@@ -370,3 +370,12 @@ def test_robust_anomaly_broadcasts_the_stats_frames(spark, sf_dir):
     plan = _plan(q.fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_coverage_reuses_one_exchange(spark, sf_dir):
+    """Gaps-and-islands: both windows and both aggregations share ONE
+    hashpartitioning on user_id — exactly one exchange in the plan."""
+    q = load_all()["q_interval_coverage"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Exchange SinglePartition" not in plan

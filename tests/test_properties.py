@@ -300,3 +300,44 @@ def test_kmeans_invariant_under_partitioning(spark):
             )
         )
     assert results[0] == results[1]
+
+
+def test_star_components_match_networkx_free_reference(spark):
+    """Star CC equals a pure-Python union-find on seeded random graphs of
+    varying density — one Spark job per graph, reference is dependency-
+    free. Covers sparse forests through dense blobs."""
+
+    def uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # path-compress fully, then map every node to its root min
+        return {n: find(n) for n in nodes}
+
+    from duva_spark.llm.components import connected_components_star
+
+    for density, seed in ((0.3, 1), (1.0, 2), (3.0, 3)):
+        rng = np.random.default_rng(seed)
+        n = 150
+        m = int(n * density)
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+            if a != b
+        ]
+        if not edges:
+            continue
+        nodes = sorted({x for e in edges for x in e})
+        want = uf_components(edges, nodes)
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["comp"] for r in connected_components_star(df).collect()}
+        assert got == want, f"density={density}"
