@@ -1270,3 +1270,123 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("lang", "doc_id", F.round("es_key", 8).alias("es_key"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-level Markov table (next-token conditional probabilities)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_word_markov",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT unnest(list_transform(range(1, len(ws)),
+                   i -> {'head': ws[i], 'nxt': ws[i+1]})) AS u
+          FROM w),
+    p AS (SELECT u.head AS head, u.nxt AS nxt FROM b),
+    cnt AS (SELECT head, nxt, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY head, nxt),
+    tot AS (SELECT head, CAST(SUM(n) AS BIGINT) AS n_head FROM cnt GROUP BY head),
+    top_heads AS (SELECT head FROM tot ORDER BY n_head DESC, head LIMIT 10)
+    SELECT cnt.head, nxt, n,
+           ROUND(CAST(n AS DOUBLE) / n_head, 6) AS p,
+           ROW_NUMBER() OVER (PARTITION BY cnt.head ORDER BY n DESC, nxt) AS rank
+    FROM cnt
+    JOIN tot USING (head)
+    JOIN top_heads USING (head)
+    QUALIFY rank <= 3
+    """,
+    description=(
+        "Word-level Markov table: P(next | head) for the 10 most "
+        "frequent head words, top-3 continuations each — the token-"
+        "level sibling of the event-transition matrix and the statistic "
+        "behind n-gram LM sanity checks. Bigram pairs come from the "
+        "zip-shift (no per-index array lookups); ONE count shuffle on "
+        "(head, next); head totals reuse that aggregate; the head "
+        "shortlist joins back as a broadcast."
+    ),
+)
+def q_word_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    pairs = F.filter(
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.size(ws)),
+            lambda a, b: F.struct(a.alias("head"), b.alias("nxt")),
+        ),
+        lambda x: x.nxt.isNotNull(),
+    )
+    p = docs.select(F.explode(pairs).alias("u")).select("u.head", "u.nxt")
+    cnt = p.groupBy("head", "nxt").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("head").agg(F.sum("n").alias("n_head"))
+    top_heads = tot.orderBy(F.desc("n_head"), F.asc("head")).limit(10).select("head")
+    w = W.partitionBy("head").orderBy(F.desc("n"), F.asc("nxt"))
+    return (
+        cnt.join(tot, "head")
+        .join(F.broadcast(top_heads), "head")
+        .select(
+            "head",
+            "nxt",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_head"), 6).alias("p"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_benford_digit_test",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM orders
+      WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS p_obs,
+           ROUND(log10(1 + 1.0 / CAST(digit AS BIGINT)), 6) AS p_benford,
+           ROUND(POWER(CAST(n AS DOUBLE) / total - log10(1 + 1.0 / CAST(digit AS BIGINT)), 2)
+                 / log10(1 + 1.0 / CAST(digit AS BIGINT)), 8) AS chi2_term
+    FROM t
+    """,
+    description=(
+        "Benford first-digit conformance: observed leading-digit shares "
+        "of order totals vs the log10(1+1/d) law, with per-digit "
+        "chi-square terms — the standard fabricated-data / unit-mixup "
+        "screen for financial facts. One count shuffle to NINE digit "
+        "keys (map-side combined to nothing); the share window runs on "
+        "the 9-row aggregate. Floor before cast on both engines — "
+        "DuckDB CAST(double AS BIGINT) rounds where Spark truncates, "
+        "the cross-engine trap this query exists to document."
+    ),
+)
+def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.withColumn("total", F.sum("n").over(W.partitionBy()))
+    p_obs = F.col("n").cast("double") / F.col("total")
+    p_ben = F.log10(1 + 1.0 / F.col("digit").cast("long"))
+    return t.select(
+        "digit",
+        "n",
+        F.round(p_obs, 6).alias("p_obs"),
+        F.round(p_ben, 6).alias("p_benford"),
+        F.round(F.pow(p_obs - p_ben, 2) / p_ben, 8).alias("chi2_term"),
+    )
