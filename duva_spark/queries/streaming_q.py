@@ -273,3 +273,49 @@ def q_stream_true_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
     )
+
+
+@register(
+    "q_stream_true_static_join",
+    oracle=f"""
+    SELECT {_EPOCH.format(x="time_bucket(INTERVAL '1 day', ts)")} AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    description=(
+        "TRUE stream-static enrichment under the value-hash gate: the "
+        "events stream joins the static customer dimension (the "
+        "canonical production shape — enrich a stream with a slowly-"
+        "changing reference table), then aggregates per day x segment. "
+        "The static side broadcasts per micro-batch — no stream-side "
+        "shuffle for the join, no join state at all (static side is "
+        "re-read, not buffered); watermark + AvailableNow run to "
+        "completion inside the query. A single in-order replay makes "
+        "the result equal the batch join oracle exactly."
+    ),
+)
+def q_stream_true_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from duva_spark.streaming.jobs import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.groupBy(F.window("ts", "1 day"), "segment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "q_true_static_join")

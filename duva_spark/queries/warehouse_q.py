@@ -527,3 +527,33 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         und.agg(F.count("*").alias("n_edges"))
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_mktsegment AS segment, c_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+    description=(
+        "k-anonymity audit over the quasi-identifier pair (segment, "
+        "nation): any equivalence class smaller than k=5 re-identifies "
+        "its members under linkage attacks — the pre-release check for "
+        "any dataset leaving the warehouse, beside the GDPR delete "
+        "(sinks.delete_where) and PII redaction (llm/redact.py). One "
+        "count shuffle to |segments x nations| keys; at 100 TB the "
+        "partial aggregation collapses the scan to a constant-size "
+        "frame before it ever crosses the wire."
+    ),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nation")
+    ).agg(
+        F.count("*").alias("n"),
+        F.when(F.count("*") < 5, 1).otherwise(0).cast("int").alias("at_risk"),
+    )
