@@ -912,6 +912,7 @@ _RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
 @register(
     "q_rrf_hybrid_search",
     oracle=None,  # set below — composed from the BM25 + cosine leg SQL
+    headline=True,
     description=(
         "Hybrid retrieval: reciprocal-rank fusion (1/(60+rank)) of the "
         "BM25 lexical top-20 and the cosine vector top-20 for one probe "
@@ -1022,6 +1023,7 @@ _PIPE_REG["q_rrf_hybrid_search"] = _dc.replace(
            4) AS char_entropy_nats
     FROM e
     """,
+    headline=True,
     description=(
         "Quality signal: Shannon entropy (nats) of the 5-way character-"
         "class distribution (lower/upper/digit/space/other) per document "
@@ -1079,6 +1081,7 @@ def q_char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, pair
     LIMIT 30
     """,
+    headline=True,
     description=(
         "Tokenizer training inner loop: corpus-wide adjacent character-"
         "pair frequencies within words — exactly the statistic one BPE "

@@ -3328,6 +3328,7 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM merged
     GROUP BY user_id
     """,
+    headline=True,
     description=(
         "Gaps-and-islands interval union: each event claims a 5-minute "
         "activity interval; overlapping intervals merge (start > running "
