@@ -1393,3 +1393,85 @@ def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_ben, 6).alias("p_benford"),
         F.round(F.pow(p_obs - p_ben, 2) / p_ben, 8).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: population stability index between corpus halves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+             CASE WHEN {_H100} < 50 THEN 1 ELSE 0 END AS in_a
+      FROM documents
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+      FROM b GROUP BY bucket
+    ),
+    t AS (
+      SELECT bucket, n_a, n_b,
+             SUM(n_a) OVER () AS tot_a,
+             SUM(n_b) OVER () AS tot_b,
+             COUNT(*) OVER () AS k
+      FROM c
+    )
+    SELECT bucket, n_a, n_b,
+           ROUND((CAST(n_a AS DOUBLE) + 1) / (tot_a + k), 6) AS p_a,
+           ROUND((CAST(n_b AS DOUBLE) + 1) / (tot_b + k), 6) AS p_b,
+           ROUND(((CAST(n_a AS DOUBLE) + 1) / (tot_a + k)
+                  - (CAST(n_b AS DOUBLE) + 1) / (tot_b + k))
+                 * ln(((CAST(n_a AS DOUBLE) + 1) / (tot_a + k))
+                      / ((CAST(n_b AS DOUBLE) + 1) / (tot_b + k))), 8) AS psi_term
+    FROM t
+    """,
+    description=(
+        "Distribution-drift detection: population stability index of "
+        "the document-length distribution between the two md5-hash "
+        "halves of the corpus (stand-in for yesterday-vs-today or "
+        "source-A-vs-B), Laplace-smoothed so empty buckets stay finite. "
+        "PSI > 0.2 is the standard retrain/investigate trigger. One "
+        "count shuffle to length-bucket keys; the share windows run on "
+        "the bucket-sized aggregate, never the corpus. Deterministic "
+        "split — identical across engines and cluster sizes."
+    ),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    b = docs.select(
+        (F.floor(F.col("n_chars") / 100)).cast("long").alias("bucket"),
+        F.when(h % 100 < 50, 1).otherwise(0).alias("in_a"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    w = W.partitionBy()
+    t = c.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("tot_a"),
+        F.sum("n_b").over(w).alias("tot_b"),
+        F.count("*").over(w).alias("k"),
+    )
+    p_a = (F.col("n_a").cast("double") + 1) / (F.col("tot_a") + F.col("k"))
+    p_b = (F.col("n_b").cast("double") + 1) / (F.col("tot_b") + F.col("k"))
+    return t.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round((p_a - p_b) * F.log(p_a / p_b), 8).alias("psi_term"),
+    )
