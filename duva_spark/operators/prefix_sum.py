@@ -33,23 +33,25 @@ from pyspark.sql import functions as F
 
 def running_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` = running sum of ``value_col`` in ``order_col``
-    order, equivalent to ``SUM(value) OVER (ORDER BY key ROWS UNBOUNDED
-    PRECEDING)`` but fully distributed.
+    order (a single column or a composite key list, e.g. a sort column
+    plus a tiebreaker), equivalent to ``SUM(value) OVER (ORDER BY keys
+    ROWS UNBOUNDED PRECEDING)`` but fully distributed.
 
     The ranged frame is persisted so the range-id column is consistent
     between the offsets pass and the window pass (the broadcast of the
     offsets frame materializes the cache; the main pass then reuses it).
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = (
-        df.repartitionByRange(n, F.col(order_col))
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
@@ -60,7 +62,11 @@ def running_sum(
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_pt_b"), F.lit(0)).alias("_offset"))
     )
-    w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
         ranged.withColumn("_local", F.sum(value_col).over(w))
         .join(F.broadcast(offsets), "_pid")

@@ -3369,3 +3369,72 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_islands"),
         F.sum(F.col("island_e") - F.col("island_s")).cast("long").alias("covered_us"),
     )
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                  AS BIGINT) AS rev_e4
+      FROM lineitem
+      GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev_e4,
+             SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_e4,
+             SUM(rev_e4) OVER () AS tot_e4
+      FROM rev
+    ),
+    cls AS (
+      SELECT CASE WHEN CAST(cum_e4 AS DOUBLE) / tot_e4 <= 0.7 THEN 'A'
+                  WHEN CAST(cum_e4 AS DOUBLE) / tot_e4 <= 0.9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_e4
+      FROM c
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev_e4) AS DOUBLE) / 10000.0, 2) AS revenue
+    FROM cls
+    GROUP BY abc_class
+    """,
+    description=(
+        "Pareto / ABC inventory classification: parts ranked by revenue "
+        "contribution, cumulative share cut at 70/90%. The cumulative "
+        "sum over the ranked part frame uses the DISTRIBUTED two-pass "
+        "prefix sum (operators/prefix_sum.py) with a composite "
+        "(-revenue, partkey) order key — the part dimension scales with "
+        "the corpus, so the usual global-window formulation would "
+        "funnel it through one task. Revenue accumulates in exact "
+        "scaled-integer units (order-independent), the classification "
+        "boundary divides once at the end."
+    ),
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.prefix_sum import running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("rev_e4")
+    )
+    ranked = rev.withColumn("neg_rev", -F.col("rev_e4"))
+    cum = running_sum(ranked, ["neg_rev", "l_partkey"], "rev_e4", out_col="cum_e4")
+    tot = rev.agg(F.sum("rev_e4").cast("long").alias("tot_e4"))
+    share = F.col("cum_e4").cast("double") / F.col("tot_e4")
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("abc_class"),
+        "rev_e4",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("rev_e4").cast("double") / 10000.0, 2).alias("revenue"),
+    )
