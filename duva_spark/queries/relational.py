@@ -3438,3 +3438,153 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.round(F.sum("rev_e4").cast("double") / 10000.0, 2).alias("revenue"),
     )
+
+
+@register(
+    "q_lag_features",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           LAG(n, 1) OVER w AS lag1,
+           LAG(n, 7) OVER w AS lag7,
+           ROUND(AVG(CAST(n AS DOUBLE)) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+           ROUND(stddev_samp(CAST(n AS DOUBLE)) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sd7
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    description=(
+        "Time-series feature frame: per (type, day) counts decorated "
+        "with lag-1/lag-7 and 7-day rolling mean/std — the standard "
+        "forecasting feature set, built in one pass. All four window "
+        "features share ONE hash partitioning on event_type over the "
+        "day-granular aggregate (365 rows per key per year regardless "
+        "of corpus size — the aggregate-then-window order is what makes "
+        "this 100 TB-safe)."
+    ),
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        F.lag("n", 1).over(w).alias("lag1"),
+        F.lag("n", 7).over(w).alias("lag7"),
+        F.round(F.avg(F.col("n").cast("double")).over(w7), 4).alias("ma7"),
+        F.round(F.stddev_samp(F.col("n").cast("double")).over(w7), 4).alias("sd7"),
+    )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, n,
+             SUM(n) OVER (PARTITION BY lang) AS n_lang,
+             SUM(n) OVER (PARTITION BY source) AS n_source,
+             SUM(n) OVER () AS total
+      FROM c
+    )
+    SELECT lang, source, n,
+           ROUND(CAST(n_lang AS DOUBLE) * n_source / total, 4) AS expected,
+           ROUND(POWER(n - CAST(n_lang AS DOUBLE) * n_source / total, 2)
+                 / (CAST(n_lang AS DOUBLE) * n_source / total), 6) AS chi2_term
+    FROM m
+    """,
+    description=(
+        "Chi-square independence screen for the (lang, source) "
+        "contingency table: observed vs margin-product expected counts "
+        "with per-cell chi-square contributions — the 'is my language "
+        "mix uniform across sources' check run before setting mixture "
+        "weights. One count shuffle to |langs x sources| cells; every "
+        "margin window runs on that tiny contingency frame."
+    ),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    m = c.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(W.partitionBy("lang")).alias("n_lang"),
+        F.sum("n").over(W.partitionBy("source")).alias("n_source"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+    )
+    exp = F.col("n_lang").cast("double") * F.col("n_source") / F.col("total")
+    return m.select(
+        "lang",
+        "source",
+        "n",
+        F.round(exp, 4).alias("expected"),
+        F.round(F.pow(F.col("n") - exp, 2) / exp, 6).alias("chi2_term"),
+    )
+
+
+@register(
+    "q_autocorrelation",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, CAST(n AS DOUBLE) AS n,
+             CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS prev
+      FROM d
+    )
+    SELECT event_type,
+           ROUND(corr(n, prev), 6) AS acf1,
+           CAST(COUNT(prev) AS BIGINT) AS n_pairs
+    FROM p
+    GROUP BY event_type
+    """,
+    description=(
+        "Lag-1 autocorrelation of the daily series per event type — the "
+        "seasonality/momentum diagnostic deciding whether yesterday "
+        "predicts today. LAG and the correlation aggregate share the "
+        "event_type partitioning over the day-granular frame; corr's "
+        "co-moment accumulates distributively, so the shape is "
+        "corpus-size-independent."
+    ),
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    p = d.select(
+        "event_type",
+        F.col("n").cast("double").alias("n"),
+        F.lag("n").over(w).cast("double").alias("prev"),
+    )
+    return p.groupBy("event_type").agg(
+        F.round(F.corr("n", "prev"), 6).alias("acf1"),
+        F.count("prev").alias("n_pairs"),
+    )
