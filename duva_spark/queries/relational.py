@@ -3588,3 +3588,89 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("n", "prev"), 6).alias("acf1"),
         F.count("prev").alias("n_pairs"),
     )
+
+
+@register(
+    "q_ab_effect_size",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value) AS mean,
+             stddev_samp(value) AS sd
+      FROM g GROUP BY event_type, arm
+    ),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.sd AS sd_a, b.sd AS sd_b
+      FROM s a JOIN s b ON a.event_type = b.event_type
+      WHERE a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(mean_a, 6) AS mean_a,
+           ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_a - mean_b)
+                 / sqrt((sd_a * sd_a + sd_b * sd_b) / 2), 6) AS cohens_d,
+           ROUND((mean_a - mean_b)
+                 / sqrt(sd_a * sd_a / n_a + sd_b * sd_b / n_b), 6) AS welch_t
+    FROM w
+    """,
+    description=(
+        "A/B comparison per event type: the user-id parity split plays "
+        "treatment/control, reporting Cohen's d effect size and the "
+        "Welch t statistic — the experimentation-platform readout. Both "
+        "arms aggregate in ONE pass (count/mean/std are distributive "
+        "co-moments); the arm-vs-arm join runs on the |event_types|-row "
+        "stats frame, so corpus size only ever touches the first "
+        "aggregation."
+    ),
+)
+def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "value",
+    )
+    s = g.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("sd").alias("sd_a"),
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("sd").alias("sd_b"),
+    )
+    j = a.join(b, "event_type")
+    d = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        (F.col("sd_a") * F.col("sd_a") + F.col("sd_b") * F.col("sd_b")) / 2
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("sd_a") * F.col("sd_a") / F.col("n_a")
+        + F.col("sd_b") * F.col("sd_b") / F.col("n_b")
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(t, 6).alias("welch_t"),
+    )
