@@ -1706,3 +1706,120 @@ def q_cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.groupBy("source_a", "source_b").agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id <= 300),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform({_SHINGLES}, s -> {_H60})) AS sh
+          FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 LEAST(len(a.sh), len(b.sh)), 6) AS containment,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                LEAST(len(a.sh), len(b.sh)), 6) >= 0.6
+    """,
+    description=(
+        "Asymmetric containment pairs (Broder): |A∩B| / min(|A|,|B|) "
+        "over hashed 3-gram shingle sets — catches a short doc quoted "
+        "whole inside a long one, which symmetric Jaccard dilutes below "
+        "any usable threshold (both metrics reported to show the gap). "
+        "Same 60-bit shingle primitives as the Jaccard operator, run "
+        "unblocked here because contained copies CROSS source "
+        "boundaries in this corpus (see q_cross_source_dup_leakage); "
+        "the id-bounded demo keeps the pairwise join small, and the "
+        "production path is MinHash-LSH banding (a contained pair "
+        "collides in bands like any near-dup) with this exact metric "
+        "as the verify step."
+    ),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    words = F.split(F.col("text"), " ")
+    s = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(minhash.word_shingles(words, 3), minhash.md5_hash60)
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = F.round(inter / F.least(F.size("sh_a"), F.size("sh_b")), 6)
+    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
+    return (
+        j.select("id_a", "id_b", cont.alias("containment"), jac.alias("jaccard"))
+        .filter(F.col("containment") >= 0.6)
+    )
+
+
+@register(
+    "q_passage_boilerplate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE length(text) > 0
+    ),
+    ch AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+                    i -> array_to_string(ws[i*10+1 : i*10+10], ' '))) AS passage
+      FROM w
+    ),
+    df AS (SELECT passage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ch GROUP BY passage)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           ROUND(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS boiler_share
+    FROM ch JOIN df USING (passage)
+    GROUP BY doc_id
+    """,
+    description=(
+        "Passage-level boilerplate measurement (the CCNet paragraph-"
+        "dedup tier, passage = non-overlapping 10-word window): a "
+        "passage appearing in more than one document is boilerplate; "
+        "each doc reports its boilerplate share — the removal pass "
+        "drops flagged passages instead of whole docs. One explode "
+        "linear in corpus words, one count shuffle on the passage key "
+        "(at 100 TB the key would be the 60-bit passage hash, same "
+        "plan), one join back. The passage-granular sibling of exact "
+        "doc dedup and repeated-ngram mining."
+    ),
+)
+def q_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1),"
+                    " i -> array_join(slice(split(text, ' '), i*10+1, 10), ' '))"
+                )
+            ).alias("passage"),
+        )
+        .distinct()
+    )
+    dfreq = ch.groupBy("passage").agg(F.count("*").alias("n_docs"))
+    return (
+        ch.join(dfreq, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("boiler_share"),
+        )
+    )
