@@ -557,3 +557,106 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.when(F.count("*") < 5, 1).otherwise(0).cast("int").alias("at_risk"),
     )
+
+
+@register(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE
+    names AS (
+      SELECT split_part(p_name, ' ', 1) AS adj, split_part(p_name, ' ', 2) AS noun
+      FROM part GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT a.noun || '|' || a.adj AS id_a, b.noun || '|' || b.adj AS id_b
+      FROM names a JOIN names b ON a.noun = b.noun AND a.adj < b.adj
+      WHERE levenshtein(a.adj, b.adj) <= 2
+    ),
+    und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+    nodes AS (SELECT DISTINCT a AS id FROM und),
+    r AS (
+      SELECT id, id AS reach FROM nodes
+      UNION
+      SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+    ),
+    cc AS (SELECT id, MIN(reach) AS canonical FROM r GROUP BY id)
+    SELECT id AS entity, canonical,
+           COUNT(*) OVER (PARTITION BY canonical) AS n_members
+    FROM cc
+    """,
+    description=(
+        "Entity resolution end-to-end: fuzzy name matching (distinct-"
+        "names-first, blocked Levenshtein <= 2) feeds the SAME "
+        "connected-components engine as fuzzy dedup, producing one "
+        "canonical id per transitively-linked name cluster — the "
+        "master-data dedup a warehouse runs on customer/vendor names. "
+        "The pair graph lives on the distinct-names frame (tiny vs the "
+        "corpus), so component rounds iterate over entity cardinality, "
+        "never row count."
+    ),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from duva_spark.llm.components import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        F.split("p_name", " ").getItem(0).alias("adj"),
+        F.split("p_name", " ").getItem(1).alias("noun"),
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    a = names.alias("a")
+    b = F.broadcast(names.alias("b"))
+    node = lambda side: F.concat_ws("|", F.col(f"{side}.noun"), F.col(f"{side}.adj"))  # noqa: E731
+    pairs = (
+        a.join(b, (F.col("a.noun") == F.col("b.noun")) & (F.col("a.adj") < F.col("b.adj")))
+        .filter(F.levenshtein(F.col("a.adj"), F.col("b.adj")) <= 2)
+        .select(node("a").alias("id_a"), node("b").alias("id_b"))
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("entity"),
+        F.col("comp").alias("canonical"),
+        F.count("*").over(W.partitionBy("comp")).alias("n_members"),
+    )
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+    description=(
+        "CSV sink/source roundtrip (the reference's own interchange "
+        "format, SURVEY S4-S6): the lineitem projection writes out as "
+        "headered CSV and reads back under an EXPLICIT schema — never "
+        "inference in production paths (inference is a second full "
+        "scan and a schema-stability hazard) — then aggregates value-"
+        "hash-equal to the same aggregation over the original parquet. "
+        "Quantities sum as scaled integers, same exactness policy as "
+        "every currency aggregate."
+    ),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from urllib.parse import urlparse
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    path = f"{warehouse.rstrip('/')}/csv_lineitem"
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema("l_returnflag string, l_quantity double").option(
+        "header", "true"
+    ).csv(path)
+    return (
+        back.filter(F.col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_quantity") * 100).cast("long")).cast("long").alias("qty_cents"),
+        )
+    )
