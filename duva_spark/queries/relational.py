@@ -3674,3 +3674,99 @@ def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("cohens_d"),
         F.round(t, 6).alias("welch_t"),
     )
+
+
+@register(
+    "q_rate_limit_breaches",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS peak_hourly,
+           CAST(SUM(CASE WHEN n > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_hours
+    FROM hourly
+    GROUP BY user_id
+    HAVING MAX(n) > 10
+    """,
+    description=(
+        "Rate-limit / abuse census: per-user hourly event counts, "
+        "reporting peak rate and how many hours exceeded the 10/hour "
+        "quota. Two aggregations, both keyed by user_id — Catalyst "
+        "collapses them onto one exchange; the hourly frame is "
+        "users x active-hours regardless of corpus size. The batch "
+        "audit twin of a streaming quota enforcer (tumbling window + "
+        "filter on the same keys)."
+    ),
+)
+def q_rate_limit_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        hourly.groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("peak_hourly"),
+            F.sum(F.when(F.col("n") > 10, 1).otherwise(0)).cast("long").alias("n_breach_hours"),
+        )
+        .filter(F.col("peak_hourly") > 10)
+    )
+
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    ),
+    lat AS (
+      SELECT epoch_us(first_purchase) - epoch_us(first_view) AS lat_us
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_cont(lat_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_cont(lat_us, 0.9) AS BIGINT) AS p90_us
+    FROM lat
+    """,
+    description=(
+        "Time-to-convert: per-user first view -> first purchase latency "
+        "in exact integer microseconds, summarized as p50/p90 across "
+        "converting users. The firsts come from ONE conditional-MIN "
+        "pass keyed by user (no join between event types, no window "
+        "over raw events); the percentile input is one row per "
+        "converted user. Quantile interpolation lands on integers here "
+        "(count parity), so the BIGINT cast is exact on both engines."
+    ),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("lat_us")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.percentile("lat_us", 0.5).cast("long").alias("p50_us"),
+        F.percentile("lat_us", 0.9).cast("long").alias("p90_us"),
+    )
