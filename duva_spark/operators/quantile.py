@@ -1,0 +1,114 @@
+"""Distributed exact continuous quantiles (no single-reducer buffering.
+
+``F.percentile(col, q)`` over a single global group is exact but buffers
+every value of the group on ONE reducer — at 100 TB (billions of rows in
+the group) that is an OOM, the textbook failure mode VERDICT r2 flagged
+for q_conversion_latency / q_key_skew_profile. ``percentile_approx`` is
+the constant-memory sketch answer but its output is engine-specific, so
+it cannot be value-hash-checked against a DuckDB ``quantile_cont``
+oracle.
+
+This operator computes the *exact* ``quantile_cont`` result with every
+stage parallel and bounded:
+
+1. per-value counts — ``groupBy(value)`` reduces N rows to |distinct|
+   rows with map-side partial aggregation (one shuffle);
+2. running count in value order via :func:`operators.prefix_sum.
+   running_sum` — range partition + per-range window + O(#partitions)
+   offsets frame, no ``Exchange SinglePartition`` anywhere;
+3. the target ranks ``k = floor/ceil((n-1)*q)+1`` come from a 1-row
+   total crossed with a |qs|-row literal frame; a broadcast
+   range-predicate join pulls exactly the ≤2 boundary rows per q out of
+   the cumulative frame (BroadcastNestedLoopJoin with the tiny side
+   broadcast — each data row is checked against |qs| rows, never
+   row×row);
+4. linear interpolation ``v_lo + frac*(v_hi - v_lo)`` — identical to
+   both Spark ``percentile`` and DuckDB ``quantile_cont`` semantics
+   (position ``(n-1)*q``).
+
+No counterpart in the reference (duva has no aggregate functions at all
+— SURVEY §2a-iii); this is scale infrastructure for the relational
+inventory's percentile family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duva_spark.operators.prefix_sum import running_sum
+
+
+def quantile_cont(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles of ``value_col`` for each q in ``qs``.
+
+    Returns a DataFrame with columns ``q`` (double) and ``quantile``
+    (double) — one row per requested quantile, equal to DuckDB
+    ``quantile_cont(value_col, q)`` / Spark ``percentile(value_col, q)``
+    but with no stage that buffers O(N) values in one task.
+    """
+    spark = df.sparkSession
+    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").alias("_cnt")
+    )
+    cum = running_sum(counts, "_v", "_cnt", out_col="_cum", num_partitions=num_partitions)
+    total = cum.agg(F.max("_cum").alias("_n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = (
+        total.crossJoin(qdf)
+        .select("q", (F.col("q") * (F.col("_n") - 1)).alias("_pos"))
+        .select(
+            "q",
+            (F.floor("_pos") + 1).alias("_klo"),
+            (F.ceil("_pos") + 1).alias("_khi"),
+            (F.col("_pos") - F.floor("_pos")).alias("_frac"),
+        )
+    )
+    # value holding rank k is the row whose cumulative range (cum-cnt, cum]
+    # contains k; lo and hi ranks are pulled with two broadcast joins.
+    lo = cum.join(
+        F.broadcast(targets),
+        (F.col("_cum") - F.col("_cnt") < F.col("_klo"))
+        & (F.col("_klo") <= F.col("_cum")),
+    ).select("q", F.col("_v").alias("_vlo"), "_frac")
+    hi = cum.join(
+        F.broadcast(targets.select(F.col("q").alias("_q2"), "_khi")),
+        (F.col("_cum") - F.col("_cnt") < F.col("_khi"))
+        & (F.col("_khi") <= F.col("_cum")),
+    ).select("_q2", F.col("_v").alias("_vhi"))
+    return lo.join(hi, lo["q"] == hi["_q2"]).select(
+        "q",
+        (
+            F.col("_vlo").cast("double")
+            + F.col("_frac") * (F.col("_vhi").cast("double") - F.col("_vlo").cast("double"))
+        ).alias("quantile"),
+    )
+
+
+def quantile_cont_row(
+    df: DataFrame,
+    value_col: str,
+    qs: dict[str, float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One-row frame with a named double column per requested quantile.
+
+    ``qs`` maps output column name -> q, e.g. ``{"p50": 0.5, "p90":
+    0.9}``. Convenience pivot over :func:`quantile_cont` for summary
+    queries (the pivot input is |qs| rows, so the conditional-max agg is
+    trivially cheap).
+    """
+    long = quantile_cont(df, value_col, list(qs.values()), num_partitions)
+    return long.agg(
+        *[
+            F.max(F.when(F.col("q") == float(q), F.col("quantile"))).alias(name)
+            for name, q in qs.items()
+        ]
+    )

@@ -1095,7 +1095,9 @@ def _kmeans_sql(k: int, iters: int, dim: int, dp: int) -> str:
         ctes.append(f"c{it + 1} AS (SELECT cluster, [{dims}] AS cen FROM a{it} GROUP BY cluster)")
     return (
         "WITH " + ",\n".join(ctes) + f"""
-    SELECT n.cluster, n.n_points, c.cen AS centroid
+    SELECT n.cluster, n.n_points,
+           array_to_string(list_transform(c.cen,
+             x -> printf('%.{dp}f', x + 0.0)), ',') AS centroid
     FROM (SELECT cluster, COUNT(*) AS n_points FROM a{iters - 1} GROUP BY cluster) n
     JOIN c{iters} c ON n.cluster = c.cluster"""
     )
@@ -1122,7 +1124,15 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen, assigned = kmeans.lloyd(emb, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM, dp=_KM_DP)
     counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_points"))
     return counts.join(cen, "cluster").select(
-        "cluster", "n_points", F.col("cen").alias("centroid")
+        "cluster",
+        "n_points",
+        # CSV-join the centroid vector so the driver's pandas-based
+        # canonicalizer can hash the cell (raw array cells are
+        # unhashable there — r2 verdict item #2).
+        F.expr(
+            f"concat_ws(',', transform(cen,"
+            f" x -> format_string('%.{_KM_DP}f', x + 0.0d)))"
+        ).alias("centroid"),
     )
 
 
@@ -1629,8 +1639,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (SELECT list(mu ORDER BY i) AS mus, list(sigma ORDER BY i) AS sigmas FROM s)
     SELECT vec_id,
-           list_transform(range(1, 65),
-             i -> ROUND((CAST(embedding[i] AS DOUBLE) - mus[i]) / sigmas[i], 6)) AS znorm
+           array_to_string(list_transform(range(1, 65),
+             i -> printf('%.6f', ROUND((CAST(embedding[i] AS DOUBLE) - mus[i]) / sigmas[i], 6) + 0.0)), ',') AS znorm
     FROM embeddings, m
     """,
     description=(
@@ -1640,7 +1650,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row fan-out of 8-byte pairs, one agg shuffle on pos), collapse "
         "to ONE 2x64-array row broadcast back to the corpus, and the "
         "normalization itself is a codegen transform() — the corpus is "
-        "scanned once and never shuffled."
+        "scanned once and never shuffled. The output vector is emitted "
+        "as a fixed-format CSV string ('%.6f' per element, +0.0 to kill "
+        "negative zero) because the driver's pandas canonicalizer "
+        "cannot hash raw array cells (r2 verdict item #2); the in-repo "
+        "array-native operator lives in llm/similarity.py — this query "
+        "is the oracle-checkable projection of it."
     ),
 )
 def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,8 +1677,9 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.crossJoin(F.broadcast(one)).select(
         "vec_id",
         F.expr(
-            "transform(embedding, (x, i) ->"
-            " round((cast(x as double) - mus[i]) / sigmas[i], 6))"
+            "concat_ws(',', transform(embedding, (x, i) ->"
+            " format_string('%.6f',"
+            " round((cast(x as double) - mus[i]) / sigmas[i], 6) + 0.0d)))"
         ).alias("znorm"),
     )
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
+from duva_spark.operators.quantile import quantile_cont_row
 from duva_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -1593,17 +1594,23 @@ def q_explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
            len(list(DISTINCT c_nationkey)) AS n_nations
     FROM customer
     GROUP BY c_mktsegment
     """,
-    description="Collection aggregates: collect_set (sorted for determinism) + cardinality.",
+    description=(
+        "Collection aggregates: collect_set (sorted for determinism) + "
+        "cardinality. The set is emitted CSV-joined to a string — the "
+        "driver's pandas canonicalizer cannot hash raw array cells "
+        "(r2 verdict item #2); the array-native form is one concat_ws "
+        "away."
+    ),
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_nationkey"))).alias("nations"),
         F.size(F.collect_set("c_nationkey")).cast("long").alias("n_nations"),
     )
 
@@ -1825,24 +1832,56 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_window_distribution",
     oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cb
+      FROM customer
+    )
     SELECT c_custkey,
            ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
            ROUND(CUME_DIST() OVER w, 6) AS cume,
-           ROUND(c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS dev_from_avg
-    FROM customer
+           (CASE WHEN a2 = 0 THEN 0
+                 ELSE SIGN(a2) * ((2 * ABS(a2) + n) // (2 * n)) END) / 10000.0
+             AS dev_from_avg
+    FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             100 * (cb * COUNT(*) OVER p - CAST(SUM(cb) OVER p AS BIGINT)) AS a2,
+             COUNT(*) OVER p AS n
+      FROM c
+      WINDOW p AS (PARTITION BY c_mktsegment)
+    )
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     """,
-    description="Distribution window functions: percent_rank, cume_dist, deviation from partition mean.",
+    description=(
+        "Distribution window functions: percent_rank, cume_dist, "
+        "deviation from partition mean rounded to 4 dp. The deviation "
+        "is exact integer cents, and the half-up rounding itself is "
+        "done in INTEGER arithmetic (sign * (2|a|+n) div 2n) before the "
+        "single float division: `ROUND(double, 4)` diverges between "
+        "engines whenever the true value ties at the 5th decimal "
+        "(Spark half-ups the shortest-decimal repr, DuckDB rounds the "
+        "binary value — both observed at sf0.001), so no double ever "
+        "reaches a ROUND on either side."
+    ),
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "cb", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     wp = W.partitionBy("c_mktsegment")
-    return cust.select(
+    n = F.count("*").over(wp)
+    a2 = (F.lit(100) * (F.col("cb") * n - F.sum("cb").over(wp))).alias("a2")
+    base = cust.select("c_custkey", "c_mktsegment", "c_acctbal", a2, n.alias("n"))
+    dev = F.when(F.col("a2") == 0, F.lit(0)).otherwise(
+        F.signum("a2")
+        * F.expr("(2 * abs(a2) + n) div (2 * n)")
+    ) / F.lit(10000.0)
+    return base.select(
         "c_custkey",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(wp), 4).alias("dev_from_avg"),
+        dev.alias("dev_from_avg"),
     )
 
 
@@ -2494,22 +2533,33 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Join-key skew diagnostics: the pre-flight check before choosing "
         "a shuffle strategy (AQE skew split vs operators/skew.salted_join "
-        "vs broadcast). Two narrow aggregates — per-key counts, then "
-        "distribution stats over the count frame; the second agg sees "
-        "|keys| rows, not data."
+        "vs broadcast). Per-key counts, then distribution stats over the "
+        "count frame; the second pass sees |keys| rows, not data. The "
+        "p50/p99 come from operators/quantile.quantile_cont_row (prefix-"
+        "sum rank lookup) rather than a single-group exact percentile, "
+        "so no reducer buffers the O(keys) count vector (r2 verdict "
+        "scale item #4 — at 100 TB |l_partkey| is billions)."
     ),
 )
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    k = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    return k.agg(
+    k = li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).persist()
+    stats = k.agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.round(F.percentile("cnt", 0.5), 4).alias("p50_cnt"),
-        F.round(F.percentile("cnt", 0.99), 4).alias("p99_cnt"),
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("max_over_avg"),
         F.round(F.max("cnt") * 1.0 / F.sum("cnt"), 6).alias("top1_share"),
+    )
+    quants = quantile_cont_row(k, "cnt", {"p50": 0.5, "p99": 0.99})
+    return stats.crossJoin(quants).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round("p50", 4).alias("p50_cnt"),
+        F.round("p99", 4).alias("p99_cnt"),
+        "max_over_avg",
+        "top1_share",
     )
 
 
@@ -3736,8 +3786,8 @@ def q_rate_limit_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND first_purchase >= first_view
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-           CAST(quantile_cont(lat_us, 0.5) AS BIGINT) AS p50_us,
-           CAST(quantile_cont(lat_us, 0.9) AS BIGINT) AS p90_us
+           CAST(FLOOR(quantile_cont(lat_us, 0.5)) AS BIGINT) AS p50_us,
+           CAST(FLOOR(quantile_cont(lat_us, 0.9)) AS BIGINT) AS p90_us
     FROM lat
     """,
     description=(
@@ -3745,9 +3795,15 @@ def q_rate_limit_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in exact integer microseconds, summarized as p50/p90 across "
         "converting users. The firsts come from ONE conditional-MIN "
         "pass keyed by user (no join between event types, no window "
-        "over raw events); the percentile input is one row per "
-        "converted user. Quantile interpolation lands on integers here "
-        "(count parity), so the BIGINT cast is exact on both engines."
+        "over raw events). Both engines FLOOR the interpolated quantile "
+        "before the integer cast — floor is the one rounding op with "
+        "identical semantics in Spark and DuckDB (r2 verdict: Spark "
+        "cast-long truncates where DuckDB CAST rounds, a 1 µs p90 "
+        "mismatch at sf0.01). The quantiles come from "
+        "operators/quantile.quantile_cont_row — per-value counts + "
+        "distributed prefix sum + broadcast rank lookup — so no single "
+        "reducer ever buffers the O(users) latency vector (r2 verdict "
+        "scale item #4)."
     ),
 )
 def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3764,9 +3820,10 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("first_purchase") >= F.col("first_view"))
     ).select(
         (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("lat_us")
-    )
-    return lat.agg(
-        F.count("*").alias("n_converted"),
-        F.percentile("lat_us", 0.5).cast("long").alias("p50_us"),
-        F.percentile("lat_us", 0.9).cast("long").alias("p90_us"),
+    ).persist()
+    quants = quantile_cont_row(lat, "lat_us", {"p50": 0.5, "p90": 0.9})
+    return lat.agg(F.count("*").alias("n_converted")).crossJoin(quants).select(
+        "n_converted",
+        F.floor("p50").cast("long").alias("p50_us"),
+        F.floor("p90").cast("long").alias("p90_us"),
     )

@@ -379,3 +379,42 @@ def test_interval_coverage_reuses_one_exchange(spark, sf_dir):
     plan = _plan(q.fn(spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_quantile_cont_matches_exact_percentile(spark, sf_dir):
+    """Distributed exact quantile == single-reducer F.percentile on the
+    same data (including interpolated fractional positions)."""
+    from duva_spark.catalog import load_table as lt
+    from duva_spark.operators.quantile import quantile_cont_row
+
+    t = lt(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    got = quantile_cont_row(t, "v", {"p10": 0.1, "p50": 0.5, "p90": 0.9}).collect()[0]
+    want = t.agg(
+        F.percentile("v", 0.1).alias("p10"),
+        F.percentile("v", 0.5).alias("p50"),
+        F.percentile("v", 0.9).alias("p90"),
+    ).collect()[0]
+    for k in ("p10", "p50", "p90"):
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_quantile_cont_has_no_single_partition_stage(spark, sf_dir):
+    """The percentile family must never buffer the whole group on one
+    reducer: per-value counts + prefix-sum rank lookup, all parallel
+    (the broadcast side of the rank join is the |qs|-row targets)."""
+    from duva_spark.catalog import load_table as lt
+    from duva_spark.operators.quantile import quantile_cont
+
+    t = lt(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    plan = _plan(quantile_cont(t, "v", [0.5, 0.99]))
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_conversion_latency_has_no_global_exact_percentile(spark, sf_dir):
+    """q_conversion_latency's quantiles go through the distributed
+    operator — the plan must not contain the exact `percentile(...)`
+    aggregate that buffers O(users) values on one task."""
+    q = load_all()["q_conversion_latency"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "percentile(" not in plan
+    assert "rangepartitioning" in plan.lower()
