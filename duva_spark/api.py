@@ -7,10 +7,32 @@ Endpoints (JSON in/out, mirroring the reference's routes):
   encrypted forms, optionally triggers an immediate sync) — EP1,
   file.py:223-285;
 - ``GET    /api/v1/files/``        list datasets — file.py:42-88;
-- ``GET    /api/v1/files/{id}``    dataset metadata + status — file.py:91-114;
+- ``GET    /api/v1/files/{id}``    dataset metadata + status; with
+  ``?file_format=hyper`` answers 307 to the presigned download URL —
+  file.py:91-114;
+- ``PATCH  /api/v1/files/{id}``    re-point the dataset at another
+  Tableau configuration (400 when the configuration id is unknown) —
+  file.py:117-143;
 - ``POST   /api/v1/files/{id}/sync`` forced refresh; 202 when already
   queued/syncing — file.py:163-201;
 - ``DELETE /api/v1/files/{id}``    remove the dataset — file.py:146-160.
+
+Registration surface the reference requires before any file exists
+(app/api/v1/api.py:6-10):
+
+- ``POST/GET /api/v1/servers/`` + ``GET /api/v1/servers/{id}`` — OnaData
+  server registrations users authorize against; URL validated/normalized
+  and deduplicated; ``client_secret`` Fernet-encrypted at rest; the
+  response exposes only ``{id, url}`` (endpoints/server.py:15-61,
+  app/models/server.py);
+- ``POST/GET/PATCH/DELETE /api/v1/configurations/`` — Tableau publish
+  configurations with the six export-settings defaults of
+  app/models/configuration.py:25-38; ``token_value`` Fernet-encrypted
+  and never echoed (schemas ConfigurationResponse); uniqueness on
+  (server_address, token_name) mirrors the ``_server_token_name_uc``
+  constraint; an injectable validator stands in for
+  TableauClient.validate_configuration (app/libs/tableau/client.py:21-38,
+  endpoints/configuration.py).
 
 The OAuth2 code flow (``GET /oauth/login`` → 302 authorize redirect,
 ``GET /oauth/callback`` → token; app/api/v1/endpoints/oauth.py) is
@@ -30,12 +52,32 @@ from __future__ import annotations
 import json
 import re
 import threading
+from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
+from duva_spark.egress import presigned_url_expiry
 from duva_spark.oauth import OAuthFlow
 from duva_spark.orchestration import FileStatus, LockHeld, MetadataStore, SyncJob
-from duva_spark.security import EncryptedFormError, reject_encrypted_form
+from duva_spark.security import EncryptedFormError, fernet_encrypt, reject_encrypted_form
+
+# Reference app/models/configuration.py:25-38 — the server_default JSON.
+EXPORT_SETTINGS_DEFAULTS = {
+    "include_labels": True,
+    "remove_group_name": True,
+    "do_not_split_select_multiple": False,
+    "include_reviews": False,
+    "include_labels_only": True,
+    "value_select_multiples": True,
+}
+
+_CONFIG_FIELDS = (
+    "server_address",
+    "site_name",
+    "token_name",
+    "token_value",
+    "project_name",
+)
 
 
 class ControlPlane:
@@ -48,12 +90,38 @@ class ControlPlane:
         sync_job: SyncJob,
         out_root: str,
         oauth: OAuthFlow | None = None,
+        secret_key: str = "duva-spark-control-plane",
+        validate_config: Callable[[dict], bool] | None = None,
+        presign: Callable[[str], tuple[str, float]] | None = None,
     ):
         self.store = store
         self.sync_job = sync_job
         self.out_root = out_root
         self.oauth = oauth
+        self.secret_key = secret_key
+        # Stand-in for TableauClient.validate_configuration (reference
+        # app/libs/tableau/client.py:21-38 — a live sign-in/sign-out);
+        # None = accept (no Tableau server in this environment).
+        self.validate_config = validate_config
+        # Stand-in for the S3 presigned download link (reference
+        # app/crud/crud_hyperfile.py get_download_links); swap in
+        # egress.S3ArtifactClient.presigned_download_url when S3 exists.
+        self.presign = presign or self._default_presign
         self._forms: dict[str, dict] = {}
+        self._servers: dict[int, dict] = {}
+        self._configs: dict[int, dict] = {}
+        self._file_configs: dict[str, int] = {}
+        self._next_id = {"server": 1, "config": 1}
+
+    def _take_id(self, kind: str) -> int:
+        n = self._next_id[kind]
+        self._next_id[kind] = n + 1
+        return n
+
+    def _default_presign(self, dataset_id: str) -> tuple[str, float]:
+        expires = presigned_url_expiry()
+        url = f"file://{self.out_root}/{dataset_id}.hyper?Expires={int(expires)}"
+        return url, expires
 
     # ---- handlers: (status_code, body) --------------------------------
     def create_file(self, body: dict) -> tuple[int, dict]:
@@ -100,6 +168,142 @@ class ControlPlane:
         if not self.store.delete(dataset_id):
             return 404, {"detail": "File not found"}
         self._forms.pop(dataset_id, None)
+        self._file_configs.pop(dataset_id, None)
+        return 204, None
+
+    def patch_file(self, dataset_id: str, body: dict) -> tuple[int, dict]:
+        """Re-point a dataset at another Tableau configuration
+        (reference file.py:117-143: unknown configuration id → 400
+        BEFORE the file-existence check, then 404 on unknown file)."""
+        cid = body.get("configuration_id")
+        if cid is not None and int(cid) not in self._configs:
+            return 400, {"detail": "Configuration not found with given ID"}
+        if not self.store.exists(dataset_id):
+            return 404, {"detail": "File not found"}
+        if cid is not None:
+            self._file_configs[dataset_id] = int(cid)
+        return 200, self._view(dataset_id)
+
+    def download_redirect(self, dataset_id: str) -> tuple[int, dict | None, dict]:
+        """``?file_format=hyper`` → 307 to the presigned artifact URL
+        (reference file.py:108-110 RedirectResponse, temporary)."""
+        if not self.store.exists(dataset_id):
+            return 404, {"detail": "File not found"}, {}
+        url, _ = self.presign(dataset_id)
+        return 307, None, {"Location": url}
+
+    # ---- servers (reference endpoints/server.py) ----------------------
+    def create_server(self, body: dict) -> tuple[int, dict]:
+        url = body.get("url", "")
+        parts = urlsplit(url)
+        if not parts.scheme or not parts.netloc:
+            return 400, {"detail": f"Invalid url {url}"}
+        norm = f"{parts.scheme}://{parts.netloc}{parts.path}"
+        if any(s["url"] == norm for s in self._servers.values()):
+            return 400, {"detail": f"Server {norm} already configured."}
+        sid = self._take_id("server")
+        self._servers[sid] = {
+            "id": sid,
+            "url": norm,
+            "client_id": body.get("client_id", ""),
+            "client_secret": fernet_encrypt(
+                body.get("client_secret", ""), self.secret_key
+            ),
+        }
+        return 201, {"id": sid, "url": norm}
+
+    def get_server(self, sid: int) -> tuple[int, dict]:
+        s = self._servers.get(sid)
+        if not s:
+            return 404, {
+                "detail": f"Server configuration with ID {sid} can not be found."
+            }
+        return 200, {"id": s["id"], "url": s["url"]}
+
+    def list_servers(self, skip: int = 0, limit: int = 100) -> tuple[int, list]:
+        rows = [
+            {"id": s["id"], "url": s["url"]}
+            for s in sorted(self._servers.values(), key=lambda s: s["id"])
+        ]
+        return 200, rows[skip : skip + limit]
+
+    # ---- configurations (reference endpoints/configuration.py) --------
+    def _config_view(self, cid: int) -> dict:
+        c = self._configs[cid]
+        return {  # token_value deliberately absent (ConfigurationResponse)
+            "id": cid,
+            "server_address": c["server_address"],
+            "site_name": c["site_name"],
+            "token_name": c["token_name"],
+            "project_name": c["project_name"],
+            "export_settings": dict(c["export_settings"]),
+        }
+
+    def _config_conflict(self, body: dict, exclude: int | None = None) -> bool:
+        """(server_address, token_name) uniqueness — the reference's
+        ``_server_token_name_uc`` constraint (configuration.py model)."""
+        return any(
+            cid != exclude
+            and c["server_address"] == body["server_address"]
+            and c["token_name"] == body["token_name"]
+            for cid, c in self._configs.items()
+        )
+
+    def create_configuration(self, body: dict) -> tuple[int, dict]:
+        cfg = {k: body.get(k, "") for k in _CONFIG_FIELDS}
+        if self.validate_config is not None and not self.validate_config(cfg):
+            return 400, {"detail": "Invalid Configuration"}
+        if self._config_conflict(cfg):
+            return 400, {"detail": "Configuration already exists"}
+        cid = self._take_id("config")
+        cfg["token_value"] = fernet_encrypt(cfg["token_value"], self.secret_key)
+        cfg["export_settings"] = {
+            **EXPORT_SETTINGS_DEFAULTS,
+            **(body.get("export_settings") or {}),
+        }
+        self._configs[cid] = cfg
+        return 201, self._config_view(cid)
+
+    def get_configuration(self, cid: int) -> tuple[int, dict]:
+        if cid not in self._configs:
+            return 404, {"detail": "Configuration not found."}
+        return 200, self._config_view(cid)
+
+    def list_configurations(self, base_url: str = "") -> tuple[int, list]:
+        out = []
+        for cid in sorted(self._configs):
+            v = self._config_view(cid)
+            v["url"] = f"{base_url}/api/v1/configurations/{cid}"
+            out.append(v)
+        return 200, out
+
+    def patch_configuration(self, cid: int, body: dict) -> tuple[int, dict]:
+        if cid not in self._configs:
+            return 404, {"detail": "Configuration not found."}
+        cur = self._configs[cid]
+        merged = {
+            k: body.get(k, cur[k]) for k in _CONFIG_FIELDS if k != "token_value"
+        }
+        if self.validate_config is not None and not self.validate_config(
+            {**merged, "token_value": body.get("token_value", "")}
+        ):
+            return 400, {"detail": "Invalid Configuration"}
+        if self._config_conflict(merged, exclude=cid):
+            return 400, {"detail": "Configuration already exists"}
+        cur.update(merged)
+        if "token_value" in body:
+            cur["token_value"] = fernet_encrypt(body["token_value"], self.secret_key)
+        if "export_settings" in body:
+            cur["export_settings"] = {
+                **cur["export_settings"],
+                **(body["export_settings"] or {}),
+            }
+        return 200, self._config_view(cid)
+
+    def delete_configuration(self, cid: int) -> tuple[int, dict | None]:
+        if cid not in self._configs:
+            return 404, {"detail": "Configuration not found."}
+        del self._configs[cid]
         return 204, None
 
     def oauth_login(self, params: dict) -> tuple[int, dict | None, dict]:
@@ -120,12 +324,21 @@ class ControlPlane:
 
     def _view(self, dataset_id: str) -> dict:
         s = self.store.get(dataset_id)
+        url, expires = self.presign(dataset_id)
+        cid = self._file_configs.get(dataset_id)
         return {
             "id": s.dataset_id,
             "file_status": s.file_status,
             "is_active": s.is_active,
             "sync_failures": s.sync_failures,
             "last_updated": s.last_updated,
+            # inject_urls parity (reference file.py:25-39)
+            "configuration_id": cid,
+            "configuration_url": (
+                f"/api/v1/configurations/{cid}" if cid is not None else None
+            ),
+            "download_url": url,
+            "download_url_valid_till": expires,
         }
 
 
@@ -135,7 +348,16 @@ _ROUTES = [
     ("GET", re.compile(r"^/oauth/login$"), "oauth_login"),
     ("GET", re.compile(r"^/oauth/callback$"), "oauth_callback"),
     ("GET", re.compile(r"^/metrics$"), "metrics"),
+    ("POST", re.compile(r"^/api/v1/servers/?$"), "server_create"),
+    ("GET", re.compile(r"^/api/v1/servers/?$"), "server_list"),
+    ("GET", re.compile(r"^/api/v1/servers/(?P<id>\d+)$"), "server_get"),
+    ("POST", re.compile(r"^/api/v1/configurations/?$"), "config_create"),
+    ("GET", re.compile(r"^/api/v1/configurations/?$"), "config_list"),
+    ("GET", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_get"),
+    ("PATCH", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_patch"),
+    ("DELETE", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_delete"),
     ("GET", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "get"),
+    ("PATCH", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "patch"),
     ("POST", re.compile(r"^/api/v1/files/(?P<id>[^/]+)/sync$"), "sync"),
     ("DELETE", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "delete"),
 ]
@@ -154,7 +376,7 @@ def _make_handler(cp: ControlPlane):
                 if not match:
                     continue
                 body = {}
-                if method == "POST":
+                if method in ("POST", "PATCH"):
                     n = int(self.headers.get("Content-Length") or 0)
                     if n:
                         body = json.loads(self.rfile.read(n) or b"{}")
@@ -171,21 +393,45 @@ def _make_handler(cp: ControlPlane):
                     self.end_headers()
                     self.wfile.write(text)
                     return
+                qs = parse_qs(urlsplit(self.path).query)
+                params = {k: v[0] for k, v in qs.items()}
+                base_url = f"http://{self.headers.get('Host', '')}"
                 headers: dict = {}
                 if action == "create":
                     code, payload = cp.create_file(body)
                 elif action == "list":
                     code, payload = cp.list_files()
                 elif action in ("oauth_login", "oauth_callback"):
-                    qs = parse_qs(urlsplit(self.path).query)
-                    params = {k: v[0] for k, v in qs.items()}
                     code, payload, headers = getattr(cp, action)(params)
                 elif action == "get":
-                    code, payload = cp.get_file(match["id"])
+                    if params.get("file_format") == "hyper":
+                        code, payload, headers = cp.download_redirect(match["id"])
+                    else:
+                        code, payload = cp.get_file(match["id"])
+                elif action == "patch":
+                    code, payload = cp.patch_file(match["id"], body)
                 elif action == "sync":
                     code, payload = cp.sync_file(match["id"])
-                else:
+                elif action == "delete":
                     code, payload = cp.delete_file(match["id"])
+                elif action == "server_create":
+                    code, payload = cp.create_server(body)
+                elif action == "server_list":
+                    code, payload = cp.list_servers(
+                        int(params.get("skip", 0)), int(params.get("limit", 100))
+                    )
+                elif action == "server_get":
+                    code, payload = cp.get_server(int(match["id"]))
+                elif action == "config_create":
+                    code, payload = cp.create_configuration(body)
+                elif action == "config_list":
+                    code, payload = cp.list_configurations(base_url)
+                elif action == "config_get":
+                    code, payload = cp.get_configuration(int(match["id"]))
+                elif action == "config_patch":
+                    code, payload = cp.patch_configuration(int(match["id"]), body)
+                else:
+                    code, payload = cp.delete_configuration(int(match["id"]))
                 data = b"" if payload is None else json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -203,6 +449,9 @@ def _make_handler(cp: ControlPlane):
 
         def do_POST(self):
             self._dispatch("POST")
+
+        def do_PATCH(self):
+            self._dispatch("PATCH")
 
         def do_DELETE(self):
             self._dispatch("DELETE")

@@ -89,3 +89,167 @@ def test_sync_unknown_dataset_404(api):
     base, _ = api
     code, _ = _req(base, "POST", "/api/v1/files/nope/sync")
     assert code == 404
+
+
+# ---------------------------------------------------------------------------
+# /servers and /configurations registration surface + file PATCH/redirect
+# (reference test_server.py / test_configuration.py / file.py:91-143)
+# ---------------------------------------------------------------------------
+
+import http.client
+
+
+def _raw(base, method, path, body=None):
+    """Like _req but never follows redirects (urllib auto-follows 307)."""
+    host = base.split("//")[1]
+    conn = http.client.HTTPConnection(host)
+    data = json.dumps(body) if body is not None else None
+    conn.request(method, path, body=data, headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    raw = resp.read()
+    conn.close()
+    return resp.status, json.loads(raw) if raw else None, dict(resp.getheaders())
+
+
+CONFIG = {
+    "site_name": "test",
+    "server_address": "http://test",
+    "token_name": "test",
+    "token_value": "test",
+    "project_name": "default",
+}
+
+
+def test_server_bad_url_rejected(api):
+    base, _ = api
+    code, body = _req(base, "POST", "/api/v1/servers/", {"url": "bad_url"})
+    assert code == 400 and body == {"detail": "Invalid url bad_url"}
+
+
+def test_server_create_dedupe_retrieve(api):
+    base, _ = api
+    payload = {
+        "url": "http://testserver2",
+        "client_id": "some_client_id",
+        "client_secret": "some_client_secret",
+    }
+    code, body = _req(base, "POST", "/api/v1/servers/", payload)
+    assert code == 201
+    assert list(body.keys()) == ["id", "url"]  # secret never echoed
+    code, dup = _req(base, "POST", "/api/v1/servers/", payload)
+    assert code == 400
+    assert dup == {"detail": "Server http://testserver2 already configured."}
+    code, got = _req(base, "GET", f"/api/v1/servers/{body['id']}")
+    assert code == 200 and got == body
+    code, listed = _req(base, "GET", "/api/v1/servers/")
+    assert code == 200 and listed == [body]
+    code, missing = _req(base, "GET", "/api/v1/servers/999")
+    assert code == 404
+    assert missing == {"detail": "Server configuration with ID 999 can not be found."}
+
+
+def test_secrets_encrypted_at_rest(spark, tmp_path):
+    """server.client_secret and configuration.token_value are Fernet-
+    encrypted in the store and decrypt back with the service key
+    (reference app/core/security.py:25-46 usage in both CRUDs)."""
+    from duva_spark.security import fernet_decrypt
+
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "x.csv")
+    cp = ControlPlane(store, job, str(tmp_path / "out"))
+    cp.create_server({"url": "http://s", "client_secret": "sekrit"})
+    stored = next(iter(cp._servers.values()))["client_secret"]
+    assert stored != "sekrit"
+    assert fernet_decrypt(stored, cp.secret_key) == "sekrit"
+    cp.create_configuration({**CONFIG, "token_value": "pat-token"})
+    tok = next(iter(cp._configs.values()))["token_value"]
+    assert tok != "pat-token"
+    assert fernet_decrypt(tok, cp.secret_key) == "pat-token"
+
+
+def test_configuration_create_retrieve_defaults(api):
+    base, _ = api
+    code, body = _req(base, "POST", "/api/v1/configurations/", CONFIG)
+    assert code == 201
+    assert "token_value" not in body  # PAT never echoed
+    assert body["export_settings"] == {
+        "include_labels": True,
+        "remove_group_name": True,
+        "do_not_split_select_multiple": False,
+        "include_reviews": False,
+        "include_labels_only": True,
+        "value_select_multiples": True,
+    }
+    code, dup = _req(base, "POST", "/api/v1/configurations/", CONFIG)
+    assert code == 400 and dup == {"detail": "Configuration already exists"}
+    code, got = _req(base, "GET", f"/api/v1/configurations/{body['id']}")
+    assert code == 200 and got == body
+    code, listed = _req(base, "GET", "/api/v1/configurations/")
+    assert code == 200 and listed[0]["url"].endswith(
+        f"/api/v1/configurations/{body['id']}"
+    )
+
+
+def test_configuration_patch_and_delete(api):
+    base, _ = api
+    _, body = _req(base, "POST", "/api/v1/configurations/", CONFIG)
+    cid = body["id"]
+    code, patched = _req(
+        base, "PATCH", f"/api/v1/configurations/{cid}", {"site_name": "test_change"}
+    )
+    assert code == 200 and patched["site_name"] == "test_change"
+    assert patched["server_address"] == "http://test"  # untouched fields kept
+    code, _ = _req(base, "DELETE", f"/api/v1/configurations/{cid}")
+    assert code == 204
+    code, gone = _req(base, "GET", f"/api/v1/configurations/{cid}")
+    assert code == 404 and gone == {"detail": "Configuration not found."}
+    code, gone = _req(base, "PATCH", f"/api/v1/configurations/{cid}", {})
+    assert code == 404
+
+
+def test_configuration_validator_rejects_400(spark, tmp_path):
+    csv = tmp_path / "export.csv"
+    csv.write_text(CSV)
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: csv)
+    cp = ControlPlane(
+        store, job, str(tmp_path / "out"), validate_config=lambda cfg: False
+    )
+    server, _ = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        code, body = _req(base, "POST", "/api/v1/configurations/", CONFIG)
+        assert code == 400 and body == {"detail": "Invalid Configuration"}
+    finally:
+        server.shutdown()
+
+
+def test_file_patch_repoints_configuration(api):
+    base, _ = api
+    _req(base, "POST", "/api/v1/files/", {"form_id": 3})
+    # unknown configuration id → 400 (checked before the file lookup)
+    code, body = _req(base, "PATCH", "/api/v1/files/3", {"configuration_id": 42})
+    assert code == 400
+    assert body == {"detail": "Configuration not found with given ID"}
+    _, cfg = _req(base, "POST", "/api/v1/configurations/", CONFIG)
+    code, body = _req(base, "PATCH", "/api/v1/files/3", {"configuration_id": cfg["id"]})
+    assert code == 200
+    assert body["configuration_id"] == cfg["id"]
+    assert body["configuration_url"] == f"/api/v1/configurations/{cfg['id']}"
+    code, _ = _req(base, "PATCH", "/api/v1/files/nope", {"configuration_id": cfg["id"]})
+    assert code == 404
+
+
+def test_file_hyper_format_307_redirect(api):
+    base, _ = api
+    _req(base, "POST", "/api/v1/files/", {"form_id": 8})
+    code, _, headers = _raw(base, "GET", "/api/v1/files/8?file_format=hyper")
+    assert code == 307
+    assert "/8.hyper" in headers["Location"]
+    assert "Expires=" in headers["Location"]  # presigned, 3600 s window
+    code, body = _req(base, "GET", "/api/v1/files/8")
+    assert code == 200
+    assert body["download_url"].split("?")[0] == headers["Location"].split("?")[0]
+    assert body["download_url_valid_till"] > 0
+    code, _, _ = _raw(base, "GET", "/api/v1/files/nope?file_format=hyper")
+    assert code == 404
