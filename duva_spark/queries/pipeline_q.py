@@ -909,9 +909,35 @@ def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
 
 
+def _rrf_sql() -> str:
+    from duva_spark.queries.llm_q import _COS_QC, _bm25_sql
+
+    return f"""
+    WITH bm AS ({_bm25_sql()}),
+    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM bm),
+    qv_t AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT c.vec_id AS doc_id, ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM (SELECT vec_id, embedding AS cv FROM embeddings) c, qv_t
+          WHERE c.vec_id <> 0),
+    vec AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS vec_rank
+            FROM s
+            QUALIFY vec_rank <= 20),
+    f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
+          FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id, lex_rank, vec_rank,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf_score
+    FROM f
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """
+
+
 @register(
     "q_rrf_hybrid_search",
-    oracle=None,  # set below — composed from the BM25 + cosine leg SQL
+    oracle=_rrf_sql(),  # composed from llm_q's BM25 + cosine leg SQL (top import)
     headline=True,
     description=(
         "Hybrid retrieval: reciprocal-rank fusion (1/(60+rank)) of the "
@@ -953,41 +979,6 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
     )
-
-
-def _rrf_sql() -> str:
-    from duva_spark.queries.llm_q import _COS_QC, _bm25_sql
-
-    return f"""
-    WITH bm AS ({_bm25_sql()}),
-    lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-            FROM bm),
-    qv_t AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    s AS (SELECT c.vec_id AS doc_id, ROUND({_COS_QC}, 6) AS cosine_sim
-          FROM (SELECT vec_id, embedding AS cv FROM embeddings) c, qv_t
-          WHERE c.vec_id <> 0),
-    vec AS (SELECT doc_id,
-                   ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS vec_rank
-            FROM s
-            QUALIFY vec_rank <= 20),
-    f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
-          FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
-    SELECT doc_id, lex_rank, vec_rank,
-           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
-                 + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf_score
-    FROM f
-    ORDER BY rrf_score DESC, doc_id
-    LIMIT 10
-    """
-
-
-# late-bind the oracle: _bm25_sql lives in llm_q which is already imported
-from duva_spark.queries import REGISTRY as _PIPE_REG  # noqa: E402
-import dataclasses as _dc  # noqa: E402
-
-_PIPE_REG["q_rrf_hybrid_search"] = _dc.replace(
-    _PIPE_REG["q_rrf_hybrid_search"], oracle=_rrf_sql()
-)
 
 
 # ---------------------------------------------------------------------------

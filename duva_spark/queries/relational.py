@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
 from duva_spark.operators.quantile import quantile_cont_row
-from duva_spark.queries import register
+from duva_spark.queries import money_cents, register
 
 # ---------------------------------------------------------------------------
 # Aggregation spine
@@ -65,22 +65,28 @@ from duva_spark.queries import register
         "arithmetic: the 2/4/6-dp money values scale to exact integers, so "
         "the sum is associative (identical under any partial-agg order — "
         "double sums drift at sf0.1) at long-sum speed, faster than "
-        "decimal aggregation on this agg-dominated scan."
+        "decimal aggregation on this agg-dominated scan. The conversion is "
+        "money_cents (floor, codegen) — the r2 F.round(double) path "
+        "allocated a BigDecimal per row and cost 1.5× of the whole query "
+        "(the r2→r1 q01 bench regression, A/B'd same-host this round)."
     ),
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    c_ep = money_cents(F.col("l_extendedprice"))
+    c_dp = money_cents(disc_price, 10000)
+    c_ch = money_cents(disc_price * (1 + F.col("l_tax")), 1000000)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2).alias("sum_base_price"),
-            F.round(F.sum(F.round(disc_price * 10000, 0).cast("long")) / 10000.0, 2).alias("sum_disc_price"),
-            F.round(F.sum(F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("long")) / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.sum(c_ep) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(c_dp) / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(c_ch) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0 / F.count("*"), 4).alias("avg_price"),
+            F.round(F.sum(c_ep) / 100.0 / F.count("*"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -600,6 +606,60 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct_error",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           1 AS parts_within_5pct,
+           1 AS orders_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description=(
+        "Checkable contract for the HLL++ sketch: per group, the exact "
+        "distinct counts plus a boolean asserting the approx_count_"
+        "distinct(rsd=0.01) estimate lands within 5% of exact. The "
+        "sketch value itself is engine-specific (q_agg_approx_distinct "
+        "stays rows-only by design); this companion turns its accuracy "
+        "guarantee into a value row the driver can hash — if HLL error "
+        "ever exceeded 5% the booleans would flip and the row would go "
+        "red."
+    ),
+)
+def q_agg_approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("_ap") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                < 0.05
+            )
+            .cast("int")
+            .alias("parts_within_5pct"),
+            (
+                F.abs(F.col("_ao") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                < 0.05
+            )
+            .cast("int")
+            .alias("orders_within_5pct"),
+        )
     )
 
 
@@ -1866,7 +1926,7 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").withColumn(
-        "cb", F.round(F.col("c_acctbal") * 100).cast("long")
+        "cb", money_cents(F.col("c_acctbal"))
     )
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     wp = W.partitionBy("c_mktsegment")
@@ -3029,7 +3089,7 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROUND-then-cast on BOTH sides: a bare double->long cast truncates on
     # Spark but rounds on DuckDB, silently skewing per-order cents (~5% of
     # rows at sf0.01) — same exact-cents policy as q01.
-    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    cents = money_cents
     li = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -3468,11 +3528,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast(
-                "long"
-            )
-        )
+        F.sum(money_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000))
         .cast("long")
         .alias("rev_e4")
     )
@@ -3738,19 +3794,23 @@ def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(MAX(n) AS BIGINT) AS peak_hourly,
-           CAST(SUM(CASE WHEN n > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_hours
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_hours
     FROM hourly
     GROUP BY user_id
-    HAVING MAX(n) > 10
+    HAVING MAX(n) > 1
     """,
     description=(
         "Rate-limit / abuse census: per-user hourly event counts, "
-        "reporting peak rate and how many hours exceeded the 10/hour "
-        "quota. Two aggregations, both keyed by user_id — Catalyst "
-        "collapses them onto one exchange; the hourly frame is "
-        "users x active-hours regardless of corpus size. The batch "
-        "audit twin of a streaming quota enforcer (tumbling window + "
-        "filter on the same keys)."
+        "reporting peak rate and how many hours exceeded the hourly "
+        "quota. The quota (1/hour) is deliberately low relative to the "
+        "synthetic corpus's event rate so the HAVING/breach path "
+        "returns rows — and is value-checked — at EVERY test SF (with "
+        "the original 10/hour nothing breaches below sf1 and the gate "
+        "was vacuous, r3 advice). Two aggregations, both keyed by "
+        "user_id — Catalyst collapses them onto one exchange; the "
+        "hourly frame is users x active-hours regardless of corpus "
+        "size. The batch audit twin of a streaming quota enforcer "
+        "(tumbling window + filter on the same keys)."
     ),
 )
 def q_rate_limit_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3763,9 +3823,9 @@ def q_rate_limit_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.groupBy("user_id")
         .agg(
             F.max("n").cast("long").alias("peak_hourly"),
-            F.sum(F.when(F.col("n") > 10, 1).otherwise(0)).cast("long").alias("n_breach_hours"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_breach_hours"),
         )
-        .filter(F.col("peak_hourly") > 10)
+        .filter(F.col("peak_hourly") > 1)
     )
 
 

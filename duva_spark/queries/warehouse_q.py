@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from duva_spark.catalog import load_table
-from duva_spark.queries import register
+from duva_spark.queries import money_cents, register
 
 # ---------------------------------------------------------------------------
 # SCD Type-2 dimension history
@@ -126,7 +126,7 @@ _ROWHASH = (
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").withColumn(
-        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+        "cents", money_cents(F.col("o_totalprice"))
     )
 
     def rowhash(df: DataFrame) -> DataFrame:
@@ -344,7 +344,7 @@ def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cents = money_cents(F.col("l_extendedprice"))
     # Batch 1 / batch 2 simulate yesterday's state and today's delta.
     partial = (
         li.withColumn("batch", F.col("l_orderkey") % 2)

@@ -186,6 +186,60 @@ def vacuum(path: str, retain: int = 1) -> list[int]:
     return removed
 
 
+def native_merge_backend(spark) -> str | None:
+    """Detect a table format whose native ``MERGE INTO`` should replace
+    the anti-join emulation: returns ``"delta"`` or ``"iceberg"`` when
+    the session was built with the matching SQL extension AND (for
+    Delta) the python bindings import, else None. Detection is config-
+    based — no speculative jar loading on the hot path."""
+    ext = ""
+    try:
+        ext = spark.conf.get("spark.sql.extensions") or ""
+    except Exception:
+        pass
+    if "io.delta.sql.DeltaSparkSessionExtension" in ext:
+        try:
+            import delta  # noqa: F401, PLC0415
+
+            return "delta"
+        except ImportError:
+            return None
+    if "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions" in ext:
+        return "iceberg"
+    return None
+
+
+def _native_merge_upsert(spark, new_df: DataFrame, path: str, key: str, backend: str) -> int:
+    """Upsert via the table format's own MERGE: the log-commit, conflict
+    detection, and file skipping come from Delta/Iceberg instead of the
+    pointer scheme. Same contract as merge_upsert: returns the resulting
+    row count."""
+    if backend == "delta":
+        from delta.tables import DeltaTable  # noqa: PLC0415
+
+        if not DeltaTable.isDeltaTable(spark, path):
+            new_df.write.format("delta").mode("overwrite").save(path)
+        else:
+            (
+                DeltaTable.forPath(spark, path)
+                .alias("t")
+                .merge(new_df.alias("s"), f"t.{key} = s.{key}")
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        return spark.read.format("delta").load(path).count()
+    if backend == "iceberg":
+        # Iceberg MERGE is SQL-only; `path` is a catalog table name here.
+        new_df.createOrReplaceTempView("_merge_source")
+        spark.sql(
+            f"MERGE INTO {path} t USING _merge_source s ON t.{key} = s.{key} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        return spark.table(path).count()
+    raise ValueError(f"unknown native merge backend {backend!r}")
+
+
 def merge_upsert(
     spark,
     new_df: DataFrame,
@@ -209,12 +263,29 @@ def merge_upsert(
       replace (object-store-safe, zero-absence; read via read_dataset).
       ``retain`` > 1 keeps trailing versions for time travel
       (`read_version` / `vacuum`), Delta's VERSION AS OF on the pointer
-      scheme.
+      scheme;
+    - ``"native"``: the table format's own MERGE INTO
+      (`native_merge_backend` must detect Delta or Iceberg in the
+      session — raises otherwise);
+    - ``"auto"``: native when a backend is detected, else pointer — the
+      production default: the emulation is the fallback, not the
+      ceiling.
 
     Returns the resulting row count.
     """
     import os
 
+    if commit == "auto":
+        backend = native_merge_backend(spark)
+        commit = "native" if backend else "pointer"
+    if commit == "native":
+        backend = native_merge_backend(spark)
+        if backend is None:
+            raise RuntimeError(
+                "commit='native' requires Delta or Iceberg in the session "
+                "(spark.sql.extensions); use commit='auto' to fall back"
+            )
+        return _native_merge_upsert(spark, new_df, path, key, backend)
     if commit not in ("rename", "pointer"):
         raise ValueError(f"unknown commit strategy {commit!r}")
     if commit == "pointer":

@@ -213,3 +213,59 @@ def test_pointer_time_travel_and_vacuum(spark, tmp_path):
     with _pytest.raises(FileNotFoundError, match="retained"):
         read_version(spark, out, 1)
     assert {r._id for r in read_dataset(spark, out).collect()} == {1, 2, 3, 4}
+
+
+def test_merge_upsert_auto_falls_back_to_pointer_without_jars(spark, tmp_path):
+    """commit='auto' = native MERGE when Delta/Iceberg is in the session,
+    else the pointer-commit emulation. This environment ships no table-
+    format jars, so detection must return None and auto must produce the
+    exact pointer-commit result; commit='native' must refuse loudly."""
+    import pytest as _pytest
+
+    from duva_spark import sinks
+    from duva_spark.sinks import merge_upsert, native_merge_backend, read_dataset
+
+    assert native_merge_backend(spark) is None
+    out = str(tmp_path / "auto_ds")
+    first = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "`_id` long, name string, score double"
+    )
+    assert merge_upsert(spark, first, out, "_id", commit="auto") == 2
+    second = spark.createDataFrame(
+        [(2, "b", 9.0), (3, "c", 3.0)], "`_id` long, name string, score double"
+    )
+    assert merge_upsert(spark, second, out, "_id", commit="auto") == 3
+    rows = {r._id: r.score for r in read_dataset(spark, out).collect()}
+    assert rows == {1: 1.0, 2: 9.0, 3: 3.0}
+    assert sinks._pointer_read_path(out) is not None  # pointer layout used
+    with _pytest.raises(RuntimeError, match="native"):
+        merge_upsert(spark, second, out, "_id", commit="native")
+
+
+def test_native_merge_backend_detects_extensions(spark, monkeypatch):
+    """Config-based detection: the Delta extension string plus importable
+    python bindings → 'delta'; Iceberg extension alone → 'iceberg'."""
+    import sys
+    import types
+
+    from duva_spark.sinks import native_merge_backend
+
+    class FakeConf:
+        def __init__(self, ext):
+            self._ext = ext
+
+        def get(self, key, default=None):
+            return self._ext if key == "spark.sql.extensions" else default
+
+    class FakeSpark:
+        def __init__(self, ext):
+            self.conf = FakeConf(ext)
+
+    assert native_merge_backend(FakeSpark("")) is None
+    iceberg = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    assert native_merge_backend(FakeSpark(iceberg)) == "iceberg"
+    delta_ext = "io.delta.sql.DeltaSparkSessionExtension"
+    # no `delta` module importable → stay None (jar without bindings)
+    assert native_merge_backend(FakeSpark(delta_ext)) is None
+    monkeypatch.setitem(sys.modules, "delta", types.ModuleType("delta"))
+    assert native_merge_backend(FakeSpark(delta_ext)) == "delta"
