@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from duva_spark.operators.prefix_sum import running_sum
@@ -90,6 +90,54 @@ def quantile_cont(
             + F.col("_frac") * (F.col("_vhi").cast("double") - F.col("_vlo").cast("double"))
         ).alias("quantile"),
     )
+
+
+def grouped_quantile_cont(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Exact per-group ``quantile_cont``: one row per group with a named
+    double column per q — equal to ``F.percentile(value, q)`` grouped by
+    ``keys``, without any reducer buffering a group's raw value vector.
+
+    ``F.percentile`` holds every value of a group in the aggregation
+    buffer (no spill) — a group with billions of rows OOMs its reducer.
+    Here the data is first collapsed to per-(group, value) counts
+    (map-side combine), the running count comes from a window hash-
+    partitioned BY GROUP over those |distinct| rows (WindowExec sorts
+    with spill, so even a pathological group degrades to disk instead
+    of OOM), and the ≤2 boundary rows per q are picked with conditional
+    aggregation — never a per-group sort of raw data."""
+    counts = df.groupBy(*keys, F.col(value_col).alias("_v")).agg(
+        F.count("*").alias("_cnt")
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(w))
+    tot = counts.groupBy(*keys).agg(F.sum("_cnt").alias("_n"))
+    j = cum.join(tot, keys)
+    aggs = []
+    for name, q in qs.items():
+        pos = (F.col("_n") - 1) * float(q)
+        klo = F.floor(pos) + 1
+        khi = F.ceil(pos) + 1
+        lo_hit = (F.col("_cum") - F.col("_cnt") < klo) & (klo <= F.col("_cum"))
+        hi_hit = (F.col("_cum") - F.col("_cnt") < khi) & (khi <= F.col("_cum"))
+        aggs.append(F.max(F.when(lo_hit, F.col("_v"))).alias(f"_{name}_lo"))
+        aggs.append(F.max(F.when(hi_hit, F.col("_v"))).alias(f"_{name}_hi"))
+        aggs.append(F.max(F.when(lo_hit, pos - F.floor(pos))).alias(f"_{name}_fr"))
+    out = j.groupBy(*keys).agg(*aggs)
+    sel: list = list(keys)
+    for name in qs:
+        lo = F.col(f"_{name}_lo").cast("double")
+        hi = F.col(f"_{name}_hi").cast("double")
+        sel.append((lo + F.col(f"_{name}_fr") * (hi - lo)).alias(name))
+    return out.select(*sel)
 
 
 def quantile_cont_row(

@@ -457,10 +457,14 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CCNet-style per-bucket approach), then the corpus is filtered "
         "against its own source's threshold. Per-source thresholds are a "
         "tiny broadcast frame; the corpus sees one scan + one agg "
-        "shuffle. Exact interpolated percentile matches quantile_cont."
+        "shuffle. The p25 comes from operators/quantile."
+        "grouped_quantile_cont, so no reducer buffers a source's raw "
+        "quality vector; exact interpolation matches quantile_cont."
     ),
 )
 def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import grouped_quantile_cont
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     q = docs.select(
@@ -468,7 +472,7 @@ def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.quality_score(t).alias("quality"),
         textstats.token_count_ws(t).alias("n_tok"),
     )
-    thr = q.groupBy("source").agg(F.percentile("quality", 0.25).alias("q25"))
+    thr = grouped_quantile_cont(q, ["source"], "quality", {"q25": 0.25})
     return (
         q.join(F.broadcast(thr), "source")
         .filter(F.col("quality") >= F.col("q25"))

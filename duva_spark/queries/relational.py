@@ -585,14 +585,28 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_orderpriority
     """,
-    description="Exact median + interpolated quantiles per group.",
+    description=(
+        "Exact median + interpolated quantiles per group via "
+        "operators/quantile.grouped_quantile_cont (per-group value "
+        "counts + windowed running count, spill-safe) — no reducer "
+        "buffers a group's raw values as F.percentile would."
+    ),
 )
 def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import grouped_quantile_cont
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.median("o_totalprice"), 4).alias("med"),
-        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
-        F.round(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+    qs = grouped_quantile_cont(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        {"med": 0.5, "p25": 0.25, "p95": 0.95},
+    )
+    return qs.select(
+        "o_orderpriority",
+        F.round("med", 4).alias("med"),
+        F.round("p25", 4).alias("p25"),
+        F.round("p95", 4).alias("p95"),
     )
 
 
@@ -3325,19 +3339,24 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type — immune to the outliers themselves, unlike the z-score "
         "variant (q_events_anomaly) whose mean/std the anomalies drag. "
         "Two aggregation passes on the same 5-key partitioning (median, "
-        "then MAD of deviations) with slim broadcast joins back. Exact "
-        "interpolated medians keep oracle parity; at 100 TB the same "
-        "shape runs on approx_percentile sketches (one pass, mergeable) "
-        "with identical downstream logic."
+        "then MAD of deviations) with slim broadcast joins back. The "
+        "medians come from operators/quantile.grouped_quantile_cont — "
+        "per-(type,value) counts + windowed running count — so no "
+        "reducer buffers a type's raw value vector (F.percentile holds "
+        "the whole group in its agg buffer; a hot event type at 100 TB "
+        "is billions of rows on one reducer). Exact interpolated "
+        "medians keep oracle parity."
     ),
 )
 def q_events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import grouped_quantile_cont
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    med = grouped_quantile_cont(ev, ["event_type"], "value", {"med": 0.5})
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
     )
-    mad = dev.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    mad = grouped_quantile_cont(dev, ["event_type"], "dev", {"mad": 0.5})
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -3380,16 +3399,23 @@ def q_events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-bucket census is an ordinary 10-key aggregation. The "
         "NTILE formulation needs a single-partition total order — this "
         "shape replaces it with scan + broadcast + partial agg, which "
-        "is how histogram statistics are actually collected at 100 TB "
-        "(swap the exact quantiles for approx_percentile, same plan)."
+        "is how histogram statistics are actually collected at 100 TB. "
+        "The 9 boundaries come from operators/quantile.quantile_cont "
+        "(per-value counts + prefix-sum rank lookup), so computing them "
+        "never buffers the value vector on one reducer the way "
+        "F.percentile(array) would."
     ),
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import quantile_cont
+
     orders = load_table(spark, sf_dir, "orders")
-    b = orders.agg(
-        F.percentile("o_totalprice", F.array([F.lit(i / 10.0) for i in range(1, 10)])).alias(
-            "bnds"
-        )
+    deciles = quantile_cont(orders, "o_totalprice", [i / 10.0 for i in range(1, 10)])
+    b = deciles.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("q", "quantile"))),
+            lambda s: s.quantile,
+        ).alias("bnds")
     )
     assigned = orders.crossJoin(F.broadcast(b)).select(
         F.size(F.filter("bnds", lambda x: x <= F.col("o_totalprice")))

@@ -418,3 +418,48 @@ def test_conversion_latency_has_no_global_exact_percentile(spark, sf_dir):
     plan = _plan(q.fn(spark, sf_dir))
     assert "percentile(" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_grouped_quantile_matches_exact_percentile(spark, sf_dir):
+    """Per-group distributed quantile == per-group F.percentile."""
+    from duva_spark.catalog import load_table as lt
+    from duva_spark.operators.quantile import grouped_quantile_cont
+
+    t = lt(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").alias("v")
+    )
+    got = {
+        r.o_orderpriority: (r.p25, r.med, r.p95)
+        for r in grouped_quantile_cont(
+            t, ["o_orderpriority"], "v", {"p25": 0.25, "med": 0.5, "p95": 0.95}
+        ).collect()
+    }
+    want = {
+        r.o_orderpriority: (r.p25, r.med, r.p95)
+        for r in t.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("v", 0.25).alias("p25"),
+            F.percentile("v", 0.5).alias("med"),
+            F.percentile("v", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], want[k])
+
+
+def test_grouped_quantile_never_aggregates_raw_values(spark, sf_dir):
+    """The grouped-quantile plan must pre-collapse to per-(group, value)
+    counts before any window — no `percentile(` aggregate (which buffers
+    a group's raw vector in its agg buffer, unspillable)."""
+    from duva_spark.catalog import load_table as lt
+    from duva_spark.operators.quantile import grouped_quantile_cont
+
+    t = lt(spark, sf_dir, "orders")
+    plan = _plan(
+        grouped_quantile_cont(t, ["o_orderpriority"], "o_totalprice", {"med": 0.5})
+    )
+    assert "percentile(" not in plan
+    assert "Window" in plan
