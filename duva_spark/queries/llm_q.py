@@ -1069,10 +1069,10 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_DIM, _KM_DP = 8, 3, 64, 6
 
 
-def _kmeans_sql(k: int, iters: int, dim: int, dp: int) -> str:
-    """Unroll Lloyd's iterations as chained CTEs with the SAME constants
-    and the SAME index-order arithmetic as llm/kmeans.py (PageRank-style
-    generated oracle — covers the full fixpoint, not a toy)."""
+def _kmeans_ctes(k: int, iters: int, dim: int, dp: int) -> str:
+    """The shared CTE chain of the unrolled Lloyd fixpoint (`p`, `c0`,
+    `d{i}`/`a{i}`/`c{i+1}` per round) — reused by the centroid query and
+    the SemDeDup oracle, which needs the final assignment a{iters-1}."""
     ctes = [
         "p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
         " FROM embeddings)",
@@ -1093,8 +1093,15 @@ def _kmeans_sql(k: int, iters: int, dim: int, dp: int) -> str:
         )
         dims = ", ".join(f"ROUND(AVG(e[{i + 1}]), {dp})" for i in range(dim))
         ctes.append(f"c{it + 1} AS (SELECT cluster, [{dims}] AS cen FROM a{it} GROUP BY cluster)")
+    return ",\n".join(ctes)
+
+
+def _kmeans_sql(k: int, iters: int, dim: int, dp: int) -> str:
+    """Unroll Lloyd's iterations as chained CTEs with the SAME constants
+    and the SAME index-order arithmetic as llm/kmeans.py (PageRank-style
+    generated oracle — covers the full fixpoint, not a toy)."""
     return (
-        "WITH " + ",\n".join(ctes) + f"""
+        "WITH " + _kmeans_ctes(k, iters, dim, dp) + f"""
     SELECT n.cluster, n.n_points,
            array_to_string(list_transform(c.cen,
              x -> printf('%.{dp}f', x + 0.0)), ',') AS centroid
@@ -1133,6 +1140,84 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"concat_ws(',', transform(cen,"
             f" x -> format_string('%.{_KM_DP}f', x + 0.0d)))"
         ).alias("centroid"),
+    )
+
+
+_SEMDEDUP_TAU = 0.3
+
+
+@register(
+    "q_semdedup_prune",
+    oracle=(
+        "WITH "
+        + _kmeans_ctes(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP)
+        + f""",
+    mem AS (SELECT vec_id, e, cluster FROM a{_KM_ITERS - 1}),
+    pr AS (SELECT DISTINCT pb.vec_id AS pruned_id
+           FROM mem pa JOIN mem pb
+             ON pa.cluster = pb.cluster AND pa.vec_id < pb.vec_id
+           WHERE ROUND({_DOT.format(a="pa.e", b="pb.e")}
+                 / ({_NORM.format(a="pa.e")} * {_NORM.format(a="pb.e")}), 6)
+                 > {_SEMDEDUP_TAU})
+    SELECT m.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN pr.pruned_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           CAST(SUM(CASE WHEN pr.pruned_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM mem m LEFT JOIN pr ON pr.pruned_id = m.vec_id
+    GROUP BY m.cluster"""
+    ),
+    description=(
+        "SemDeDup-style semantic dedup (Abbas et al. 2023): kmeans-"
+        "cluster the embedding space (the same broadcast-centroid Lloyd "
+        "operator as q_kmeans_centroids, shared oracle CTE chain), then "
+        "prune within each cluster every vector whose cosine to a "
+        "lower-id clustermate exceeds tau — pairwise similarity is "
+        "computed ONLY inside clusters, which is the whole point: the "
+        "corpus-wide O(n²) collapses to sum of per-cluster blocks, and "
+        "cluster count scales out with corpus size (k ~ n/avg_cluster). "
+        "Reports the per-cluster keep/prune census a curation run logs. "
+        "No reference counterpart (duva has no vector ops, SURVEY "
+        "§2a-iii); scale knobs mirror blocked.py (cap + LSH overflow "
+        "for a pathological hot cluster)."
+    ),
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = kmeans.lloyd(emb, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM, dp=_KM_DP)
+    mem = assigned.select("vec_id", "embedding", "cluster").persist()
+    a = mem.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cluster"
+    )
+    b = mem.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cluster").alias("cl_b"),
+    )
+    pruned = (
+        a.join(b, (F.col("cluster") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6) > _SEMDEDUP_TAU
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    return (
+        mem.join(pruned, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("_pruned").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum(F.when(F.col("_pruned").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
     )
 
 

@@ -611,6 +611,96 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) AS mean_winsor,
+           CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           ROUND(MAX(hi), 6) AS p95
+    FROM events, b
+    """,
+    description=(
+        "Winsorized mean: clamp the value column at its own p05/p95 "
+        "before averaging — the outlier-robust aggregate feature "
+        "pipelines use where raw means are dragged by heavy tails. The "
+        "thresholds come from operators/quantile.quantile_cont_row "
+        "(distributed exact, no single-reducer buffering) and come back "
+        "as a broadcast 1-row frame; the clamp itself is codegen "
+        "LEAST/GREATEST on the scan. Interpolation arithmetic is "
+        "bit-identical to DuckDB quantile_cont (same IEEE expression), "
+        "so the clamped compare agrees on both engines."
+    ),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import quantile_cont_row
+
+    ev = load_table(spark, sf_dir, "events")
+    b = quantile_cont_row(ev, "value", {"lo": 0.05, "hi": 0.95})
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clamped), 6).alias("mean_winsor"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.round(F.max("hi"), 6).alias("p95"),
+        )
+    )
+
+
+@register(
+    "q_quantile_sketch_error",
+    oracle="""
+    SELECT ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+           1 AS p50_within_tol,
+           1 AS p90_within_tol
+    FROM events
+    """,
+    description=(
+        "Checkable contract for the quantile sketch (the true 100 TB "
+        "path): percentile_approx (KLL-style, mergeable, constant "
+        "memory) must land within 2% relative + 1e-6 absolute of the "
+        "exact distributed quantile. Like the HLL companion "
+        "(q_agg_approx_distinct_error), the sketch value itself is "
+        "engine-specific so the query emits the exact quantiles plus "
+        "the tolerance booleans — a red row here means the sketch "
+        "accuracy degraded."
+    ),
+)
+def q_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import quantile_cont_row
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = quantile_cont_row(ev, "value", {"p50e": 0.5, "p90e": 0.9})
+    approx = ev.agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50a"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90a"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.02 * F.abs(F.col(e)) + 1e-6
+    ).cast("int")
+    return exact.crossJoin(approx).select(
+        F.round("p50e", 6).alias("p50_exact"),
+        F.round("p90e", 6).alias("p90_exact"),
+        within("p50a", "p50e").alias("p50_within_tol"),
+        within("p90a", "p90e").alias("p90_within_tol"),
+    )
+
+
+@register(
     "q_agg_approx_distinct",
     oracle=None,  # HLL++ sketch values are engine-specific; driver does rows-only
     description="approx_count_distinct (HLL++) — sketch output, no exact oracle by design.",
