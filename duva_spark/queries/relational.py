@@ -1755,6 +1755,38 @@ def q_explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_heavy_hitter_words",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    t AS (SELECT COUNT(*) AS n FROM w)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM w, t
+    GROUP BY word
+    HAVING COUNT(*) > MAX(n) / 32.0
+    """,
+    description=(
+        "Exact heavy hitters (words with > n/32 share of the token "
+        "stream) via operators/heavy_hitters: a per-partition "
+        "Misra-Gries candidate pass (mapInPandas, ≤cap rows out per "
+        "partition) followed by an exact recount of ONLY the candidate "
+        "set behind a broadcast semi-join. The plain "
+        "groupBy-all-values formulation shuffles every distinct value "
+        "— at 100 TB the near-unique long tail dominates the exchange "
+        "to produce a ≤31-row answer; the two-pass plan's exchange "
+        "carries O(partitions × candidates) instead. Result is exact "
+        "(candidates are a guaranteed superset; recount is exact), so "
+        "the ordinary SQL oracle matches value-for-value."
+    ),
+)
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    return heavy_hitters(words, "word", k=32)
+
+
+@register(
     "q_agg_collect",
     oracle="""
     SELECT c_mktsegment,

@@ -463,3 +463,55 @@ def test_grouped_quantile_never_aggregates_raw_values(spark, sf_dir):
     )
     assert "percentile(" not in plan
     assert "Window" in plan
+
+
+def test_heavy_hitters_matches_exact_groupby(spark, sf_dir):
+    """Two-pass MG + recount == the full groupBy formulation. A cap
+    below the k-1 guarantee floor (here 8 < 31) must be clamped up, not
+    silently drop true hitters — this call would return a partial set
+    without the clamp."""
+    from duva_spark.catalog import load_table as lt
+    from duva_spark.operators.heavy_hitters import heavy_hitters
+
+    words = lt(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    got = {
+        (r.word, r.cnt) for r in heavy_hitters(words, "word", k=32, cap=8).collect()
+    }
+    n = words.count()
+    want = {
+        (r.word, r.cnt)
+        for r in words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > n / 32)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_heavy_hitters_finds_cross_partition_hitter(spark):
+    """A hitter spread thin across partitions (never locally dominant)
+    must still be found — the MG union-superset guarantee."""
+    from duva_spark.operators.heavy_hitters import heavy_hitters
+
+    # 16 partitions; value "hot" is 20% overall but interleaved
+    rows = [(("hot",) if i % 5 == 0 else (f"v{i}",)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "v string").repartition(16)
+    got = heavy_hitters(df, "v", k=10, cap=20).collect()
+    assert [(r.v, r.cnt) for r in got] == [("hot", 1000)]
+
+
+def test_heavy_hitters_plan_broadcasts_candidates(spark, sf_dir):
+    """The recount must be candidate-bounded: MG candidates flow through
+    a broadcast (semi) join, never a full-cardinality shuffle join."""
+    from duva_spark.catalog import load_table as lt
+    from duva_spark.operators.heavy_hitters import heavy_hitters
+
+    words = lt(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    plan = _plan(heavy_hitters(words, "word", k=32))
+    assert "MapInPandas" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
