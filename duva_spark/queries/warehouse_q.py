@@ -341,6 +341,9 @@ def q_fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lesson); two map-side-combined shuffles on tiny keys."
     ),
 )
+
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
@@ -372,6 +375,90 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_qty",
         F.round(F.col("cents") / 100.0 / F.col("n_rows"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+      FROM customer WHERE c_custkey <= 50
+    ),
+    chg AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal
+      FROM upd u JOIN cur c USING (c_custkey)
+      WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+         OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+    ),
+    ins AS (
+      SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal
+      FROM upd u LEFT JOIN cur c USING (c_custkey)
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           '2024-01-01' AS valid_from, '2024-06-01' AS valid_to, 0 AS is_current
+    FROM cur c JOIN chg USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           '2024-01-01', '9999-12-31', 1
+    FROM cur c LEFT JOIN chg USING (c_custkey)
+    WHERE chg.c_custkey IS NULL
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, '2024-06-01', '9999-12-31', 1
+    FROM chg
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, '2024-06-01', '9999-12-31', 1
+    FROM ins
+    """,
+    description=(
+        "SCD Type-2 dimension history via operators/scd2.scd2_apply: an "
+        "initial load of the customer dimension plus one update batch "
+        "(acctbal changes for key%5, no-op echoes for key%7 — must NOT "
+        "create versions — and 50 brand-new keys). Changed rows are "
+        "closed and re-opened at the batch date, unchanged and absent "
+        "rows pass through, inserts open as current — the versioned "
+        "alternative to the reference's drop-and-recreate sync "
+        "(app/core/importer.py:242-246), composable with the as-of join "
+        "to reconstruct the dimension at any date. One full-outer join "
+        "on the key + unions, everything key-partitioned; change "
+        "detection is null-safe so NULL transitions version correctly."
+    ),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.scd2 import scd2_apply, scd2_initial
+
+    cust = load_table(spark, sf_dir, "customer")
+    tracked = ["c_mktsegment", "c_acctbal"]
+    dim = scd2_initial(
+        cust.select("c_custkey", *tracked), "c_custkey", tracked, "2024-01-01"
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+        )
+        .unionByName(
+            cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0))
+            .select("c_custkey", "c_mktsegment", "c_acctbal")
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") <= 50).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_apply(dim, updates, "c_custkey", tracked, "2024-06-01")
 
 
 # ---------------------------------------------------------------------------

@@ -188,3 +188,35 @@ def test_delete_where_keeps_null_predicate_rows_and_history(spark, tmp_path):
     assert kept == {2, 3}
     # default retain preserved all prior versions plus the new one
     assert sinks.list_versions(path) == [0, 1, 2]
+
+
+def test_scd2_apply_chains_versions_across_batches(spark):
+    """Two successive update batches: a twice-changed key carries three
+    versions with contiguous validity windows; a no-op echo creates no
+    version; NULL transitions are detected (null-safe compare)."""
+    from duva_spark.operators.scd2 import OPEN_END, scd2_apply, scd2_initial
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, attr string"
+    )
+    dim = scd2_initial(base, "id", ["attr"], "2024-01-01")
+    # batch 1: id=1 changes, id=2 echoes unchanged, id=3 NULL->'c', id=4 new
+    b1 = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (3, "c"), (4, "d")], "id long, attr string"
+    )
+    dim = scd2_apply(dim, b1, "id", ["attr"], "2024-02-01")
+    # batch 2: id=1 changes again, id=3 'c'->NULL
+    b2 = spark.createDataFrame([(1, "a3"), (3, None)], "id long, attr string")
+    dim = scd2_apply(dim, b2, "id", ["attr"], "2024-03-01")
+
+    rows = {(r.id, r.attr, r.valid_from, r.valid_to, r.is_current) for r in dim.collect()}
+    assert rows == {
+        (1, "a", "2024-01-01", "2024-02-01", 0),
+        (1, "a2", "2024-02-01", "2024-03-01", 0),
+        (1, "a3", "2024-03-01", OPEN_END, 1),
+        (2, "b", "2024-01-01", OPEN_END, 1),          # echo made no version
+        (3, None, "2024-01-01", "2024-02-01", 0),
+        (3, "c", "2024-02-01", "2024-03-01", 0),
+        (3, None, "2024-03-01", OPEN_END, 1),          # NULL round-trip versioned
+        (4, "d", "2024-02-01", OPEN_END, 1),
+    }
