@@ -1764,6 +1764,7 @@ def q_explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY word
     HAVING COUNT(*) > MAX(n) / 32.0
     """,
+    headline=True,
     description=(
         "Exact heavy hitters (words with > n/32 share of the token "
         "stream) via operators/heavy_hitters: a per-partition "
