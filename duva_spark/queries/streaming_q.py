@@ -319,3 +319,49 @@ def q_stream_true_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(agg, "q_true_static_join")
+
+
+@register(
+    "q_stream_true_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description=(
+        "TRUE streaming exactly-once dedup under the value-hash gate: "
+        "the event stream UNIONed with itself (every event arrives "
+        "twice, the at-least-once delivery a Kafka consumer sees) -> "
+        "dropDuplicatesWithinWatermark on the event key -> append-mode "
+        "memory sink, Trigger.AvailableNow, then a batch census over "
+        "the sink. Both stream legs read the same files at the same "
+        "pace, so duplicate pairs land inside one microbatch and the "
+        "watermark-bounded state removes every one — the result equals "
+        "the batch oracle over the ORIGINAL events exactly. State is "
+        "keyed by event id and dropped once the watermark passes: "
+        "bounded by arrival spread, not stream length — the streaming "
+        "sibling of llm/dedup.dedup_exact."
+    ),
+)
+def q_stream_true_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from duva_spark.streaming.jobs import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    ded = dedup_within_watermark(doubled, ["event_id"]).select(
+        "event_id", "event_type", "value"
+    )
+    sunk = run_available_now(ded, "q_true_dedup", output_mode="append")
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
