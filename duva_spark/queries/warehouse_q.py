@@ -377,9 +377,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_scd2_history",
-    oracle="""
+_SCD2_HIST_SQL = """
     WITH cur AS (
       SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
     ),
@@ -418,7 +416,12 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT c_custkey, c_mktsegment, c_acctbal, '2024-06-01', '9999-12-31', 1
     FROM ins
-    """,
+    """
+
+
+@register(
+    "q_scd2_history",
+    oracle=_SCD2_HIST_SQL,
     description=(
         "SCD Type-2 dimension history via operators/scd2.scd2_apply: an "
         "initial load of the customer dimension plus one update batch "
@@ -459,6 +462,52 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(dim, updates, "c_custkey", tracked, "2024-06-01")
+
+
+@register(
+    "q_scd2_asof",
+    oracle=f"""
+    WITH hist AS ({_SCD2_HIST_SQL})
+    SELECT asof_date, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT d.asof_date, h.c_mktsegment, h.c_acctbal
+      FROM hist h
+      JOIN (VALUES ('2024-03-15'), ('2024-06-01')) d(asof_date)
+        ON h.valid_from <= d.asof_date AND d.asof_date < h.valid_to
+    )
+    GROUP BY asof_date, c_mktsegment
+    """,
+    description=(
+        "Point-in-time reconstruction over the SCD2 history: the "
+        "dimension as of a date is the rows whose half-open validity "
+        "window [valid_from, valid_to) contains it. Two probe dates "
+        "gate the boundary semantics — one mid-window (pre-update "
+        "state) and one exactly ON the batch date, where the closed "
+        "versions must be excluded and the re-opened ones included "
+        "(the off-by-one every hand-rolled SCD join gets wrong). ISO "
+        "date strings compare lexicographically identically on both "
+        "engines; exact integer-cents sums. The probe-dates side is a "
+        "2-row broadcast against the key-partitioned history — the "
+        "same shape a fact-to-dim temporal join takes at 100 TB with "
+        "the as-of operator."
+    ),
+)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = q_scd2_history(spark, sf_dir)
+    dates = spark.createDataFrame(
+        [("2024-03-15",), ("2024-06-01",)], "asof_date string"
+    )
+    j = hist.join(
+        F.broadcast(dates),
+        (F.col("valid_from") <= F.col("asof_date"))
+        & (F.col("asof_date") < F.col("valid_to")),
+    )
+    return j.groupBy("asof_date", "c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(money_cents(F.col("c_acctbal"))).cast("long").alias("sum_cents"),
+    )
 
 
 # ---------------------------------------------------------------------------
