@@ -341,3 +341,60 @@ def test_star_components_match_networkx_free_reference(spark):
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r["id"]: r["comp"] for r in connected_components_star(df).collect()}
         assert got == want, f"density={density}"
+
+
+def test_quantile_operator_matches_numpy_on_random_data(spark):
+    """Distributed exact quantile == numpy linear interpolation on
+    seeded-random data with heavy ties, at several partition counts
+    (result must be partitioning-invariant)."""
+    from duva_spark.operators.quantile import quantile_cont_row
+
+    vals = np.concatenate(
+        [RNG.integers(0, 50, 3000), RNG.normal(100, 20, 2000).round(3)]
+    )
+    want = {q: float(np.quantile(vals, q)) for q in (0.1, 0.5, 0.9, 0.99)}
+    pdf = pd.DataFrame({"v": vals})
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = quantile_cont_row(
+            df, "v", {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+        ).collect()[0]
+        for name, q in (("p10", 0.1), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            assert abs(got[name] - want[q]) < 1e-9, (parts, name, got[name], want[q])
+
+
+def test_grouped_quantile_matches_numpy_per_group(spark):
+    from duva_spark.operators.quantile import grouped_quantile_cont
+
+    pdf = pd.DataFrame(
+        {
+            "g": RNG.integers(0, 5, 4000),
+            "v": RNG.normal(0, 10, 4000).round(2),  # .round → heavy ties
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(13)
+    got = {
+        r.g: (r.p25, r.med)
+        for r in grouped_quantile_cont(df, ["g"], "v", {"p25": 0.25, "med": 0.5}).collect()
+    }
+    for g, grp in pdf.groupby("g"):
+        want = (float(np.quantile(grp.v, 0.25)), float(np.quantile(grp.v, 0.5)))
+        assert abs(got[g][0] - want[0]) < 1e-9 and abs(got[g][1] - want[1]) < 1e-9
+
+
+def test_heavy_hitters_matches_counter_on_zipf(spark):
+    """Two-pass MG+recount == a plain Counter on zipfian data, across
+    partition counts and caps (≥ the guarantee floor)."""
+    from collections import Counter
+
+    from duva_spark.operators.heavy_hitters import heavy_hitters
+
+    vals = [f"w{z}" for z in RNG.zipf(1.5, 6000) if z < 10_000]
+    n = len(vals)
+    c = Counter(vals)
+    for k, cap in ((10, None), (10, 9), (50, 60)):
+        want = {(w, m) for w, m in c.items() if m > n / k}
+        for parts in (3, 17):
+            df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(parts)
+            got = {(r.v, r.cnt) for r in heavy_hitters(df, "v", k=k, cap=cap).collect()}
+            assert got == want, (k, cap, parts, len(got), len(want))
