@@ -1184,9 +1184,10 @@ _SEMDEDUP_TAU = 0.3
         "Reports the per-cluster keep/prune census a curation run logs. "
         "Vectors are L2-normalized ONCE per row (O(n·d)) so the pairwise "
         "check is a dot product — recomputing both norms per pair "
-        "tripled the FLOPs of the dominant stage (bench: 6.1 s → 2.3 s "
-        "at sf0.1); the oracle normalizes with the identical expression "
-        "order so the rounded compare agrees. No reference counterpart "
+        "tripled the FLOPs of the dominant stage (bench: 6.1 s → 4.6 s "
+        "steady-state at sf0.1; the remainder is the fixed 3-round "
+        "Lloyd cost); the oracle normalizes with the identical "
+        "expression order so the rounded compare agrees. No reference counterpart "
         "(duva has no vector ops, SURVEY §2a-iii); scale knobs mirror "
         "blocked.py (cap + LSH overflow for a pathological hot cluster)."
     ),
