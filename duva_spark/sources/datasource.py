@@ -1,0 +1,198 @@
+"""PySpark 4 Python DataSource for the OnaData export protocol:
+``spark.read.format("onadata")``.
+
+This is the idiomatic-Spark packaging of the reference's source stage
+that SURVEY §2a (S1 row) calls for: the async-export polling and
+retry/backoff protocol of ``app/core/onadata.py`` behind Spark's
+`DataSource` API (new in Spark 4), so the export is a first-class
+readable format instead of a driver script gluing files around.
+
+Split of work, mirroring the reference's own shape:
+
+- **driver side** (``schema()`` / ``partitions()``): poll the async
+  export to completion (S1: ≤3 polls, ``sleep(30·(retries+1))``,
+  job_uuid re-attach — delegated to ``http.poll_async_export``),
+  stream the CSV to a local file with the S2/S3 retry policy
+  (``http.fetch_to_local``), infer duva's 3-type universe from a
+  bounded sample (S5: int → BIGINT, float → DOUBLE, else STRING), and
+  cut the file into line-range partitions;
+- **executor side** (``read(partition)``): each task parses ONLY its
+  line range with duva's null normalization (S4: ``"n/a"``/"" →
+  NULL) — the parse is distributed even though the fetch is not.
+
+On a real cluster the fetched file must land on shared storage (the
+reference uploads to S3 for the same reason, K2); options ``url=`` /
+``path=`` accept any location the executors can open. ``local[n]``
+shares the filesystem, so the temp-file path works as-is here.
+
+Options:
+- ``export_url``: async-export start URL (polled, then downloaded);
+- ``url``: direct CSV URL (downloaded with retries, no polling);
+- ``path``: local CSV path (no network at all);
+- ``partitions``: target partition count (default 8).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import urllib.request
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from duva_spark.sources.http import fetch_to_local, poll_async_export
+
+NULL_TOKENS = ("", "n/a")  # S4, app/core/importer.py:61
+_SAMPLE_ROWS = 200
+
+
+def _http_bytes(url: str) -> tuple[int, bytes]:
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, b""
+
+
+def _http_json(url: str) -> tuple[int, dict]:
+    status, body = _http_bytes(url)
+    return status, json.loads(body) if body else {}
+
+
+def _infer_type(values: list[str]):
+    """duva's 3-type universe (S5): every non-null sample parses as int →
+    BIGINT; as float → DOUBLE; else STRING. All-null columns are STRING
+    (widest), matching csv_source's widening rule."""
+    non_null = [v for v in values if v.lower() not in NULL_TOKENS]
+    if not non_null:
+        return StringType()
+    try:
+        for v in non_null:
+            int(v)
+        return LongType()
+    except ValueError:
+        pass
+    try:
+        for v in non_null:
+            float(v)
+        return DoubleType()
+    except ValueError:
+        return StringType()
+
+
+class _LineRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start  # data-line index (header excluded), inclusive
+        self.end = end  # exclusive
+
+
+class OnaDataReader(DataSourceReader):
+    def __init__(self, schema: StructType, path: str, n_rows: int, n_parts: int):
+        self._schema = schema
+        self._path = path
+        self._n_rows = n_rows
+        self._n_parts = max(1, min(n_parts, max(n_rows, 1)))
+
+    def partitions(self):
+        step = -(-self._n_rows // self._n_parts) if self._n_rows else 1
+        return [
+            _LineRange(self._path, lo, min(lo + step, self._n_rows))
+            for lo in range(0, max(self._n_rows, 1), step)
+        ]
+
+    def read(self, partition: _LineRange):
+        casts = []
+        for f in self._schema.fields:
+            if isinstance(f.dataType, LongType):
+                casts.append(int)
+            elif isinstance(f.dataType, DoubleType):
+                casts.append(float)
+            else:
+                casts.append(str)
+        with open(partition.path, newline="") as fh:
+            rows = csv.reader(fh)
+            next(rows, None)  # header
+            for i, row in enumerate(rows):
+                if i >= partition.end:
+                    break
+                if i < partition.start:
+                    continue
+                yield tuple(
+                    None if v.lower() in NULL_TOKENS else cast(v)
+                    for v, cast in zip(row, casts)
+                )
+
+
+class OnaDataSource(DataSource):
+    """``spark.read.format("onadata")`` — register with
+    ``spark.dataSource.register(OnaDataSource)``."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._local_path: str | None = None
+        self._n_rows: int | None = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "onadata"
+
+    # -- driver-side fetch (S1/S2/S3), cached across schema()/reader() --
+    def _ensure_local(self) -> str:
+        if self._local_path is None:
+            if path := self.options.get("path"):
+                self._local_path = path
+            else:
+                url = self.options.get("url")
+                if export_url := self.options.get("export_url"):
+                    url = poll_async_export(
+                        export_url,
+                        _http_json,
+                        max_polls=int(self.options.get("max_polls", 3)),
+                        sleep=lambda _s: None,
+                    )
+                if not url:
+                    raise ValueError(
+                        "onadata source needs one of: export_url, url, path"
+                    )
+                self._local_path = str(fetch_to_local(url, _http_bytes))
+        return self._local_path
+
+    def _header_and_count(self) -> tuple[list[str], list[list[str]], int]:
+        path = self._ensure_local()
+        with open(path, newline="") as fh:
+            rows = csv.reader(fh)
+            header = next(rows, [])
+            sample, n = [], 0
+            for row in rows:
+                if n < _SAMPLE_ROWS:
+                    sample.append(row)
+                n += 1
+        self._n_rows = n
+        return header, sample, n
+
+    def schema(self) -> StructType:
+        header, sample, _ = self._header_and_count()
+        return StructType(
+            [
+                StructField(
+                    name, _infer_type([row[i] for row in sample if i < len(row)])
+                )
+                for i, name in enumerate(header)
+            ]
+        )
+
+    def reader(self, schema: StructType) -> OnaDataReader:
+        path = self._ensure_local()
+        if self._n_rows is None:
+            self._header_and_count()
+        return OnaDataReader(
+            schema, path, self._n_rows, int(self.options.get("partitions", 8))
+        )

@@ -269,3 +269,90 @@ def test_native_merge_backend_detects_extensions(spark, monkeypatch):
     assert native_merge_backend(FakeSpark(delta_ext)) is None
     monkeypatch.setitem(sys.modules, "delta", types.ModuleType("delta"))
     assert native_merge_backend(FakeSpark(delta_ext)) == "delta"
+
+
+# ---------------------------------------------------------------------------
+# PySpark 4 Python DataSource: spark.read.format("onadata")
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def onadata_server():
+    """Live HTTP server speaking the reference's async-export protocol:
+    poll 1 answers a job_uuid, poll 2 (with the uuid re-attached) answers
+    SUCCESS + export_url, which serves the CSV (with S4 null tokens)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    csv_body = (
+        "name,age,score,notes\n"
+        "alice,34,1.5,ok\n"
+        "bob,n/a,2.25,\n"
+        "carol,41,,fine\n"
+        + "".join(f"u{i},{i},{i}.5,x\n" for i in range(50))
+    )
+    state = {"polls": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path.startswith("/export_async"):
+                state["polls"] += 1
+                if "job_uuid" not in self.path:
+                    payload = {"job_uuid": "abc123"}
+                else:
+                    base = f"http://127.0.0.1:{self.server.server_address[1]}"
+                    payload = {"job_status": "SUCCESS", "export_url": f"{base}/data.csv"}
+                body = _json.dumps(payload).encode()
+                self.send_response(202)
+            else:
+                body = csv_body.encode()
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", state
+    server.shutdown()
+
+
+def test_onadata_datasource_end_to_end(spark, onadata_server):
+    """format('onadata') polls the async export, downloads with the retry
+    client, infers the 3-type universe, normalizes S4 nulls, and parses
+    in parallel line-range partitions on the executors."""
+    from duva_spark.sources.datasource import OnaDataSource
+
+    base, state = onadata_server
+    spark.dataSource.register(OnaDataSource)
+    df = (
+        spark.read.format("onadata")
+        .option("export_url", f"{base}/export_async?format=csv")
+        .option("partitions", "4")
+        .load()
+    )
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string", "bigint", "double", "string",
+    ]
+    assert df.rdd.getNumPartitions() == 4  # distributed parse
+    rows = {r["name"]: r for r in df.collect()}
+    assert len(rows) == 53
+    assert rows["bob"]["age"] is None and rows["bob"]["notes"] is None  # S4
+    assert rows["carol"]["score"] is None
+    assert rows["alice"]["age"] == 34 and rows["alice"]["score"] == 1.5
+    assert state["polls"] == 2  # job_uuid round-trip happened
+
+
+def test_onadata_datasource_local_path(spark, tmp_path):
+    from duva_spark.sources.datasource import OnaDataSource
+
+    p = tmp_path / "x.csv"
+    p.write_text("k,v\n1,a\n2,n/a\n")
+    spark.dataSource.register(OnaDataSource)
+    df = spark.read.format("onadata").option("path", str(p)).load()
+    got = sorted((r.k, r.v) for r in df.collect())
+    assert got == [(1, "a"), (2, None)]
