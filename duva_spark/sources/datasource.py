@@ -38,7 +38,12 @@ import csv
 import json
 import urllib.request
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -196,3 +201,60 @@ class OnaDataSource(DataSource):
         return OnaDataReader(
             schema, path, self._n_rows, int(self.options.get("partitions", 8))
         )
+
+    def simpleStreamReader(self, schema: StructType) -> "OnaDataStreamReader":
+        url = self.options.get("url")
+        if not url:
+            raise ValueError("streaming onadata source needs url=")
+        return OnaDataStreamReader(schema, url)
+
+
+class OnaDataStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("onadata").option("url", ...)`` — the
+    reference's cron-driven re-sync (C1/EP2: refetch the whole export
+    every tick, drop-and-recreate) recast as an INCREMENTAL streaming
+    source: each microbatch refetches the export and emits only the
+    rows past the last offset, so downstream gets a true append stream
+    with exactly-once offsets instead of a full refresh. The offset is
+    the row count already emitted — replayable because OnaData exports
+    are append-ordered; ``readBetweenOffsets`` refetches and re-slices
+    the same range on recovery."""
+
+    def __init__(self, schema: StructType, url: str):
+        self._schema = schema
+        self._url = url
+
+    def _rows(self) -> list[tuple]:
+        status, body = _http_bytes(self._url)
+        if status != 200:
+            return []
+        casts = []
+        for f in self._schema.fields:
+            if isinstance(f.dataType, LongType):
+                casts.append(int)
+            elif isinstance(f.dataType, DoubleType):
+                casts.append(float)
+            else:
+                casts.append(str)
+        out = []
+        lines = body.decode().splitlines()
+        for row in list(csv.reader(lines))[1:]:
+            out.append(
+                tuple(
+                    None if v.lower() in NULL_TOKENS else cast(v)
+                    for v, cast in zip(row, casts)
+                )
+            )
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"rows": 0}
+
+    def read(self, start: dict):
+        rows = self._rows()
+        lo = int(start.get("rows", 0))
+        return iter(rows[lo:]), {"rows": max(len(rows), lo)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = self._rows()
+        return iter(rows[int(start.get("rows", 0)) : int(end.get("rows", 0))])

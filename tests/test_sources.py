@@ -356,3 +356,60 @@ def test_onadata_datasource_local_path(spark, tmp_path):
     df = spark.read.format("onadata").option("path", str(p)).load()
     got = sorted((r.k, r.v) for r in df.collect())
     assert got == [(1, "a"), (2, None)]
+
+
+def test_onadata_streaming_source_incremental(spark):
+    """readStream.format('onadata'): each microbatch refetches the export
+    and emits only rows past the committed offset — the incremental
+    recast of the reference's full-refresh cron sync. Growing the
+    upstream export between processAllAvailable calls must append
+    exactly the new rows, no duplicates."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from duva_spark.sources.datasource import OnaDataSource
+
+    rows = ["1,a", "2,b"]
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = ("k,v\n" + "\n".join(rows) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    spark.dataSource.register(OnaDataSource)
+    spark.catalog.dropTempView("onastream") if "onastream" in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        spark.readStream.format("onadata")
+        .schema("k long, v string")
+        .option("url", f"{base}/data.csv")
+        .load()
+        .writeStream.format("memory")
+        .queryName("onastream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(
+            (r.k, r.v) for r in spark.table("onastream").collect()
+        ) == [(1, "a"), (2, "b")]
+        rows.append("3,n/a")
+        rows.append("4,d")
+        q.processAllAvailable()
+        assert sorted(
+            (r.k, r.v) for r in spark.table("onastream").collect()
+        ) == [(1, "a"), (2, "b"), (3, None), (4, "d")]
+    finally:
+        q.stop()
+        server.shutdown()
