@@ -41,8 +41,10 @@ import urllib.request
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -207,6 +209,83 @@ class OnaDataSource(DataSource):
         if not url:
             raise ValueError("streaming onadata source needs url=")
         return OnaDataStreamReader(schema, url)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, shard: str, n_rows: int):
+        self.shard = shard
+        self.n_rows = n_rows
+
+
+class ArtifactWriter(DataSourceWriter):
+    """Task-parallel CSV shard writer with a driver-side atomic commit.
+
+    Each task streams its partition to ``_tmp_<uuid>/part-<n>.csv``
+    (duva null convention on the way out: None → ``"n/a"``, S4 inverse)
+    and reports (shard, row_count) in its commit message; ``commit``
+    renames the staging directory to the artifact key layout
+    ``{server_id}/{username}/{form_id}`` (K2,
+    app/crud/crud_hyperfile.py:84-85) and stamps ``_ROWCOUNT`` with the
+    summed task counts — the reference's COPY-returns-row-count
+    contract (S9, app/core/importer.py:251-256) recovered from commit
+    messages instead of a second scan. ``abort`` removes the staging
+    directory; a crashed job never publishes a partial artifact."""
+
+    def __init__(self, options):
+        import uuid
+
+        self._root = options.get("path")
+        if not self._root:
+            raise ValueError("duva_artifact writer needs path=")
+        key = "/".join(
+            str(options.get(k, "_")) for k in ("server_id", "username", "form_id")
+        )
+        self._final = f"{self._root.rstrip('/')}/{key}"
+        self._staging = f"{self._final}__staging_{uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator) -> _ShardCommit:
+        import os
+        from pyspark import TaskContext
+
+        os.makedirs(self._staging, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        shard = os.path.join(self._staging, f"part-{pid:05d}.csv")
+        n = 0
+        with open(shard, "w", newline="") as fh:
+            w = csv.writer(fh)
+            for row in iterator:
+                w.writerow(["n/a" if v is None else v for v in row])
+                n += 1
+        return _ShardCommit(shard, n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        total = sum(m.n_rows for m in messages)
+        if os.path.exists(self._final):
+            shutil.rmtree(self._final)  # S8: drop-and-recreate refresh
+        os.makedirs(os.path.dirname(self._final), exist_ok=True)
+        os.rename(self._staging, self._final)
+        with open(os.path.join(self._final, "_ROWCOUNT"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+
+class DuvaArtifactSink(DataSource):
+    """``df.write.format("duva_artifact").option("path", root)`` plus the
+    key-layout options (server_id/username/form_id)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "duva_artifact"
+
+    def writer(self, schema: StructType, overwrite: bool) -> ArtifactWriter:
+        return ArtifactWriter(self.options)
 
 
 class OnaDataStreamReader(SimpleDataSourceStreamReader):

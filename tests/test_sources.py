@@ -413,3 +413,41 @@ def test_onadata_streaming_source_incremental(spark):
     finally:
         q.stop()
         server.shutdown()
+
+
+def test_duva_artifact_writer_commit_contract(spark, tmp_path):
+    """Task-parallel shard write + atomic driver commit: the artifact
+    lands under the K2 key layout, _ROWCOUNT carries the summed task
+    counts (the S9 COPY contract), Nones round-trip as 'n/a', and a
+    repeat write drop-and-recreates (S8)."""
+    import os
+
+    from duva_spark.sources.datasource import DuvaArtifactSink
+
+    spark.dataSource.register(DuvaArtifactSink)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "k long, v string"
+    ).repartition(3)
+    (
+        df.write.format("duva_artifact")
+        .option("path", str(tmp_path))
+        .option("server_id", "7")
+        .option("username", "bob")
+        .option("form_id", "42")
+        .mode("append")
+        .save()
+    )
+    final = tmp_path / "7" / "bob" / "42"
+    assert (final / "_ROWCOUNT").read_text() == "4"
+    shards = [f for f in os.listdir(final) if f.startswith("part-")]
+    assert len(shards) == 3  # one per task
+    body = "".join((final / s).read_text() for s in shards)
+    assert "2,n/a" in body  # None -> "n/a" on the way out
+    assert not [d for d in os.listdir(tmp_path / "7" / "bob") if "__staging" in d]
+    # refresh: write fewer rows, the old artifact is fully replaced
+    spark.createDataFrame([(9, "z")], "k long, v string").coalesce(1).write.format(
+        "duva_artifact"
+    ).option("path", str(tmp_path)).option("server_id", "7").option(
+        "username", "bob"
+    ).option("form_id", "42").mode("append").save()
+    assert (final / "_ROWCOUNT").read_text() == "1"
