@@ -101,12 +101,24 @@ class _LineRange(InputPartition):
         self.end = end  # exclusive
 
 
+_PUSHABLE = {
+    "EqualTo": lambda v, x: v == x,
+    "GreaterThan": lambda v, x: v is not None and v > x,
+    "GreaterThanOrEqual": lambda v, x: v is not None and v >= x,
+    "LessThan": lambda v, x: v is not None and v < x,
+    "LessThanOrEqual": lambda v, x: v is not None and v <= x,
+    "IsNotNull": lambda v, x: v is not None,
+    "IsNull": lambda v, x: v is None,
+}
+
+
 class OnaDataReader(DataSourceReader):
     def __init__(self, schema: StructType, path: str, n_rows: int, n_parts: int):
         self._schema = schema
         self._path = path
         self._n_rows = n_rows
         self._n_parts = max(1, min(n_parts, max(n_rows, 1)))
+        self._pushed: list[tuple[int, str, object]] = []
 
     def partitions(self):
         step = -(-self._n_rows // self._n_parts) if self._n_rows else 1
@@ -124,6 +136,7 @@ class OnaDataReader(DataSourceReader):
                 casts.append(float)
             else:
                 casts.append(str)
+        pushed = [(i, _PUSHABLE[kind], val) for i, kind, val in self._pushed]
         with open(partition.path, newline="") as fh:
             rows = csv.reader(fh)
             next(rows, None)  # header
@@ -132,10 +145,41 @@ class OnaDataReader(DataSourceReader):
                     break
                 if i < partition.start:
                     continue
-                yield tuple(
+                vals = tuple(
                     None if v.lower() in NULL_TOKENS else cast(v)
                     for v, cast in zip(row, casts)
                 )
+                if all(pred(vals[ci], x) for ci, pred, x in pushed):
+                    yield vals
+
+
+class PushdownOnaDataReader(OnaDataReader):
+    """OnaDataReader + Spark 4 filter pushdown. Kept as a subclass:
+    merely DEFINING pushFilters makes Spark fail the read when
+    ``spark.sql.python.filterPushdown.enabled`` is false, so the plain
+    reader must stay method-free and the DataSource picks the variant
+    from the session conf."""
+
+    def pushFilters(self, filters):
+        """Source-level filter pushdown: simple comparison/null
+        predicates on top-level columns are evaluated inside the task's
+        CSV parse loop — rows are dropped before they ever become Spark
+        rows, which for a selective predicate is the difference between
+        shipping the export and shipping the answer. Anything else is
+        returned to Spark to evaluate post-scan (the contract: returned
+        filters are the UNSUPPORTED remainder)."""
+        names = [f.name for f in self._schema.fields]
+        remaining = []
+        for f in filters:
+            kind = type(f).__name__
+            attr = getattr(f, "attribute", ())
+            if kind in _PUSHABLE and len(attr) == 1 and attr[0] in names:
+                self._pushed.append(
+                    (names.index(attr[0]), kind, getattr(f, "value", None))
+                )
+            else:
+                remaining.append(f)
+        return remaining
 
 
 class OnaDataSource(DataSource):
@@ -197,10 +241,21 @@ class OnaDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> OnaDataReader:
+        from pyspark.sql import SparkSession
+
         path = self._ensure_local()
         if self._n_rows is None:
             self._header_and_count()
-        return OnaDataReader(
+        session = SparkSession.getActiveSession()
+        enabled = (
+            session is not None
+            and session.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            ).lower()
+            == "true"
+        )
+        cls = PushdownOnaDataReader if enabled else OnaDataReader
+        return cls(
             schema, path, self._n_rows, int(self.options.get("partitions", 8))
         )
 

@@ -451,3 +451,40 @@ def test_duva_artifact_writer_commit_contract(spark, tmp_path):
         "username", "bob"
     ).option("form_id", "42").mode("append").save()
     assert (final / "_ROWCOUNT").read_text() == "1"
+
+
+def test_onadata_datasource_filter_pushdown(spark, tmp_path):
+    """Simple comparison filters reach the task's parse loop (Spark 4
+    pushFilters): end-to-end the filtered read returns the right rows,
+    and at the reader level the supported predicates are absorbed (and
+    applied during the scan) while unsupported ones are handed back to
+    Spark."""
+    from pyspark.sql.datasource import EqualNullSafe, EqualTo, GreaterThanOrEqual
+    from pyspark.sql.types import StructType
+
+    from duva_spark.sources.datasource import OnaDataSource, PushdownOnaDataReader
+
+    p = tmp_path / "f.csv"
+    p.write_text("k,v\n" + "".join(f"{i},x{i % 3}\n" for i in range(100)))
+    spark.dataSource.register(OnaDataSource)
+    df = (
+        spark.read.format("onadata")
+        .option("path", str(p))
+        .load()
+        .filter("k >= 90 and v = 'x0'")
+    )
+    assert sorted(r.k for r in df.collect()) == [90, 93, 96, 99]
+
+    schema = StructType.fromDDL("k long, v string")
+    reader = PushdownOnaDataReader(schema, str(p), 100, 2)
+    remainder = reader.pushFilters(
+        [
+            GreaterThanOrEqual(("k",), 90),
+            EqualTo(("v",), "x0"),
+            EqualNullSafe(("v",), "x0"),  # not in the pushable set
+        ]
+    )
+    assert [type(f).__name__ for f in remainder] == ["EqualNullSafe"]
+    parts = reader.partitions()
+    got = sorted(r[0] for part in parts for r in reader.read(part))
+    assert got == [90, 93, 96, 99]  # filters applied inside the scan
