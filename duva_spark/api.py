@@ -112,6 +112,10 @@ class ControlPlane:
         self._configs: dict[int, dict] = {}
         self._file_configs: dict[str, int] = {}
         self._next_id = {"server": 1, "config": 1}
+        # ThreadingHTTPServer handlers mutate these dicts concurrently;
+        # id allocation and the check-then-insert uniqueness windows need
+        # one lock (MetadataStore brings its own).
+        self._mutate = threading.Lock()
 
     def _take_id(self, kind: str) -> int:
         n = self._next_id[kind]
@@ -175,14 +179,15 @@ class ControlPlane:
         """Re-point a dataset at another Tableau configuration
         (reference file.py:117-143: unknown configuration id → 400
         BEFORE the file-existence check, then 404 on unknown file)."""
-        cid = body.get("configuration_id")
-        if cid is not None and int(cid) not in self._configs:
-            return 400, {"detail": "Configuration not found with given ID"}
-        if not self.store.exists(dataset_id):
-            return 404, {"detail": "File not found"}
-        if cid is not None:
-            self._file_configs[dataset_id] = int(cid)
-        return 200, self._view(dataset_id)
+        with self._mutate:
+            cid = body.get("configuration_id")
+            if cid is not None and int(cid) not in self._configs:
+                return 400, {"detail": "Configuration not found with given ID"}
+            if not self.store.exists(dataset_id):
+                return 404, {"detail": "File not found"}
+            if cid is not None:
+                self._file_configs[dataset_id] = int(cid)
+            return 200, self._view(dataset_id)
 
     def download_redirect(self, dataset_id: str) -> tuple[int, dict | None, dict]:
         """``?file_format=hyper`` → 307 to the presigned artifact URL
@@ -194,23 +199,24 @@ class ControlPlane:
 
     # ---- servers (reference endpoints/server.py) ----------------------
     def create_server(self, body: dict) -> tuple[int, dict]:
-        url = body.get("url", "")
-        parts = urlsplit(url)
-        if not parts.scheme or not parts.netloc:
-            return 400, {"detail": f"Invalid url {url}"}
-        norm = f"{parts.scheme}://{parts.netloc}{parts.path}"
-        if any(s["url"] == norm for s in self._servers.values()):
-            return 400, {"detail": f"Server {norm} already configured."}
-        sid = self._take_id("server")
-        self._servers[sid] = {
-            "id": sid,
-            "url": norm,
-            "client_id": body.get("client_id", ""),
-            "client_secret": fernet_encrypt(
-                body.get("client_secret", ""), self.secret_key
-            ),
-        }
-        return 201, {"id": sid, "url": norm}
+        with self._mutate:
+            url = body.get("url", "")
+            parts = urlsplit(url)
+            if not parts.scheme or not parts.netloc:
+                return 400, {"detail": f"Invalid url {url}"}
+            norm = f"{parts.scheme}://{parts.netloc}{parts.path}"
+            if any(s["url"] == norm for s in self._servers.values()):
+                return 400, {"detail": f"Server {norm} already configured."}
+            sid = self._take_id("server")
+            self._servers[sid] = {
+                "id": sid,
+                "url": norm,
+                "client_id": body.get("client_id", ""),
+                "client_secret": fernet_encrypt(
+                    body.get("client_secret", ""), self.secret_key
+                ),
+            }
+            return 201, {"id": sid, "url": norm}
 
     def get_server(self, sid: int) -> tuple[int, dict]:
         s = self._servers.get(sid)
@@ -250,19 +256,20 @@ class ControlPlane:
         )
 
     def create_configuration(self, body: dict) -> tuple[int, dict]:
-        cfg = {k: body.get(k, "") for k in _CONFIG_FIELDS}
-        if self.validate_config is not None and not self.validate_config(cfg):
-            return 400, {"detail": "Invalid Configuration"}
-        if self._config_conflict(cfg):
-            return 400, {"detail": "Configuration already exists"}
-        cid = self._take_id("config")
-        cfg["token_value"] = fernet_encrypt(cfg["token_value"], self.secret_key)
-        cfg["export_settings"] = {
-            **EXPORT_SETTINGS_DEFAULTS,
-            **(body.get("export_settings") or {}),
-        }
-        self._configs[cid] = cfg
-        return 201, self._config_view(cid)
+        with self._mutate:
+            cfg = {k: body.get(k, "") for k in _CONFIG_FIELDS}
+            if self.validate_config is not None and not self.validate_config(cfg):
+                return 400, {"detail": "Invalid Configuration"}
+            if self._config_conflict(cfg):
+                return 400, {"detail": "Configuration already exists"}
+            cid = self._take_id("config")
+            cfg["token_value"] = fernet_encrypt(cfg["token_value"], self.secret_key)
+            cfg["export_settings"] = {
+                **EXPORT_SETTINGS_DEFAULTS,
+                **(body.get("export_settings") or {}),
+            }
+            self._configs[cid] = cfg
+            return 201, self._config_view(cid)
 
     def get_configuration(self, cid: int) -> tuple[int, dict]:
         if cid not in self._configs:
@@ -278,33 +285,35 @@ class ControlPlane:
         return 200, out
 
     def patch_configuration(self, cid: int, body: dict) -> tuple[int, dict]:
-        if cid not in self._configs:
-            return 404, {"detail": "Configuration not found."}
-        cur = self._configs[cid]
-        merged = {
-            k: body.get(k, cur[k]) for k in _CONFIG_FIELDS if k != "token_value"
-        }
-        if self.validate_config is not None and not self.validate_config(
-            {**merged, "token_value": body.get("token_value", "")}
-        ):
-            return 400, {"detail": "Invalid Configuration"}
-        if self._config_conflict(merged, exclude=cid):
-            return 400, {"detail": "Configuration already exists"}
-        cur.update(merged)
-        if "token_value" in body:
-            cur["token_value"] = fernet_encrypt(body["token_value"], self.secret_key)
-        if "export_settings" in body:
-            cur["export_settings"] = {
-                **cur["export_settings"],
-                **(body["export_settings"] or {}),
+        with self._mutate:
+            if cid not in self._configs:
+                return 404, {"detail": "Configuration not found."}
+            cur = self._configs[cid]
+            merged = {
+                k: body.get(k, cur[k]) for k in _CONFIG_FIELDS if k != "token_value"
             }
-        return 200, self._config_view(cid)
+            if self.validate_config is not None and not self.validate_config(
+                {**merged, "token_value": body.get("token_value", "")}
+            ):
+                return 400, {"detail": "Invalid Configuration"}
+            if self._config_conflict(merged, exclude=cid):
+                return 400, {"detail": "Configuration already exists"}
+            cur.update(merged)
+            if "token_value" in body:
+                cur["token_value"] = fernet_encrypt(body["token_value"], self.secret_key)
+            if "export_settings" in body:
+                cur["export_settings"] = {
+                    **cur["export_settings"],
+                    **(body["export_settings"] or {}),
+                }
+            return 200, self._config_view(cid)
 
     def delete_configuration(self, cid: int) -> tuple[int, dict | None]:
-        if cid not in self._configs:
-            return 404, {"detail": "Configuration not found."}
-        del self._configs[cid]
-        return 204, None
+        with self._mutate:
+            if cid not in self._configs:
+                return 404, {"detail": "Configuration not found."}
+            del self._configs[cid]
+            return 204, None
 
     def oauth_login(self, params: dict) -> tuple[int, dict | None, dict]:
         if self.oauth is None:
