@@ -611,6 +611,58 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x FROM lineitem),
+    m AS (SELECT l_returnflag, AVG(x) AS mu FROM s GROUP BY 1),
+    mom AS (
+      SELECT s.l_returnflag,
+             ROUND(AVG(POWER(x-mu,3)) / POWER(AVG(POWER(x-mu,2)), 1.5), 6) AS skew,
+             ROUND(AVG(POWER(x-mu,4)) / POWER(AVG(POWER(x-mu,2)), 2) - 3, 6) AS kurt_excess
+      FROM s JOIN m USING (l_returnflag)
+      GROUP BY s.l_returnflag
+    ),
+    md AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty
+      FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                 ORDER BY n DESC, l_quantity) = 1
+    )
+    SELECT mom.l_returnflag, mom.skew, mom.kurt_excess, md.mode_qty
+    FROM mom JOIN md USING (l_returnflag)
+    """,
+    description=(
+        "Higher statistical moments + mode per group: Spark's "
+        "skewness/kurtosis builtins (one-pass streaming central "
+        "moments, population semantics — the oracle recomputes them "
+        "two-pass as AVG((x-mu)^k) ratios, verified equal to 6 dp, "
+        "which pins down the population-vs-sample formula ambiguity "
+        "between engines), and a DETERMINISTIC mode (smallest value "
+        "among the max-frequency ties via count + rank window — the "
+        "bare mode() builtin breaks ties arbitrarily in both engines "
+        "and cannot be value-gated). Mode's per-group count frame is "
+        "|group × distinct values|, not data."
+    ),
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    mom = li.groupBy("l_returnflag").agg(
+        F.round(F.skewness(x), 6).alias("skew"),
+        F.round(F.kurtosis(x), 6).alias("kurt_excess"),
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("l_quantity"))
+    md = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").cast("long").alias("mode_qty"))
+    )
+    return mom.join(md, "l_returnflag")
+
+
+@register(
     "q_winsorized_stats",
     oracle="""
     WITH b AS (
