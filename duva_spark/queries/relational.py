@@ -3175,6 +3175,59 @@ def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_udtf_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS w1,
+           string_split(text, ' ')[2] AS w2,
+           string_split(text, ' ')[3] AS w3
+    FROM documents WHERE doc_id <= 50
+    """,
+    description=(
+        "POLYMORPHIC Python UDTF (Spark 4 analyze-time schema): the "
+        "output columns w1..wN are derived at query-planning time from "
+        "the literal N argument by the UDTF's analyze() hook — the "
+        "table function's schema is a function of its arguments, which "
+        "a fixed returnType cannot express. Same bounded-rows "
+        "discipline as q_udtf_chunks (the API demo is the point; "
+        "per-row Python stays off the hot path)."
+    ),
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstWords:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if n.value is None:
+                raise ValueError("n must be a literal (it shapes the schema)")
+            return AnalyzeResult(
+                StructType(
+                    [StructField("doc_id", LongType())]
+                    + [
+                        StructField(f"w{i + 1}", StringType())
+                        for i in range(int(n.value))
+                    ]
+                )
+            )
+
+        def eval(self, doc_id, text, n):  # noqa: ANN001 — UDTF signature
+            ws = text.split(" ")
+            yield (doc_id, *[ws[i] if i < len(ws) else None for i in range(int(n))])
+
+    spark.udtf.register("duva_first_words", udtf(FirstWords))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT f.* FROM documents d, LATERAL duva_first_words(d.doc_id, d.text, 3) f "
+        "WHERE d.doc_id <= 50"
+    )
+
+
+@register(
     "q_variant_json",
     oracle="""
     SELECT event_type,
