@@ -110,8 +110,12 @@ def grouped_quantile_cont(
     with spill, so even a pathological group degrades to disk instead
     of OOM), and the ≤2 boundary rows per q are picked with conditional
     aggregation — never a per-group sort of raw data."""
-    counts = df.groupBy(*keys, F.col(value_col).alias("_v")).agg(
-        F.count("*").alias("_cnt")
+    # persisted: both the running-count window and the per-group totals
+    # consume this frame — without the cache the source is scanned twice
+    counts = (
+        df.groupBy(*keys, F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_cnt"))
+        .persist()
     )
     w = (
         W.partitionBy(*keys)
