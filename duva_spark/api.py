@@ -292,8 +292,18 @@ class ControlPlane:
             merged = {
                 k: body.get(k, cur[k]) for k in _CONFIG_FIELDS if k != "token_value"
             }
+            # validate with the token the config will actually hold: the
+            # patched one if sent, else the CURRENT decrypted token — a
+            # real sign-in validator must not see an empty credential on
+            # a patch that leaves the token untouched
+            if "token_value" in body:
+                effective_token = body["token_value"]
+            else:
+                from duva_spark.security import fernet_decrypt
+
+                effective_token = fernet_decrypt(cur["token_value"], self.secret_key)
             if self.validate_config is not None and not self.validate_config(
-                {**merged, "token_value": body.get("token_value", "")}
+                {**merged, "token_value": effective_token}
             ):
                 return 400, {"detail": "Invalid Configuration"}
             if self._config_conflict(merged, exclude=cid):
@@ -406,41 +416,48 @@ def _make_handler(cp: ControlPlane):
                 params = {k: v[0] for k, v in qs.items()}
                 base_url = f"http://{self.headers.get('Host', '')}"
                 headers: dict = {}
-                if action == "create":
-                    code, payload = cp.create_file(body)
-                elif action == "list":
-                    code, payload = cp.list_files()
-                elif action in ("oauth_login", "oauth_callback"):
-                    code, payload, headers = getattr(cp, action)(params)
-                elif action == "get":
-                    if params.get("file_format") == "hyper":
-                        code, payload, headers = cp.download_redirect(match["id"])
+                try:
+                    if action == "create":
+                        code, payload = cp.create_file(body)
+                    elif action == "list":
+                        code, payload = cp.list_files()
+                    elif action in ("oauth_login", "oauth_callback"):
+                        code, payload, headers = getattr(cp, action)(params)
+                    elif action == "get":
+                        if params.get("file_format") == "hyper":
+                            code, payload, headers = cp.download_redirect(match["id"])
+                        else:
+                            code, payload = cp.get_file(match["id"])
+                    elif action == "patch":
+                        code, payload = cp.patch_file(match["id"], body)
+                    elif action == "sync":
+                        code, payload = cp.sync_file(match["id"])
+                    elif action == "delete":
+                        code, payload = cp.delete_file(match["id"])
+                    elif action == "server_create":
+                        code, payload = cp.create_server(body)
+                    elif action == "server_list":
+                        code, payload = cp.list_servers(
+                            max(0, int(params.get("skip", 0))),
+                            max(0, int(params.get("limit", 100))),
+                        )
+                    elif action == "server_get":
+                        code, payload = cp.get_server(int(match["id"]))
+                    elif action == "config_create":
+                        code, payload = cp.create_configuration(body)
+                    elif action == "config_list":
+                        code, payload = cp.list_configurations(base_url)
+                    elif action == "config_get":
+                        code, payload = cp.get_configuration(int(match["id"]))
+                    elif action == "config_patch":
+                        code, payload = cp.patch_configuration(int(match["id"]), body)
                     else:
-                        code, payload = cp.get_file(match["id"])
-                elif action == "patch":
-                    code, payload = cp.patch_file(match["id"], body)
-                elif action == "sync":
-                    code, payload = cp.sync_file(match["id"])
-                elif action == "delete":
-                    code, payload = cp.delete_file(match["id"])
-                elif action == "server_create":
-                    code, payload = cp.create_server(body)
-                elif action == "server_list":
-                    code, payload = cp.list_servers(
-                        int(params.get("skip", 0)), int(params.get("limit", 100))
-                    )
-                elif action == "server_get":
-                    code, payload = cp.get_server(int(match["id"]))
-                elif action == "config_create":
-                    code, payload = cp.create_configuration(body)
-                elif action == "config_list":
-                    code, payload = cp.list_configurations(base_url)
-                elif action == "config_get":
-                    code, payload = cp.get_configuration(int(match["id"]))
-                elif action == "config_patch":
-                    code, payload = cp.patch_configuration(int(match["id"]), body)
-                else:
-                    code, payload = cp.delete_configuration(int(match["id"]))
+                        code, payload = cp.delete_configuration(int(match["id"]))
+                except (ValueError, TypeError):
+                    # malformed ids / params / body types answer 422 like
+                    # the reference's FastAPI validation layer — never an
+                    # unhandled traceback that drops the connection
+                    code, payload = 422, {"detail": "Invalid request parameter"}
                 data = b"" if payload is None else json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")

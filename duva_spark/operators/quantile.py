@@ -55,8 +55,12 @@ def quantile_cont(
     but with no stage that buffers O(N) values in one task.
     """
     spark = df.sparkSession
-    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
-        F.count("*").alias("_cnt")
+    # NULLs are excluded like F.percentile / DuckDB quantile_cont do —
+    # without this filter a NULL group would hold ranks and skew n
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_cnt"))
     )
     cum = running_sum(counts, "_v", "_cnt", out_col="_cum", num_partitions=num_partitions)
     total = cum.agg(F.max("_cum").alias("_n"))
@@ -111,9 +115,11 @@ def grouped_quantile_cont(
     of OOM), and the ≤2 boundary rows per q are picked with conditional
     aggregation — never a per-group sort of raw data."""
     # persisted: both the running-count window and the per-group totals
-    # consume this frame — without the cache the source is scanned twice
+    # consume this frame — without the cache the source is scanned twice.
+    # NULL values excluded to match F.percentile / quantile_cont.
     counts = (
-        df.groupBy(*keys, F.col(value_col).alias("_v"))
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_cnt"))
         .persist()
     )

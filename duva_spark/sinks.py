@@ -268,8 +268,10 @@ def merge_upsert(
       (`native_merge_backend` must detect Delta or Iceberg in the
       session — raises otherwise);
     - ``"auto"``: native when a backend is detected, else pointer — the
-      production default: the emulation is the fallback, not the
-      ceiling.
+      recommended setting for production callers (the signature default
+      stays ``"rename"`` for backward compatibility with existing
+      local-filesystem call sites; pass ``commit="auto"`` explicitly to
+      opt into native MERGE).
 
     Returns the resulting row count.
     """

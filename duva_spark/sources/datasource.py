@@ -66,6 +66,10 @@ def _http_bytes(url: str) -> tuple[int, bytes]:
             return resp.status, resp.read()
     except urllib.error.HTTPError as e:
         return e.code, b""
+    except urllib.error.URLError:
+        # network-level failure (refused/DNS): surface as a retryable
+        # status so fetch_to_local's backoff loop owns it (S3 policy)
+        return 503, b""
 
 
 def _http_json(url: str) -> tuple[int, dict]:
@@ -92,6 +96,29 @@ def _infer_type(values: list[str]):
         return DoubleType()
     except ValueError:
         return StringType()
+
+
+def _parse_row(row: list[str], casts: list, n_cols: int) -> tuple:
+    """Permissive row conversion: short/ragged rows pad with NULL (the
+    schema is fixed; truncated tuples would fail Spark's row
+    conversion), and a value that no longer parses as the
+    sample-inferred type (e.g. '1.5' in a column whose first rows were
+    all ints) degrades to NULL like a permissive-mode CSV reader,
+    instead of failing the whole scan."""
+    out = []
+    for i in range(n_cols):
+        if i >= len(row):
+            out.append(None)
+            continue
+        v = row[i]
+        if v.lower() in NULL_TOKENS:
+            out.append(None)
+            continue
+        try:
+            out.append(casts[i](v))
+        except (ValueError, TypeError):
+            out.append(None)
+    return tuple(out)
 
 
 class _LineRange(InputPartition):
@@ -137,6 +164,7 @@ class OnaDataReader(DataSourceReader):
             else:
                 casts.append(str)
         pushed = [(i, _PUSHABLE[kind], val) for i, kind, val in self._pushed]
+        n_cols = len(casts)
         with open(partition.path, newline="") as fh:
             rows = csv.reader(fh)
             next(rows, None)  # header
@@ -145,10 +173,7 @@ class OnaDataReader(DataSourceReader):
                     break
                 if i < partition.start:
                     continue
-                vals = tuple(
-                    None if v.lower() in NULL_TOKENS else cast(v)
-                    for v, cast in zip(row, casts)
-                )
+                vals = _parse_row(row, casts, n_cols)
                 if all(pred(vals[ci], x) for ci, pred, x in pushed):
                     yield vals
 
@@ -203,11 +228,17 @@ class OnaDataSource(DataSource):
             else:
                 url = self.options.get("url")
                 if export_url := self.options.get("export_url"):
+                    import time
+
+                    # poll_sleep_scale=0 collapses the S1 linear backoff
+                    # (tests / pre-completed exports); default keeps the
+                    # reference's real sleep(30*(retries+1)) cadence.
+                    scale = float(self.options.get("poll_sleep_scale", 1.0))
                     url = poll_async_export(
                         export_url,
                         _http_json,
                         max_polls=int(self.options.get("max_polls", 3)),
-                        sleep=lambda _s: None,
+                        sleep=lambda s: time.sleep(s * scale),
                     )
                 if not url:
                     raise ValueError(
@@ -370,16 +401,11 @@ class OnaDataStreamReader(SimpleDataSourceStreamReader):
                 casts.append(float)
             else:
                 casts.append(str)
-        out = []
         lines = body.decode().splitlines()
-        for row in list(csv.reader(lines))[1:]:
-            out.append(
-                tuple(
-                    None if v.lower() in NULL_TOKENS else cast(v)
-                    for v, cast in zip(row, casts)
-                )
-            )
-        return out
+        return [
+            _parse_row(row, casts, len(casts))
+            for row in list(csv.reader(lines))[1:]
+        ]
 
     def initialOffset(self) -> dict:
         return {"rows": 0}

@@ -253,3 +253,34 @@ def test_file_hyper_format_307_redirect(api):
     assert body["download_url_valid_till"] > 0
     code, _, _ = _raw(base, "GET", "/api/v1/files/nope?file_format=hyper")
     assert code == 404
+
+
+def test_patch_configuration_validates_with_current_token(spark, tmp_path):
+    """A patch that leaves token_value untouched must hand the validator
+    the CURRENT decrypted token, not an empty string — a real sign-in
+    check would otherwise reject every metadata-only patch."""
+    seen = []
+
+    def validator(cfg):
+        seen.append(cfg["token_value"])
+        return cfg["token_value"] == "real-pat"
+
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "x.csv")
+    cp = ControlPlane(store, job, str(tmp_path / "out"), validate_config=validator)
+    code, body = cp.create_configuration({**CONFIG, "token_value": "real-pat"})
+    assert code == 201
+    code, body = cp.patch_configuration(body["id"], {"site_name": "changed"})
+    assert code == 200 and body["site_name"] == "changed"
+    assert seen == ["real-pat", "real-pat"]  # decrypted current token reused
+
+
+def test_malformed_ids_answer_422_not_connection_abort(api):
+    base, _ = api
+    _req(base, "POST", "/api/v1/files/", {"form_id": 4})
+    code, body = _req(base, "PATCH", "/api/v1/files/4", {"configuration_id": "abc"})
+    assert code == 422 and body == {"detail": "Invalid request parameter"}
+    code, _ = _req(base, "GET", "/api/v1/servers/?skip=abc")
+    assert code == 422
+    code, listed = _req(base, "GET", "/api/v1/servers/?skip=-5")
+    assert code == 200 and listed == []  # clamped, not a wrong tail slice

@@ -515,3 +515,22 @@ def test_heavy_hitters_plan_broadcasts_candidates(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quantile_operators_ignore_nulls_like_percentile(spark):
+    """NULL values must not hold ranks: both quantile operators equal
+    F.percentile on a nullable column."""
+    from duva_spark.operators.quantile import grouped_quantile_cont, quantile_cont_row
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1.0,), (2.0,), (3.0,)], "v double"
+    )
+    got = quantile_cont_row(df, "v", {"med": 0.5}).collect()[0]
+    assert got["med"] == 2.0
+    gdf = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", None)],
+        "g string, v double",
+    )
+    rows = {r.g: r.med for r in grouped_quantile_cont(gdf, ["g"], "v", {"med": 0.5}).collect()}
+    assert rows["a"] == 2.0
+    assert "b" not in rows  # all-NULL group yields no row, like an agg over no values

@@ -488,3 +488,24 @@ def test_onadata_datasource_filter_pushdown(spark, tmp_path):
     parts = reader.partitions()
     got = sorted(r[0] for part in parts for r in reader.read(part))
     assert got == [90, 93, 96, 99]  # filters applied inside the scan
+
+
+def test_onadata_datasource_permissive_parse(spark, tmp_path):
+    """Ragged rows pad with NULL and values that stop matching the
+    sample-inferred type degrade to NULL — the scan never fails on
+    malformed tail data (permissive-mode contract)."""
+    from duva_spark.sources.datasource import OnaDataSource
+
+    p = tmp_path / "ragged.csv"
+    # the malformed value sits past the 200-row inference sample, so the
+    # column is inferred BIGINT and row 250 must degrade, not crash
+    body = "k,v,w\n" + "".join(f"{i},x,{i}\n" for i in range(249)) + "249,y\n250,z,oops\n"
+    p.write_text(body)
+    spark.dataSource.register(OnaDataSource)
+    df = spark.read.format("onadata").option("path", str(p)).load()
+    assert df.schema["w"].dataType.simpleString() == "bigint"
+    rows = {r.k: (r.v, r.w) for r in df.collect()}
+    assert len(rows) == 251
+    assert rows[1] == ("x", 1)
+    assert rows[249] == ("y", None)  # ragged row padded
+    assert rows[250] == ("z", None)  # late non-integer degrades to NULL
