@@ -244,6 +244,43 @@ def _lsh_pairs_sql(n_hashes: int, n_bands: int, threshold: float) -> str:
 
 
 @register(
+    "q_ppjoin_exact_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, {{_SH}} AS sh FROM w),
+    sh_h AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {{_H}} % {_P})) AS hs FROM s),
+    ne AS (SELECT * FROM sh_h WHERE len(hs) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.hs, b.hs)) * 1.0 /
+                 len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+    FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.hs, b.hs)) * 1.0 /
+                len(list_distinct(list_concat(a.hs, b.hs))), 6) >= 0.5
+    """.replace("{_SH}", _SHINGLES).replace("{_H}", _H60),
+    description=(
+        "EXACT set-similarity self-join (prefix filtering, PPJoin/"
+        "SSJoin): ALL shingle-set pairs with Jaccard >= 0.5, zero "
+        "misses — the deterministic complement to q_minhash_lsh_pairs "
+        "(whose banding has a recall curve). Candidates form ONLY via "
+        "an equi-join on each set's rarest-first prefix tokens "
+        "(|s| - ceil(t|s|) + 1 of them): disjoint prefixes bound the "
+        "overlap below the Jaccard threshold (pigeonhole on the "
+        "suffix), so pruning is lossless. The oracle is the full "
+        "O(n^2) pair scan — feasible at test SF precisely because "
+        "this operator's output must EQUAL it row-for-row, which is "
+        "the strongest possible gate on the pruning logic. Global "
+        "token order comes from per-doc sort_array over (df, token) "
+        "structs — no global rank window, no single-partition stage."
+    ),
+)
+def q_ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@register(
     "q_minhash_lsh_pairs",
     oracle=_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5),
     headline=True,

@@ -494,3 +494,42 @@ def test_star_components_match_label_propagation(spark):
     star = sorted((r["id"], r["comp"]) for r in connected_components_star(df).collect())
     prop = sorted((r["id"], r["comp"]) for r in connected_components(df).collect())
     assert star == prop
+
+
+def test_ppjoin_is_exact_and_contains_lsh_pairs(spark, sf_dir):
+    """Prefix filtering equals the brute-force all-pairs result (zero
+    missed pairs — the lossless-pruning guarantee), and the MinHash-LSH
+    pair set at the same threshold is a subset of it (LSH has a recall
+    curve; the exact join is its upper bound)."""
+    from pyspark.sql import functions as F
+
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import minhash
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    # brute force over hashed shingle sets (identical token definition)
+    hs = F.array_distinct(
+        F.transform(minhash.word_shingles(F.split(F.col("text"), " "), 3), minhash.base_hash)
+    )
+    d = docs.select(F.col("doc_id").alias("_id"), hs.alias("hs")).filter(F.size("hs") > 0)
+    a = d.select(F.col("_id").alias("id_a"), F.col("hs").alias("sh_a"))
+    b = d.select(F.col("_id").alias("id_b"), F.col("hs").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(jac, 6) >= 0.5)
+        .collect()
+    }
+    assert got == brute and got
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert lsh <= got
