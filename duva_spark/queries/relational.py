@@ -4037,6 +4037,53 @@ def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    daily AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    roll AS (
+      SELECT days.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days JOIN ud
+        ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day, daily.dau, roll.wau AS rolling_7d_users
+    FROM daily JOIN roll ON daily.d = roll.d
+    """,
+    description=(
+        "Daily + 7-day rolling distinct active users (DAU/WAU): rolling "
+        "COUNT(DISTINCT) cannot be a window aggregate (distinct range "
+        "frames are unsupported in every engine), so the distributed "
+        "shape is: dedupe to the (user, day) frame FIRST (one shuffle — "
+        "at 100 TB this is the big reduction, events to user-days), "
+        "then a bounded ×7 fan-out range join against the broadcast "
+        "day spine and a distinct count per day. The fan-out constant "
+        "is the window length, never the data; the day spine is "
+        "|days| rows."
+    ),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
+    daily = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    spine = ud.select("d").distinct().select(F.col("d").alias("sd"))
+    roll = (
+        ud.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("sd")) & (F.col("d") >= F.date_sub(F.col("sd"), 6)),
+        )
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").alias("rolling_7d_users"))
+    )
+    return daily.join(roll, daily["d"] == roll["sd"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "rolling_7d_users",
+    )
+
+
+@register(
     "q_rate_limit_breaches",
     oracle="""
     WITH hourly AS (
