@@ -1152,9 +1152,11 @@ def _kmeans_sql(k: int, iters: int, dim: int, dp: int) -> str:
     oracle=_kmeans_sql(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP),
     description=(
         "KMeans centroid training (3 Lloyd rounds, k=8, dim=64): the "
-        "training step behind the IVF index. Centroids stay in a k-row "
-        "broadcast frame (never collected); assignment is one window "
-        "shuffle on vec_id; the update is one hash shuffle with 64 "
+        "training step behind the IVF index. Assignment is a shuffle-"
+        "free projection — the k centroids are inlined as literals and "
+        "each row takes array_min over k struct(dist, cluster) "
+        "candidates (no join, no window, zero rows moved; r3 verdict "
+        "item #2); the update is one hash shuffle with 64 "
         "codegen AVGs (no explode of the n×dim matrix); per-round "
         "rounding to a 1e-6 grid makes the fixpoint order-independent "
         "so the unrolled DuckDB oracle matches value-for-value. "

@@ -407,9 +407,11 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert abs(lo[0] - 0.2 / 3) < 1e-6 and abs(lo[1] - 0.2 / 3) < 1e-6
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
-    """The centroid side of the assignment join must be broadcast — a
-    shuffle there would move the full corpus per iteration."""
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """Assignment must be a pure projection: no join, no window, no
+    Exchange between the embeddings scan and the cluster column — the
+    r3 verdict flagged the old crossJoin+row_number form for shuffling
+    n×k rows per Lloyd round."""
     from duva_spark.llm import kmeans
 
     emb = spark.createDataFrame(
@@ -423,7 +425,22 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     with contextlib.redirect_stdout(buf):
         kmeans.assign_clusters(emb, cen).explain("formatted")
     plan = buf.getvalue()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
+
+
+def test_kmeans_assignment_tie_breaks_by_cluster_id(spark):
+    """A point equidistant from two centroids must go to the LOWER
+    cluster id — the same tie rule the window form had and the oracle's
+    QUALIFY ORDER BY (dist, cluster) encodes."""
+    from duva_spark.llm import kmeans
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [5.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cen = kmeans.init_centroids(emb, 2)  # centroids at x=0 and x=10
+    got = {r["vec_id"]: r["cluster"] for r in kmeans.assign_clusters(emb, cen).collect()}
+    assert got[2] == 0  # equidistant → lower cluster id wins
 
 
 def test_incremental_pairs_equal_cross_split_subset(spark, sf_dir):
