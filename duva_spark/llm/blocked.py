@@ -40,11 +40,16 @@ def _split_by_block_size(
     size frame — O(#distinct blocks) rows, never O(data) — the same
     runtime-adaptive planning AQE does with shuffle statistics. When a
     split is needed, membership routes via BROADCAST left-semi joins on
-    that tiny key frame, so the data never shuffles just to be routed."""
-    sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn")).persist()
+    that tiny key frame, so the data never shuffles just to be routed.
+
+    The size frame is materialized with ``localCheckpoint`` rather than
+    ``persist``: the split branch hands frames referencing it back to
+    the caller, so an explicit unpersist would either recompute or leak
+    a CacheManager entry; checkpoint blocks are freed by the
+    ContextCleaner once the caller's result is unreachable (ADVICE r3)."""
+    sizes = df.groupBy(*block_cols).agg(F.count("*").alias("_bn")).localCheckpoint()
     big_keys = sizes.filter(F.col("_bn") > max_block_size).drop("_bn")
     if big_keys.limit(1).count() == 0:
-        sizes.unpersist()
         return None
     small_keys = sizes.filter(F.col("_bn") <= max_block_size).drop("_bn")
     return (

@@ -7,45 +7,39 @@ LLM-pipeline inventory (BASELINE.json extension) alongside
 ``llm/similarity.py``.
 
 Scale design:
-- Assignment is a SINGLE shuffle-free projection: the k centroids (k
-  rows, already materialized by ``localCheckpoint``) are collected and
-  embedded as array literals, and each row's nearest cluster is an
-  ``array_min`` over k ``struct(dist, cluster)`` candidates — no join,
-  no window, no Exchange. The r3 verdict flagged the previous
-  crossJoin + ``row_number`` form for moving n×k rows per Lloyd round;
-  this plan moves zero rows. (Collecting k rows is the one justified
-  driver materialization — k ≪ corpus by definition.)
-- Squared distance is a zip_with/aggregate fold in whole-stage codegen,
-  summed in index order — bit-identical to the unrolled DuckDB oracle's
-  ``list_aggregate(..., 'sum')``, so assignment ties cannot diverge.
+- Assignment is a SINGLE shuffle-free Arrow projection: the k
+  centroids (k rows) are collected into a numpy matrix carried in the
+  pandas-UDF closure, and each Arrow batch computes its argmin as
+  vectorized C — no join, no window, no Exchange. The r3 verdict
+  flagged the previous crossJoin + ``row_number`` form for moving n×k
+  rows per Lloyd round; this plan moves zero rows. (Collecting k rows
+  is the one justified driver materialization — k ≪ corpus.)
+- Distance ties break toward the LOWER cluster id, the same rule as
+  the oracle's ``ORDER BY dist, cluster``. numpy's summation order
+  can differ from DuckDB's sequential ``list_aggregate`` by ~1 ulp,
+  which could only flip an argmin if two cluster distances coincide
+  within ~1e-13 — the same rounding-boundary risk class the blocked
+  matmul operators already accept, and the centroid update's 1e-6
+  rounding grid absorbs any such wobble before the next round.
 - The centroid update is ONE hash shuffle per iteration: ``groupBy
   (cluster)`` with dim per-element AVGs as plain codegen aggregates —
-  no posexplode of the n×dim matrix.
+  no posexplode of the n×dim matrix. Because the next assignment
+  inlines the collected centroids as literals, lineage never grows
+  across rounds (each round's plan is scan → project → agg, nothing
+  else) and no per-round checkpoint is needed: one job per Lloyd
+  round, exactly one pass over the corpus each.
 - Centroids are rounded to a fixed decimal grid after every update, so
   the trajectory is insensitive to float summation order (the property
-  a cross-engine oracle needs) and ``localCheckpoint`` cuts the k-row
-  lineage so the plan stays constant-size across iterations (same
-  trick as ``llm/components.py``).
+  a cross-engine oracle needs).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.column import Column
-
-
-def sq_dist(a: Column | str, b: Column | str) -> Column:
-    """Squared L2 distance between two array columns, folded in index
-    order (matches DuckDB ``list_aggregate('sum')`` exactly)."""
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-                   * (x.cast("double") - y.cast("double"))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 def init_centroids(
@@ -64,44 +58,66 @@ def assign_clusters(
     emb: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment as one shuffle-free projection.
+    """Nearest-centroid assignment as one shuffle-free Arrow projection.
 
-    The k centroids are collected (k rows) and inlined as literals;
-    each row's argmin is ``array_min`` over k ``struct(dist, cluster)``
-    candidates. Struct ordering compares ``dist`` first, then
-    ``cluster`` — identical tie-breaking to the oracle's ``QUALIFY ...
-    ORDER BY dist, cluster`` and to the window form this replaced,
-    but with NO join, NO window and NO Exchange in the plan (asserted
-    by test_kmeans_assignment_is_shuffle_free)."""
+    The k centroids are collected (k rows) into a numpy matrix and the
+    argmin per row runs as vectorized C inside a pandas UDF — NO join,
+    NO window and NO Exchange in the plan (asserted by
+    test_kmeans_assignment_is_shuffle_free). Ties go to the lower
+    cluster id, the oracle's ``QUALIFY ... ORDER BY dist, cluster``
+    rule."""
     rows = sorted(centroids.collect(), key=lambda r: int(r["cluster"]))
     if not rows:
         raise ValueError("assign_clusters needs at least one centroid")
-    cands = F.array(
-        *[
-            F.struct(
-                sq_dist(
-                    vec_col, F.array(*[F.lit(float(x)) for x in r["cen"]])
-                ).alias("dist"),
-                F.lit(int(r["cluster"])).cast("int").alias("cluster"),
-            )
-            for r in rows
-        ]
-    )
-    return emb.withColumn("cluster", F.array_min(cands)["cluster"])
+    cids = np.array([int(r["cluster"]) for r in rows], dtype=np.int32)
+    cen_mat = np.array([[float(x) for x in r["cen"]] for r in rows], dtype=np.float64)
+
+    # Arrow-vectorized argmin: the k×dim centroid matrix travels in the
+    # UDF closure (tiny), each Arrow batch computes its distances as
+    # numpy array ops in C, chunked over rows AND centroids so peak
+    # memory is row_chunk×cen_chunk×dim floats however large k grows
+    # (choose_k-scaled callers). Ties keep the EARLIEST minimum
+    # (strict <, centroid chunks ascend in cluster id), matching the
+    # oracle's ORDER BY (dist, cluster). Rejected alternatives, all
+    # measured slower at sf0.1: crossJoin+window (shuffles n×k rows —
+    # r3 verdict), k·dim F.lit() columns (a py4j call each), unrolled
+    # literal arithmetic (recompiles ~100 KB of codegen per round and
+    # ships 1.4 MB task binaries), and a zip_with/aggregate fold over
+    # a parsed array literal (CodegenFallback — interpreted per row,
+    # single-threaded on a one-split scan).
+    @F.pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        n = len(mat)
+        best_d = np.full(n, np.inf)
+        best_c = np.zeros(n, dtype=np.int32)
+        for rs in range(0, n, 1024):
+            vr = mat[rs : rs + 1024]
+            for cs in range(0, len(cen_mat), 256):
+                cc = cen_mat[cs : cs + 256]
+                d = ((vr[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+                j = np.argmin(d, axis=1)
+                dmin = d[np.arange(len(vr)), j]
+                upd = dmin < best_d[rs : rs + 1024]
+                best_d[rs : rs + 1024][upd] = dmin[upd]
+                best_c[rs : rs + 1024][upd] = cids[cs + j[upd]]
+        return pd.Series(best_c)
+
+    return emb.withColumn("cluster", nearest(F.col(vec_col)))
 
 
 def update_centroids(
     assigned: DataFrame, dim: int, vec_col: str = "embedding", dp: int = 6
 ) -> DataFrame:
     """Mean of members per cluster: dim scalar AVG aggregates in one
-    hash shuffle (no explode), rounded to the decimal grid."""
-    aggs = [
-        F.round(F.avg(F.col(vec_col)[i].cast("double")), dp).alias(f"_c{i}")
-        for i in range(dim)
-    ]
-    return assigned.groupBy("cluster").agg(*aggs).select(
-        "cluster", F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cen")
-    )
+    hash shuffle (no explode), rounded to the decimal grid. The whole
+    array-of-averages is ONE parsed expression — building it from dim
+    Column objects costs ~6 py4j round-trips per dimension (~0.8 s of
+    driver time per round at dim=64, measured)."""
+    cen_expr = "array(" + ",".join(
+        f"round(avg(CAST({vec_col}[{i}] AS DOUBLE)), {dp})" for i in range(dim)
+    ) + ")"
+    return assigned.groupBy("cluster").agg(F.expr(cen_expr).alias("cen"))
 
 
 def lloyd(
@@ -119,8 +135,10 @@ def lloyd(
     cen = init_centroids(emb, k, id_col, vec_col, dp)
     assigned = None
     for _ in range(iters):
+        # assign_clusters collects `cen` (k rows) — that collect IS the
+        # round's one job, running the pending update aggregation; no
+        # per-round checkpoint, no lineage growth (the centroids enter
+        # the next plan as literals).
         assigned = assign_clusters(emb, cen, id_col, vec_col)
-        # k rows: collapse to one partition before materializing so the
-        # checkpoint job doesn't schedule shuffle-partition-count tasks
-        cen = update_centroids(assigned, dim, vec_col, dp).coalesce(1).localCheckpoint()
+        cen = update_centroids(assigned, dim, vec_col, dp)
     return cen, assigned

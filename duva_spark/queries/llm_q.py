@@ -1153,11 +1153,12 @@ def _kmeans_sql(k: int, iters: int, dim: int, dp: int) -> str:
     description=(
         "KMeans centroid training (3 Lloyd rounds, k=8, dim=64): the "
         "training step behind the IVF index. Assignment is a shuffle-"
-        "free projection — the k centroids are inlined as literals and "
-        "each row takes array_min over k struct(dist, cluster) "
-        "candidates (no join, no window, zero rows moved; r3 verdict "
-        "item #2); the update is one hash shuffle with 64 "
-        "codegen AVGs (no explode of the n×dim matrix); per-round "
+        "free Arrow projection — the k collected centroids ride in a "
+        "pandas-UDF closure and each batch computes its argmin as "
+        "chunked numpy matrix ops (no join, no window, zero rows "
+        "moved; r3 verdict item #2); the update is one hash shuffle "
+        "with 64 AVGs built as a single parsed expression (no explode "
+        "of the n×dim matrix, no per-dimension py4j cost); per-round "
         "rounding to a 1e-6 grid makes the fixpoint order-independent "
         "so the unrolled DuckDB oracle matches value-for-value. "
         "Lineage is cut per round with localCheckpoint like PageRank."
@@ -1213,68 +1214,35 @@ _SEMDEDUP_TAU = 0.3
     headline=True,
     description=(
         "SemDeDup-style semantic dedup (Abbas et al. 2023): kmeans-"
-        "cluster the embedding space (the same broadcast-centroid Lloyd "
-        "operator as q_kmeans_centroids, shared oracle CTE chain), then "
-        "prune within each cluster every vector whose cosine to a "
-        "lower-id clustermate exceeds tau — pairwise similarity is "
-        "computed ONLY inside clusters, which is the whole point: the "
-        "corpus-wide O(n²) collapses to sum of per-cluster blocks, and "
-        "cluster count scales out with corpus size (k ~ n/avg_cluster). "
-        "Reports the per-cluster keep/prune census a curation run logs. "
-        "Vectors are L2-normalized ONCE per row (O(n·d)) so the pairwise "
-        "check is a dot product — recomputing both norms per pair "
-        "tripled the FLOPs of the dominant stage (bench: 6.1 s → 4.6 s "
-        "steady-state at sf0.1; the remainder is the fixed 3-round "
-        "Lloyd cost); the oracle normalizes with the identical "
-        "expression order so the rounded compare agrees. No reference counterpart "
-        "(duva has no vector ops, SURVEY §2a-iii); scale knobs mirror "
-        "blocked.py (cap + LSH overflow for a pathological hot cluster)."
+        "cluster the embedding space (the same shuffle-free-assignment "
+        "Lloyd operator as q_kmeans_centroids, shared oracle CTE "
+        "chain), then prune within each cluster every vector whose "
+        "cosine to a lower-id clustermate exceeds tau. Pairwise "
+        "similarity is computed only inside clusters AND the per-"
+        "cluster join is capped (llm/semdedup.py, r3 verdict item #1): "
+        "clusters above max_cluster_size route through the hyperplane-"
+        "LSH overflow shared with blocked.py, so no all-pairs cliff "
+        "survives even when cluster population grows linearly with the "
+        "corpus. The cap (20k) exceeds every cluster at test SFs, so "
+        "the capped plan is value-identical to the exact oracle; a "
+        "dedicated test forces a tiny cap to prove the overflow "
+        "engages. Library callers scale k with semdedup.choose_k "
+        "(k ~ n/avg_cluster); the query pins k=8 because the unrolled "
+        "oracle CTE chain hard-codes it. Vectors are L2-normalized "
+        "once per row so the pairwise check is a dot product."
     ),
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duva_spark.llm import kmeans
+    from duva_spark.llm import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, assigned = kmeans.lloyd(emb, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM, dp=_KM_DP)
-    mem = (
-        assigned.select("vec_id", "cluster", "embedding")
-        .withColumn("nrm", similarity.norm(F.col("embedding")))
-        .select(
-            "vec_id",
-            "cluster",
-            F.transform(
-                "embedding", lambda x: x.cast("double") / F.col("nrm")
-            ).alias("en"),
-        )
-        .persist()
-    )
-    a = mem.select(F.col("vec_id").alias("id_a"), F.col("en").alias("va"), "cluster")
-    b = mem.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("en").alias("vb"),
-        F.col("cluster").alias("cl_b"),
-    )
-    pruned = (
-        a.join(b, (F.col("cluster") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
-        .filter(
-            F.round(similarity.dot(F.col("va"), F.col("vb")), 6) > _SEMDEDUP_TAU
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_pruned", F.lit(1))
-    )
-    return (
-        mem.join(pruned, "vec_id", "left")
-        .groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sum(F.when(F.col("_pruned").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_pruned"),
-            F.sum(F.when(F.col("_pruned").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_kept"),
-        )
+    return semdedup.semdedup_census(
+        emb,
+        k=_KM_K,
+        iters=_KM_ITERS,
+        dim=_KM_DIM,
+        dp=_KM_DP,
+        tau=_SEMDEDUP_TAU,
     )
 
 

@@ -443,6 +443,51 @@ def test_kmeans_assignment_tie_breaks_by_cluster_id(spark):
     assert got[2] == 0  # equidistant → lower cluster id wins
 
 
+def test_semdedup_hot_cluster_overflow_engages(spark):
+    """A cluster above the cap must route through the hyperplane-LSH
+    overflow and still find its prunes. Corpus: one hot blob of 25
+    identical vectors (cluster population 25 > cap 10) + one far seed.
+    Identical vectors share every sign code, so LSH recall is exact
+    here and the capped census must equal the uncapped one; if the
+    overflow path failed to engage (or dropped candidates), n_pruned
+    for the hot cluster would be 0 and this fails."""
+    from duva_spark.llm import semdedup
+
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])] + [
+        (i, [1.0, 0.0]) for i in range(2, 26)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kw = dict(k=2, iters=1, dim=2, tau=0.3)
+    capped = {
+        r["cluster"]: (r["n_members"], r["n_pruned"], r["n_kept"])
+        for r in semdedup.semdedup_census(emb, max_cluster_size=10, **kw).collect()
+    }
+    exact = {
+        r["cluster"]: (r["n_members"], r["n_pruned"], r["n_kept"])
+        for r in semdedup.semdedup_census(emb, max_cluster_size=None, **kw).collect()
+    }
+    assert capped == exact
+    assert capped[0] == (25, 24, 1)  # hot cluster: all but the min id pruned
+    assert capped[0][0] > 10  # and it really was above the cap
+    assert capped[1] == (1, 0, 1)
+
+
+def test_semdedup_choose_k_scales_and_k16_runs(spark, sf_dir):
+    """choose_k grows with the corpus (k ~ n/avg_cluster, floored) and
+    the Lloyd operator accepts a non-default k — r3 verdict item #7."""
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import kmeans, semdedup
+
+    assert semdedup.choose_k(100_000_000, avg_cluster=5000) == 20000
+    assert semdedup.choose_k(10) == 8  # floor
+    assert semdedup.choose_k(5001, avg_cluster=5000, k_min=1) == 2  # ceil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen, assigned = kmeans.lloyd(emb, k=16, iters=1, dim=64)
+    assert cen.count() == 16  # every seed keeps at least itself
+    assert assigned.select("cluster").distinct().count() == 16
+
+
 def test_incremental_pairs_equal_cross_split_subset(spark, sf_dir):
     """Delta-vs-corpus LSH must find exactly the cross-split subset of the
     full all-pairs run — no pairs lost by splitting, none invented."""
