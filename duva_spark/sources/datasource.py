@@ -29,7 +29,10 @@ Options:
 - ``export_url``: async-export start URL (polled, then downloaded);
 - ``url``: direct CSV URL (downloaded with retries, no polling);
 - ``path``: local CSV path (no network at all);
-- ``partitions``: target partition count (default 8).
+- ``partitions``: target partition count (default 8);
+- ``pushdown``: use the filter-pushdown reader (default ``true``;
+  requires ``spark.sql.python.filterPushdown.enabled`` on the session
+  — set ``false`` to read under a session without that conf).
 """
 
 from __future__ import annotations
@@ -272,19 +275,19 @@ class OnaDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> OnaDataReader:
-        from pyspark.sql import SparkSession
-
         path = self._ensure_local()
         if self._n_rows is None:
             self._header_and_count()
-        session = SparkSession.getActiveSession()
-        enabled = (
-            session is not None
-            and session.conf.get(
-                "spark.sql.python.filterPushdown.enabled", "false"
-            ).lower()
-            == "true"
-        )
+        # Gate on the READER OPTION, not the session conf: reader() runs
+        # inside the datasource planning worker (pyspark/sql/worker/
+        # plan_data_source_read.py) where getActiveSession() is None, so
+        # a conf-based gate silently always picked the plain reader and
+        # pushdown was inert in real reads (ADVICE r3, medium). Options
+        # DO reach the worker. Default on — duva_spark.session enables
+        # spark.sql.python.filterPushdown.enabled; a session without
+        # that conf fails loudly with Spark's enable-the-conf message,
+        # and .option("pushdown", "false") opts back out.
+        enabled = str(self.options.get("pushdown", "true")).lower() == "true"
         cls = PushdownOnaDataReader if enabled else OnaDataReader
         return cls(
             schema, path, self._n_rows, int(self.options.get("partitions", 8))

@@ -475,6 +475,33 @@ def test_onadata_datasource_filter_pushdown(spark, tmp_path):
     )
     assert sorted(r.k for r in df.collect()) == [90, 93, 96, 99]
 
+    # Plan-level proof the pushdown is NOT inert (ADVICE r3: a session-
+    # conf gate evaluated in the planning worker always chose the plain
+    # reader, and Spark's own re-filtering made this e2e pass vacuously):
+    # with every predicate pushable, no post-scan Filter node survives.
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert not re.search(r"\(\d+\) Filter", plan), plan
+
+    # .option("pushdown", "false") opts out: the plain reader leaves the
+    # Filter in the plan (and the session conf no longer matters).
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        (
+            spark.read.format("onadata")
+            .option("path", str(p))
+            .option("pushdown", "false")
+            .load()
+            .filter("k >= 90 and v = 'x0'")
+        ).explain("formatted")
+    assert re.search(r"\(\d+\) Filter", buf.getvalue())
+
     schema = StructType.fromDDL("k long, v string")
     reader = PushdownOnaDataReader(schema, str(p), 100, 2)
     remainder = reader.pushFilters(
