@@ -398,7 +398,23 @@ def _make_handler(cp: ControlPlane):
                 if method in ("POST", "PATCH"):
                     n = int(self.headers.get("Content-Length") or 0)
                     if n:
-                        body = json.loads(self.rfile.read(n) or b"{}")
+                        try:
+                            body = json.loads(self.rfile.read(n) or b"{}")
+                        except ValueError:
+                            # malformed JSON answers 422 like the
+                            # reference's FastAPI validation layer
+                            # (ADVICE r3: it previously escaped the
+                            # handler and dropped the socket with no
+                            # HTTP response at all)
+                            data = json.dumps(
+                                {"detail": "Invalid request parameter"}
+                            ).encode()
+                            self.send_response(422)
+                            self.send_header("Content-Type", "application/json")
+                            self.send_header("Content-Length", str(len(data)))
+                            self.end_headers()
+                            self.wfile.write(data)
+                            return
                 if action == "metrics":
                     reg = getattr(cp.sync_job, "metrics", None)
                     if reg is None:

@@ -143,7 +143,9 @@ def jaccard_overflow_candidates(
             for i, (a, b) in enumerate(minhash.hash_params(n_hashes))
         ],
     )
-    sig = sig.persist()
+    # localCheckpoint: consumed by the bucket explode and both verify
+    # sides; blocks free themselves with the result (ADVICE r3).
+    sig = sig.localCheckpoint()
     bands_arr = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), bh.alias("band_hash"))

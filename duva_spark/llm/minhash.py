@@ -179,7 +179,9 @@ def candidate_pairs(
     sig = with_signature(src, text_col, k, n_hashes).select(
         id_col, "_hs", *band_hashes(n_hashes, n_bands)
     )
-    sig = sig.persist()
+    # localCheckpoint: consumed by the band explode and both verify
+    # sides; blocks are freed with the result's lifetime (ADVICE r3).
+    sig = sig.localCheckpoint()
     buckets = band_explode(sig, id_col, n_bands)
     if max_bucket_size is not None:
         # Hot-bucket cap: boilerplate-heavy corpora put thousands of docs
@@ -260,7 +262,7 @@ def incremental_pairs(
         src = ensure_min_parallelism(side.select(id_col, text_col))
         return with_signature(src, text_col, k, n_hashes).select(
             id_col, "_hs", *band_hashes(n_hashes, n_bands)
-        ).persist()
+        ).localCheckpoint()
 
     sig_n, sig_c = signature(new_df), signature(corpus_df)
     cand = (

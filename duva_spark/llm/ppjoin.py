@@ -54,17 +54,33 @@ def prefix_filter_pairs(
     text_col: str,
     threshold: float,
     k: int = 3,
+    stop_token_df_cap: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold —
-    exact. Returns (id_a, id_b, jaccard rounded to 6)."""
+    exact when ``stop_token_df_cap`` is None. Returns (id_a, id_b,
+    jaccard rounded to 6).
+
+    ``stop_token_df_cap`` is the degenerate-corpus knob the module
+    docstring names: tokens whose document frequency exceeds the cap
+    are dropped FROM PREFIXES (the candidate-generating position only
+    — verification still uses full sets), which bounds every candidate
+    bucket at the cap even when the whole corpus shares a boilerplate
+    token. The trade is recall: a pair whose prefixes overlap ONLY on
+    a stop token is missed (PPJoin's documented stop-word variant), so
+    the default stays exact and the cap is an explicit opt-in for
+    corpora where the prefix buckets would otherwise go quadratic."""
     words = F.split(F.col(text_col), " ")
     hs = F.array_distinct(
         F.transform(minhash.word_shingles(words, k), minhash.base_hash)
     )
+    # localCheckpoint, not persist: consumed by the token explode and
+    # both verify sides; checkpoint blocks free themselves with the
+    # result's lifetime instead of leaking a CacheManager entry
+    # (ADVICE r3).
     docs = (
         df.select(F.col(id_col).alias("_id"), hs.alias("hs"))
         .filter(F.size("hs") > 0)
-        .persist()
+        .localCheckpoint()
     )
     toks = docs.select("_id", F.explode("hs").alias("h"))
     freq = toks.groupBy("h").agg(F.count("*").alias("cnt"))
@@ -73,12 +89,16 @@ def prefix_filter_pairs(
         .groupBy("_id")
         .agg(F.array_sort(F.collect_list(F.struct("cnt", "h"))).alias("ord"))
     )
+    pref_slice = (
+        f"slice(ord, 1, cast(size(ord) - ceil({threshold} * size(ord)) + 1 as int))"
+    )
+    if stop_token_df_cap is not None:
+        # the (cnt, h) structs already carry each token's df — the stop
+        # filter is free, no extra join
+        pref_slice = f"filter({pref_slice}, x -> x.cnt <= {int(stop_token_df_cap)})"
     prefix = ordered.select(
         "_id",
-        F.expr(
-            "slice(transform(ord, x -> x.h), 1,"
-            f" cast(size(ord) - ceil({threshold} * size(ord)) + 1 as int))"
-        ).alias("pref"),
+        F.expr(f"transform({pref_slice}, x -> x.h)").alias("pref"),
     )
     ptoks = prefix.select("_id", F.explode("pref").alias("h"))
     a = ptoks.select(F.col("_id").alias("id_a"), "h")

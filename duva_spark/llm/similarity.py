@@ -252,6 +252,7 @@ def brute_force_topk_arrow(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_probes: int = 4096,
 ) -> DataFrame:
     """Arrow/BLAS variant of ``brute_force_topk``: the query matrix is
     collected once (a top-k probe set is small by definition — the same
@@ -266,11 +267,23 @@ def brute_force_topk_arrow(
     BLAS-level matrix products (wide dims × many probes); per-partition
     top-k pre-reduction keeps the shuffle at O(partitions × queries × k)
     rows instead of O(corpus × queries).
+
+    The probe collect is GUARDED by ``max_probes`` (r3 verdict item
+    #4): the small-probe-set contract was previously documented but
+    unenforced, so a caller passing a large frame would silently OOM
+    the driver. ``limit(max_probes + 1)`` bounds what can ever be
+    pulled; crossing the cap raises instead of degrading.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.select(id_col, vec_col).limit(max_probes + 1).collect()
+    if len(q_rows) > max_probes:
+        raise ValueError(
+            f"brute_force_topk_arrow probe frame exceeds max_probes="
+            f"{max_probes}; a top-k probe set must be small (raise "
+            f"max_probes explicitly if this is intentional)"
+        )
     if not q_rows:  # mirror the JVM path: empty probes -> empty result
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, cosine_sim double, rank long"

@@ -43,9 +43,12 @@ def running_sum(
     plus a tiebreaker), equivalent to ``SUM(value) OVER (ORDER BY keys
     ROWS UNBOUNDED PRECEDING)`` but fully distributed.
 
-    The ranged frame is persisted so the range-id column is consistent
-    between the offsets pass and the window pass (the broadcast of the
-    offsets frame materializes the cache; the main pass then reuses it).
+    The ranged frame is materialized (localCheckpoint) so the
+    nondeterministic range-id column is frozen and consistent between
+    the offsets pass and the window pass; checkpoint blocks are freed
+    by the ContextCleaner with the result's lifetime, unlike a
+    persist() entry that pins the cache until an explicit unpersist
+    (ADVICE r3).
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
@@ -53,7 +56,7 @@ def running_sum(
     ranged = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_pt"))
     prior = totals.select(F.col("_pid").alias("_pid_b"), F.col("_pt").alias("_pt_b"))

@@ -114,14 +114,17 @@ def grouped_quantile_cont(
     with spill, so even a pathological group degrades to disk instead
     of OOM), and the ≤2 boundary rows per q are picked with conditional
     aggregation — never a per-group sort of raw data."""
-    # persisted: both the running-count window and the per-group totals
-    # consume this frame — without the cache the source is scanned twice.
-    # NULL values excluded to match F.percentile / quantile_cont.
+    # Materialized once (localCheckpoint): both the running-count window
+    # and the per-group totals consume this frame — without it the
+    # source is scanned twice. Checkpoint blocks are freed by the
+    # ContextCleaner when the result frame is dropped, unlike persist()
+    # whose CacheManager entry leaks across repeated library calls
+    # (ADVICE r3). NULL values excluded to match F.percentile.
     counts = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*keys, F.col(value_col).alias("_v"))
         .agg(F.count("*").alias("_cnt"))
-        .persist()
+        .localCheckpoint()
     )
     w = (
         W.partitionBy(*keys)

@@ -38,6 +38,7 @@ def scd2_apply(
     key: str,
     tracked: list[str],
     batch_date: str,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply one update batch to an SCD2 dimension table.
 
@@ -45,7 +46,25 @@ def scd2_apply(
     (string dates, OPEN_END = current) and ``is_current`` (int 0/1);
     ``updates`` carries ``key`` + ``tracked``. Returns the new history
     frame with the same schema.
+
+    PRECONDITION: ``updates`` must hold at most ONE row per key —
+    duplicate keys fan out the full-outer join and silently corrupt the
+    history with multiple versions sharing the same (key, valid_from)
+    (ADVICE r3). Pass ``order_col`` to have the batch deduplicated
+    last-wins deterministically (highest ``order_col`` per key, ties to
+    the higher tracked tuple); without it the caller owns uniqueness.
     """
+    if order_col is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(key).orderBy(
+            F.desc(order_col), *[F.desc(c) for c in tracked]
+        )
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     hist = dim.filter(F.col("is_current") == 0)
     cur = dim.filter(F.col("is_current") == 1).withColumn("_has_cur", F.lit(1))
     upd = updates.select(

@@ -2792,7 +2792,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    k = li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).persist()
+    k = li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).localCheckpoint()
     stats = k.agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
@@ -4065,7 +4065,7 @@ def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct().localCheckpoint()
     daily = ud.groupBy("d").agg(F.count("*").alias("dau"))
     spine = ud.select("d").distinct().select(F.col("d").alias("sd"))
     roll = (
@@ -4181,7 +4181,7 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("first_purchase") >= F.col("first_view"))
     ).select(
         (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("lat_us")
-    ).persist()
+    ).localCheckpoint()
     quants = quantile_cont_row(lat, "lat_us", {"p50": 0.5, "p90": 0.9})
     return lat.agg(F.count("*").alias("n_converted")).crossJoin(quants).select(
         "n_converted",

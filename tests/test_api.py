@@ -275,6 +275,25 @@ def test_patch_configuration_validates_with_current_token(spark, tmp_path):
     assert seen == ["real-pat", "real-pat"]  # decrypted current token reused
 
 
+def test_malformed_json_body_answers_422(api):
+    """A syntactically invalid JSON body must get a 422 response, not an
+    uncaught JSONDecodeError that drops the socket (ADVICE r3)."""
+    import urllib.error
+
+    base, _ = api
+    req = urllib.request.Request(
+        f"{base}/api/v1/files/", data=b"{not json", method="POST"
+    )
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            code, raw = resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        code, raw = e.code, e.read()
+    assert code == 422
+    assert json.loads(raw) == {"detail": "Invalid request parameter"}
+
+
 def test_malformed_ids_answer_422_not_connection_abort(api):
     base, _ = api
     _req(base, "POST", "/api/v1/files/", {"form_id": 4})

@@ -595,3 +595,43 @@ def test_ppjoin_is_exact_and_contains_lsh_pairs(spark, sf_dir):
         for r in minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5).collect()
     }
     assert lsh <= got
+
+
+def test_ppjoin_stop_token_cap_bounds_degenerate_corpus(spark):
+    """A corpus where every document shares ONE boilerplate shingle
+    (document frequency = corpus size): uncapped, that token sits in
+    every prefix and generates all C(n,2) candidate pairs; with a stop-
+    token df cap below the corpus size it is dropped from prefixes, the
+    unique tokens generate zero cross-document candidates, and the join
+    finds nothing — the documented recall trade that bounds the
+    candidate buckets at the cap. The cap must not disturb an exact run
+    (q_ppjoin_exact_pairs passes no cap)."""
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    # "C0 C1 C2" is the shared leading phrase → exactly one shared
+    # shingle; the remaining words are per-doc unique → 4 unique
+    # shingles. Pairwise Jaccard = 1/9 ≥ 0.1, so every pair is a true
+    # match at threshold 0.1.
+    docs = spark.createDataFrame(
+        [(i, "C0 C1 C2 " + " ".join(f"u{i}_{j}" for j in range(4))) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    exact = prefix_filter_pairs(docs, "doc_id", "text", 0.1)
+    assert exact.count() == 50 * 49 // 2
+    capped = prefix_filter_pairs(docs, "doc_id", "text", 0.1, stop_token_df_cap=10)
+    assert capped.count() == 0
+
+
+def test_arrow_topk_probe_guard_raises_on_oversized_probe_set(spark, sf_dir):
+    """The probe collect is bounded by max_probes: a frame over the cap
+    raises instead of silently materializing on the driver (r3 verdict
+    item #4); under the cap the path works unchanged."""
+    import pytest as _pytest
+
+    from duva_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="max_probes"):
+        similarity.brute_force_topk_arrow(emb, emb, 3, max_probes=10)
+    ok = similarity.brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 3), 3)
+    assert ok.count() == 9

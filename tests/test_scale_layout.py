@@ -220,3 +220,27 @@ def test_scd2_apply_chains_versions_across_batches(spark):
         (3, None, "2024-03-01", OPEN_END, 1),          # NULL round-trip versioned
         (4, "d", "2024-02-01", OPEN_END, 1),
     }
+
+
+def test_scd2_apply_dedupes_update_batch_last_wins(spark):
+    """A batch carrying duplicate keys would fan out the full-outer join
+    and corrupt the history (ADVICE r3); with order_col the batch is
+    deduplicated deterministically (highest order_col wins) before the
+    join, so the key gets exactly one new version."""
+    from duva_spark.operators.scd2 import OPEN_END, scd2_apply, scd2_initial
+
+    base = spark.createDataFrame([(1, "a")], "id long, attr string")
+    dim = scd2_initial(base, "id", ["attr"], "2024-01-01")
+    batch = spark.createDataFrame(
+        [(1, "mid", 5), (1, "last", 9), (1, "first", 1)],
+        "id long, attr string, seq long",
+    )
+    out = scd2_apply(
+        dim, batch.select("id", "attr", "seq"), "id", ["attr"], "2024-02-01",
+        order_col="seq",
+    )
+    rows = {(r.id, r.attr, r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "a", "2024-01-01", "2024-02-01", 0),
+        (1, "last", "2024-02-01", OPEN_END, 1),
+    }
