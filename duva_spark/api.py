@@ -56,7 +56,10 @@ from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
+import logging
+
 from duva_spark.egress import presigned_url_expiry
+from duva_spark.middleware import CORSPolicy, SessionCodec
 from duva_spark.oauth import OAuthFlow
 from duva_spark.orchestration import FileStatus, LockHeld, MetadataStore, SyncJob
 from duva_spark.security import EncryptedFormError, fernet_encrypt, reject_encrypted_form
@@ -93,6 +96,9 @@ class ControlPlane:
         secret_key: str = "duva-spark-control-plane",
         validate_config: Callable[[dict], bool] | None = None,
         presign: Callable[[str], tuple[str, float]] | None = None,
+        cors: CORSPolicy | None = None,
+        https_only: bool = True,
+        same_site: str = "lax",
     ):
         self.store = store
         self.sync_job = sync_job
@@ -107,6 +113,15 @@ class ControlPlane:
         # app/crud/crud_hyperfile.py get_download_links); swap in
         # egress.S3ArtifactClient.presigned_download_url when S3 exists.
         self.presign = presign or self._default_presign
+        # Middleware parity (reference app/main.py:41-55): session cookie
+        # signer (SECURE_SESSIONS / SESSION_SAME_SITE defaults) + CORS
+        # allow-list.  cors=None means no CORS headers at all, matching
+        # the reference's empty CORS_ALLOWED_ORIGINS default.
+        self.cors = cors
+        self.sessions = SessionCodec(
+            secret_key, https_only=https_only, same_site=same_site
+        )
+        self.log = logging.getLogger("duva_spark.api")
         self._forms: dict[str, dict] = {}
         self._servers: dict[int, dict] = {}
         self._configs: dict[int, dict] = {}
@@ -384,8 +399,42 @@ _ROUTES = [
 
 def _make_handler(cp: ControlPlane):
     class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *args):  # quiet
-            pass
+        def log_message(self, *args):  # BaseHTTPRequestHandler's stderr
+            pass  # lines are replaced by the dictConfig logger below
+
+        def _cors_headers(self) -> dict:
+            if cp.cors is None:
+                return {}
+            return cp.cors.response_headers(self.headers.get("Origin"))
+
+        def _reply(self, code: int, data: bytes, headers: dict,
+                   content_type: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            for k, v in {**self._cors_headers(), **headers}.items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            # structured access log (reference app/core/logger.py shape)
+            cp.log.info("%s %s -> %s", self.command, self.path, code)
+
+        def do_OPTIONS(self):
+            if cp.cors is not None and cp.cors.is_preflight("OPTIONS", self.headers):
+                code, headers, text = cp.cors.preflight(self.headers)
+                # headers already carry the CORS allow-set; skip the
+                # simple-response merge to avoid duplicates
+                self.send_response(code)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                for k, v in headers.items():
+                    self.send_header(k, v)
+                data = text.encode()
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                cp.log.info("OPTIONS %s -> %s", self.path, code)
+                return
+            self._reply(405, b"", {})
 
         def _dispatch(self, method: str):
             for m, pat, action in _ROUTES:
@@ -409,24 +458,19 @@ def _make_handler(cp: ControlPlane):
                             data = json.dumps(
                                 {"detail": "Invalid request parameter"}
                             ).encode()
-                            self.send_response(422)
-                            self.send_header("Content-Type", "application/json")
-                            self.send_header("Content-Length", str(len(data)))
-                            self.end_headers()
-                            self.wfile.write(data)
+                            self._reply(422, data, {})
                             return
                 if action == "metrics":
                     reg = getattr(cp.sync_job, "metrics", None)
                     if reg is None:
-                        self.send_response(404)
-                        self.end_headers()
+                        self._reply(404, b"", {})
                         return
-                    text = reg.exposition().encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
-                    self.send_header("Content-Length", str(len(text)))
-                    self.end_headers()
-                    self.wfile.write(text)
+                    self._reply(
+                        200,
+                        reg.exposition().encode(),
+                        {},
+                        content_type="text/plain; version=0.0.4; charset=utf-8",
+                    )
                     return
                 qs = parse_qs(urlsplit(self.path).query)
                 params = {k: v[0] for k, v in qs.items()}
@@ -474,17 +518,22 @@ def _make_handler(cp: ControlPlane):
                     # the reference's FastAPI validation layer — never an
                     # unhandled traceback that drops the connection
                     code, payload = 422, {"detail": "Invalid request parameter"}
+                if (
+                    action == "oauth_callback"
+                    and code == 200
+                    and isinstance(payload, dict)
+                    and "access_token" in payload
+                ):
+                    # SessionMiddleware parity: the callback that mints a
+                    # bearer token also creates the signed session cookie
+                    # (reference security.py:84 request.session["token"])
+                    headers["Set-Cookie"] = cp.sessions.set_cookie_header(
+                        {"token": payload["access_token"]}
+                    )
                 data = b"" if payload is None else json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                for k, v in headers.items():
-                    self.send_header(k, v)
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                self._reply(code, data, headers)
                 return
-            self.send_response(404)
-            self.end_headers()
+            self._reply(404, b"", {})
 
         def do_GET(self):
             self._dispatch("GET")

@@ -1,0 +1,199 @@
+"""Middleware parity: CORS preflight/allow-list, signed session cookie,
+dictConfig logging (reference app/main.py:36-58, app/core/logger.py)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import urllib.error
+import urllib.request
+
+import pytest
+
+from duva_spark.api import ControlPlane, serve
+from duva_spark.middleware import (
+    CORSPolicy,
+    SessionCodec,
+    configure_logging,
+    log_config,
+)
+from duva_spark.orchestration import MetadataStore, SyncJob
+
+CSV = "name,age\nalice,34\n"
+ORIGIN = "http://localhost:3000"
+
+
+def _raw(base, method, path, headers=None, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(f"{base}{path}", data=data, method=method)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        resp = urllib.request.urlopen(req)
+    except urllib.error.HTTPError as e:
+        resp = e
+    raw = resp.read()
+    return resp.status, dict(resp.headers), raw
+
+
+@pytest.fixture()
+def cors_api(spark, tmp_path):
+    csv = tmp_path / "export.csv"
+    csv.write_text(CSV)
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: csv)
+    cp = ControlPlane(
+        store,
+        job,
+        str(tmp_path / "out"),
+        cors=CORSPolicy(allowed_origins=[ORIGIN]),
+        https_only=False,
+    )
+    server, thread = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, cp
+    server.shutdown()
+
+
+# ---- CORS -----------------------------------------------------------------
+
+
+def test_preflight_allowed_origin(cors_api):
+    base, _ = cors_api
+    code, headers, _ = _raw(
+        base,
+        "OPTIONS",
+        "/api/v1/files/",
+        {
+            "Origin": ORIGIN,
+            "Access-Control-Request-Method": "POST",
+            "Access-Control-Request-Headers": "content-type",
+        },
+    )
+    assert code == 200
+    assert headers["Access-Control-Allow-Origin"] == ORIGIN
+    assert "POST" in headers["Access-Control-Allow-Methods"]
+    assert headers["Access-Control-Allow-Headers"] == "content-type"
+    assert headers["Access-Control-Allow-Credentials"] == "true"
+    assert headers["Access-Control-Max-Age"] == "3600"
+
+
+def test_preflight_disallowed_origin_400(cors_api):
+    base, _ = cors_api
+    code, headers, body = _raw(
+        base,
+        "OPTIONS",
+        "/api/v1/files/",
+        {"Origin": "http://evil.example", "Access-Control-Request-Method": "POST"},
+    )
+    assert code == 400
+    assert b"Disallowed CORS origin" in body
+    assert "Access-Control-Allow-Origin" not in headers
+
+
+def test_simple_request_gets_cors_headers(cors_api):
+    base, _ = cors_api
+    code, headers, _ = _raw(base, "GET", "/api/v1/files/", {"Origin": ORIGIN})
+    assert code == 200
+    assert headers["Access-Control-Allow-Origin"] == ORIGIN
+    assert headers["Access-Control-Allow-Credentials"] == "true"
+    assert headers["Vary"] == "Origin"
+
+
+def test_simple_request_disallowed_origin_served_without_headers(cors_api):
+    # CORSMiddleware still serves the request; the browser enforces the
+    # block because no Access-Control-Allow-Origin comes back.
+    base, _ = cors_api
+    code, headers, _ = _raw(
+        base, "GET", "/api/v1/files/", {"Origin": "http://evil.example"}
+    )
+    assert code == 200
+    assert "Access-Control-Allow-Origin" not in headers
+
+
+def test_no_cors_configured_is_silent(spark, tmp_path):
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "x.csv")
+    cp = ControlPlane(store, job, str(tmp_path / "out"))
+    server, _ = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        code, headers, _ = _raw(base, "GET", "/api/v1/files/", {"Origin": ORIGIN})
+        assert code == 200
+        assert "Access-Control-Allow-Origin" not in headers
+    finally:
+        server.shutdown()
+
+
+# ---- Session cookie -------------------------------------------------------
+
+
+def test_session_cookie_roundtrip_and_tamper():
+    codec = SessionCodec("secret")
+    cookie = codec.encode({"token": "abc"})
+    assert codec.decode(cookie) == {"token": "abc"}
+    payload, ts, sig = cookie.split(".")
+    assert codec.decode(f"{payload}x.{ts}.{sig}") == {}  # tampered payload
+    assert codec.decode(f"{payload}.{ts}.{sig[:-2]}xx") == {}  # bad sig
+    assert SessionCodec("other").decode(cookie) == {}  # wrong key
+    assert codec.decode("garbage") == {}
+
+
+def test_session_cookie_expiry():
+    codec = SessionCodec("secret", max_age=0)
+    import time
+
+    cookie = codec.encode({"token": "abc"})
+    time.sleep(1.1)
+    assert codec.decode(cookie) == {}
+
+
+def test_session_cookie_attributes():
+    hdr = SessionCodec("k", https_only=True, same_site="lax").set_cookie_header({})
+    assert "HttpOnly" in hdr and "SameSite=lax" in hdr and "Secure" in hdr
+    hdr = SessionCodec("k", https_only=False).set_cookie_header({})
+    assert "Secure" not in hdr
+
+
+def test_from_cookie_header_picks_session():
+    codec = SessionCodec("k")
+    cookie = codec.encode({"u": 1})
+    assert codec.from_cookie_header(f"other=x; session={cookie}") == {"u": 1}
+    assert codec.from_cookie_header(None) == {}
+
+
+# ---- Logging --------------------------------------------------------------
+
+
+def test_log_config_shape_and_file_handler(tmp_path):
+    cfg = log_config(str(tmp_path / "app.log"))
+    assert cfg["version"] == 1
+    assert set(cfg["handlers"]) == {"console", "file"}
+    assert cfg["formatters"]["default"]["format"].startswith("%(asctime)s - %(name)s")
+    logger = configure_logging(str(tmp_path / "app.log"))
+    logger.info("hello from %s", "duva")
+    text = (tmp_path / "app.log").read_text()
+    assert "hello from duva" in text and "duva_spark" in text and "INFO" in text
+    # reset so later tests aren't routed to the temp file
+    configure_logging()
+
+
+def test_access_log_line_emitted(cors_api):
+    # configure_logging sets propagate=False on the duva_spark logger,
+    # so capture with a handler attached directly to it.
+    base, _ = cors_api
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("duva_spark.api")
+    handler = Capture(level=logging.INFO)
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+    try:
+        _raw(base, "GET", "/api/v1/files/", {})
+    finally:
+        logger.removeHandler(handler)
+    assert any("GET /api/v1/files/ -> 200" in msg for msg in records)

@@ -211,3 +211,34 @@ def test_access_token_signature_and_expiry():
     assert verify_access_token(tok + "x", SECRET) is None
     expired = create_access_token("alice:1", SECRET, expires_in=-1)
     assert verify_access_token(expired, SECRET) is None
+
+
+def test_oauth_callback_sets_signed_session_cookie(spark, tmp_path, upstream):
+    """SessionMiddleware parity (reference app/main.py:42-47 +
+    security.py:84): the callback that mints the bearer token also sets
+    a signed session cookie carrying it, HttpOnly + SameSite=lax."""
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "none.csv")
+    flow = _flow(upstream)
+    cp = ControlPlane(
+        store, job, str(tmp_path / "out"), oauth=flow,
+        secret_key=SECRET, https_only=False,
+    )
+    server, _ = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        _, _, headers = _get(base, f"/oauth/login?server_url={SERVER_URL}")
+        state = headers["Location"].rsplit("state=", 1)[1]
+        code, body, headers = _get(base, f"/oauth/callback?code=c0de&state={state}")
+        assert code == 200
+        cookie_hdr = headers["Set-Cookie"]
+        assert cookie_hdr.startswith("session=")
+        assert "HttpOnly" in cookie_hdr and "SameSite=lax" in cookie_hdr
+        assert "Secure" not in cookie_hdr  # https_only=False
+        session = cp.sessions.from_cookie_header(cookie_hdr.split(";")[0])
+        assert session["token"] == body["access_token"]
+        # a session signed with another key is empty, like Starlette's
+        from duva_spark.middleware import SessionCodec
+        assert SessionCodec("other").from_cookie_header(cookie_hdr.split(";")[0]) == {}
+    finally:
+        server.shutdown()
