@@ -1470,3 +1470,104 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b, 6).alias("p_b"),
         F.round((p_a - p_b) * F.log(p_a / p_b), 8).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter (runtime-filter pattern at the API level)
+# ---------------------------------------------------------------------------
+
+_GRAM6 = (
+    "list_distinct(list_transform(range(1, len(ws) - 4), i -> "
+    + " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(6))
+    + "))"
+)
+
+
+@register(
+    "q_bloom_decontaminate",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, {_H100} AS h
+               FROM documents),
+    g AS (SELECT doc_id, h,
+                 CAST('0x' || substr(md5(unnest({_GRAM6})), 1, 15) AS BIGINT) AS gh
+          FROM d WHERE len(ws) >= 6),
+    ev AS (SELECT DISTINCT gh FROM g WHERE h < 5),
+    tr AS (SELECT doc_id, gh FROM g WHERE h >= 5)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM tr SEMI JOIN ev USING (gh)
+    GROUP BY doc_id
+    """,
+    description=(
+        "Decontamination via a Bloom prefilter: the eval split's 6-gram "
+        "set is folded into a 128 KiB bitset (distributed build — only "
+        "distinct bit positions reach the driver, bounded by m no matter "
+        "the corpus size) and the training side probes it in an "
+        "Arrow-vectorized UDF before the exact confirm join. "
+        "Value-identical to the plain gram join (Bloom has no false "
+        "negatives; the confirm join kills false positives) but only the "
+        "candidate sliver of the corpus reaches the shuffle — the "
+        "runtime-filter pattern Spark injects for equi-joins "
+        "(InjectRuntimeFilter), lifted to the API for pipeline stages "
+        "the optimizer can't see through."
+    ),
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+    grams = docs.select(
+        "doc_id",
+        h.alias("h"),
+        F.explode(minhash.word_shingles(F.split(F.col("text"), " "), 6)).alias("gram"),
+    ).select("doc_id", "h", minhash.md5_hash60(F.col("gram")).alias("gh"))
+    ev = grams.filter(F.col("h") < 5).select("gh").distinct()
+    tr = grams.filter(F.col("h") >= 5).select("doc_id", "gh")
+    return (
+        bloom.prefilter_semi_join(tr, ev, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "q_bloom_incremental_new_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, md5(text) AS ch, {_H100} AS h FROM documents),
+    corpus AS (SELECT DISTINCT ch FROM d WHERE h < 90),
+    batch AS (SELECT doc_id, lang, ch FROM d WHERE h >= 90)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM batch ANTI JOIN corpus USING (ch)
+    GROUP BY lang
+    """,
+    description=(
+        "Incremental ingest gate: which docs in the new batch are "
+        "genuinely new (content hash unseen in the corpus)? The corpus "
+        "content-hash set becomes a Bloom bitset; batch rows the bloom "
+        "rejects are DEFINITELY new (no false negatives) and skip the "
+        "join entirely — only the bloom-candidate tail goes through the "
+        "exact anti join to be confirmed or rescued. At 100 TB the "
+        "corpus never re-shuffles per batch: the bitset build moves "
+        "bounded bytes and the batch-side work is one broadcast-read "
+        "scan plus a sliver-sized join."
+    ),
+)
+def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+    d = docs.select("doc_id", "lang", F.md5(F.col("text")).alias("ch"), h.alias("h"))
+    corpus = d.filter(F.col("h") < 90).select("ch").distinct()
+    batch = d.filter(F.col("h") >= 90).select("doc_id", "lang", "ch")
+    return (
+        bloom.prefilter_anti_join(batch, corpus, "ch")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_new"))
+    )
