@@ -123,22 +123,38 @@ def update_centroids(
 def lloyd(
     emb: DataFrame, k: int, iters: int, dim: int,
     id_col: str = "vec_id", vec_col: str = "embedding", dp: int = 6,
+    train_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run `iters` Lloyd rounds; returns (centroids, last_assignment).
 
     The returned centroids are the ones computed FROM the returned
     assignment, so downstream cluster sizes and centroid values are
     mutually consistent.
-    """
+
+    ``train_df`` runs the Lloyd rounds over a subset (the standard
+    100 TB recipe: centroid quality converges on a sample, so there is
+    no reason to scan the full corpus ``iters`` times — train on a
+    deterministic hash-sample, then assign the full corpus ONCE
+    against the trained centroids). Initialization still takes the
+    first k vectors of the FULL frame (deterministic and
+    sample-independent); with a fraction-f sample the total assignment
+    work drops from ``iters`` full passes to ``iters·f + 1``."""
     if iters < 1:
         raise ValueError("lloyd requires iters >= 1 (no assignment exists otherwise)")
+    train = train_df if train_df is not None else emb
     cen = init_centroids(emb, k, id_col, vec_col, dp)
-    assigned = None
+    assigned = cen_used = None
     for _ in range(iters):
         # assign_clusters collects `cen` (k rows) — that collect IS the
         # round's one job, running the pending update aggregation; no
         # per-round checkpoint, no lineage growth (the centroids enter
         # the next plan as literals).
-        assigned = assign_clusters(emb, cen, id_col, vec_col)
+        cen_used = cen
+        assigned = assign_clusters(train, cen_used, id_col, vec_col)
+        cen = update_centroids(assigned, dim, vec_col, dp)
+    if train_df is not None:
+        # full-corpus assignment against the final trained centroids
+        # (the same generation the last training round assigned to)
+        assigned = assign_clusters(emb, cen_used, id_col, vec_col)
         cen = update_centroids(assigned, dim, vec_col, dp)
     return cen, assigned

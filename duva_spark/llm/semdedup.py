@@ -109,6 +109,7 @@ def semdedup_census(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_filter=None,
 ) -> DataFrame:
     """Per-cluster keep/prune census: (cluster, n_members, n_pruned,
     n_kept) — the log line a curation run emits.
@@ -122,9 +123,16 @@ def semdedup_census(
     the RDD and freed by Spark's ContextCleaner when the result goes
     out of scope — no CacheManager entry leaks across calls (ADVICE
     r3).
+
+    ``train_filter`` (a boolean Column) restricts the Lloyd TRAINING
+    rounds to a subset; the final cluster assignment always covers the
+    full frame. Pass a deterministic hash predicate so the trained
+    centroids are reproducible across engines and runs — at 100 TB the
+    clustering step must not scan the corpus once per Lloyd round.
     """
     _, assigned = kmeans.lloyd(
-        emb, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col, dp=dp
+        emb, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col, dp=dp,
+        train_df=None if train_filter is None else emb.filter(train_filter),
     )
     mem = (
         assigned.select(id_col, "cluster", vec_col)

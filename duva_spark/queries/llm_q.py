@@ -1106,22 +1106,30 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_DIM, _KM_DP = 8, 3, 64, 6
 
 
-def _kmeans_ctes(k: int, iters: int, dim: int, dp: int) -> str:
+def _kmeans_ctes(k: int, iters: int, dim: int, dp: int, train_pred: str | None = None) -> str:
     """The shared CTE chain of the unrolled Lloyd fixpoint (`p`, `c0`,
     `d{i}`/`a{i}`/`c{i+1}` per round) — reused by the centroid query and
-    the SemDeDup oracle, which needs the final assignment a{iters-1}."""
+    the SemDeDup oracle, which needs the final assignment a{iters-1}.
+
+    ``train_pred`` (SQL over vec_id) restricts the training rounds to a
+    deterministic sample (`pt`), mirroring ``kmeans.lloyd(train_df=)``;
+    initialization still takes the first k vectors of the full frame."""
     ctes = [
         "p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
         " FROM embeddings)",
         f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster,"
         f" list_transform(e, x -> ROUND(x, {dp})) AS cen FROM p WHERE vec_id < {k})",
     ]
+    src = "p"
+    if train_pred is not None:
+        ctes.append(f"pt AS (SELECT * FROM p WHERE {train_pred})")
+        src = "pt"
     for it in range(iters):
         ctes.append(
             f"d{it} AS (SELECT p.vec_id, p.e, c.cluster,"
             f" list_aggregate(list_transform(range(1, {dim + 1}),"
             f" i -> (p.e[i] - c.cen[i]) * (p.e[i] - c.cen[i])), 'sum') AS dist"
-            f" FROM p CROSS JOIN c{it} c)"
+            f" FROM {src} p CROSS JOIN c{it} c)"
         )
         ctes.append(
             f"a{it} AS (SELECT vec_id, e, cluster FROM d{it}"
@@ -1184,16 +1192,29 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_TAU = 0.3
+# deterministic 20% training sample for the Lloyd rounds (the full
+# corpus is still assigned once at the end) — md5-based so both
+# engines draw the identical sample
+_KM_TRAIN_PRED = (
+    "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 < 1"
+)
 
 
 @register(
     "q_semdedup_prune",
     oracle=(
         "WITH "
-        + _kmeans_ctes(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP)
+        + _kmeans_ctes(_KM_K, _KM_ITERS, _KM_DIM, _KM_DP, train_pred=_KM_TRAIN_PRED)
         + f""",
+    df_f AS (SELECT p.vec_id, p.e, c.cluster,
+                    list_aggregate(list_transform(range(1, {_KM_DIM + 1}),
+                      i -> (p.e[i] - c.cen[i]) * (p.e[i] - c.cen[i])), 'sum') AS dist
+             FROM p CROSS JOIN c{_KM_ITERS - 1} c),
+    af AS (SELECT vec_id, e, cluster FROM df_f
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) = 1),
     mem0 AS (SELECT vec_id, e, cluster, {_NORM.format(a="e")} AS nrm
-             FROM a{_KM_ITERS - 1}),
+             FROM af),
     mem AS (SELECT vec_id, cluster,
                    list_transform(e, x -> x / nrm) AS en
             FROM mem0),
@@ -1228,14 +1249,26 @@ _SEMDEDUP_TAU = 0.3
         "dedicated test forces a tiny cap to prove the overflow "
         "engages. Library callers scale k with semdedup.choose_k "
         "(k ~ n/avg_cluster); the query pins k=8 because the unrolled "
-        "oracle CTE chain hard-codes it. Vectors are L2-normalized "
-        "once per row so the pairwise check is a dot product."
+        "oracle CTE chain hard-codes it. Lloyd TRAINING rounds run on "
+        "a deterministic md5 20% sample (the 100 TB recipe: centroid "
+        "quality converges on a sample, so the corpus is scanned once "
+        "for the final assignment instead of once per round — "
+        "iters·f+1 passes instead of iters); the oracle draws the "
+        "identical sample. Vectors are L2-normalized once per row so "
+        "the pairwise check is a dot product."
     ),
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duva_spark.llm import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    train = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 5
+        < 1
+    )
     return semdedup.semdedup_census(
         emb,
         k=_KM_K,
@@ -1243,6 +1276,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_KM_DIM,
         dp=_KM_DP,
         tau=_SEMDEDUP_TAU,
+        train_filter=train,
     )
 
 

@@ -635,3 +635,29 @@ def test_arrow_topk_probe_guard_raises_on_oversized_probe_set(spark, sf_dir):
         similarity.brute_force_topk_arrow(emb, emb, 3, max_probes=10)
     ok = similarity.brute_force_topk_arrow(emb, emb.filter(F.col("vec_id") < 3), 3)
     assert ok.count() == 9
+
+
+def test_lloyd_sample_training_assigns_full_corpus(spark):
+    """train_df runs the Lloyd rounds on a subset but the returned
+    assignment covers every input row, against the same centroid
+    generation the last training round used."""
+    import pandas as pd
+    from duva_spark.llm import kmeans
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(40),
+            "embedding": [[float(i % 2) * 10, 0.0] for i in range(40)],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    train = emb.filter(F.col("vec_id") % 4 < 2)  # 50% sample, both blobs
+    cen, assigned = kmeans.lloyd(emb, k=2, iters=2, dim=2, train_df=train)
+    rows = assigned.collect()
+    assert len(rows) == 40  # full corpus assigned, not just the sample
+    # the two obvious blobs (x=0 vs x=10) separate regardless of sample
+    by_parity = {r["vec_id"] % 2: set() for r in rows}
+    for r in rows:
+        by_parity[r["vec_id"] % 2].add(r["cluster"])
+    assert all(len(v) == 1 for v in by_parity.values())
+    assert by_parity[0] != by_parity[1]
