@@ -1983,3 +1983,64 @@ def q_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_share"),
         )
     )
+
+
+@register(
+    "q_leakproof_split",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      lab AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp
+              FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+      s AS (SELECT doc_id, comp,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM lab)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters
+    FROM s GROUP BY split
+    """,
+    description=(
+        "Leak-proof train/val/test split: the split key is the doc's "
+        "fuzzy-dedup CLUSTER label (MinHash-LSH pairs closed by "
+        "distributed min-label propagation; singletons are their own "
+        "cluster), hashed into 80/10/10 ranges — so near-duplicates "
+        "can never straddle train and test, the leakage mode a plain "
+        "per-doc hash split (q_train_val_test) cannot prevent. "
+        "Spanning-zero is BY CONSTRUCTION: one hash of one label per "
+        "cluster. Same banded-LSH + O(log n)-round component machinery "
+        "as q_dedup_clusters, one extra broadcast-joinable label map; "
+        "deterministic md5 ranges as everywhere else."
+    ),
+)
+def q_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    cc = dedup_clusters(pairs.select("id_a", "id_b")).select("id", "comp")
+    lab = docs.select("doc_id").join(
+        cc, docs["doc_id"] == cc["id"], "left"
+    ).select("doc_id", F.coalesce("comp", "doc_id").alias("comp"))
+    h = minhash.md5_hash60(F.col("comp").cast("string")) % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    return (
+        lab.select(split.alias("split"), "comp")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("comp").alias("n_clusters"),
+        )
+    )
