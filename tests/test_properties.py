@@ -398,3 +398,66 @@ def test_heavy_hitters_matches_counter_on_zipf(spark):
             df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(parts)
             got = {(r.v, r.cnt) for r in heavy_hitters(df, "v", k=k, cap=cap).collect()}
             assert got == want, (k, cap, parts, len(got), len(want))
+
+
+def test_bloom_prefilter_exact_on_random_overlap(spark):
+    """Semi/anti bloom compositions equal the plain joins on random key
+    sets with random overlap — under a deliberately tiny filter so the
+    false-positive path carries real traffic."""
+    from duva_spark.llm import bloom
+
+    probe_keys = RNG.choice(2000, size=600, replace=False)
+    build_keys = RNG.choice(2000, size=600, replace=False)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{x}" for x in probe_keys]})
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": [f"k{x}" for x in build_keys]})
+    )
+    for fn, how in (
+        (bloom.prefilter_semi_join, "left_semi"),
+        (bloom.prefilter_anti_join, "left_anti"),
+    ):
+        got = {r["k"] for r in fn(probe, build, "k", m_bits=256, k_hashes=2).collect()}
+        want = {r["k"] for r in probe.join(build, "k", how).collect()}
+        assert got == want, how
+
+
+def test_leakproof_split_has_zero_spanning_clusters(spark):
+    """The defining invariant: no dedup cluster contributes docs to more
+    than one split. Forced duplicate clusters with ids far apart so a
+    per-doc hash split would almost surely leak."""
+    from duva_spark.llm.components import dedup_clusters
+    from duva_spark.llm import minhash
+
+    base = [
+        f"the quick brown fox jumps over the lazy dog variant {i} "
+        + " ".join(f"w{i}x{j}" for j in range(30))
+        for i in range(20)
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((i, text))
+        rows.append((i + 1000, text))  # exact dup, distant id
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    cc = dedup_clusters(pairs.select("id_a", "id_b")).select("id", "comp")
+    lab = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["id"], "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("comp"))
+    )
+    h = minhash.md5_hash60(F.col("comp").cast("string")) % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    spanning = (
+        lab.select("comp", split.alias("split"))
+        .groupBy("comp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spanning == 0
+    # and every forced pair really is one cluster (the premise)
+    comps = {r["doc_id"]: r["comp"] for r in lab.collect()}
+    for i in range(20):
+        assert comps[i] == comps[i + 1000]
