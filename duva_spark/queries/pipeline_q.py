@@ -1571,3 +1571,89 @@ def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_new"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (multinomial alpha-reweighting)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+
+@register(
+    "q_temperature_mixture",
+    oracle=f"""
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT SUM(POW(n_docs, {_TEMP_ALPHA})) AS wsum, SUM(n_docs) AS ntot FROM c),
+    r AS (SELECT lang, n_docs,
+                 (POW(n_docs, {_TEMP_ALPHA}) / wsum) * ntot / n_docs AS rate
+          FROM c, t),
+    m AS (SELECT MAX(rate) AS maxrate FROM r),
+    thr AS (SELECT lang, n_docs,
+                   CAST(FLOOR(10000 * ROUND(rate / maxrate, 6)) AS BIGINT)
+                     AS hash_threshold
+            FROM r, m),
+    s AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+          FROM documents d JOIN thr ON d.lang = thr.lang
+          WHERE {_H10000} < hash_threshold
+          GROUP BY d.lang)
+    SELECT thr.lang AS lang, n_docs, hash_threshold,
+           COALESCE(n_sampled, 0) AS n_sampled
+    FROM thr LEFT JOIN s ON thr.lang = s.lang
+    """,
+    description=(
+        "Temperature-based mixture sampling (the mT5/XLM-R multinomial "
+        "alpha-reweighting, alpha=0.3): per-language sampling rate "
+        "proportional to n^(alpha-1), normalized so the most-upweighted "
+        "(smallest) language keeps everything — downsamples the "
+        "high-resource head instead of steering toward a fixed target "
+        "mix (q_mixture_sampling's policy). Acceptance is the same "
+        "deterministic integer hash-threshold test: reproducible across "
+        "engines/runs/cluster sizes, zero coordination; the per-language "
+        "stats frame is tiny and broadcast, the corpus pass is one "
+        "pushed-down filter + one partial-agg shuffle. The rate is "
+        "rounded to 6 dp before the floor so the cross-engine POW "
+        "difference (JVM vs libm, ~1 ulp) cannot move a threshold."
+    ),
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(_TEMP_ALPHA))).alias("wsum"),
+        F.sum("n_docs").alias("ntot"),
+    )
+    r = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (
+            (F.pow("n_docs", F.lit(_TEMP_ALPHA)) / F.col("wsum"))
+            * F.col("ntot")
+            / F.col("n_docs")
+        ).alias("rate"),
+    )
+    m = r.agg(F.max("rate").alias("maxrate"))
+    thr = r.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_docs",
+        F.floor(F.lit(10000) * F.round(F.col("rate") / F.col("maxrate"), 6)).alias(
+            "hash_threshold"
+        ),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 10000
+    )
+    sampled = (
+        docs.select("lang", h.alias("h"))
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("h") < F.col("hash_threshold"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return thr.join(F.broadcast(sampled), "lang", "left").select(
+        "lang",
+        "n_docs",
+        "hash_threshold",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+    )
