@@ -1,0 +1,195 @@
+"""Empirical scaling sweep: run each core operator at increasing row
+counts on GENERATED deterministic data and report the runtime ratio per
+10x of input — executable evidence for SCALE.md's "would this survive
+100x" claims (a near-linear operator shows a ratio near 10, a quadratic
+one near 100).
+
+Data is synthesized with spark.range + hash expressions (deterministic,
+no files, no RNG), so the sweep exercises operator mechanics at sizes
+the sf0.1 test tables (2k-60k rows) cannot reach locally.
+
+    python tools/scale_sweep.py [--quick]
+
+Prints one line per (operator, n) plus a final JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from duva_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _docs(spark, n: int):
+    """n synthetic docs, 30 pseudo-words each, ~8% exact-dup rate via a
+    collapsed seed — deterministic (hash of the row id, no RNG)."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.format_string(
+                    "w%d", F.pmod(F.xxhash64(F.col("id") % int(n * 0.92), F.lit(i)), 997)
+                )
+                for i in range(30)
+            ],
+        ).alias("text"),
+    )
+
+
+def _embeddings(spark, n: int, dim: int = 64):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64("id", F.lit(i)), 1000) / 1000.0).alias(f"x{i}")
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def sweep(spark, sizes_small, sizes_big):
+    from duva_spark.llm import bloom, kmeans, minhash
+    from duva_spark.operators.prefix_sum import running_sum
+    from duva_spark.operators.quantile import quantile_cont
+
+    cases = []
+
+    def keys(n):
+        return spark.range(n).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+
+    cases.append(
+        (
+            "prefix_sum",
+            sizes_big,
+            lambda n: _force(
+                running_sum(
+                    spark.range(n).select(
+                        F.col("id").alias("key"),
+                        F.pmod(F.xxhash64("id"), 100).alias("v"),
+                    ),
+                    "key",
+                    "v",
+                )
+            ),
+        )
+    )
+    cases.append(
+        (
+            "quantile_cont",
+            sizes_big,
+            lambda n: _force(
+                quantile_cont(
+                    spark.range(n).select(
+                        (F.pmod(F.xxhash64("id"), 1_000_000)).alias("v")
+                    ),
+                    "v",
+                    [0.5, 0.99],
+                )
+            ),
+        )
+    )
+    cases.append(
+        (
+            "bloom_anti_join",
+            sizes_big,
+            lambda n: _force(
+                bloom.prefilter_anti_join(
+                    keys(n), keys(n // 10), "k", m_bits=1 << 23
+                )
+            ),
+        )
+    )
+    cases.append(
+        (
+            "exact_dedup_groupby",
+            sizes_big,
+            lambda n: _force(
+                _docs(spark, n).groupBy("text").agg(F.min("doc_id").alias("keep"))
+            ),
+        )
+    )
+    cases.append(
+        (
+            "minhash_lsh_pairs",
+            sizes_small,
+            lambda n: _force(
+                minhash.near_duplicates(_docs(spark, n), "doc_id", "text", threshold=0.5)
+            ),
+        )
+    )
+    cases.append(
+        (
+            "kmeans_assign",
+            sizes_small,
+            lambda n: _force(
+                kmeans.assign_clusters(
+                    _embeddings(spark, n),
+                    kmeans.init_centroids(_embeddings(spark, n), 64),
+                )
+            ),
+        )
+    )
+    cases.append(
+        (
+            "cosine_topk_arrow",
+            sizes_small,
+            lambda n: _force(
+                __import__(
+                    "duva_spark.llm.similarity", fromlist=["brute_force_topk_arrow"]
+                ).brute_force_topk_arrow(
+                    _embeddings(spark, n),
+                    _embeddings(spark, 20),
+                    k=5,
+                )
+            ),
+        )
+    )
+
+    results = {}
+    for name, sizes, fn in cases:
+        fn(sizes[0] // 10)  # warm: JIT, UDF workers, codegen
+        times = []
+        for n in sizes:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(n)
+            dt = time.perf_counter() - t0
+            times.append(round(dt, 2))
+            print(f"{name:22s} n={n:>10,}  {dt:8.2f}s", flush=True)
+        ratio = round(times[-1] / max(times[0], 1e-9), 1)
+        step = sizes[-1] / sizes[0]
+        results[name] = {"sizes": sizes, "sec": times, "ratio": ratio, "input_x": step}
+        print(f"{name:22s} {step:.0f}x input -> {ratio}x runtime", flush=True)
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    spark = get_spark("scale-sweep")
+    if args.quick:
+        small, big = [10_000, 100_000], [100_000, 1_000_000]
+    else:
+        small, big = [20_000, 200_000], [1_000_000, 10_000_000]
+    results = sweep(spark, small, big)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
