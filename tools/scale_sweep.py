@@ -160,6 +160,34 @@ def sweep(spark, sizes_small, sizes_big):
         )
     )
 
+    from duva_spark.llm.components import connected_components_star
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    def chain_edges(n):
+        """n-node graph: 1000 chains of length n/1000 — long diameters,
+        the shape that punishes O(diameter) label propagation and that
+        large-star/small-star's O(log n) rounds are built for."""
+        return spark.range(n).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1000).alias("id_b")
+        ).filter(F.col("id_b") < n)
+
+    cases.append(
+        (
+            "components_star",
+            sizes_big,
+            lambda n: _force(connected_components_star(chain_edges(n))),
+        )
+    )
+    cases.append(
+        (
+            "ppjoin_exact",
+            [s // 2 for s in sizes_small],
+            lambda n: _force(
+                prefix_filter_pairs(_docs(spark, n), "doc_id", "text", threshold=0.7)
+            ),
+        )
+    )
+
     results = {}
     for name, sizes, fn in cases:
         fn(sizes[0] // 10)  # warm: JIT, UDF workers, codegen
