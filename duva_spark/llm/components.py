@@ -159,17 +159,27 @@ def connected_components_star(
                 .distinct()
                 .localCheckpoint()
             )
-            # fixpoint test on the orientation-normalized edge set
+            # fixpoint test on the orientation-normalized edge set.
+            # norm is a projection of the already-checkpointed ss, so it
+            # needs no materialization of its own; the set equality runs
+            # as ONE tagged symmetric-difference job (a groupBy over the
+            # union) instead of two subtract().count() passes.
             norm = ss.select(
                 F.greatest(F.col("u"), F.col("v")).alias("u"),
                 F.least(F.col("u"), F.col("v")).alias("v"),
             )
-            if prev is not None and (
-                norm.subtract(prev).count() == 0 and prev.subtract(norm).count() == 0
-            ):
-                edges = ss
-                break
-            prev = norm.localCheckpoint()
+            if prev is not None:
+                diff = (
+                    norm.distinct().withColumn("_s", F.lit(1))
+                    .unionByName(prev.distinct().withColumn("_s", F.lit(-1)))
+                    .groupBy("u", "v")
+                    .agg(F.sum("_s").alias("_d"))
+                    .filter(F.col("_d") != 0)
+                )
+                if diff.isEmpty():
+                    edges = ss
+                    break
+            prev = norm
             edges = ss
         else:
             raise RuntimeError(
