@@ -53,6 +53,9 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("comp").alias("nbr_comp"))
             )
+            # the change flag is computed inside the update projection —
+            # no second join of old vs new labels per round (labels only
+            # ever decrease, so `new < old` is the complete change test)
             new_labels = (
                 labels.join(nbr_min, labels.id == nbr_min.src, "left")
                 .select(
@@ -60,17 +63,15 @@ def connected_components(
                     F.least(
                         labels.comp, F.coalesce(F.col("nbr_comp"), labels.comp)
                     ).alias("comp"),
+                    (F.coalesce(F.col("nbr_comp"), labels.comp) < labels.comp).alias(
+                        "_chg"
+                    ),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.select(F.col("id"), F.col("comp").alias("old_comp")), "id")
-                .filter(F.col("comp") < F.col("old_comp"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            changed = not new_labels.filter(F.col("_chg")).isEmpty()
+            labels = new_labels.drop("_chg")
+            if not changed:
                 converged = True
                 break
         if not converged:
