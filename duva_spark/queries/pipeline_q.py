@@ -1535,6 +1535,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bloom_incremental_new_docs",
+    headline=True,
     oracle=f"""
     WITH d AS (SELECT doc_id, lang, md5(text) AS ch, {_H100} AS h FROM documents),
     corpus AS (SELECT DISTINCT ch FROM d WHERE h < 90),
@@ -1582,6 +1583,7 @@ _TEMP_ALPHA = 0.3
 
 @register(
     "q_temperature_mixture",
+    headline=True,
     oracle=f"""
     WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
     t AS (SELECT SUM(POW(n_docs, {_TEMP_ALPHA})) AS wsum, SUM(n_docs) AS ntot FROM c),
