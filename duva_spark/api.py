@@ -122,6 +122,13 @@ class ControlPlane:
             secret_key, https_only=https_only, same_site=same_site
         )
         self.log = logging.getLogger("duva_spark.api")
+        # /health dependency probes (reference app/main.py:80-97 pings
+        # the DB and Redis; the stand-ins here are the metadata store
+        # and the sync job). Keys keep the reference's response names.
+        self.health_checks: dict[str, Callable[[], bool]] = {
+            "Database": lambda: self.store.ids() is not None,
+            "Cache": lambda: self.sync_job is not None,
+        }
         self._forms: dict[str, dict] = {}
         self._servers: dict[int, dict] = {}
         self._configs: dict[int, dict] = {}
@@ -340,6 +347,35 @@ class ControlPlane:
             del self._configs[cid]
             return 204, None
 
+    # reference app/main.py:68-97 — app metadata + dependency health
+    APP_NAME = "Duva"
+    APP_DESCRIPTION = "Duva is an application that converts CSV to Tableau Hyper Databases"
+    APP_VERSION = "0.2.0"
+
+    def home(self, base_url: str) -> tuple[int, dict]:
+        return 200, {
+            "app_name": self.APP_NAME,
+            "app_description": self.APP_DESCRIPTION,
+            "app_version": self.APP_VERSION,
+            "docs_url": f"{base_url}/docs",
+            "openapi_url": f"{base_url}/openapi.json",
+        }
+
+    def health(self) -> tuple[int, dict]:
+        """Dependency probe: every check OK → 200, any failing → 500,
+        with the reference's exact {"Database": "OK"/"FAILING", ...}
+        body (a check that raises counts as failing, like the
+        redis.ping() try/except)."""
+        status = {}
+        for name, check in self.health_checks.items():
+            try:
+                ok = bool(check())
+            except Exception:
+                ok = False
+            status[name] = "OK" if ok else "FAILING"
+        code = 200 if all(v == "OK" for v in status.values()) else 500
+        return code, status
+
     def oauth_login(self, params: dict) -> tuple[int, dict | None, dict]:
         if self.oauth is None:
             return 404, {"detail": "OAuth not configured"}, {}
@@ -382,6 +418,8 @@ _ROUTES = [
     ("GET", re.compile(r"^/oauth/login$"), "oauth_login"),
     ("GET", re.compile(r"^/oauth/callback$"), "oauth_callback"),
     ("GET", re.compile(r"^/metrics$"), "metrics"),
+    ("GET", re.compile(r"^/$"), "home"),
+    ("GET", re.compile(r"^/health$"), "health"),
     ("POST", re.compile(r"^/api/v1/servers/?$"), "server_create"),
     ("GET", re.compile(r"^/api/v1/servers/?$"), "server_list"),
     ("GET", re.compile(r"^/api/v1/servers/(?P<id>\d+)$"), "server_get"),
@@ -477,7 +515,11 @@ def _make_handler(cp: ControlPlane):
                 base_url = f"http://{self.headers.get('Host', '')}"
                 headers: dict = {}
                 try:
-                    if action == "create":
+                    if action == "home":
+                        code, payload = cp.home(base_url)
+                    elif action == "health":
+                        code, payload = cp.health()
+                    elif action == "create":
                         code, payload = cp.create_file(body)
                     elif action == "list":
                         code, payload = cp.list_files()

@@ -303,3 +303,34 @@ def test_malformed_ids_answer_422_not_connection_abort(api):
     assert code == 422
     code, listed = _req(base, "GET", "/api/v1/servers/?skip=-5")
     assert code == 200 and listed == []  # clamped, not a wrong tail slice
+
+
+def test_home_route_metadata(api):
+    base, _ = api
+    code, body = _req(base, "GET", "/")
+    assert code == 200
+    assert body["app_name"] == "Duva"
+    assert body["app_version"] == "0.2.0"
+    assert body["docs_url"].endswith("/docs")
+    assert body["openapi_url"].endswith("/openapi.json")
+
+
+def test_health_ok_and_failing(spark, tmp_path):
+    from duva_spark.api import ControlPlane, serve
+    from duva_spark.orchestration import MetadataStore, SyncJob
+
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "x.csv")
+    cp = ControlPlane(store, job, str(tmp_path / "out"))
+    server, _ = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        code, body = _req(base, "GET", "/health")
+        assert code == 200 and body == {"Database": "OK", "Cache": "OK"}
+        # a probe that raises counts as failing -> 500, like the
+        # reference's redis.ping() try/except (app/main.py:86-89)
+        cp.health_checks["Cache"] = lambda: (_ for _ in ()).throw(RuntimeError())
+        code, body = _req(base, "GET", "/health")
+        assert code == 500 and body["Cache"] == "FAILING" and body["Database"] == "OK"
+    finally:
+        server.shutdown()
