@@ -168,7 +168,17 @@ class ControlPlane:
                 pass  # failure recorded in state; creation still succeeds
         return 201, self._view(dataset_id)
 
-    def list_files(self) -> tuple[int, list]:
+    def list_files(self, form_id: str | None = None) -> tuple[int, list | dict]:
+        """reference file.py:42-66 — optional ?form_id= filter; a
+        non-integer value answers 400 with the reference's wording."""
+        if form_id is not None:
+            try:
+                want = str(int(form_id))
+            except ValueError:
+                return 400, {"detail": f"Invalid form_id provided: {form_id}"}
+            return 200, [
+                self._view(d) for d in self.store.ids() if d == want
+            ]
         return 200, [self._view(d) for d in self.store.ids()]
 
     def get_file(self, dataset_id: str) -> tuple[int, dict]:
@@ -522,7 +532,7 @@ def _make_handler(cp: ControlPlane):
                     elif action == "create":
                         code, payload = cp.create_file(body)
                     elif action == "list":
-                        code, payload = cp.list_files()
+                        code, payload = cp.list_files(params.get("form_id"))
                     elif action in ("oauth_login", "oauth_callback"):
                         code, payload, headers = getattr(cp, action)(params)
                     elif action == "get":

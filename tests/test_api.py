@@ -334,3 +334,18 @@ def test_health_ok_and_failing(spark, tmp_path):
         assert code == 500 and body["Cache"] == "FAILING" and body["Database"] == "OK"
     finally:
         server.shutdown()
+
+
+def test_list_files_form_id_filter_and_400(api):
+    """reference file.py:59-67 — ?form_id= narrows the listing; a
+    non-integer form_id answers 400 with the reference's wording."""
+    base, _ = api
+    _req(base, "POST", "/api/v1/files/", {"form_id": 11})
+    _req(base, "POST", "/api/v1/files/", {"form_id": 22})
+    code, files = _req(base, "GET", "/api/v1/files/?form_id=11")
+    assert code == 200 and [f["id"] for f in files] == ["11"]
+    code, files = _req(base, "GET", "/api/v1/files/?form_id=99")
+    assert code == 200 and files == []
+    code, body = _req(base, "GET", "/api/v1/files/?form_id=abc")
+    assert code == 400
+    assert body["detail"] == "Invalid form_id provided: abc"
