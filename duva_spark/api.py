@@ -189,6 +189,14 @@ class ControlPlane:
     def sync_file(self, dataset_id: str) -> tuple[int, dict]:
         if not self.store.exists(dataset_id):
             return 404, {"detail": "File not found"}
+        # the attached Tableau configuration is re-validated before a
+        # forced sync (reference file.py:178-184): a configuration that
+        # no longer signs in answers 400 with the upstream wording
+        cid = self._file_configs.get(dataset_id)
+        if cid is not None and self.validate_config is not None:
+            cfg = self._configs.get(cid)
+            if cfg is None or not self.validate_config(cfg):
+                return 400, {"detail": f"Invalid configuration ID {cid}"}
         state = self.store.get(dataset_id)
         if state.file_status in (FileStatus.QUEUED.value, FileStatus.SYNCING.value):
             return 202, {"detail": "Sync already in progress"}

@@ -349,3 +349,35 @@ def test_list_files_form_id_filter_and_400(api):
     code, body = _req(base, "GET", "/api/v1/files/?form_id=abc")
     assert code == 400
     assert body["detail"] == "Invalid form_id provided: abc"
+
+
+def test_sync_revalidates_attached_configuration(spark, tmp_path):
+    """reference file.py:178-184 — a forced sync re-validates the file's
+    Tableau configuration; a failing one answers 400 with the id."""
+    csv = tmp_path / "export.csv"
+    csv.write_text(CSV)
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: csv)
+    verdicts = {"ok": True}
+    cp = ControlPlane(
+        store, job, str(tmp_path / "out"),
+        validate_config=lambda cfg: verdicts["ok"],
+    )
+    server, _ = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        code, cfg = _req(base, "POST", "/api/v1/configurations/", CONFIG)
+        assert code == 201
+        _req(base, "POST", "/api/v1/files/", {"form_id": 3, "sync_immediately": True})
+        code, _ = _req(
+            base, "PATCH", "/api/v1/files/3", {"configuration_id": cfg["id"]}
+        )
+        assert code == 200
+        code, _ = _req(base, "POST", "/api/v1/files/3/sync")
+        assert code == 200  # configuration validates -> sync proceeds
+        verdicts["ok"] = False  # token revoked upstream
+        code, body = _req(base, "POST", "/api/v1/files/3/sync")
+        assert code == 400
+        assert body["detail"] == f"Invalid configuration ID {cfg['id']}"
+    finally:
+        server.shutdown()
