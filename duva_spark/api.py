@@ -159,8 +159,15 @@ class ControlPlane:
         dataset_id = str(body.get("form_id") or form.get("formid") or "")
         if not dataset_id:
             return 422, {"detail": "form_id is required"}
+        # configuration may be attached at creation time (reference
+        # file.py:267-275): unknown id → 400, same wording as PATCH
+        cid = body.get("configuration_id")
+        if cid is not None and cid not in self._configs:
+            return 400, {"detail": "Configuration not found with given ID"}
         state = self.store.get(dataset_id)
         self._forms[dataset_id] = form
+        if cid is not None:
+            self._file_configs[dataset_id] = cid
         if body.get("sync_immediately"):
             try:
                 self.sync_job.run(dataset_id, f"{self.out_root}/{dataset_id}")

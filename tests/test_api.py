@@ -381,3 +381,23 @@ def test_sync_revalidates_attached_configuration(spark, tmp_path):
         assert body["detail"] == f"Invalid configuration ID {cfg['id']}"
     finally:
         server.shutdown()
+
+
+def test_create_file_with_configuration_id(api):
+    """reference file.py:267-275 — configuration may be attached at
+    creation; an unknown id answers 400 with the PATCH wording."""
+    base, _ = api
+    code, body = _req(
+        base, "POST", "/api/v1/files/", {"form_id": 31, "configuration_id": 99}
+    )
+    assert code == 400
+    assert body["detail"] == "Configuration not found with given ID"
+    code, cfg = _req(base, "POST", "/api/v1/configurations/", CONFIG)
+    assert code == 201
+    code, body = _req(
+        base, "POST", "/api/v1/files/",
+        {"form_id": 31, "configuration_id": cfg["id"]},
+    )
+    assert code == 201
+    assert body["configuration_id"] == cfg["id"]
+    assert body["configuration_url"] == f"/api/v1/configurations/{cfg['id']}"
