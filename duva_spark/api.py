@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import time
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
@@ -438,25 +439,25 @@ class ControlPlane:
 
 
 _ROUTES = [
-    ("POST", re.compile(r"^/api/v1/files/?$"), "create"),
-    ("GET", re.compile(r"^/api/v1/files/?$"), "list"),
-    ("GET", re.compile(r"^/oauth/login$"), "oauth_login"),
-    ("GET", re.compile(r"^/oauth/callback$"), "oauth_callback"),
-    ("GET", re.compile(r"^/metrics$"), "metrics"),
-    ("GET", re.compile(r"^/$"), "home"),
-    ("GET", re.compile(r"^/health$"), "health"),
-    ("POST", re.compile(r"^/api/v1/servers/?$"), "server_create"),
-    ("GET", re.compile(r"^/api/v1/servers/?$"), "server_list"),
-    ("GET", re.compile(r"^/api/v1/servers/(?P<id>\d+)$"), "server_get"),
-    ("POST", re.compile(r"^/api/v1/configurations/?$"), "config_create"),
-    ("GET", re.compile(r"^/api/v1/configurations/?$"), "config_list"),
-    ("GET", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_get"),
-    ("PATCH", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_patch"),
-    ("DELETE", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_delete"),
-    ("GET", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "get"),
-    ("PATCH", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "patch"),
-    ("POST", re.compile(r"^/api/v1/files/(?P<id>[^/]+)/sync$"), "sync"),
-    ("DELETE", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "delete"),
+    ("POST", re.compile(r"^/api/v1/files/?$"), "create", "/api/v1/files/"),
+    ("GET", re.compile(r"^/api/v1/files/?$"), "list", "/api/v1/files/"),
+    ("GET", re.compile(r"^/oauth/login$"), "oauth_login", "/oauth/login"),
+    ("GET", re.compile(r"^/oauth/callback$"), "oauth_callback", "/oauth/callback"),
+    ("GET", re.compile(r"^/metrics$"), "metrics", "/metrics"),
+    ("GET", re.compile(r"^/$"), "home", "/"),
+    ("GET", re.compile(r"^/health$"), "health", "/health"),
+    ("POST", re.compile(r"^/api/v1/servers/?$"), "server_create", "/api/v1/servers/"),
+    ("GET", re.compile(r"^/api/v1/servers/?$"), "server_list", "/api/v1/servers/"),
+    ("GET", re.compile(r"^/api/v1/servers/(?P<id>\d+)$"), "server_get", "/api/v1/servers/{id}"),
+    ("POST", re.compile(r"^/api/v1/configurations/?$"), "config_create", "/api/v1/configurations/"),
+    ("GET", re.compile(r"^/api/v1/configurations/?$"), "config_list", "/api/v1/configurations/"),
+    ("GET", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_get", "/api/v1/configurations/{id}"),
+    ("PATCH", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_patch", "/api/v1/configurations/{id}"),
+    ("DELETE", re.compile(r"^/api/v1/configurations/(?P<id>\d+)$"), "config_delete", "/api/v1/configurations/{id}"),
+    ("GET", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "get", "/api/v1/files/{id}"),
+    ("PATCH", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "patch", "/api/v1/files/{id}"),
+    ("POST", re.compile(r"^/api/v1/files/(?P<id>[^/]+)/sync$"), "sync", "/api/v1/files/{id}/sync"),
+    ("DELETE", re.compile(r"^/api/v1/files/(?P<id>[^/]+)$"), "delete", "/api/v1/files/{id}"),
 ]
 
 
@@ -481,6 +482,17 @@ def _make_handler(cp: ControlPlane):
             self.wfile.write(data)
             # structured access log (reference app/core/logger.py shape)
             cp.log.info("%s %s -> %s", self.command, self.path, code)
+            # request metrics by ROUTE TEMPLATE, routed paths only
+            # (starlette_exporter filter_unhandled_paths parity)
+            template = getattr(self, "_route_template", None)
+            reg = getattr(cp.sync_job, "metrics", None)
+            if template and reg is not None:
+                reg.observe_request(
+                    self.command,
+                    template,
+                    code,
+                    time.perf_counter() - self._route_t0,
+                )
 
         def do_OPTIONS(self):
             if cp.cors is not None and cp.cors.is_preflight("OPTIONS", self.headers):
@@ -500,12 +512,14 @@ def _make_handler(cp: ControlPlane):
             self._reply(405, b"", {})
 
         def _dispatch(self, method: str):
-            for m, pat, action in _ROUTES:
+            for m, pat, action, template in _ROUTES:
                 if m != method:
                     continue
                 match = pat.match(self.path.split("?")[0])
                 if not match:
                     continue
+                self._route_template = template
+                self._route_t0 = time.perf_counter()
                 body = {}
                 if method in ("POST", "PATCH"):
                     n = int(self.headers.get("Content-Length") or 0)

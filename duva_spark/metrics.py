@@ -73,6 +73,32 @@ class MetricsRegistry:
             self.inc(self.in_progress, -1)
             self.inc(self.successful, 1)
 
+    # ---- HTTP request metrics (reference app/main.py:56-58 mounts
+    # starlette_exporter's PrometheusMiddleware with prefix="duva",
+    # filter_unhandled_paths=True) -------------------------------------
+
+    _BUCKETS = (0.005, 0.05, 0.25, 1.0, 5.0)
+
+    def observe_request(self, method: str, template: str, code: int, seconds: float) -> None:
+        """One routed HTTP request. ``template`` is the ROUTE template
+        (e.g. ``/api/v1/files/{id}``), never the raw path — label
+        cardinality stays bounded by the route table, the same reason
+        starlette_exporter groups by route. Unrouted paths are never
+        observed (filter_unhandled_paths parity)."""
+        key = (method, template, int(code))
+        with self._mu:
+            if not hasattr(self, "_requests"):
+                self._requests: dict = {}
+                self._dur_sum = 0.0
+                self._dur_count = 0
+                self._dur_buckets = [0] * len(self._BUCKETS)
+            self._requests[key] = self._requests.get(key, 0) + 1
+            self._dur_sum += seconds
+            self._dur_count += 1
+            for i, ub in enumerate(self._BUCKETS):
+                if seconds <= ub:
+                    self._dur_buckets[i] += 1
+
     def exposition(self) -> str:
         """Prometheus text format, one block per metric."""
         with self._mu:
@@ -82,4 +108,30 @@ class MetricsRegistry:
                 lines.append(f"# TYPE {m.name} {m.kind}")
                 v = int(m.value) if m.value == int(m.value) else m.value
                 lines.append(f"{m.name} {v}")
+            if getattr(self, "_requests", None):
+                lines.append("# HELP duva_requests_total Total HTTP requests")
+                lines.append("# TYPE duva_requests_total counter")
+                for (method, template, code), n in sorted(self._requests.items()):
+                    lines.append(
+                        f'duva_requests_total{{method="{method}",'
+                        f'path="{template}",status_code="{code}"}} {n}'
+                    )
+                lines.append(
+                    "# HELP duva_request_duration_seconds HTTP request duration"
+                )
+                lines.append("# TYPE duva_request_duration_seconds histogram")
+                for ub, b in zip(self._BUCKETS, self._dur_buckets):
+                    lines.append(
+                        f'duva_request_duration_seconds_bucket{{le="{ub}"}} {b}'
+                    )
+                lines.append(
+                    f'duva_request_duration_seconds_bucket{{le="+Inf"}} '
+                    f"{self._dur_count}"
+                )
+                lines.append(
+                    f"duva_request_duration_seconds_sum {round(self._dur_sum, 6)}"
+                )
+                lines.append(
+                    f"duva_request_duration_seconds_count {self._dur_count}"
+                )
             return "\n".join(lines) + "\n"

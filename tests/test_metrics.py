@@ -83,3 +83,39 @@ def test_metrics_404_when_not_configured(spark, tmp_path):
         urllib.request.urlopen(f"{base}/metrics")
     assert e.value.code == 404
     server.shutdown()
+
+
+def test_http_request_metrics_by_route_template(metered_api):
+    """starlette_exporter parity (reference app/main.py:56-58): routed
+    requests count under duva_requests_total with the ROUTE TEMPLATE as
+    the path label (bounded cardinality), plus a duration histogram;
+    unrouted paths are never observed (filter_unhandled_paths)."""
+    base, job, mode, tmp_path = metered_api
+    import json as _json
+
+    for fid in (1, 2):
+        req = urllib.request.Request(
+            f"{base}/api/v1/files/",
+            data=_json.dumps({"form_id": fid}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req).read()
+    urllib.request.urlopen(f"{base}/api/v1/files/1").read()
+    try:
+        urllib.request.urlopen(f"{base}/nonexistent")
+    except urllib.error.HTTPError:
+        pass
+    with urllib.request.urlopen(f"{base}/metrics") as resp:
+        text = resp.read().decode()
+    assert (
+        'duva_requests_total{method="POST",path="/api/v1/files/",status_code="201"} 2'
+        in text
+    )
+    assert (
+        'duva_requests_total{method="GET",path="/api/v1/files/{id}",status_code="200"} 1'
+        in text
+    )
+    assert "/nonexistent" not in text  # unrouted → unobserved
+    assert "duva_request_duration_seconds_count" in text
+    assert 'duva_request_duration_seconds_bucket{le="+Inf"}' in text
