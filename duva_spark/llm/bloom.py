@@ -178,7 +178,17 @@ def prefilter_anti_join(
     only bloom candidates — true members plus the FP tail — go through
     the exact anti join to be confirmed or rescued.  This is the
     incremental-dedup shape: new docs vs. a corpus bloom, where almost
-    everything is new and skips the shuffle entirely."""
+    everything is new and skips the shuffle entirely.
+
+    Plan notes (verified via explain): the probe is scanned twice (once
+    per union branch) because Spark has no cross-branch subplan reuse —
+    the deliberate trade is two scan-level passes + a sliver-sized
+    shuffle instead of one pass + a full-corpus shuffle, the right side
+    of that trade whenever shuffle >> scan (always, at 100 TB).  And
+    Catalyst's constraint propagation pushes the (deterministic) bloom
+    predicate through the anti-join equality onto the BUILD side too,
+    so the build keys' distinct-shuffle also shrinks to bloom-positive
+    keys — a free bonus, correct because equal keys hash identically."""
     build_key = build_key or probe_key
     bits = build_bits(build, build_key, m_bits, k_hashes)
     spark = probe.sparkSession
