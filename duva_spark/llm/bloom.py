@@ -73,23 +73,34 @@ def build_bits(
 ) -> np.ndarray:
     """Build the bitset (uint8 array of m_bits/8 bytes) from a key frame.
 
-    Distributed build: positions are computed and deduplicated on the
-    executors; only distinct positions (≤ m_bits rows, usually far
-    fewer) reach the driver.  The build never materializes the key set
-    itself driver-side, so a billion-key build moves the same ≤ m_bits
-    integers as a thousand-key build."""
-    if m_bits % 8:
-        raise ValueError("m_bits must be a multiple of 8")
+    Distributed build: bit positions are OR-folded into 64-bit words on
+    the executors (``groupBy(word) .agg(bit_or)`` — map-side partial
+    aggregation collapses duplicates before the shuffle), so the driver
+    receives at most m_bits/64 (word, bits) rows — exactly the bitset's
+    own size, 64× fewer rows than collecting distinct positions.  The
+    build never materializes the key set driver-side: a billion-key
+    build moves the same ≤ m_bits/64 words as a thousand-key build."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
     h1, h2 = _hash_pair(F.col(key_col))
-    pos = (
-        keys.select(F.explode(_positions(h1, h2, m_bits, k_hashes)).alias("p"))
-        .distinct()
+    p = F.explode(_positions(h1, h2, m_bits, k_hashes)).alias("p")
+    words = (
+        keys.select(p)
+        .select(
+            F.shiftright("p", 6).alias("w"),
+            # F.shiftleft needs a literal count; SQL's accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
         .collect()
     )
-    bits = np.zeros(m_bits // 8, dtype=np.uint8)
-    idx = np.fromiter((r["p"] for r in pos), dtype=np.int64, count=len(pos))
-    np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
-    return bits
+    arr = np.zeros(m_bits // 64, dtype=np.int64)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    # little-endian int64 words viewed as bytes: global bit i lands in
+    # byte i>>3 at bit i&7 — the exact layout the probe indexes
+    return arr.view(np.uint8)
 
 
 def might_contain_udf(

@@ -64,8 +64,8 @@ def test_distinct_build_keys_not_required(spark):
 def test_bitset_size_bounded_by_m():
     # the driver-side artifact is m/8 bytes regardless of key count
     assert bloom.build_bits.__doc__  # documented contract
-    with pytest.raises(ValueError, match="multiple of 8"):
-        bloom.build_bits(None, "k", m_bits=7)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom.build_bits(None, "k", m_bits=72)
 
 
 def test_bitset_bytes(spark):
