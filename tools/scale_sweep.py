@@ -178,6 +178,25 @@ def sweep(spark, sizes_small, sizes_big):
             lambda n: _force(connected_components_star(chain_edges(n))),
         )
     )
+    def skewed_join(n):
+        """90% of probe rows share ONE key (the classic hot-key fact
+        table); build is 10k dims. Salting splits the hot key across
+        n_salts reducers so no single task owns 0.9n rows."""
+        from duva_spark.operators import salted_join
+
+        probe = spark.range(n).select(
+            F.when(F.pmod(F.xxhash64("id"), 10) < 9, F.lit(7))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), 10_000))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        build = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = salted_join(probe, build, "k", n_salts=32)
+        _force(joined.groupBy("k").agg(F.count("*").alias("n"), F.sum("w").alias("s")))
+
+    cases.append(("salted_skew_join", sizes_big, skewed_join))
     cases.append(
         (
             "ppjoin_exact",
