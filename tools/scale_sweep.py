@@ -60,7 +60,7 @@ def _embeddings(spark, n: int, dim: int = 64):
     )
 
 
-def sweep(spark, sizes_small, sizes_big):
+def sweep(spark, sizes_small, sizes_big, only=None):
     from duva_spark.llm import bloom, kmeans, minhash
     from duva_spark.operators.prefix_sum import running_sum
     from duva_spark.operators.quantile import quantile_cont
@@ -209,6 +209,8 @@ def sweep(spark, sizes_small, sizes_big):
 
     results = {}
     for name, sizes, fn in cases:
+        if only and name not in only:
+            continue
         fn(sizes[0] // 10)  # warm: JIT, UDF workers, codegen
         times = []
         for n in sizes:
@@ -228,13 +230,15 @@ def sweep(spark, sizes_small, sizes_big):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cases", default=None, help="comma-separated case names")
     args = ap.parse_args()
     spark = get_spark("scale-sweep")
     if args.quick:
         small, big = [10_000, 100_000], [100_000, 1_000_000]
     else:
         small, big = [20_000, 200_000], [1_000_000, 10_000_000]
-    results = sweep(spark, small, big)
+    only = set(args.cases.split(",")) if args.cases else None
+    results = sweep(spark, small, big, only=only)
     print(json.dumps(results))
 
 
