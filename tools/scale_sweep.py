@@ -197,6 +197,37 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         _force(joined.groupBy("k").agg(F.count("*").alias("n"), F.sum("w").alias("s")))
 
     cases.append(("salted_skew_join", sizes_big, skewed_join))
+
+    def stream_tumbling(n):
+        """TRUE readStream tumbling-window count over n generated events
+        (parquet-backed, Trigger.AvailableNow, memory sink) — the
+        streaming path's per-row cost at sizes the events table can't
+        reach. Watermark + window state mirror the production jobs."""
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            src = f"{td}/events"
+            spark.range(n).select(
+                (F.timestamp_seconds(1_700_000_000 + F.pmod(F.xxhash64("id"), 86_400))).alias("ts"),
+                F.pmod(F.xxhash64("id", F.lit(1)), 100).alias("k"),
+            ).write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema("ts timestamp, k long")
+                .parquet(src)
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "10 minutes"), "k")
+                .count()
+            )
+            q = (
+                stream.writeStream.format("noop")
+                .option("checkpointLocation", f"{td}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    cases.append(("stream_tumbling", sizes_big, stream_tumbling))
     cases.append(
         (
             "ppjoin_exact",
