@@ -495,6 +495,7 @@ def _make_handler(cp: ControlPlane):
                 )
 
         def do_OPTIONS(self):
+            self._route_template = None
             if cp.cors is not None and cp.cors.is_preflight("OPTIONS", self.headers):
                 code, headers, text = cp.cors.preflight(self.headers)
                 # headers already carry the CORS allow-set; skip the
@@ -512,6 +513,10 @@ def _make_handler(cp: ControlPlane):
             self._reply(405, b"", {})
 
         def _dispatch(self, method: str):
+            # handler instances persist across keep-alive requests on a
+            # connection — clear the route marker so an unrouted request
+            # can't inherit the previous request's metrics label
+            self._route_template = None
             for m, pat, action, template in _ROUTES:
                 if m != method:
                     continue

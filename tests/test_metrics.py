@@ -119,3 +119,24 @@ def test_http_request_metrics_by_route_template(metered_api):
     assert "/nonexistent" not in text  # unrouted → unobserved
     assert "duva_request_duration_seconds_count" in text
     assert 'duva_request_duration_seconds_bucket{le="+Inf"}' in text
+
+
+def test_unrouted_request_on_reused_connection_not_mislabeled(metered_api):
+    """Keep-alive connections reuse the handler instance; a 404 after a
+    routed request must not inherit the previous route's metrics label."""
+    import http.client
+
+    base, job, mode, tmp_path = metered_api
+    host = base.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host)
+    try:
+        conn.request("GET", "/api/v1/files/")
+        conn.getresponse().read()
+        conn.request("GET", "/definitely/not/a/route")
+        assert conn.getresponse().status == 404
+    finally:
+        conn.close()
+    with urllib.request.urlopen(f"{base}/metrics") as resp:
+        text = resp.read().decode()
+    assert 'path="/api/v1/files/",status_code="404"' not in text
+    assert "/definitely/not/a/route" not in text
