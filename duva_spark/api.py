@@ -163,12 +163,14 @@ class ControlPlane:
         # configuration may be attached at creation time (reference
         # file.py:267-275): unknown id → 400, same wording as PATCH
         cid = body.get("configuration_id")
-        if cid is not None and cid not in self._configs:
+        # int() coercion mirrors patch_file (a non-numeric value raises
+        # ValueError → the dispatcher's 422, FastAPI-validation parity)
+        if cid is not None and int(cid) not in self._configs:
             return 400, {"detail": "Configuration not found with given ID"}
         state = self.store.get(dataset_id)
         self._forms[dataset_id] = form
         if cid is not None:
-            self._file_configs[dataset_id] = cid
+            self._file_configs[dataset_id] = int(cid)
         if body.get("sync_immediately"):
             try:
                 self.sync_job.run(dataset_id, f"{self.out_root}/{dataset_id}")
