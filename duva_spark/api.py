@@ -164,13 +164,16 @@ class ControlPlane:
         # file.py:267-275): unknown id → 400, same wording as PATCH
         cid = body.get("configuration_id")
         # int() coercion mirrors patch_file (a non-numeric value raises
-        # ValueError → the dispatcher's 422, FastAPI-validation parity)
-        if cid is not None and int(cid) not in self._configs:
-            return 400, {"detail": "Configuration not found with given ID"}
-        state = self.store.get(dataset_id)
-        self._forms[dataset_id] = form
-        if cid is not None:
-            self._file_configs[dataset_id] = int(cid)
+        # ValueError → the dispatcher's 422, FastAPI-validation parity);
+        # the check-then-attach runs under the mutation lock so a
+        # concurrent configuration DELETE can't interleave
+        with self._mutate:
+            if cid is not None and int(cid) not in self._configs:
+                return 400, {"detail": "Configuration not found with given ID"}
+            state = self.store.get(dataset_id)
+            self._forms[dataset_id] = form
+            if cid is not None:
+                self._file_configs[dataset_id] = int(cid)
         if body.get("sync_immediately"):
             try:
                 self.sync_job.run(dataset_id, f"{self.out_root}/{dataset_id}")
@@ -186,8 +189,12 @@ class ControlPlane:
                 want = str(int(form_id))
             except ValueError:
                 return 400, {"detail": f"Invalid form_id provided: {form_id}"}
+            # match the raw id too: '007' round-trips to '7' but the
+            # stored dataset id keeps the original spelling
             return 200, [
-                self._view(d) for d in self.store.ids() if d == want
+                self._view(d)
+                for d in self.store.ids()
+                if d == want or d == form_id
             ]
         return 200, [self._view(d) for d in self.store.ids()]
 
@@ -529,10 +536,18 @@ def _make_handler(cp: ControlPlane):
                 self._route_t0 = time.perf_counter()
                 body = {}
                 if method in ("POST", "PATCH"):
-                    n = int(self.headers.get("Content-Length") or 0)
+                    try:
+                        n = max(0, int(self.headers.get("Content-Length") or 0))
+                    except ValueError:
+                        n = 0
                     if n:
                         try:
                             body = json.loads(self.rfile.read(n) or b"{}")
+                            if not isinstance(body, dict):
+                                # valid JSON but not an object ([1,2],
+                                # "x", null) — FastAPI's validation
+                                # layer answers 422, not a crash
+                                raise ValueError("body must be a JSON object")
                         except ValueError:
                             # malformed JSON answers 422 like the
                             # reference's FastAPI validation layer

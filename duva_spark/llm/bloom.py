@@ -153,6 +153,21 @@ def candidates(
     )
 
 
+def _check_key_types(probe, probe_key, build, build_key) -> None:
+    """xxhash64 is TYPE-sensitive where an equi-join would cast-coerce:
+    hashing long 123 and string '123' gives different bits, which would
+    silently break the no-false-negative guarantee. Fail loudly."""
+    pt = dict(probe.dtypes)[probe_key]
+    bt = dict(build.dtypes)[build_key]
+    if pt != bt:
+        raise ValueError(
+            f"bloom prefilter requires identical key types (probe "
+            f"{probe_key}: {pt}, build {build_key}: {bt}) — cast one "
+            f"side first; hash-based membership cannot coerce like an "
+            f"equi-join would"
+        )
+
+
 def prefilter_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -168,6 +183,7 @@ def prefilter_semi_join(
     positives), but only the candidate sliver of the probe corpus
     reaches the confirm join's shuffle."""
     build_key = build_key or probe_key
+    _check_key_types(probe, probe_key, build, build_key)
     bits = build_bits(build, build_key, m_bits, k_hashes)
     cand = candidates(probe, probe_key, bits, m_bits, k_hashes)
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
@@ -201,6 +217,7 @@ def prefilter_anti_join(
     so the build keys' distinct-shuffle also shrinks to bloom-positive
     keys — a free bonus, correct because equal keys hash identically."""
     build_key = build_key or probe_key
+    _check_key_types(probe, probe_key, build, build_key)
     bits = build_bits(build, build_key, m_bits, k_hashes)
     spark = probe.sparkSession
     mc = might_contain_udf(spark, bits, m_bits, k_hashes)

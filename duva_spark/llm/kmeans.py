@@ -141,20 +141,29 @@ def lloyd(
     work drops from ``iters`` full passes to ``iters·f + 1``."""
     if iters < 1:
         raise ValueError("lloyd requires iters >= 1 (no assignment exists otherwise)")
+    spark = emb.sparkSession
     train = train_df if train_df is not None else emb
+
+    def _localize(df: DataFrame) -> DataFrame:
+        # collapse the pending update aggregation into a k-row literal
+        # frame, so every later collect of this generation (the round's
+        # assignment AND the train-path's final full-corpus assignment)
+        # reads local rows instead of re-running the aggregation job
+        return spark.createDataFrame(df.collect(), df.schema)
+
     cen = init_centroids(emb, k, id_col, vec_col, dp)
     assigned = cen_used = None
     for _ in range(iters):
-        # assign_clusters collects `cen` (k rows) — that collect IS the
-        # round's one job, running the pending update aggregation; no
-        # per-round checkpoint, no lineage growth (the centroids enter
-        # the next plan as literals).
-        cen_used = cen
+        # localizing `cen` (k rows) IS the round's one job — it runs the
+        # pending update aggregation; no per-round checkpoint, no
+        # lineage growth (the centroids enter the next plan as locals).
+        cen_used = _localize(cen)
         assigned = assign_clusters(train, cen_used, id_col, vec_col)
         cen = update_centroids(assigned, dim, vec_col, dp)
     if train_df is not None:
         # full-corpus assignment against the final trained centroids
-        # (the same generation the last training round assigned to)
+        # (the same generation the last training round assigned to) —
+        # cen_used is a local frame, so no training-sample recompute
         assigned = assign_clusters(emb, cen_used, id_col, vec_col)
         cen = update_centroids(assigned, dim, vec_col, dp)
     return cen, assigned

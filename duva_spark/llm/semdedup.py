@@ -74,7 +74,12 @@ def _exact_dot_candidates(e: DataFrame, tau: float) -> DataFrame:
         step = 1024
         for s in range(0, n, step):
             sims = v[s : s + step] @ v.T  # (chunk, n)
-            iu, ju = np.nonzero(sims > tau - 1e-9)
+            # margin must cover a full 1e-6 rounding step, not just float
+            # noise: round(dot, 6) > tau implies dot > tau - 1e-6 for ANY
+            # tau (dot ≥ grid_value - 5e-7 > tau - 5e-7), so this
+            # prefilter can never drop a pair the exact cut would keep —
+            # a 1e-9 margin was only safe for grid-aligned taus
+            iu, ju = np.nonzero(sims > tau - 1e-6)
             gi = iu + s
             keep = gi < ju  # strict upper triangle in global position
             ia, jb = ids[gi[keep]], ids[ju[keep]]

@@ -87,6 +87,14 @@ class CORSPolicy:
             failures.append("origin")
         if "*" not in self.allow_methods and req_method not in self.allow_methods:
             failures.append("method")
+        if req_headers and "*" not in self.allow_headers:
+            allowed = {h.lower() for h in self.allow_headers}
+            if any(
+                h.strip().lower() not in allowed
+                for h in req_headers.split(",")
+                if h.strip()
+            ):
+                failures.append("headers")
         if failures:
             # Starlette's wording: "Disallowed CORS origin, method"
             return 400, {"Vary": "Origin"}, "Disallowed CORS " + ", ".join(failures)

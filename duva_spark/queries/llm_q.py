@@ -1263,9 +1263,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     train = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10).cast(
-            "long"
-        )
+        minhash.md5_hash60(F.col("vec_id").cast("string"))
         % 5
         < 1
     )

@@ -41,7 +41,7 @@ _H100 = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1
 )
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    h = minhash.md5_hash60(F.col("doc_id").cast("string"))
     return docs.filter(h % 100 < 10).select("doc_id", "lang", "source")
 
 
@@ -343,7 +343,7 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        minhash.md5_hash60(F.col("doc_id").cast("string"))
         % 100
     )
     grams = docs.select(
@@ -418,7 +418,7 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        minhash.md5_hash60(F.col("doc_id").cast("string"))
         % 10000
     )
     sampled = (
@@ -1256,9 +1256,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    h = minhash.md5_hash60(F.col("doc_id").cast("string"))
     u = (h + F.lit(0.5)) / F.lit(float(_TWO60))
     key = -F.log(u) / F.col("n_chars")
     k = docs.select("lang", "doc_id", key.alias("es_key"))
@@ -1440,9 +1438,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    h = minhash.md5_hash60(F.col("doc_id").cast("string"))
     b = docs.select(
         (F.floor(F.col("n_chars") / 100)).cast("long").alias("bucket"),
         F.when(h % 100 < 50, 1).otherwise(0).alias("in_a"),
@@ -1516,7 +1512,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        minhash.md5_hash60(F.col("doc_id").cast("string"))
         % 100
     )
     grams = docs.select(
@@ -1561,7 +1557,7 @@ def q_bloom_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        minhash.md5_hash60(F.col("doc_id").cast("string"))
         % 100
     )
     d = docs.select("doc_id", "lang", F.md5(F.col("text")).alias("ch"), h.alias("h"))
@@ -1643,7 +1639,7 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     h = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+        minhash.md5_hash60(F.col("doc_id").cast("string"))
         % 10000
     )
     sampled = (

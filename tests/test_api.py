@@ -401,3 +401,39 @@ def test_create_file_with_configuration_id(api):
     assert code == 201
     assert body["configuration_id"] == cfg["id"]
     assert body["configuration_url"] == f"/api/v1/configurations/{cfg['id']}"
+
+
+def test_non_object_json_body_answers_422(api):
+    """Valid JSON that is not an object ([1,2], "x", null) must answer
+    422 like FastAPI validation, not crash the handler."""
+    import urllib.request
+
+    base, _ = api
+    for payload in (b"[1, 2]", b'"x"', b"null", b"5"):
+        req = urllib.request.Request(
+            f"{base}/api/v1/files/", data=payload, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 422, payload
+
+
+def test_bad_content_length_header_is_survivable(api):
+    """A malformed Content-Length must not crash the handler thread."""
+    import http.client
+
+    base, _ = api
+    host = base.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    try:
+        conn.putrequest("POST", "/api/v1/files/")
+        conn.putheader("Content-Length", "abc")
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status in (201, 422)  # empty body -> form_id missing -> 422
+    finally:
+        conn.close()

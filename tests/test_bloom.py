@@ -71,3 +71,12 @@ def test_bitset_size_bounded_by_m():
 def test_bitset_bytes(spark):
     bits = bloom.build_bits(_keys(spark, "x", 10), "k", m_bits=1 << 12)
     assert bits.nbytes == (1 << 12) // 8
+
+
+def test_prefilter_rejects_mismatched_key_types(spark):
+    probe = spark.range(10).select(F.col("id").alias("k"))  # bigint
+    build = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="identical key types"):
+        bloom.prefilter_anti_join(probe, build, "k")
+    with pytest.raises(ValueError, match="identical key types"):
+        bloom.prefilter_semi_join(probe, build, "k")

@@ -197,3 +197,24 @@ def test_access_log_line_emitted(cors_api):
     finally:
         logger.removeHandler(handler)
     assert any("GET /api/v1/files/ -> 200" in msg for msg in records)
+
+
+def test_preflight_disallowed_header_400():
+    pol = CORSPolicy(allowed_origins=[ORIGIN], allow_headers=["x-api-key"])
+    code, _, body = pol.preflight(
+        {
+            "Origin": ORIGIN,
+            "Access-Control-Request-Method": "POST",
+            "Access-Control-Request-Headers": "authorization, x-api-key",
+        }
+    )
+    assert code == 400 and "headers" in body
+    code, headers, _ = pol.preflight(
+        {
+            "Origin": ORIGIN,
+            "Access-Control-Request-Method": "POST",
+            "Access-Control-Request-Headers": "X-Api-Key",
+        }
+    )
+    assert code == 200  # case-insensitive allow-list
+    assert headers["Access-Control-Allow-Headers"] == "x-api-key"
