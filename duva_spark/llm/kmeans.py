@@ -55,8 +55,9 @@ def init_centroids(
 
 
 def assign_clusters(
-    emb: DataFrame, centroids: DataFrame,
+    emb: DataFrame, centroids: DataFrame | None,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as one shuffle-free Arrow projection.
 
@@ -66,7 +67,14 @@ def assign_clusters(
     test_kmeans_assignment_is_shuffle_free). Ties go to the lower
     cluster id, the oracle's ``QUALIFY ... ORDER BY dist, cluster``
     rule."""
-    rows = sorted(centroids.collect(), key=lambda r: int(r["cluster"]))
+    # centroid_rows lets lloyd() collect each generation ONCE and reuse
+    # the rows for both the training and the full-corpus assignment
+    rows = (
+        centroid_rows
+        if centroid_rows is not None
+        else centroids.collect()
+    )
+    rows = sorted(rows, key=lambda r: int(r["cluster"]))
     if not rows:
         raise ValueError("assign_clusters needs at least one centroid")
     cids = np.array([int(r["cluster"]) for r in rows], dtype=np.int32)
@@ -141,29 +149,24 @@ def lloyd(
     work drops from ``iters`` full passes to ``iters·f + 1``."""
     if iters < 1:
         raise ValueError("lloyd requires iters >= 1 (no assignment exists otherwise)")
-    spark = emb.sparkSession
     train = train_df if train_df is not None else emb
-
-    def _localize(df: DataFrame) -> DataFrame:
-        # collapse the pending update aggregation into a k-row literal
-        # frame, so every later collect of this generation (the round's
-        # assignment AND the train-path's final full-corpus assignment)
-        # reads local rows instead of re-running the aggregation job
-        return spark.createDataFrame(df.collect(), df.schema)
-
     cen = init_centroids(emb, k, id_col, vec_col, dp)
-    assigned = cen_used = None
+    assigned = rows_used = None
     for _ in range(iters):
-        # localizing `cen` (k rows) IS the round's one job — it runs the
-        # pending update aggregation; no per-round checkpoint, no
-        # lineage growth (the centroids enter the next plan as locals).
-        cen_used = _localize(cen)
-        assigned = assign_clusters(train, cen_used, id_col, vec_col)
+        # collecting `cen` (k rows) IS the round's one job — it runs the
+        # pending update aggregation; the rows ride the UDF closure, so
+        # no per-round checkpoint and no lineage growth.
+        rows_used = cen.collect()
+        assigned = assign_clusters(
+            train, None, id_col, vec_col, centroid_rows=rows_used
+        )
         cen = update_centroids(assigned, dim, vec_col, dp)
     if train_df is not None:
         # full-corpus assignment against the final trained centroids
         # (the same generation the last training round assigned to) —
-        # cen_used is a local frame, so no training-sample recompute
-        assigned = assign_clusters(emb, cen_used, id_col, vec_col)
+        # reusing the already-collected rows, no training-sample recompute
+        assigned = assign_clusters(
+            emb, None, id_col, vec_col, centroid_rows=rows_used
+        )
         cen = update_centroids(assigned, dim, vec_col, dp)
     return cen, assigned
