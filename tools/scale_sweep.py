@@ -105,6 +105,25 @@ def sweep(spark, sizes_small, sizes_big, only=None):
     )
     cases.append(
         (
+            "grouped_quantile",
+            sizes_big,
+            lambda n: _force(
+                __import__(
+                    "duva_spark.operators.quantile", fromlist=["grouped_quantile_cont"]
+                ).grouped_quantile_cont(
+                    spark.range(n).select(
+                        F.pmod(F.xxhash64("id"), 100).alias("g"),
+                        F.pmod(F.xxhash64("id", F.lit(1)), 1_000_000).alias("v"),
+                    ),
+                    ["g"],
+                    "v",
+                    {"p50": 0.5, "p99": 0.99},
+                )
+            ),
+        )
+    )
+    cases.append(
+        (
             "bloom_anti_join",
             sizes_big,
             lambda n: _force(
