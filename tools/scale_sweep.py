@@ -163,6 +163,113 @@ def sweep(spark, sizes_small, sizes_big, only=None):
             ),
         )
     )
+    def ivf_assign_case(n):
+        """Shuffle-free IVF list assignment (r4 verdict item 1): the
+        centroid index is built ONCE from a fixed 4,096-vector labeled
+        frame (64 lists — constant cost), so the measured quantity is
+        the corpus-side broadcast Arrow argmax, which must scale ~1×
+        per 10× like its KMeans twin."""
+        from duva_spark.llm import similarity as sim
+
+        cents = sim.label_centroids(
+            _embeddings(spark, 4096).withColumn(
+                "label", F.pmod(F.col("vec_id"), 64).cast("int")
+            )
+        )
+        _force(sim.ivf_assign(_embeddings(spark, n), cents))
+
+    cases.append(("ivf_assign", sizes_small, ivf_assign_case))
+
+    def semdedup_pairs(n):
+        """The capped SemDeDup within-cluster pair stage under HOT
+        skew (r4 verdict item 5). Cluster count scales with n
+        (mirroring choose_k — the operator's stated contract), but the
+        distribution is adversarial: half of all rows pile into 1% of
+        the clusters (~10k members each, far above the 2,000 cap), so
+        the hyperplane-LSH overflow carries half the corpus while the
+        other half takes the exact chunked-BLAS path. Linear-ish
+        runtime here proves the cap bounds the quadratic term even
+        when skew persists at every scale. Embeddings are mean-centered
+        so cosines concentrate near 0 (the realistic spread; an
+        all-positive orthant would make every pair near-parallel and
+        measure LSH recall pathology instead of the pair stage)."""
+        from duva_spark.llm import semdedup, similarity as sim
+
+        nclusters = max(n // 200, 2)
+        nhot = max(nclusters // 100, 1)
+        emb = spark.range(n).select(
+            F.col("id").alias("_id"),
+            F.array(
+                *[
+                    (F.pmod(F.xxhash64("id", F.lit(i)), 1000) / 1000.0 - 0.5)
+                    for i in range(64)
+                ]
+            ).alias("_raw"),
+        )
+        e = emb.select(
+            "_id",
+            F.when(
+                F.pmod(F.xxhash64("_id", F.lit(99)), 2) == 0,
+                F.pmod(F.xxhash64("_id", F.lit(98)), nhot),
+            )
+            .otherwise(nhot + F.pmod(F.xxhash64("_id", F.lit(97)), nclusters - nhot))
+            .cast("int")
+            .alias("cluster"),
+            F.transform(
+                "_raw", lambda x: x / sim.norm(F.col("_raw"))
+            ).alias("_v"),
+        )
+        cand = semdedup.bounded_pair_candidates(
+            e, tau=0.5, max_cluster_size=2000, dim=64
+        )
+        _force(cand.filter(F.round(F.col("dot"), 6) > 0.5))
+
+    cases.append(("semdedup_pairs", sizes_small, semdedup_pairs))
+
+    def stream_stateful(n):
+        """applyInPandasWithState running totals over n events under the
+        RocksDB state store (r4 verdict item 8): 100k distinct keys of
+        state, parquet source, Trigger.AvailableNow — proves the custom
+        stateful path (Arrow state round-trip + RocksDB) holds its
+        per-row cost at sizes the events table can't reach."""
+        import tempfile
+
+        from duva_spark.streaming.stateful import running_user_totals
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                src = f"{td}/events"
+                spark.range(n).select(
+                    F.pmod(F.xxhash64("id"), 100_000).alias("user_id"),
+                    (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10.0).alias("value"),
+                ).write.mode("overwrite").parquet(src)
+                stream = spark.readStream.schema("user_id bigint, value double").parquet(src)
+                q = (
+                    running_user_totals(stream)
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", f"{td}/ckpt")
+                    .outputMode("update")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    cases.append(("stream_stateful", sizes_big, stream_stateful))
+
     cases.append(
         (
             "cosine_topk_arrow",
