@@ -388,6 +388,8 @@ class ControlPlane:
     APP_VERSION = "0.2.0"
 
     def home(self, base_url: str) -> tuple[int, dict]:
+        # both advertised URLs are real routes (see _ROUTES: /docs and
+        # /openapi.json) — ADVICE r4 flagged them as 404ing dead links
         return 200, {
             "app_name": self.APP_NAME,
             "app_description": self.APP_DESCRIPTION,
@@ -395,6 +397,49 @@ class ControlPlane:
             "docs_url": f"{base_url}/docs",
             "openapi_url": f"{base_url}/openapi.json",
         }
+
+    def openapi(self) -> tuple[int, dict]:
+        """OpenAPI 3 document generated from the live route table — the
+        FastAPI-served /openapi.json the reference gets for free. Kept
+        deliberately schema-light (paths + methods + app metadata); the
+        point is that the advertised URL answers with a truthful
+        machine-readable route inventory, not a 404."""
+        paths: dict = {}
+        for method, _pat, action, template in _ROUTES:
+            if action in ("docs", "openapi"):
+                continue
+            paths.setdefault(template, {})[method.lower()] = {
+                "operationId": action,
+                "responses": {"default": {"description": "See route handler"}},
+            }
+        return 200, {
+            "openapi": "3.0.2",
+            "info": {
+                "title": self.APP_NAME,
+                "description": self.APP_DESCRIPTION,
+                "version": self.APP_VERSION,
+            },
+            "paths": paths,
+        }
+
+    def docs_html(self) -> str:
+        """Minimal self-contained API docs page (no CDN assets — the
+        stdlib server has no static bundling): lists every route from
+        the same table /openapi.json serves."""
+        rows = "".join(
+            f"<tr><td><code>{m}</code></td><td><code>{t}</code></td><td>{a}</td></tr>"
+            for m, _p, a, t in _ROUTES
+            if a not in ("docs", "openapi")
+        )
+        return (
+            f"<!DOCTYPE html><html><head><title>{self.APP_NAME} — docs</title>"
+            "</head><body>"
+            f"<h1>{self.APP_NAME} {self.APP_VERSION}</h1>"
+            f"<p>{self.APP_DESCRIPTION}</p>"
+            '<p>Machine-readable spec: <a href="/openapi.json">/openapi.json</a></p>'
+            f"<table><tr><th>Method</th><th>Path</th><th>Operation</th></tr>{rows}</table>"
+            "</body></html>"
+        )
 
     def health(self) -> tuple[int, dict]:
         """Dependency probe: every check OK → 200, any failing → 500,
@@ -454,6 +499,8 @@ _ROUTES = [
     ("GET", re.compile(r"^/oauth/callback$"), "oauth_callback", "/oauth/callback"),
     ("GET", re.compile(r"^/metrics$"), "metrics", "/metrics"),
     ("GET", re.compile(r"^/$"), "home", "/"),
+    ("GET", re.compile(r"^/docs$"), "docs", "/docs"),
+    ("GET", re.compile(r"^/openapi\.json$"), "openapi", "/openapi.json"),
     ("GET", re.compile(r"^/health$"), "health", "/health"),
     ("POST", re.compile(r"^/api/v1/servers/?$"), "server_create", "/api/v1/servers/"),
     ("GET", re.compile(r"^/api/v1/servers/?$"), "server_list", "/api/v1/servers/"),
@@ -571,13 +618,29 @@ def _make_handler(cp: ControlPlane):
                         content_type="text/plain; version=0.0.4; charset=utf-8",
                     )
                     return
+                if action == "docs":
+                    self._reply(
+                        200,
+                        cp.docs_html().encode(),
+                        {},
+                        content_type="text/html; charset=utf-8",
+                    )
+                    return
                 qs = parse_qs(urlsplit(self.path).query)
                 params = {k: v[0] for k, v in qs.items()}
-                base_url = f"http://{self.headers.get('Host', '')}"
+                # scheme from the proxy header when present, else from the
+                # session config — hardcoded http:// produced wrong links
+                # under https_only deployments (ADVICE r4)
+                scheme = self.headers.get("X-Forwarded-Proto") or (
+                    "https" if cp.sessions.https_only else "http"
+                )
+                base_url = f"{scheme}://{self.headers.get('Host', '')}"
                 headers: dict = {}
                 try:
                     if action == "home":
                         code, payload = cp.home(base_url)
+                    elif action == "openapi":
+                        code, payload = cp.openapi()
                     elif action == "health":
                         code, payload = cp.health()
                     elif action == "create":

@@ -145,12 +145,10 @@ def candidates(
     spark = probe.sparkSession
     mc = might_contain_udf(spark, bits, m_bits, k_hashes)
     h1, h2 = _hash_pair(F.col(probe_key))
-    return (
-        probe.withColumn("_h1", h1)
-        .withColumn("_h2", h2)
-        .filter(mc(F.col("_h1"), F.col("_h2")))
-        .drop("_h1", "_h2")
-    )
+    # hash expressions feed the UDF call directly — no temp withColumn
+    # names that could silently shadow and drop same-named probe columns
+    # (ADVICE r4)
+    return probe.filter(mc(h1, h2))
 
 
 def _check_key_types(probe, probe_key, build, build_key) -> None:
@@ -222,17 +220,13 @@ def prefilter_anti_join(
     spark = probe.sparkSession
     mc = might_contain_udf(spark, bits, m_bits, k_hashes)
     h1, h2 = _hash_pair(F.col(probe_key))
-    marked = (
-        probe.withColumn("_h1", h1)
-        .withColumn("_h2", h2)
-        .withColumn("_maybe", mc(F.col("_h1"), F.col("_h2")))
-        .drop("_h1", "_h2")
-    )
-    definite = marked.filter(~F.col("_maybe")).drop("_maybe")
+    # the membership probe is inlined into each branch's filter rather
+    # than staged through _h1/_h2/_maybe withColumns — fixed temp names
+    # would silently shadow and then drop same-named probe columns
+    # (ADVICE r4); each branch re-evaluates the UDF on its own scan,
+    # which the two-pass plan (docstring above) was already paying for.
+    maybe = mc(h1, h2)
+    definite = probe.filter(~maybe)
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
-    rescued = (
-        marked.filter(F.col("_maybe"))
-        .drop("_maybe")
-        .join(keys, probe_key, "left_anti")
-    )
+    rescued = probe.filter(maybe).join(keys, probe_key, "left_anti")
     return definite.unionByName(rescued)

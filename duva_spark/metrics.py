@@ -89,15 +89,24 @@ class MetricsRegistry:
         with self._mu:
             if not hasattr(self, "_requests"):
                 self._requests: dict = {}
-                self._dur_sum = 0.0
-                self._dur_count = 0
-                self._dur_buckets = [0] * len(self._BUCKETS)
+                self._durations: dict = {}
             self._requests[key] = self._requests.get(key, 0) + 1
-            self._dur_sum += seconds
-            self._dur_count += 1
+            # duration histograms keyed per (method, route template) like
+            # starlette_exporter's — one global unlabeled histogram made
+            # per-route latency underivable (ADVICE r4)
+            dkey = (method, template)
+            if dkey not in self._durations:
+                self._durations[dkey] = {
+                    "buckets": [0] * len(self._BUCKETS),
+                    "sum": 0.0,
+                    "count": 0,
+                }
+            d = self._durations[dkey]
+            d["sum"] += seconds
+            d["count"] += 1
             for i, ub in enumerate(self._BUCKETS):
                 if seconds <= ub:
-                    self._dur_buckets[i] += 1
+                    d["buckets"][i] += 1
 
     def exposition(self) -> str:
         """Prometheus text format, one block per metric."""
@@ -120,18 +129,21 @@ class MetricsRegistry:
                     "# HELP duva_request_duration_seconds HTTP request duration"
                 )
                 lines.append("# TYPE duva_request_duration_seconds histogram")
-                for ub, b in zip(self._BUCKETS, self._dur_buckets):
+                for (method, template), d in sorted(self._durations.items()):
+                    lbl = f'method="{method}",path="{template}"'
+                    for ub, b in zip(self._BUCKETS, d["buckets"]):
+                        lines.append(
+                            f'duva_request_duration_seconds_bucket{{{lbl},le="{ub}"}} {b}'
+                        )
                     lines.append(
-                        f'duva_request_duration_seconds_bucket{{le="{ub}"}} {b}'
+                        f'duva_request_duration_seconds_bucket{{{lbl},le="+Inf"}} '
+                        f"{d['count']}"
                     )
-                lines.append(
-                    f'duva_request_duration_seconds_bucket{{le="+Inf"}} '
-                    f"{self._dur_count}"
-                )
-                lines.append(
-                    f"duva_request_duration_seconds_sum {round(self._dur_sum, 6)}"
-                )
-                lines.append(
-                    f"duva_request_duration_seconds_count {self._dur_count}"
-                )
+                    lines.append(
+                        f"duva_request_duration_seconds_sum{{{lbl}}} "
+                        f"{round(d['sum'], 6)}"
+                    )
+                    lines.append(
+                        f"duva_request_duration_seconds_count{{{lbl}}} {d['count']}"
+                    )
             return "\n".join(lines) + "\n"

@@ -33,6 +33,14 @@ duva_spark.api's ThreadingHTTPServer can mount them:
 - :func:`configure_logging` — ``dictConfig`` with the reference's
   formatter/handler/logger shape (console + optional file handler,
   ``%(asctime)s - %(name)s - %(levelname)s - %(message)s``).
+- :class:`ErrorReporter` — Sentry-equivalent error reporting, gated
+  exactly like the reference gates ``SentryAsgiMiddleware`` on
+  ``SENTRY_DSN`` (app/main.py:59-61): ``dsn=None`` → disabled no-op.
+  No vendor SDK — events are dicts handed to a pluggable transport
+  (default: an in-memory buffer), and :meth:`ErrorReporter.
+  logging_handler` returns a stdlib ``logging.Handler`` that captures
+  any ERROR-with-exc_info record, the log-handler integration Sentry's
+  SDK installs.
 """
 
 from __future__ import annotations
@@ -164,7 +172,12 @@ class SessionCodec:
         if len(parts) != 3:
             return {}
         payload, ts, sig = parts
-        if not hmac.compare_digest(self._sign(payload.encode(), ts), sig):
+        # compare as BYTES: compare_digest(str, str) raises TypeError on
+        # non-ASCII input, so a hostile cookie with a non-ASCII signature
+        # segment would crash instead of decoding to {} (ADVICE r4)
+        if not hmac.compare_digest(
+            self._sign(payload.encode(), ts).encode(), sig.encode()
+        ):
             return {}
         try:
             if time.time() - int(ts) > self.max_age:

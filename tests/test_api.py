@@ -315,6 +315,43 @@ def test_home_route_metadata(api):
     assert body["openapi_url"].endswith("/openapi.json")
 
 
+def test_docs_and_openapi_routes_are_real(api):
+    """The URLs home() advertises must answer, not 404 (ADVICE r4):
+    /openapi.json serves an OpenAPI 3 document covering the route
+    table; /docs serves an HTML page linking it."""
+    import urllib.request
+
+    base, _ = api
+    code, spec = _req(base, "GET", "/openapi.json")
+    assert code == 200 and spec["openapi"].startswith("3.")
+    assert spec["info"]["title"] == "Duva"
+    assert "/api/v1/files/" in spec["paths"]
+    assert "get" in spec["paths"]["/api/v1/configurations/{id}"]
+    with urllib.request.urlopen(f"{base}/docs", timeout=5) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        html = resp.read().decode()
+    assert "/openapi.json" in html and "/api/v1/files/" in html
+
+
+def test_home_scheme_follows_session_config(api):
+    """base_url scheme derives from https_only / X-Forwarded-Proto, not
+    a hardcoded http:// (ADVICE r4). The test fixture runs with the
+    default https_only=True, so plain requests get https links and a
+    proxy header overrides."""
+    import urllib.request
+
+    base, _ = api
+    code, body = _req(base, "GET", "/")
+    assert code == 200 and body["docs_url"].startswith("https://")
+    req = urllib.request.Request(
+        f"{base}/", headers={"X-Forwarded-Proto": "http"}
+    )
+    with urllib.request.urlopen(req, timeout=5) as resp:
+        body = json.loads(resp.read())
+    assert body["docs_url"].startswith("http://")
+
+
 def test_health_ok_and_failing(spark, tmp_path):
     from duva_spark.api import ControlPlane, serve
     from duva_spark.orchestration import MetadataStore, SyncJob

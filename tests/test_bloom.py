@@ -54,6 +54,32 @@ def test_prefilter_anti_join_is_exact(spark):
     assert want.select("k").subtract(got.select("k")).count() == 0
 
 
+def test_probe_columns_named_like_temps_survive(spark):
+    """Probe frames owning columns named _h1/_h2/_maybe must pass
+    through untouched — the previous implementation staged the hash and
+    membership flags in fixed withColumn names, silently overwriting and
+    dropping same-named user data (ADVICE r4)."""
+    probe = spark.range(100).select(
+        F.col("id").cast("string").alias("k"),
+        F.col("id").alias("_h1"),
+        (F.col("id") * 2).alias("_h2"),
+        (F.col("id") % 3).alias("_maybe"),
+    )
+    build = spark.range(50, 150).select(F.col("id").cast("string").alias("k"))
+    for got, want in [
+        (
+            bloom.prefilter_anti_join(probe, build, "k", m_bits=64, k_hashes=2),
+            probe.join(build, "k", "left_anti"),
+        ),
+        (
+            bloom.prefilter_semi_join(probe, build, "k", m_bits=1 << 13),
+            probe.join(build, "k", "left_semi"),
+        ),
+    ]:
+        assert set(got.columns) == {"k", "_h1", "_h2", "_maybe"}
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_distinct_build_keys_not_required(spark):
     dup = spark.range(100).select((F.col("id") % 10).cast("string").alias("k"))
     bits = bloom.build_bits(dup, "k", m_bits=1 << 10, k_hashes=3)

@@ -117,8 +117,18 @@ def test_http_request_metrics_by_route_template(metered_api):
         in text
     )
     assert "/nonexistent" not in text  # unrouted → unobserved
-    assert "duva_request_duration_seconds_count" in text
-    assert 'duva_request_duration_seconds_bucket{le="+Inf"}' in text
+    # duration histograms are labeled per (method, route) like
+    # starlette_exporter's — an unlabeled aggregate cannot answer
+    # per-route latency (ADVICE r4)
+    assert (
+        'duva_request_duration_seconds_count{method="POST",path="/api/v1/files/"} 2'
+        in text
+    )
+    assert (
+        'duva_request_duration_seconds_bucket{method="GET",path="/api/v1/files/{id}",le="+Inf"} 1'
+        in text
+    )
+    assert 'duva_request_duration_seconds_sum{method="POST",path="/api/v1/files/"}' in text
 
 
 def test_unrouted_request_on_reused_connection_not_mislabeled(metered_api):

@@ -139,6 +139,17 @@ def test_session_cookie_roundtrip_and_tamper():
     assert codec.decode("garbage") == {}
 
 
+def test_session_cookie_non_ascii_signature_decodes_empty():
+    """A hostile cookie whose signature segment contains non-ASCII bytes
+    must decode to {} — compare_digest(str, str) raises TypeError on
+    non-ASCII input, which would have crashed any route reading session
+    cookies (ADVICE r4)."""
+    codec = SessionCodec("secret")
+    payload, ts, _sig = codec.encode({"token": "abc"}).split(".")
+    assert codec.decode(f"{payload}.{ts}.sïgnätüré") == {}
+    assert codec.decode("pæyload.12345.sïg") == {}
+
+
 def test_session_cookie_expiry():
     codec = SessionCodec("secret", max_age=0)
     import time
