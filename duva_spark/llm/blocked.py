@@ -72,8 +72,18 @@ def _pair_jaccard() -> F.Column:
     return F.round(inter / (F.col("_sza") + F.col("_szb") - inter), 6)
 
 
-def _exact_jaccard_pairs(s: DataFrame, block_cols: list[str], threshold: float) -> DataFrame:
-    """Pairwise hashed-shingle Jaccard within blocks as ONE integer
+def _pair_containment() -> F.Column:
+    """Broder containment |A∩B| / min(|A|,|B|) from the same
+    intersection — the asymmetric metric that catches a short doc
+    quoted whole inside a long one, which symmetric Jaccard dilutes."""
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return F.round(inter / F.least(F.col("_sza"), F.col("_szb")), 6)
+
+
+def _exact_jaccard_pairs(
+    s: DataFrame, block_cols: list[str], threshold: float, metric: str = "jaccard"
+) -> DataFrame:
+    """Pairwise hashed-shingle similarity within blocks as ONE integer
     matmul per block (applyInPandas): the block's docs become a 0/1
     incidence matrix M over the block's shingle vocabulary, M·Mᵀ gives
     every pairwise intersection size at once, and |A∪B| = |A|+|B|-|A∩B|.
@@ -81,8 +91,18 @@ def _exact_jaccard_pairs(s: DataFrame, block_cols: list[str], threshold: float) 
     vectorized C instead of a per-pair array_intersect join. A bounded
     block caps the matrix. Input: block cols + (_id, _sh: array<long>).
 
+    ``metric`` picks the thresholded measure: symmetric ``jaccard``
+    (|A∩B|/|A∪B|) or Broder ``containment`` (|A∩B|/min(|A|,|B|)); the
+    containment output carries BOTH columns (the Jaccard comes free
+    from the same intersection, and the jaccard-vs-containment gap is
+    the metric's whole point).
+
     Pandas pre-filters with an epsilon margin; the exact ROUND(x,6) >=
-    threshold cut happens in Spark (HALF_UP, matching the oracle)."""
+    threshold cut happens in Spark (HALF_UP, matching the oracle). The
+    margin covers a full 1e-6 rounding step: ROUND(x,6) >= t implies
+    x >= t - 5e-7 for any t, so a 1e-9 margin could drop a pair in
+    [t-5e-7, t-1e-9) that the exact cut keeps — the same
+    epsilon-vs-rounding-grid class the r4 review fixed in semdedup."""
     import pandas as pd
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -97,26 +117,42 @@ def _exact_jaccard_pairs(s: DataFrame, block_cols: list[str], threshold: float) 
                 m[i, vocab[h]] = 1.0
         inter = m @ m.T
         sz = m.sum(axis=1)
-        denom = sz[:, None] + sz[None, :] - inter
         with np.errstate(invalid="ignore", divide="ignore"):
-            jac = inter / denom  # 0/0 (two empty shingle sets) → nan → dropped
+            # 0/0 (empty shingle sets) → nan → dropped by the keep mask
+            jac = inter / (sz[:, None] + sz[None, :] - inter)
+            sel = (
+                jac
+                if metric == "jaccard"
+                else inter / np.minimum(sz[:, None], sz[None, :])
+            )
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = jac[iu, ju] >= threshold - 1e-9
+        keep = sel[iu, ju] >= threshold - 1e-6
         ia, jb = ids[iu[keep]], ids[ju[keep]]
         swap = ia > jb  # id_a < id_b regardless of input order
-        return pd.DataFrame(
-            {
-                "id_a": np.where(swap, jb, ia),
-                "id_b": np.where(swap, ia, jb),
-                "jaccard": jac[iu, ju][keep],
-            }
-        )
+        out = {
+            "id_a": np.where(swap, jb, ia),
+            "id_b": np.where(swap, ia, jb),
+        }
+        if metric == "containment":
+            out["containment"] = sel[iu, ju][keep]
+        out["jaccard"] = jac[iu, ju][keep]
+        return pd.DataFrame(out)
 
-    raw = s.groupBy(*block_cols).applyInPandas(block_pairs, "id_a long, id_b long, jaccard double")
+    if metric == "jaccard":
+        schema = "id_a long, id_b long, jaccard double"
+        raw = s.groupBy(*block_cols).applyInPandas(block_pairs, schema)
+        return (
+            raw.withColumn("jaccard", F.round("jaccard", 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    schema = "id_a long, id_b long, containment double, jaccard double"
+    raw = s.groupBy(*block_cols).applyInPandas(block_pairs, schema)
     return (
-        raw.withColumn("jaccard", F.round("jaccard", 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        raw.withColumn("containment", F.round("containment", 6))
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
     )
 
 
@@ -186,20 +222,34 @@ def bounded_jaccard_pairs(
     threshold: float = 0.3,
     k: int = 3,
     max_block_size: int | None = 2000,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard pairs with a block-size bound.
+    """Blocked exact n-gram set-similarity pairs with a block-size bound.
 
     Blocks ≤ max_block_size: exact pairwise (quadratic but bounded by
     cap² per block). Blocks above: MinHash-LSH candidates within the
-    block, verified with the identical hashed-shingle Jaccard — same
+    block, verified with the identical hashed-shingle metric — same
     metric, LSH recall. ``max_block_size=None`` disables the bound
     (exact everywhere; only safe when block sizes are known small).
 
+    ``metric="jaccard"`` (default) thresholds symmetric Jaccard and
+    emits (id_a, id_b, jaccard); ``metric="containment"`` thresholds
+    Broder containment |A∩B|/min(|A|,|B|) and emits (id_a, id_b,
+    containment, jaccard) — the production shape for
+    short-doc-quoted-in-long detection (r4 verdict item 3: this retires
+    the unbounded crossJoin demo). Note the overflow path's MinHash
+    bands collide on JACCARD similarity, so a contained pair with low
+    symmetric Jaccard has reduced LSH recall above the cap — candidates
+    are still verified with exact containment, so no false positives
+    either way.
+
     Shingles are hashed to 60-bit longs ONCE per side (the same
     md5-derived hash the MinHash oracle uses), so every pairwise compare
-    is long-vs-long — identical Jaccard values modulo ~2^-60 collisions,
+    is long-vs-long — identical values modulo ~2^-60 collisions,
     shared with the DuckDB oracle which hashes the same way.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     from duva_spark.operators.parallel import ensure_min_parallelism
 
     words = F.split(F.col(text_col), " ")
@@ -213,20 +263,28 @@ def bounded_jaccard_pairs(
         ).alias("_sh"),
     )
     if max_block_size is None:
-        return _exact_jaccard_pairs(s, block_cols, threshold)
+        return _exact_jaccard_pairs(s, block_cols, threshold, metric)
     split = _split_by_block_size(s, block_cols, max_block_size)
     if split is None:  # nothing oversized → pure exact plan
-        return _exact_jaccard_pairs(s, block_cols, threshold)
+        return _exact_jaccard_pairs(s, block_cols, threshold, metric)
     small, big = split
-    exact = _exact_jaccard_pairs(small, block_cols, threshold)
+    exact = _exact_jaccard_pairs(small, block_cols, threshold, metric)
     cand = jaccard_overflow_candidates(big, block_cols).withColumns(
         {"_sza": F.size("sh_a"), "_szb": F.size("sh_b")}
     )
-    lsh = (
-        cand.withColumn("jaccard", _pair_jaccard())
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    if metric == "jaccard":
+        lsh = (
+            cand.withColumn("jaccard", _pair_jaccard())
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    else:
+        lsh = (
+            cand.withColumn("containment", _pair_containment())
+            .withColumn("jaccard", _pair_jaccard())
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment", "jaccard")
+        )
     return exact.unionByName(lsh)
 
 
@@ -263,7 +321,10 @@ def _exact_cosine_pairs(e: DataFrame, block_cols: list[str], threshold: float) -
         norms = np.sqrt((v * v).sum(axis=1))
         sims = (v @ v.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold - 1e-9
+        # full-rounding-step margin: ROUND(x,6) >= t admits x down to
+        # t - 5e-7, which a 1e-9 margin would drop (same grid-epsilon
+        # class as the r4 semdedup fix)
+        keep = sims[iu, ju] >= threshold - 1e-6
         ia, jb = ids[iu[keep]], ids[ju[keep]]
         swap = ia > jb  # id_a < id_b regardless of input order
         return pd.DataFrame(

