@@ -60,7 +60,7 @@ from urllib.parse import parse_qs, urlsplit
 import logging
 
 from duva_spark.egress import presigned_url_expiry
-from duva_spark.middleware import CORSPolicy, SessionCodec
+from duva_spark.middleware import CORSPolicy, ErrorReporter, SessionCodec
 from duva_spark.oauth import OAuthFlow
 from duva_spark.orchestration import FileStatus, LockHeld, MetadataStore, SyncJob
 from duva_spark.security import EncryptedFormError, fernet_encrypt, reject_encrypted_form
@@ -100,6 +100,7 @@ class ControlPlane:
         cors: CORSPolicy | None = None,
         https_only: bool = True,
         same_site: str = "lax",
+        error_reporter: "ErrorReporter | None" = None,
     ):
         self.store = store
         self.sync_job = sync_job
@@ -119,6 +120,10 @@ class ControlPlane:
         # allow-list.  cors=None means no CORS headers at all, matching
         # the reference's empty CORS_ALLOWED_ORIGINS default.
         self.cors = cors
+        # Sentry-middleware parity (reference app/main.py:59-61): only
+        # active when a DSN is configured; a disabled reporter is a
+        # no-op so the default stays dependency- and overhead-free.
+        self.errors = error_reporter or ErrorReporter()
         self.sessions = SessionCodec(
             secret_key, https_only=https_only, same_site=same_site
         )
@@ -684,6 +689,21 @@ def _make_handler(cp: ControlPlane):
                     # the reference's FastAPI validation layer — never an
                     # unhandled traceback that drops the connection
                     code, payload = 422, {"detail": "Invalid request parameter"}
+                except Exception as exc:  # noqa: BLE001 — the ASGI catch-all
+                    # Sentry-middleware parity (reference app/main.py:59-61):
+                    # an unhandled handler exception is captured to the
+                    # gated error reporter (no-op without a DSN) and
+                    # answered as a 500, the same contract as
+                    # SentryAsgiMiddleware wrapping the FastAPI app —
+                    # previously this escaped to BaseHTTPRequestHandler
+                    # and dropped the socket without an HTTP response.
+                    cp.errors.capture_exception(
+                        exc, method=method, path=self.path, route=template
+                    )
+                    cp.log.error(
+                        "unhandled error on %s %s", method, self.path, exc_info=exc
+                    )
+                    code, payload = 500, {"detail": "Internal Server Error"}
                 if (
                     action == "oauth_callback"
                     and code == 200

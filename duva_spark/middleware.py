@@ -255,3 +255,65 @@ def log_config(filename: str | None = None) -> dict:
 def configure_logging(filename: str | None = None) -> logging.Logger:
     dictConfig(log_config(filename))
     return logging.getLogger("duva_spark")
+
+
+# ---------------------------------------------------------------------------
+# Error reporting (reference app/main.py:59-61 — SentryAsgiMiddleware,
+# mounted only when SENTRY_DSN is configured)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ErrorReporter:
+    """Sentry-equivalent error reporting with the reference's gating and
+    no vendor SDK: ``dsn=None`` disables everything (the SENTRY_DSN
+    check, app/main.py:59), a truthy dsn turns every captured exception
+    into an event dict handed to ``transport`` — by default an
+    in-memory ``events`` buffer that tests and operators drain; a real
+    deployment plugs an HTTP sender in without touching call sites.
+
+    Two integration points, mirroring what the Sentry SDK installs:
+    explicit :meth:`capture_exception` (the ASGI-middleware catch-all —
+    duva_spark.api wires this around route dispatch), and
+    :meth:`logging_handler`, a stdlib ``logging.Handler`` that captures
+    any ERROR-or-worse record carrying ``exc_info``.
+    """
+
+    dsn: str | None = None
+    transport: "Callable[[dict], None] | None" = None
+    events: list = field(default_factory=list)
+
+    @property
+    def enabled(self) -> bool:
+        return bool(self.dsn)
+
+    def capture_exception(self, exc: BaseException, **context) -> dict | None:
+        if not self.enabled:
+            return None
+        import traceback
+
+        event = {
+            "dsn": self.dsn,
+            "type": type(exc).__name__,
+            "message": str(exc),
+            "traceback": "".join(
+                traceback.format_exception(type(exc), exc, exc.__traceback__)
+            ),
+            "context": context,
+            "timestamp": time.time(),
+        }
+        (self.transport or self.events.append)(event)
+        return event
+
+    def logging_handler(self, level: int = logging.ERROR) -> logging.Handler:
+        reporter = self
+
+        class _ReportingHandler(logging.Handler):
+            def emit(self, record: logging.LogRecord) -> None:
+                exc = record.exc_info[1] if record.exc_info else None
+                if exc is not None:
+                    reporter.capture_exception(
+                        exc, logger=record.name, log_message=record.getMessage()
+                    )
+
+        return _ReportingHandler(level=level)

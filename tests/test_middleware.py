@@ -176,6 +176,77 @@ def test_from_cookie_header_picks_session():
 # ---- Logging --------------------------------------------------------------
 
 
+def test_error_reporter_gating_and_capture():
+    """dsn=None → disabled no-op (the reference's SENTRY_DSN gate);
+    with a dsn, capture_exception emits a structured event to the
+    transport, and the logging handler captures ERROR-with-exc_info."""
+    import logging
+
+    from duva_spark.middleware import ErrorReporter
+
+    off = ErrorReporter()
+    assert not off.enabled
+    assert off.capture_exception(ValueError("boom")) is None and off.events == []
+
+    on = ErrorReporter(dsn="https://key@errors.example/1")
+    try:
+        raise ValueError("boom")
+    except ValueError as e:
+        ev = on.capture_exception(e, route="/x")
+    assert ev["type"] == "ValueError" and ev["message"] == "boom"
+    assert "ValueError: boom" in ev["traceback"] and ev["context"]["route"] == "/x"
+    assert on.events == [ev]
+
+    log = logging.getLogger("test.error.reporter")
+    handler = on.logging_handler()
+    log.addHandler(handler)
+    try:
+        try:
+            raise RuntimeError("logged failure")
+        except RuntimeError:
+            log.error("it failed", exc_info=True)
+        log.error("no exc_info attached")  # not captured — no exception
+    finally:
+        log.removeHandler(handler)
+    assert len(on.events) == 2
+    assert on.events[1]["type"] == "RuntimeError"
+    assert on.events[1]["context"]["log_message"] == "it failed"
+
+
+def test_unhandled_route_error_is_captured_and_answers_500(spark, tmp_path):
+    """Live-socket: a handler that raises unexpectedly must answer 500
+    (previously the socket dropped with no HTTP response) and the
+    exception must land in the gated error reporter with route
+    context — the SentryAsgiMiddleware contract (reference
+    app/main.py:59-61)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from duva_spark.api import ControlPlane, serve
+    from duva_spark.middleware import ErrorReporter
+    from duva_spark.orchestration import MetadataStore, SyncJob
+
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "x.csv")
+    reporter = ErrorReporter(dsn="https://key@errors.example/1")
+    cp = ControlPlane(store, job, str(tmp_path / "out"), error_reporter=reporter)
+    cp.get_file = lambda _fid: (_ for _ in ()).throw(RuntimeError("backend down"))
+    server, _ = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f"{base}/api/v1/files/1", timeout=5)
+        assert exc_info.value.code == 500
+        assert _json.loads(exc_info.value.read()) == {"detail": "Internal Server Error"}
+        assert len(reporter.events) == 1
+        ev = reporter.events[0]
+        assert ev["type"] == "RuntimeError" and ev["message"] == "backend down"
+        assert ev["context"]["route"] == "/api/v1/files/{id}"
+    finally:
+        server.shutdown()
+
+
 def test_log_config_shape_and_file_handler(tmp_path):
     cfg = log_config(str(tmp_path / "app.log"))
     assert cfg["version"] == 1

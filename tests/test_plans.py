@@ -551,3 +551,49 @@ def test_quantile_operators_ignore_nulls_like_percentile(spark):
     rows = {r.g: r.med for r in grouped_quantile_cont(gdf, ["g"], "v", {"med": 0.5}).collect()}
     assert rows["a"] == 2.0
     assert "b" not in rows  # all-NULL group yields no row, like an agg over no values
+
+
+# Every crossJoin(F.broadcast(<tiny frame>)) site in the repo, keyed by
+# the query that exercises it (r4 verdict item 7). The invariant: the
+# join must plan as BroadcastNestedLoopJoin (build side = the broadcast
+# ≤1-row aggregate / literal frame), NEVER CartesianProduct — dropping
+# the broadcast() in a future edit would silently turn a free
+# scalar-attach into a real cartesian shuffle at scale. min_bnlj is the
+# count at the time of writing (some sites collapse further — q15's
+# equality filter rewrites the cross join into a hash join, which is
+# fine; the assertion is a floor plus the cartesian ban).
+#   heavy_hitters.py:76 → q_heavy_hitter_words
+#   llm_q.py (bm25 g / sweep t / normalize one) → 3 queries below
+#   relational.py:699,1322,1532,1613,2496,3648,3793 → 7 queries
+#   pipeline_q.py:413,723,802-803,1206,1624,1634 → 5 queries
+_BNLJ_SITES = [
+    ("q_heavy_hitter_words", 1),
+    ("q_bm25_search", 1),
+    ("q_threshold_sweep", 1),
+    ("q_embed_normalize", 1),
+    ("q_winsorized_stats", 1),
+    ("q_scalar_subquery", 1),
+    ("q11_important_stock", 1),
+    ("q22_global_sales_opportunity", 1),
+    ("q15_top_supplier", 0),
+    ("q_equidepth_histogram", 1),
+    ("q_abc_classification", 1),
+    ("q_mixture_sampling", 1),
+    ("q_unigram_perplexity", 1),
+    ("q_pmi_bigrams", 2),
+    ("q_tfidf_top_terms", 1),
+    ("q_temperature_mixture", 1),
+]
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("qname,min_bnlj", _BNLJ_SITES)
+def test_broadcast_scalar_crossjoins_never_cartesian(spark, sf_dir, qname, min_bnlj):
+    from duva_spark.queries import REGISTRY
+
+    load_all()
+    plan = _plan(REGISTRY[qname].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{qname} planned a real cartesian"
+    assert plan.count("BroadcastNestedLoopJoin") >= min_bnlj
