@@ -1827,6 +1827,146 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_covariance",
+    oracle="""
+    WITH x AS (SELECT i, j,
+                      CAST(embedding[i] AS DOUBLE) AS xi,
+                      CAST(embedding[j] AS DOUBLE) AS xj
+               FROM embeddings, range(1, 65) t1(i), range(1, 65) t2(j))
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           ROUND(AVG(xi * xj) - AVG(xi) * AVG(xj), 6) + 0.0 AS cov
+    FROM x GROUP BY i, j
+    """,
+    description=(
+        "Embedding covariance matrix (the PCA/whitening prep step of a "
+        "curation pipeline): cov(i,j) = E[xi·xj] − E[xi]E[xj] over all "
+        "64 dims, 4,096 output cells. Scale shape: mapInPandas partial "
+        "sums — each partition reduces its Arrow batches to ONE 64×64 "
+        "Gram matrix (a BLAS matmul) + dim sums + a count, emitting "
+        "4,096 tiny rows per partition; the only shuffle carries "
+        "O(partitions × dims²) rows, independent of corpus size. The "
+        "full n×64 matrix never explodes and never shuffles — at 100 TB "
+        "this is a single scan with a constant-size reduction, the "
+        "map-side-combine shape the oracle's unnest-and-group cannot "
+        "take."
+    ),
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        gram = np.zeros((64, 64))
+        sums = np.zeros(64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            gram += m.T @ m
+            sums += m.sum(axis=0)
+            n += len(m)
+        if n == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(1, 65), np.arange(1, 65), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "s_ij": gram.ravel(),
+                "s_i": np.repeat(sums, 64),
+                "s_j": np.tile(sums, 64),
+                "n": np.full(64 * 64, n, dtype=np.int64),
+            }
+        )
+
+    p = emb.select("embedding").mapInPandas(
+        partials, "i int, j int, s_ij double, s_i double, s_j double, n long"
+    )
+    return p.groupBy("i", "j").agg(
+        # + 0.0 kills IEEE negative zero on BOTH engines (DuckDB ROUND
+        # yields -0.0 for tiny negatives — the FIXTURES.md gotcha)
+        (
+            F.round(
+                F.sum("s_ij") / F.sum("n")
+                - (F.sum("s_i") / F.sum("n")) * (F.sum("s_j") / F.sum("n")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cov")
+    )
+
+
+@register(
+    "q_embed_quantize_error",
+    oracle="""
+    WITH x AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings, range(1, 65) t(i)),
+    mm AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi FROM x GROUP BY i),
+    q AS (SELECT x.i, v,
+                 CASE WHEN hi = lo THEN v
+                      ELSE lo + ROUND((v - lo) / (hi - lo) * 255) * (hi - lo) / 255
+                 END AS vq
+          FROM x JOIN mm USING (i))
+    SELECT CAST(i AS INT) AS dim,
+           ROUND(AVG((v - vq) * (v - vq)), 9) AS mse,
+           ROUND(MAX(ABS(v - vq)), 6) AS max_abs_err
+    FROM q GROUP BY i
+    """,
+    description=(
+        "Int8 affine quantization error audit (the 4× ANN-index memory "
+        "cut): per-dim [min,max] in ONE global 128-expression codegen "
+        "aggregate (no posexplode — the n×64 matrix never shuffles), "
+        "broadcast back as two 64-element arrays, then per-dim MSE and "
+        "max-abs reconstruction error in a second 128-expression "
+        "aggregate. Two corpus scans, two one-row shuffles of agg "
+        "partials, zero data movement — the same plan at 100 TB. "
+        "Constant dims (hi = lo) pass through unquantized on both "
+        "engines."
+    ),
+)
+def q_embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo_expr = "array(" + ",".join(
+        f"min(CAST(embedding[{i}] AS DOUBLE))" for i in range(64)
+    ) + ")"
+    hi_expr = "array(" + ",".join(
+        f"max(CAST(embedding[{i}] AS DOUBLE))" for i in range(64)
+    ) + ")"
+    mm = emb.agg(F.expr(lo_expr).alias("lo"), F.expr(hi_expr).alias("hi"))
+
+    def vq(i: int) -> str:
+        v = f"CAST(embedding[{i}] AS DOUBLE)"
+        return (
+            f"CASE WHEN hi[{i}] = lo[{i}] THEN {v} "
+            f"ELSE lo[{i}] + round(({v} - lo[{i}]) / (hi[{i}] - lo[{i}]) * 255)"
+            f" * (hi[{i}] - lo[{i}]) / 255 END"
+        )
+
+    mse_expr = "array(" + ",".join(
+        f"avg(pow(CAST(embedding[{i}] AS DOUBLE) - ({vq(i)}), 2))" for i in range(64)
+    ) + ")"
+    mx_expr = "array(" + ",".join(
+        f"max(abs(CAST(embedding[{i}] AS DOUBLE) - ({vq(i)})))" for i in range(64)
+    ) + ")"
+    stats = emb.crossJoin(F.broadcast(mm)).agg(
+        F.expr(mse_expr).alias("mses"), F.expr(mx_expr).alias("mxs")
+    )
+    return stats.select(
+        F.posexplode(
+            F.expr("transform(mses, (m, k) -> struct(k + 1 as dim, m as mse))")
+        ).alias("_p", "s"),
+        F.col("mxs"),
+    ).select(
+        F.col("s.dim").cast("int").alias("dim"),
+        F.round("s.mse", 9).alias("mse"),
+        F.round(F.expr("mxs[_p]"), 6).alias("max_abs_err"),
+    )
+
+
+@register(
     "q_cross_source_dup_leakage",
     oracle=f"""
     WITH p AS ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}),
