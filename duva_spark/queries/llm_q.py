@@ -1827,6 +1827,127 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM c CROSS JOIN q
+          WHERE cl <> ql)
+    SELECT query_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id) AS rank
+    FROM s
+    QUALIFY rank <= 3
+    """,
+    description=(
+        "Hard-negative mining for contrastive training: per probe, the "
+        "top-3 most-similar vectors from a DIFFERENT label (near the "
+        "anchor in embedding space but semantically distinct — the "
+        "negatives that actually move a contrastive loss). Same scale "
+        "shape as the brute-force top-k: probes broadcast, corpus "
+        "scanned once with zero shuffle, label exclusion fused into "
+        "the scan filter; at 100 TB the corpus side swaps to the IVF/"
+        "RP-LSH candidate stage with this exact ranking as the verify "
+        "step."
+    ),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("cl"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cl") != F.col("ql"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                similarity.cosine(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )
+
+
+@register(
+    "q_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      m AS (SELECT cc.id, cc.comp, d.n_chars
+            FROM cc JOIN documents d ON d.doc_id = cc.id),
+      k AS (SELECT comp, id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY comp
+                                      ORDER BY n_chars DESC, id) AS rn,
+                   COUNT(*) OVER (PARTITION BY comp) AS n_members
+            FROM m)
+    SELECT comp AS cluster, id AS kept_doc,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM k WHERE rn = 1
+    """,
+    description=(
+        "Dedup survivorship policy: fuzzy near-dup clusters (MinHash "
+        "bands → min-label components, the verified pair graph and "
+        "closure reused verbatim from q_dedup_clusters) keep their "
+        "BEST member — longest doc, ties to the lowest id — instead of "
+        "the arbitrary min-id representative; docs outside any cluster "
+        "pass through the removal pass untouched. The per-cluster "
+        "argmax is one window over cluster-partitioned rows (cluster "
+        "populations are near-dup sets — small by construction), "
+        "joined to the docs table on the id; everything upstream is "
+        "the banded LSH plan that never goes all-pairs."
+    ),
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from duva_spark.llm.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    cc = dedup_clusters(pairs.select("id_a", "id_b"))
+    m = cc.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w = W.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("id"))
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("comp").alias("cluster"),
+            F.col("id").alias("kept_doc"),
+            F.col("n_chars").cast("long").alias("kept_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+@register(
     "q_embed_covariance",
     oracle="""
     WITH x AS (SELECT i, j,

@@ -737,6 +737,80 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_perplexity_buckets",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, -ln(v.cnt / tot.n) AS nll
+      FROM tok t JOIN vocab v USING (word) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll
+      FROM scored GROUP BY doc_id
+    ),
+    thr AS (SELECT ROUND(quantile_cont(avg_nll, 1.0/3), 6) AS lo,
+                   ROUND(quantile_cont(avg_nll, 2.0/3), 6) AS hi
+            FROM per_doc)
+    SELECT CASE WHEN avg_nll <= lo THEN 'head'
+                WHEN avg_nll <= hi THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(avg_nll), 6) AS mean_nll
+    FROM per_doc CROSS JOIN thr
+    GROUP BY 1
+    """,
+    description=(
+        "CCNet head/middle/tail quality bucketing: per-doc unigram-LM "
+        "negative log-likelihood (the verified q_unigram_perplexity "
+        "scoring stage), cut at the corpus 1/3 and 2/3 perplexity "
+        "terciles. The thresholds come from the repo's distributed "
+        "exact-quantile operator (two-pass range-partitioned — no "
+        "global sort, no NTILE single-partition window), broadcast "
+        "back as one row; bucketing is then a scan-level CASE. Both "
+        "the per-doc score and the thresholds are rounded to the same "
+        "6-dp grid on both engines so the boundary comparison is "
+        "engine-stable."
+    ),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import quantile_cont
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("n"))
+    per_doc = (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    )
+    thr = quantile_cont(per_doc, "avg_nll", [1 / 3, 2 / 3])
+    b = thr.agg(
+        F.round(F.max(F.when(F.col("q") < 0.5, F.col("quantile"))), 6).alias("lo"),
+        F.round(F.max(F.when(F.col("q") > 0.5, F.col("quantile"))), 6).alias("hi"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(b))
+        .select(
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("lo"), "head")
+            .when(F.col("avg_nll") <= F.col("hi"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+        )
+    )
+
+
+@register(
     "q_pmi_bigrams",
     oracle="""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -583,6 +583,10 @@ _BNLJ_SITES = [
     ("q_pmi_bigrams", 2),
     ("q_tfidf_top_terms", 1),
     ("q_temperature_mixture", 1),
+    # r5 additions: perplexity-tercile thresholds (two 1-row broadcasts)
+    # and the hard-negative probe broadcast (a 5-row probe frame)
+    ("q_perplexity_buckets", 2),
+    ("q_hard_negatives", 1),
 ]
 
 
