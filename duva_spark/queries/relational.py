@@ -4037,6 +4037,56 @@ def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_decayed_engagement",
+    oracle="""
+    WITH e AS (SELECT event_type, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS s
+               FROM events),
+    mx AS (SELECT MAX(s) AS smax FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value * exp(-ln(2) * (smax - s) / 86400.0)), 4)
+             AS decayed_value
+    FROM e CROSS JOIN mx
+    GROUP BY event_type
+    """,
+    description=(
+        "Exponential time-decay engagement (half-life = 1 day, the "
+        "feature-store recency aggregate): weight = 2^(-age_days), "
+        "anchored at the corpus max timestamp (a 1-row broadcast — on "
+        "the cartesian-ban plan test). Timestamps floor to integer "
+        "epoch seconds on both engines so the exponent is bit-identical "
+        "before libm; one scan, one codegen aggregate shuffle, rounded "
+        "to 4 dp to absorb summation-order drift. At 100 TB this is "
+        "the same plan — decay folds into the scan projection."
+    ),
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_timestamp("ts").alias("s")
+    )
+    mx = ev.agg(F.max("s").alias("smax"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(
+                        -F.lit(float(__import__("math").log(2.0)))
+                        * (F.col("smax") - F.col("s"))
+                        / F.lit(86400.0)
+                    )
+                ),
+                4,
+            ).alias("decayed_value"),
+        )
+    )
+
+
+@register(
     "q_rolling_active_users",
     oracle="""
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -127,6 +127,61 @@ def test_ivf_qprobe_tie_breaks_by_bucket(spark):
     assert out == [0, 1]  # equal sims → lowest bucket id first
 
 
+@pytest.mark.parametrize("seed", [0, 7, 42])
+def test_assign_nearest_matches_numpy_reference(spark, seed):
+    """The shared broadcast-argmin helper must agree with an independent
+    brute-force numpy reference on BOTH metrics and in top-n mode,
+    including the tie rule (best score first, ties to lowest id),
+    across random inputs — the property that lets KMeans and IVF share
+    one implementation."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from duva_spark.llm import assign
+
+    rng = np.random.RandomState(seed)
+    n, k, dim = 50, 7, 8
+    vecs = rng.uniform(-1, 1, (n, dim))
+    cens = rng.uniform(-1, 1, (k, dim))
+    ids = list(rng.permutation(100)[:k])  # non-contiguous, unsorted ids
+    rows = [Row(cluster=int(c), cen=[float(x) for x in cens[i]]) for i, c in enumerate(ids)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    order = np.argsort(ids)
+    sorted_ids = np.array(ids)[order]
+    sorted_cens = cens[order]
+
+    # euclidean top-1 vs reference argmin (stable → lowest id on ties)
+    got = {
+        r.vec_id: r.cluster
+        for r in assign.assign_nearest(df, rows, metric="euclidean").collect()
+    }
+    d = ((vecs[:, None, :] - sorted_cens[None, :, :]) ** 2).sum(axis=2)
+    want = sorted_ids[np.argmin(d, axis=1)]
+    assert [got[i] for i in range(n)] == [int(x) for x in want]
+
+    # cosine top-3 vs reference stable argsort on the rounded sims
+    got3 = {
+        r.vec_id: r.b
+        for r in assign.assign_nearest(
+            df, rows, metric="cosine", round_dp=9, n=3, out_col="b"
+        ).collect()
+    }
+    sims = np.round(
+        (vecs @ sorted_cens.T)
+        / np.outer(
+            np.linalg.norm(vecs, axis=1), np.linalg.norm(sorted_cens, axis=1)
+        ),
+        9,
+    )
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :3]
+    want3 = sorted_ids[idx]
+    assert [got3[i] for i in range(n)] == [[int(x) for x in row] for row in want3]
+
+
 def test_textstats_columns(docs):
     out = textstats.with_text_stats(docs).filter(F.col("doc_id") == 1).collect()[0]
     assert out.n_tokens_ws == 9

@@ -587,6 +587,7 @@ _BNLJ_SITES = [
     # and the hard-negative probe broadcast (a 5-row probe frame)
     ("q_perplexity_buckets", 2),
     ("q_hard_negatives", 1),
+    ("q_decayed_engagement", 1),
 ]
 
 
