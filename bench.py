@@ -43,6 +43,23 @@ def _replay_reference(sf_dir: str) -> dict | None:
                 ["git", "worktree", "add", "--detach", str(ref_dir), _REF_COMMIT],
                 cwd=repo, check=True, capture_output=True, timeout=120,
             )
+        else:
+            # an existing worktree may be pinned to a PREVIOUS round's
+            # ref commit — verify and re-checkout on mismatch, or the
+            # JSON would label stale timings with the new commit id
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=ref_dir, check=True, capture_output=True, text=True, timeout=60,
+            ).stdout.strip()
+            want = subprocess.run(
+                ["git", "rev-parse", _REF_COMMIT],
+                cwd=repo, check=True, capture_output=True, text=True, timeout=60,
+            ).stdout.strip()
+            if head != want:
+                subprocess.run(
+                    ["git", "checkout", "--detach", _REF_COMMIT],
+                    cwd=ref_dir, check=True, capture_output=True, timeout=120,
+                )
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NO_REF="1")
         out = subprocess.run(
             [sys.executable, "bench.py"],
@@ -96,6 +113,10 @@ def main() -> None:
         "samples": samples,
     }
     if not os.environ.get("SPARK_GRAFT_NO_REF"):
+        # stop our own JVM first: the replay must not run under memory/
+        # CPU contention from the parent's resident executors, or the
+        # "like-for-like" ratio is biased toward the new HEAD
+        spark.stop()
         ref = _replay_reference(sf_dir)
         if ref:
             shared = {

@@ -101,6 +101,7 @@ class ControlPlane:
         https_only: bool = True,
         same_site: str = "lax",
         error_reporter: "ErrorReporter | None" = None,
+        trust_proxy_headers: bool = False,
     ):
         self.store = store
         self.sync_job = sync_job
@@ -124,6 +125,10 @@ class ControlPlane:
         # active when a DSN is configured; a disabled reporter is a
         # no-op so the default stays dependency- and overhead-free.
         self.errors = error_reporter or ErrorReporter()
+        # X-Forwarded-Proto is only honored when the operator says a
+        # trusted proxy sits in front (uvicorn --proxy-headers parity);
+        # otherwise any client could downgrade the advertised scheme
+        self.trust_proxy_headers = trust_proxy_headers
         self.sessions = SessionCodec(
             secret_key, https_only=https_only, same_site=same_site
         )
@@ -586,140 +591,158 @@ def _make_handler(cp: ControlPlane):
                     continue
                 self._route_template = template
                 self._route_t0 = time.perf_counter()
-                body = {}
-                if method in ("POST", "PATCH"):
-                    try:
-                        n = max(0, int(self.headers.get("Content-Length") or 0))
-                    except ValueError:
-                        n = 0
-                    if n:
-                        try:
-                            body = json.loads(self.rfile.read(n) or b"{}")
-                            if not isinstance(body, dict):
-                                # valid JSON but not an object ([1,2],
-                                # "x", null) — FastAPI's validation
-                                # layer answers 422, not a crash
-                                raise ValueError("body must be a JSON object")
-                        except ValueError:
-                            # malformed JSON answers 422 like the
-                            # reference's FastAPI validation layer
-                            # (ADVICE r3: it previously escaped the
-                            # handler and dropped the socket with no
-                            # HTTP response at all)
-                            data = json.dumps(
-                                {"detail": "Invalid request parameter"}
-                            ).encode()
-                            self._reply(422, data, {})
-                            return
-                if action == "metrics":
-                    reg = getattr(cp.sync_job, "metrics", None)
-                    if reg is None:
-                        self._reply(404, b"", {})
-                        return
-                    self._reply(
-                        200,
-                        reg.exposition().encode(),
-                        {},
-                        content_type="text/plain; version=0.0.4; charset=utf-8",
-                    )
-                    return
-                if action == "docs":
-                    self._reply(
-                        200,
-                        cp.docs_html().encode(),
-                        {},
-                        content_type="text/html; charset=utf-8",
-                    )
-                    return
-                qs = parse_qs(urlsplit(self.path).query)
-                params = {k: v[0] for k, v in qs.items()}
-                # scheme from the proxy header when present, else from the
-                # session config — hardcoded http:// produced wrong links
-                # under https_only deployments (ADVICE r4)
-                scheme = self.headers.get("X-Forwarded-Proto") or (
-                    "https" if cp.sessions.https_only else "http"
-                )
-                base_url = f"{scheme}://{self.headers.get('Host', '')}"
-                headers: dict = {}
                 try:
-                    if action == "home":
-                        code, payload = cp.home(base_url)
-                    elif action == "openapi":
-                        code, payload = cp.openapi()
-                    elif action == "health":
-                        code, payload = cp.health()
-                    elif action == "create":
-                        code, payload = cp.create_file(body)
-                    elif action == "list":
-                        code, payload = cp.list_files(params.get("form_id"))
-                    elif action in ("oauth_login", "oauth_callback"):
-                        code, payload, headers = getattr(cp, action)(params)
-                    elif action == "get":
-                        if params.get("file_format") == "hyper":
-                            code, payload, headers = cp.download_redirect(match["id"])
-                        else:
-                            code, payload = cp.get_file(match["id"])
-                    elif action == "patch":
-                        code, payload = cp.patch_file(match["id"], body)
-                    elif action == "sync":
-                        code, payload = cp.sync_file(match["id"])
-                    elif action == "delete":
-                        code, payload = cp.delete_file(match["id"])
-                    elif action == "server_create":
-                        code, payload = cp.create_server(body)
-                    elif action == "server_list":
-                        code, payload = cp.list_servers(
-                            max(0, int(params.get("skip", 0))),
-                            max(0, int(params.get("limit", 100))),
-                        )
-                    elif action == "server_get":
-                        code, payload = cp.get_server(int(match["id"]))
-                    elif action == "config_create":
-                        code, payload = cp.create_configuration(body)
-                    elif action == "config_list":
-                        code, payload = cp.list_configurations(base_url)
-                    elif action == "config_get":
-                        code, payload = cp.get_configuration(int(match["id"]))
-                    elif action == "config_patch":
-                        code, payload = cp.patch_configuration(int(match["id"]), body)
-                    else:
-                        code, payload = cp.delete_configuration(int(match["id"]))
-                except (ValueError, TypeError):
-                    # malformed ids / params / body types answer 422 like
-                    # the reference's FastAPI validation layer — never an
-                    # unhandled traceback that drops the connection
-                    code, payload = 422, {"detail": "Invalid request parameter"}
+                    self._handle_routed(method, action, match, template)
                 except Exception as exc:  # noqa: BLE001 — the ASGI catch-all
-                    # Sentry-middleware parity (reference app/main.py:59-61):
-                    # an unhandled handler exception is captured to the
-                    # gated error reporter (no-op without a DSN) and
-                    # answered as a 500, the same contract as
-                    # SentryAsgiMiddleware wrapping the FastAPI app —
-                    # previously this escaped to BaseHTTPRequestHandler
-                    # and dropped the socket without an HTTP response.
+                    # Sentry-middleware parity (reference app/main.py:
+                    # 59-61): ANY unhandled exception in the routed
+                    # request — action handlers, /metrics exposition,
+                    # /docs rendering, cookie minting, response
+                    # serialization — is captured to the gated error
+                    # reporter and answered as a 500 instead of dropping
+                    # the socket (the r5 review widened this from the
+                    # action chain to the whole routed body).
                     cp.errors.capture_exception(
                         exc, method=method, path=self.path, route=template
                     )
                     cp.log.error(
                         "unhandled error on %s %s", method, self.path, exc_info=exc
                     )
-                    code, payload = 500, {"detail": "Internal Server Error"}
-                if (
-                    action == "oauth_callback"
-                    and code == 200
-                    and isinstance(payload, dict)
-                    and "access_token" in payload
-                ):
-                    # SessionMiddleware parity: the callback that mints a
-                    # bearer token also creates the signed session cookie
-                    # (reference security.py:84 request.session["token"])
-                    headers["Set-Cookie"] = cp.sessions.set_cookie_header(
-                        {"token": payload["access_token"]}
-                    )
-                data = b"" if payload is None else json.dumps(payload).encode()
-                self._reply(code, data, headers)
+                    try:
+                        self._reply(
+                            500,
+                            json.dumps({"detail": "Internal Server Error"}).encode(),
+                            {},
+                        )
+                    except Exception:
+                        # headers already sent — nothing more to salvage
+                        pass
                 return
             self._reply(404, b"", {})
+
+        def _handle_routed(self, method: str, action: str, match, template: str):
+            body = {}
+            if method in ("POST", "PATCH"):
+                try:
+                    n = max(0, int(self.headers.get("Content-Length") or 0))
+                except ValueError:
+                    n = 0
+                if n:
+                    try:
+                        body = json.loads(self.rfile.read(n) or b"{}")
+                        if not isinstance(body, dict):
+                            # valid JSON but not an object ([1,2],
+                            # "x", null) — FastAPI's validation
+                            # layer answers 422, not a crash
+                            raise ValueError("body must be a JSON object")
+                    except ValueError:
+                        # malformed JSON answers 422 like the
+                        # reference's FastAPI validation layer
+                        # (ADVICE r3: it previously escaped the
+                        # handler and dropped the socket with no
+                        # HTTP response at all)
+                        data = json.dumps(
+                            {"detail": "Invalid request parameter"}
+                        ).encode()
+                        self._reply(422, data, {})
+                        return
+            if action == "metrics":
+                reg = getattr(cp.sync_job, "metrics", None)
+                if reg is None:
+                    self._reply(404, b"", {})
+                    return
+                self._reply(
+                    200,
+                    reg.exposition().encode(),
+                    {},
+                    content_type="text/plain; version=0.0.4; charset=utf-8",
+                )
+                return
+            if action == "docs":
+                self._reply(
+                    200,
+                    cp.docs_html().encode(),
+                    {},
+                    content_type="text/html; charset=utf-8",
+                )
+                return
+            qs = parse_qs(urlsplit(self.path).query)
+            params = {k: v[0] for k, v in qs.items()}
+            # scheme from the session config (hardcoded http:// produced
+            # wrong links under https_only deployments — ADVICE r4);
+            # X-Forwarded-Proto overrides ONLY when the operator opted in
+            # to trusting a fronting proxy AND the value is a real scheme
+            # — an untrusted client must not downgrade advertised links
+            # or inject junk into base_url (r5 review)
+            scheme = "https" if cp.sessions.https_only else "http"
+            if cp.trust_proxy_headers:
+                fwd = (self.headers.get("X-Forwarded-Proto") or "").strip().lower()
+                if fwd in ("http", "https"):
+                    scheme = fwd
+            base_url = f"{scheme}://{self.headers.get('Host', '')}"
+            headers: dict = {}
+            try:
+                if action == "home":
+                    code, payload = cp.home(base_url)
+                elif action == "openapi":
+                    code, payload = cp.openapi()
+                elif action == "health":
+                    code, payload = cp.health()
+                elif action == "create":
+                    code, payload = cp.create_file(body)
+                elif action == "list":
+                    code, payload = cp.list_files(params.get("form_id"))
+                elif action in ("oauth_login", "oauth_callback"):
+                    code, payload, headers = getattr(cp, action)(params)
+                elif action == "get":
+                    if params.get("file_format") == "hyper":
+                        code, payload, headers = cp.download_redirect(match["id"])
+                    else:
+                        code, payload = cp.get_file(match["id"])
+                elif action == "patch":
+                    code, payload = cp.patch_file(match["id"], body)
+                elif action == "sync":
+                    code, payload = cp.sync_file(match["id"])
+                elif action == "delete":
+                    code, payload = cp.delete_file(match["id"])
+                elif action == "server_create":
+                    code, payload = cp.create_server(body)
+                elif action == "server_list":
+                    code, payload = cp.list_servers(
+                        max(0, int(params.get("skip", 0))),
+                        max(0, int(params.get("limit", 100))),
+                    )
+                elif action == "server_get":
+                    code, payload = cp.get_server(int(match["id"]))
+                elif action == "config_create":
+                    code, payload = cp.create_configuration(body)
+                elif action == "config_list":
+                    code, payload = cp.list_configurations(base_url)
+                elif action == "config_get":
+                    code, payload = cp.get_configuration(int(match["id"]))
+                elif action == "config_patch":
+                    code, payload = cp.patch_configuration(int(match["id"]), body)
+                else:
+                    code, payload = cp.delete_configuration(int(match["id"]))
+            except (ValueError, TypeError):
+                # malformed ids / params / body types answer 422 like
+                # the reference's FastAPI validation layer — never an
+                # unhandled traceback that drops the connection
+                code, payload = 422, {"detail": "Invalid request parameter"}
+            if (
+                action == "oauth_callback"
+                and code == 200
+                and isinstance(payload, dict)
+                and "access_token" in payload
+            ):
+                # SessionMiddleware parity: the callback that mints a
+                # bearer token also creates the signed session cookie
+                # (reference security.py:84 request.session["token"])
+                headers["Set-Cookie"] = cp.sessions.set_cookie_header(
+                    {"token": payload["access_token"]}
+                )
+            data = b"" if payload is None else json.dumps(payload).encode()
+            self._reply(code, data, headers)
 
         def do_GET(self):
             self._dispatch("GET")

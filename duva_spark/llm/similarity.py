@@ -70,6 +70,32 @@ def hyperplane_code(vec: Column, dim: int, n_bits: int, seed: int = 0) -> Column
     return code
 
 
+def probe_topk(
+    c: DataFrame, q: DataFrame, k: int, exclude: Column
+) -> DataFrame:
+    """Shared tail of every broadcast-probe cosine top-k: cross-join
+    the broadcast probe frame ``q`` (query_id, q_vec, extras...) against
+    the corpus frame ``c`` (neighbor_id, c_vec, extras...), drop pairs
+    where ``exclude`` is false, rank by (rounded-6dp cosine desc,
+    neighbor asc). One implementation carries the tie/rounding/rank
+    contract for the exact baseline AND its variants (self-match
+    exclusion for top-k, label exclusion for hard-negative mining) —
+    the r5 review flagged the copy in q_hard_negatives."""
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(exclude)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,19 +112,7 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return probe_topk(c, q, k, F.col("neighbor_id") != F.col("query_id"))
 
 
 def label_centroids(

@@ -290,6 +290,18 @@ class ErrorReporter:
     def capture_exception(self, exc: BaseException, **context) -> dict | None:
         if not self.enabled:
             return None
+        # one event per exception OBJECT: the api catch-all both captures
+        # and logs with exc_info, so an attached logging_handler would
+        # otherwise re-capture the same exception (r5 review). Exceptions
+        # aren't weakref-able, so the dedup marker rides the object
+        # itself — no registry to leak, window = the object's lifetime,
+        # exactly the double-report path.
+        try:
+            if getattr(exc, "_duva_error_reported", False):
+                return None
+            exc._duva_error_reported = True  # type: ignore[attr-defined]
+        except (AttributeError, TypeError):
+            pass  # attribute-less exception type — capture anyway
         import traceback
 
         event = {

@@ -1855,8 +1855,6 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -1868,21 +1866,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_vec"),
         F.col("label").alias("cl"),
     )
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cl") != F.col("ql"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                similarity.cosine(F.col("q_vec"), F.col("c_vec")), 6
-            ).alias("cosine_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= 3
-    )
+    # the shared broadcast-probe ranking (similarity.probe_topk) with a
+    # label-exclusion predicate instead of the self-match one
+    return similarity.probe_topk(c, q, 3, F.col("cl") != F.col("ql"))
 
 
 @register(

@@ -787,6 +787,11 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
         .groupBy("doc_id")
         .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+        # consumed twice (threshold fit + bucketing scan) — materialize
+        # the per-doc scores once instead of re-running the token
+        # pipeline; blocks free with the result (the repo's standard
+        # localCheckpoint-over-persist rationale)
+        .localCheckpoint()
     )
     thr = quantile_cont(per_doc, "avg_nll", [1 / 3, 2 / 3])
     b = thr.agg(

@@ -334,22 +334,44 @@ def test_docs_and_openapi_routes_are_real(api):
     assert "/openapi.json" in html and "/api/v1/files/" in html
 
 
-def test_home_scheme_follows_session_config(api):
-    """base_url scheme derives from https_only / X-Forwarded-Proto, not
-    a hardcoded http:// (ADVICE r4). The test fixture runs with the
-    default https_only=True, so plain requests get https links and a
-    proxy header overrides."""
+def test_home_scheme_follows_session_config(api, spark, tmp_path):
+    """base_url scheme derives from https_only (ADVICE r4), and
+    X-Forwarded-Proto is honored ONLY behind an explicit
+    trust_proxy_headers opt-in with a sane value — an untrusted client
+    must not downgrade the advertised links (r5 review)."""
     import urllib.request
 
     base, _ = api
     code, body = _req(base, "GET", "/")
     assert code == 200 and body["docs_url"].startswith("https://")
-    req = urllib.request.Request(
-        f"{base}/", headers={"X-Forwarded-Proto": "http"}
-    )
+    # default: the client-supplied header is IGNORED
+    req = urllib.request.Request(f"{base}/", headers={"X-Forwarded-Proto": "http"})
     with urllib.request.urlopen(req, timeout=5) as resp:
         body = json.loads(resp.read())
-    assert body["docs_url"].startswith("http://")
+    assert body["docs_url"].startswith("https://")
+
+    store = MetadataStore(tmp_path / "c2.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "x.csv")
+    cp = ControlPlane(
+        store, job, str(tmp_path / "out"), trust_proxy_headers=True
+    )
+    server, _ = serve(cp)
+    trusted = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            f"{trusted}/", headers={"X-Forwarded-Proto": "http"}
+        )
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            body = json.loads(resp.read())
+        assert body["docs_url"].startswith("http://")  # trusted proxy wins
+        req = urllib.request.Request(
+            f"{trusted}/", headers={"X-Forwarded-Proto": "javascript:"}
+        )
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            body = json.loads(resp.read())
+        assert body["docs_url"].startswith("https://")  # junk value ignored
+    finally:
+        server.shutdown()
 
 
 def test_health_ok_and_failing(spark, tmp_path):

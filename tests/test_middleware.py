@@ -192,9 +192,15 @@ def test_error_reporter_gating_and_capture():
     try:
         raise ValueError("boom")
     except ValueError as e:
+        caught = e
         ev = on.capture_exception(e, route="/x")
     assert ev["type"] == "ValueError" and ev["message"] == "boom"
     assert "ValueError: boom" in ev["traceback"] and ev["context"]["route"] == "/x"
+    assert on.events == [ev]
+    # the same exception OBJECT captured again (the catch-all +
+    # logging-handler double-report path) must dedup to one event
+    # (r5 review); a DIFFERENT exception still captures
+    assert on.capture_exception(caught, route="/x") is None
     assert on.events == [ev]
 
     log = logging.getLogger("test.error.reporter")
@@ -243,6 +249,37 @@ def test_unhandled_route_error_is_captured_and_answers_500(spark, tmp_path):
         ev = reporter.events[0]
         assert ev["type"] == "RuntimeError" and ev["message"] == "backend down"
         assert ev["context"]["route"] == "/api/v1/files/{id}"
+    finally:
+        server.shutdown()
+
+
+def test_catch_all_covers_non_action_routes(spark, tmp_path):
+    """The 500 catch-all must cover the WHOLE routed request — /docs
+    rendering, /metrics exposition, cookie minting — not just the
+    action-dispatch chain (r5 review: exceptions there previously
+    escaped to BaseHTTPRequestHandler and dropped the socket)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from duva_spark.api import ControlPlane, serve
+    from duva_spark.middleware import ErrorReporter
+    from duva_spark.orchestration import MetadataStore, SyncJob
+
+    store = MetadataStore(tmp_path / "catalog.json")
+    job = SyncJob(spark, store, tmp_path, fetch=lambda _id: tmp_path / "x.csv")
+    reporter = ErrorReporter(dsn="https://key@errors.example/1")
+    cp = ControlPlane(store, job, str(tmp_path / "out"), error_reporter=reporter)
+    cp.docs_html = lambda: (_ for _ in ()).throw(RuntimeError("template broke"))
+    server, _ = serve(cp)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f"{base}/docs", timeout=5)
+        assert exc_info.value.code == 500
+        assert _json.loads(exc_info.value.read()) == {"detail": "Internal Server Error"}
+        assert reporter.events[0]["message"] == "template broke"
+        assert reporter.events[0]["context"]["route"] == "/docs"
     finally:
         server.shutdown()
 

@@ -588,6 +588,11 @@ _BNLJ_SITES = [
     ("q_perplexity_buckets", 2),
     ("q_hard_negatives", 1),
     ("q_decayed_engagement", 1),
+    # review catch: sites missed by the first enumeration — the int8
+    # min/max broadcast and the two brute-force probe broadcasts
+    ("q_embed_quantize_error", 1),
+    ("q_embed_cosine_topk", 1),
+    ("q_embed_l2_topk", 1),
 ]
 
 
