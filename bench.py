@@ -60,10 +60,19 @@ def _replay_reference(sf_dir: str) -> dict | None:
                     ["git", "checkout", "--detach", _REF_COMMIT],
                     cwd=ref_dir, check=True, capture_output=True, timeout=120,
                 )
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NO_REF="1")
+        # min-of-1 and a tight timeout: the replay is a secondary
+        # comparison — it must never push the whole bench past the
+        # driver's budget (a kill before the JSON line prints would
+        # lose the round's primary numbers too)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_NO_REF="1",
+            SPARK_GRAFT_BENCH_RUNS="1",
+        )
         out = subprocess.run(
             [sys.executable, "bench.py"],
-            cwd=ref_dir, env=env, capture_output=True, text=True, timeout=1800,
+            cwd=ref_dir, env=env, capture_output=True, text=True, timeout=900,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
@@ -132,8 +141,9 @@ def main() -> None:
                 ),
                 "note": (
                     "r4-HEAD bench replayed in the same session/host as "
-                    "this run — like-for-like ratio independent of the "
-                    "host-variance caveat"
+                    "this run (min-of-1, own JVM, parent session "
+                    "stopped first) — like-for-like ratio independent "
+                    "of the host-variance caveat"
                 ),
             }
     print(json.dumps(payload))

@@ -436,7 +436,8 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     QUALIFY rank <= 5
     """,
-    description="ANN scale path: IVF bucketing by nearest label-centroid, nprobe=2 probe, top-5 within probed buckets only.",
+    headline=True,  # r5: the shuffle-free assignment rebuild is the round's thesis — benched + plan-reported
+    description="ANN scale path: IVF bucketing by nearest label-centroid (shuffle-free broadcast Arrow argmax, llm/assign.py), nprobe=2 probe, top-5 within probed buckets only.",
 )
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
