@@ -137,4 +137,11 @@ def assign_nearest(
             out.extend(list(cids[row]) for row in idx)
         return pd.Series(out)
 
-    return df.withColumn(out_col, nearest(F.col(vec_col)))
+    # asNondeterministic is a COST marker, not a semantics one (the
+    # assignment is a pure function of its input): it stops Catalyst
+    # from duplicating the expensive UDF expression into inferred
+    # join-key null-filters and from collapsing it into downstream
+    # projections — without it, ivf_topk's equi-join on the bucket
+    # column evaluated the whole argmax TWICE per corpus row
+    # (observed as two ArrowEvalPython nodes per branch in the plan).
+    return df.withColumn(out_col, nearest.asNondeterministic()(F.col(vec_col)))
