@@ -60,15 +60,16 @@ def _replay_reference(sf_dir: str) -> dict | None:
                     ["git", "checkout", "--detach", _REF_COMMIT],
                     cwd=ref_dir, check=True, capture_output=True, timeout=120,
                 )
-        # min-of-1 and a tight timeout: the replay is a secondary
-        # comparison — it must never push the whole bench past the
-        # driver's budget (a kill before the JSON line prints would
-        # lose the round's primary numbers too)
+        # SAME estimator as the primary run (min-of-N with the same N —
+        # a min-of-1 reference vs a min-of-2 primary systematically
+        # favors the primary), but behind a tight timeout: the replay
+        # is a secondary comparison and must never push the whole bench
+        # past the driver's budget (a kill before the JSON line prints
+        # would lose the round's primary numbers too)
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_NO_REF="1",
-            SPARK_GRAFT_BENCH_RUNS="1",
         )
         out = subprocess.run(
             [sys.executable, "bench.py"],
@@ -141,9 +142,9 @@ def main() -> None:
                 ),
                 "note": (
                     "r4-HEAD bench replayed in the same session/host as "
-                    "this run (min-of-1, own JVM, parent session "
-                    "stopped first) — like-for-like ratio independent "
-                    "of the host-variance caveat"
+                    "this run (same min-of-N estimator, own JVM, parent "
+                    "session stopped first) — like-for-like ratio "
+                    "independent of the host-variance caveat"
                 ),
             }
     print(json.dumps(payload))
