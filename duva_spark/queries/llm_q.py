@@ -1828,6 +1828,80 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label,
+             list(avgv ORDER BY i) AS centroid
+      FROM (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS avgv
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, i)
+      GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label,
+             ROUND({_DOT.format(a="e.embedding", b="c.centroid")} /
+                   ({_NORM.format(a="e.embedding")} * {_NORM.format(a="c.centroid")}), 6)
+               AS cos_own
+      FROM embeddings e JOIN cent c USING (label)
+    ),
+    stats AS (
+      SELECT label, AVG(cos_own) AS mu, STDDEV_POP(cos_own) AS sigma
+      FROM scored GROUP BY label
+    )
+    SELECT s.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN ROUND((s.cos_own - st.mu) / st.sigma, 6) < -2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MIN(s.cos_own), 6) AS worst_cos
+    FROM scored s JOIN stats st USING (label)
+    GROUP BY s.label
+    """,
+    description=(
+        "Embedding outlier audit (the OOD/noise filter of a curation "
+        "pipeline): each vector's cosine to its OWN label centroid, "
+        "flagged when its per-label z-score drops below -2. Scale "
+        "shape: centroids via the narrow posexplode aggregation "
+        "(label×dim rows), broadcast back on the label key (nlist "
+        "rows), cosine as a codegen fold — the corpus is scanned, "
+        "never shuffled; the per-label stats and the final census are "
+        "two tiny-key aggregations. Both the cosine and the z-score "
+        "round to the same 6-dp grid on both engines before the "
+        "threshold compare."
+    ),
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb)
+    scored = emb.join(F.broadcast(cents), "label").select(
+        "label",
+        F.round(
+            similarity.cosine(F.col("embedding"), F.col("centroid")), 6
+        ).alias("cos_own"),
+    )
+    stats = scored.groupBy("label").agg(
+        F.avg("cos_own").alias("mu"), F.stddev_pop("cos_own").alias("sigma")
+    )
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(
+                F.when(
+                    F.round((F.col("cos_own") - F.col("mu")) / F.col("sigma"), 6)
+                    < -2.0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.min("cos_own"), 6).alias("worst_cos"),
+        )
+    )
+
+
+@register(
     "q_hard_negatives",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql

@@ -737,6 +737,102 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bigram_perplexity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    uni AS (SELECT unnest(ws) AS w FROM tok),
+    ucnt AS (SELECT w, COUNT(*) AS cnt FROM uni GROUP BY w),
+    utot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM ucnt),
+    bi0 AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                          i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+            FROM tok),
+    bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi0),
+    bcnt AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(bc) AS DOUBLE) AS cc FROM bcnt GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             -ln(0.7 * (bc.bc / ctx.cc) + 0.3 * (u.cnt / utot.n)) AS nll
+      FROM bi b
+      JOIN bcnt bc USING (w1, w2)
+      JOIN ctx USING (w1)
+      JOIN ucnt u ON u.w = b.w2
+      CROSS JOIN utot
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(MIN(p.avg_nll), 6) AS best_doc_nll,
+           ROUND(MAX(p.avg_nll), 6) AS worst_doc_nll
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    description=(
+        "Interpolated bigram-LM perplexity (λ=0.7 bigram MLE + 0.3 "
+        "unigram backoff — the strictly stronger sibling of the "
+        "unigram CCNet filter: it scores word ORDER, so shuffled or "
+        "templated text stands out even when its word distribution is "
+        "clean). Same scale shape as the unigram path: bigram and "
+        "context tables are Zipf-bounded (≪ corpus) so the per-token "
+        "joins broadcast after a frequency cut at 100 TB; one narrow "
+        "explode, three hash-key joins, two aggregations — no driver "
+        "state. Docs under two words carry no bigrams and drop out of "
+        "the per-doc average on both engines."
+    ),
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    # sequence(0, -1) counts DOWN in Spark, so guard short docs
+    bi = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = tok.select(F.explode("ws").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("cnt"))
+    utot = ucnt.agg(F.sum("cnt").cast("double").alias("n"))
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ctx = bcnt.groupBy("w1").agg(F.sum("bc").cast("double").alias("cc"))
+    scored = (
+        bi.join(bcnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(ucnt.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.lit(0.7) * (F.col("bc") / F.col("cc"))
+                    + F.lit(0.3) * (F.col("cnt") / F.col("n"))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            F.round(F.min("avg_nll"), 6).alias("best_doc_nll"),
+            F.round(F.max("avg_nll"), 6).alias("worst_doc_nll"),
+        )
+    )
+
+
+@register(
     "q_perplexity_buckets",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
