@@ -1844,6 +1844,7 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ({_NORM.format(a="e.embedding")} * {_NORM.format(a="c.centroid")}), 6)
                AS cos_own
       FROM embeddings e JOIN cent c USING (label)
+      WHERE {_NORM.format(a="e.embedding")} > 0
     ),
     stats AS (
       SELECT label, AVG(cos_own) AS mu, STDDEV_POP(cos_own) AS sigma
@@ -1873,11 +1874,19 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.label_centroids(emb)
-    scored = emb.join(F.broadcast(cents), "label").select(
-        "label",
-        F.round(
-            similarity.cosine(F.col("embedding"), F.col("centroid")), 6
-        ).alias("cos_own"),
+    scored = (
+        emb.join(F.broadcast(cents), "label")
+        # zero-norm vectors would diverge across engines (Spark 0/0 →
+        # NULL skipped by AVG; DuckDB → NaN poisoning mu/sigma) — drop
+        # them EXPLICITLY on both sides so the semantics are pinned,
+        # not an artifact of each engine's division rules
+        .filter(similarity.norm(F.col("embedding")) > 0)
+        .select(
+            "label",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("centroid")), 6
+            ).alias("cos_own"),
+        )
     )
     stats = scored.groupBy("label").agg(
         F.avg("cos_own").alias("mu"), F.stddev_pop("cos_own").alias("sigma")

@@ -679,6 +679,23 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_nll_census(per_doc: DataFrame, docs: DataFrame) -> DataFrame:
+    """Shared per-language census over per-doc average-NLL scores —
+    one implementation of the (n_docs, mean/best/worst) contract for
+    the unigram and bigram perplexity filters (the r5 review flagged
+    the copy; rounding or column changes now land in one place)."""
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            F.round(F.min("avg_nll"), 6).alias("best_doc_nll"),
+            F.round(F.max("avg_nll"), 6).alias("worst_doc_nll"),
+        )
+    )
+
+
 @register(
     "q_unigram_perplexity",
     oracle="""
@@ -724,16 +741,7 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
     )
     per_doc = scored.groupBy("doc_id").agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
-    return (
-        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
-            F.round(F.min("avg_nll"), 6).alias("best_doc_nll"),
-            F.round(F.max("avg_nll"), 6).alias("worst_doc_nll"),
-        )
-    )
+    return _doc_nll_census(per_doc, docs)
 
 
 @register(
@@ -820,16 +828,7 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = scored.groupBy("doc_id").agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
-    return (
-        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
-            F.round(F.min("avg_nll"), 6).alias("best_doc_nll"),
-            F.round(F.max("avg_nll"), 6).alias("worst_doc_nll"),
-        )
-    )
+    return _doc_nll_census(per_doc, docs)
 
 
 @register(

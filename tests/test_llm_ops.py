@@ -106,6 +106,30 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
 
 
+def test_ivf_topk_evaluates_assignment_udf_once_per_branch(spark):
+    """The equi-join on bucket infers isnotnull filters; without the
+    asNondeterministic marker on the assignment UDF, Catalyst
+    duplicated the expensive Arrow argmax into them — TWO
+    ArrowEvalPython nodes per branch, 2× the assignment compute
+    (caught by the r5 plan audit). Pin: exactly one python-eval node
+    per side of the join."""
+    import contextlib
+    import io
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)], i % 3) for i in range(20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = similarity.label_centroids(emb)
+    out = similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    n = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n == 2, f"expected 1 python-eval per join branch, plan has {n}"
+
+
 def test_ivf_qprobe_tie_breaks_by_bucket(spark):
     """A probe equidistant (in cosine) from two centroids must rank the
     LOWER bucket first — the oracle's ORDER BY ROUND(sim,9) DESC, bucket
