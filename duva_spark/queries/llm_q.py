@@ -243,6 +243,73 @@ def _lsh_pairs_sql(n_hashes: int, n_bands: int, threshold: float) -> str:
     """
 
 
+_SIG_LIST = "[" + ", ".join(f"mh_{i}" for i in range(minhash.N_HASHES)) + "]"
+_MH_COLS_SQL = ",\n           ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_P})) AS mh_{i}"
+    for i, (a, b) in enumerate(minhash.hash_params(minhash.N_HASHES))
+)
+
+
+@register(
+    "q_minhash_estimate_error",
+    oracle=f"""
+    WITH p AS (SELECT * FROM ({{lsh}}) t),
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s2 AS (SELECT doc_id, {_SHINGLES} AS sh FROM w2),
+    hs2 AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_H60} % {_P})) AS hs FROM s2),
+    mh2 AS (SELECT doc_id, {_MH_COLS_SQL} FROM hs2),
+    sigs AS (SELECT doc_id, {_SIG_LIST} AS sig FROM mh2)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND(len(list_filter(range(1, {minhash.N_HASHES + 1}),
+                                 i -> a.sig[i] = b.sig[i])) / {minhash.N_HASHES}.0, 6)
+             AS est_jaccard,
+           ROUND(ABS(len(list_filter(range(1, {minhash.N_HASHES + 1}),
+                                     i -> a.sig[i] = b.sig[i])) / {minhash.N_HASHES}.0
+                     - p.jaccard), 6) AS abs_err
+    FROM p
+    JOIN sigs a ON a.doc_id = p.id_a
+    JOIN sigs b ON b.doc_id = p.id_b
+    """.replace("{lsh}", _lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)),
+    description=(
+        "Sketch-accuracy audit for the MinHash signatures (the fuzzy-"
+        "dedup analogue of q_agg_approx_distinct_error for HLL): for "
+        "every verified near-dup pair, the signature-estimated Jaccard "
+        "(matching components / n_hashes — E[est] = J by the MinHash "
+        "property) against the exact hashed-shingle Jaccard, with the "
+        "absolute error. This is the statistic that justifies sizing "
+        "n_hashes=24: per-pair std is sqrt(J(1-J)/24) ≈ 0.10 at "
+        "J=0.5. Plan: the signature table computes once (the same "
+        "persisted stage the banding uses) and joins only the "
+        "surviving pairs — no pairwise work beyond the audited set."
+    ),
+)
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    sig = minhash.with_signature(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(minhash.N_HASHES)]).alias("sig"),
+    )
+    n = minhash.N_HASHES
+    # the 'D' suffix forces a DOUBLE literal — a bare 24.0 parses as
+    # DECIMAL(3,1) and the division inherits decimal formatting, which
+    # hash-mismatches the oracle's double
+    est = F.expr(
+        f"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / {n}.0D"
+    )
+    return (
+        pairs.join(sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 @register(
     "q_ppjoin_exact_pairs",
     oracle=f"""

@@ -745,6 +745,50 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_epoch_capped_mixture",
+    oracle="""
+    WITH t AS (SELECT source,
+                      CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS toks
+               FROM documents GROUP BY source),
+    tot AS (SELECT SUM(toks) AS total, CAST(COUNT(*) AS DOUBLE) AS ns FROM t)
+    SELECT source,
+           CAST(toks AS BIGINT) AS n_tokens,
+           ROUND(LEAST(1.0, (0.5 * total / ns) / toks), 6) AS sample_rate,
+           CAST(CASE WHEN (0.5 * total / ns) > toks THEN 1 ELSE 0 END AS BIGINT)
+             AS under_budget
+    FROM t CROSS JOIN tot
+    """,
+    description=(
+        "Epoch-capped domain mixture (the LLaMA-recipe data card): "
+        "given a token budget (half the corpus here) split uniformly "
+        "across sources, each source's sampling rate is min(1, "
+        "share/available) — a domain smaller than its share is flagged "
+        "under_budget (it would need multiple epochs, which the cap "
+        "forbids; its surplus re-allocates in the next planning "
+        "iteration). Distinct from the temperature/threshold mixtures: "
+        "this is the hard single-epoch constraint. One token-count "
+        "aggregation per source + a one-row broadcast — scan-level at "
+        "any scale."
+    ),
+)
+def q_epoch_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("toks")
+    )
+    tot = t.agg(
+        F.sum("toks").alias("total"), F.count("*").cast("double").alias("ns")
+    )
+    share = F.lit(0.5) * F.col("total") / F.col("ns")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("toks").cast("long").alias("n_tokens"),
+        F.round(F.least(F.lit(1.0), share / F.col("toks")), 6).alias("sample_rate"),
+        F.when(share > F.col("toks"), 1).otherwise(0).cast("long").alias("under_budget"),
+    )
+
+
+@register(
     "q_bigram_perplexity",
     oracle="""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

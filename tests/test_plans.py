@@ -593,6 +593,7 @@ _BNLJ_SITES = [
     ("q_embed_quantize_error", 1),
     ("q_embed_cosine_topk", 1),
     ("q_embed_l2_topk", 1),
+    ("q_epoch_capped_mixture", 1),
 ]
 
 
