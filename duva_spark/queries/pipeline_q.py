@@ -1873,3 +1873,129 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hash_threshold",
         F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Doc-level duplicated-span ratio (exact-substring dedup, removal pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dup_span_ratio",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(unnest({_GRAM8})), 1, 15) AS BIGINT) AS gh
+          FROM d WHERE len(ws) >= 8),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+    hit AS (SELECT doc_id, COUNT(*) AS n_dup FROM g SEMI JOIN dup USING (gh)
+            GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_grams,
+           ROUND(COALESCE(n_dup, 0) * 1.0 / n_grams, 6) AS dup_ratio,
+           COALESCE(n_dup, 0) * 1.0 / n_grams >= 0.2 AS is_boilerplate
+    FROM tot LEFT JOIN hit USING (doc_id)
+    """,
+    description=(
+        "Doc-level duplicated-span ratio — the removal/annotation pass of "
+        "exact-substring dedup (Lee et al. 2022's train-data dedup, bounded "
+        "to fixed-width 8-grams instead of suffix arrays): the fraction of "
+        "a doc's distinct word 8-grams that also occur in another document, "
+        "flagging boilerplate-heavy docs at >=20%. Complements "
+        "q_repeated_ngrams (the corpus-side gram census) with the per-doc "
+        "actionable filter. Grams travel as 60-bit ints, never strings: "
+        "one count shuffle for the global doc-frequency, one int-keyed "
+        "LEFT join back carrying a dup marker, and a single per-doc "
+        "aggregation counts total and duplicated grams together — no "
+        "suffix-array construction, no all-pairs stage, linear at any "
+        "corpus size. The join (not a window over gh) is deliberate: a "
+        "viral boilerplate gram with millions of doc hits streams through "
+        "a hash-join probe, where a count-over-window would buffer the "
+        "whole hot partition group."
+    ),
+)
+def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(minhash.word_shingles(ws, 8)).alias("gram"),
+    ).select("doc_id", minhash.md5_hash60(F.col("gram")).alias("gh"))
+    # word_shingles is per-doc distinct, so COUNT(*) per gh == doc frequency.
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gh", F.lit(1).alias("_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "gh", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.count("_dup").alias("n_dup"))
+    )
+    n_dup = F.col("n_dup")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        n_dup.cast("long").alias("n_dup_grams"),
+        F.round(n_dup * 1.0 / F.col("n_grams"), 6).alias("dup_ratio"),
+        (n_dup * 1.0 / F.col("n_grams") >= 0.2).alias("is_boilerplate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (subwords per word / bytes per subword)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH w AS (SELECT lang, n_chars, string_split(text, ' ') AS ws
+               FROM documents),
+    s AS (SELECT lang, n_chars,
+                 len(ws) AS n_words,
+                 list_sum(list_transform(ws,
+                     x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_sub
+          FROM w)
+    SELECT lang,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           ROUND(SUM(n_sub) * 1.0 / SUM(n_words), 6) AS fertility,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_sub), 6) AS chars_per_subword
+    FROM s GROUP BY lang
+    """,
+    description=(
+        "Tokenizer fertility report: per-language subwords-per-word and "
+        "chars-per-subword under a fixed-rate subword model (ceil(len/4), "
+        "the BPE-fertility proxy — a real vocab swaps in via the same "
+        "per-word lambda). Fertility drift across languages is the "
+        "standard signal that a tokenizer under-serves a script, and "
+        "chars-per-subword calibrates per-language token budgets for "
+        "mixture planning. The whole computation folds into the scan "
+        "projection (higher-order array aggregate, no explode), leaving "
+        "one partial-aggregated groupBy on lang — scan-speed at 100 TB."
+    ),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_sub = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.ceil(F.length(x) / 4).cast("long"),
+    )
+    per_doc = docs.select(
+        "lang",
+        F.col("n_chars"),
+        F.size(ws).cast("long").alias("n_words"),
+        n_sub.alias("n_sub"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+        F.round(F.sum("n_sub") * 1.0 / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_sub"), 6).alias("chars_per_subword"),
+    )
