@@ -2434,3 +2434,96 @@ def q_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("comp").alias("n_clusters"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN label-purity audit (label-noise detection)
+# ---------------------------------------------------------------------------
+
+_VH100 = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+
+
+@register(
+    "q_knn_label_purity",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+               FROM embeddings WHERE {_VH100} < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
+          FROM embeddings),
+    s AS (SELECT query_id, qlabel, neighbor_id, nlabel,
+                 ROUND({_COS_QC}, 6) AS cosine_sim
+          FROM c CROSS JOIN q
+          WHERE neighbor_id <> query_id),
+    top5 AS (SELECT query_id, qlabel, nlabel,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+             FROM s QUALIFY rank <= 5),
+    votes AS (SELECT query_id, qlabel, nlabel, COUNT(*) AS cnt
+              FROM top5 GROUP BY query_id, qlabel, nlabel),
+    maj AS (SELECT query_id, qlabel, nlabel AS voted
+            FROM (SELECT query_id, qlabel, nlabel, ROW_NUMBER() OVER (
+                      PARTITION BY query_id ORDER BY cnt DESC, nlabel) AS rn
+                  FROM votes)
+            WHERE rn = 1)
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(COUNT(*) FILTER (WHERE voted = qlabel) AS BIGINT)
+             AS n_consistent,
+           ROUND(COUNT(*) FILTER (WHERE voted = qlabel) * 1.0 / COUNT(*), 6)
+             AS purity
+    FROM maj GROUP BY qlabel
+    """,
+    description=(
+        "KNN label-purity audit (Confident-Learning-style label-noise "
+        "detection): a deterministic md5 sample of vectors is classified "
+        "by the majority label of its 5 exact nearest neighbors "
+        "(cosine, the shared probe_topk tie contract; majority ties "
+        "break to the smallest label); per-label purity = share of "
+        "probes whose vote agrees with their stored label. Probes are "
+        "broadcast so the corpus never shuffles in the similarity "
+        "stage; neighbor/probe labels re-attach through broadcast joins "
+        "of the tiny (probes x 5) rank frame. The probe rate is the "
+        "audit-cost knob at scale (fixed count or an IVF/LSH stage for "
+        "full-corpus audits — same contract as the ANN variants)."
+    ),
+)
+def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = minhash.md5_hash60(F.col("vec_id").cast("string")) % 100
+    probes = emb.filter(h < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+    )
+    top5 = similarity.probe_topk(
+        corpus, probes, 5, F.col("neighbor_id") != F.col("query_id")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+    )
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    votes = (
+        nlab.join(F.broadcast(top5), "neighbor_id")
+        .groupBy("query_id", "nlabel")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("nlabel"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("voted"))
+    )
+    audited = qlab.join(F.broadcast(maj), "query_id")
+    agree = F.sum(F.when(F.col("voted") == F.col("qlabel"), 1).otherwise(0))
+    return audited.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").cast("long").alias("n_probes"),
+        agree.cast("long").alias("n_consistent"),
+        F.round(agree * 1.0 / F.count("*"), 6).alias("purity"),
+    )
