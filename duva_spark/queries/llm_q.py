@@ -201,10 +201,11 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_shingles", *[f"mh_{i}" for i in range(8)])
 
 
-def _lsh_pairs_sql(n_hashes: int, n_bands: int, threshold: float) -> str:
-    # Mirrors the Spark pipeline exactly, including Jaccard over the
-    # HASHED shingle sets (list_distinct of the same md5-derived hash),
-    # so collision behavior is shared bit-for-bit.
+def _lsh_buckets_sql(n_hashes: int, n_bands: int) -> str:
+    """The shared CTE prefix: documents → hashed shingle sets → minhash
+    signature → per-band md5 band keys, exploded to (doc_id, hs,
+    band_idx, band_hash) rows in ``buckets`` — the exact SQL mirror of
+    ``minhash.with_signature`` + ``band_hashes`` + ``band_explode``."""
     rows = n_hashes // n_bands
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_P})) AS mh_{i}"
@@ -226,7 +227,15 @@ def _lsh_pairs_sql(n_hashes: int, n_bands: int, threshold: float) -> str:
            {mh_cols}
            FROM sh_h),
     sig AS (SELECT doc_id, hs, {band_cols} FROM mh),
-    buckets AS ({band_union}),
+    buckets AS ({band_union})"""
+
+
+def _lsh_pairs_sql(n_hashes: int, n_bands: int, threshold: float) -> str:
+    # Mirrors the Spark pipeline exactly, including Jaccard over the
+    # HASHED shingle sets (list_distinct of the same md5-derived hash),
+    # so collision behavior is shared bit-for-bit.
+    return f"""
+    {_lsh_buckets_sql(n_hashes, n_bands)},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.hs AS sh_a, b.hs AS sh_b
@@ -2526,4 +2535,56 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_probes"),
         agree.cast("long").alias("n_consistent"),
         F.round(agree * 1.0 / F.count("*"), 6).alias("purity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-load census (bucket-skew audit of the banded join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lsh_band_load",
+    oracle=f"""
+    {_lsh_buckets_sql(minhash.N_HASHES, minhash.N_BANDS)},
+    nn AS (SELECT band_idx, band_hash FROM buckets
+           WHERE len(hs) > 0),
+    sizes AS (SELECT band_idx, band_hash, COUNT(*) AS sz
+              FROM nn GROUP BY band_idx, band_hash)
+    SELECT band_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) FILTER (WHERE sz = 1) AS BIGINT) AS n_singletons,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM sizes GROUP BY band_idx
+    """,
+    description=(
+        "LSH band-load census — the operational skew audit of the banded "
+        "MinHash join: per band, the bucket count, singleton share, the "
+        "LARGEST bucket (the straggler the band equi-join will hash to "
+        "one reducer), and the exact candidate-pair volume "
+        "sum(sz*(sz-1)/2) the verify stage will pay. At 100 TB this is "
+        "the report run BEFORE the dedup join to size "
+        "n_hashes/n_bands and decide whether a viral bucket needs the "
+        "LSH-overflow path; it costs one count shuffle on the same "
+        "(band_idx, band_hash) key the join itself uses — strictly "
+        "cheaper than the join it predicts. Docs with empty shingle "
+        "sets (<3 words) are excluded exactly as the pair join "
+        "excludes them."
+    ),
+)
+def q_lsh_band_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash.with_signature(docs.select("doc_id", "text")).filter(
+        F.size("_hs") > 0
+    )
+    banded = sig.select("doc_id", *minhash.band_hashes())
+    buckets = minhash.band_explode(banded, "doc_id", minhash.N_BANDS)
+    sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("sz"))
+    pairs = F.expr("sz * (sz - 1) DIV 2")
+    return sizes.groupBy("band_idx").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("sz") == 1, 1).otherwise(0)).cast("long").alias("n_singletons"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(pairs).cast("long").alias("cand_pairs"),
     )
