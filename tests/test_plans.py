@@ -594,6 +594,9 @@ _BNLJ_SITES = [
     ("q_embed_cosine_topk", 1),
     ("q_embed_l2_topk", 1),
     ("q_epoch_capped_mixture", 1),
+    # r5 late addition: the KNN purity audit probes through probe_topk's
+    # broadcast crossJoin (same site class as q_hard_negatives)
+    ("q_knn_label_purity", 1),
 ]
 
 
