@@ -2588,3 +2588,73 @@ def q_lsh_band_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").cast("long").alias("max_bucket"),
         F.sum(pairs).cast("long").alias("cand_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster-size distribution (the dedup run report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_cluster_size_dist",
+    oracle=f"""
+    WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+      sizes AS (SELECT comp, COUNT(*) AS sz FROM cc GROUP BY comp),
+      nd AS (SELECT COUNT(*) AS total FROM documents),
+      indup AS (SELECT COUNT(*) AS n FROM cc)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * sz AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    UNION ALL
+    SELECT 1 AS cluster_size,
+           CAST(total - n AS BIGINT) AS n_clusters,
+           CAST(total - n AS BIGINT) AS n_docs
+    FROM nd CROSS JOIN indup
+    """,
+    description=(
+        "Dedup run report: the cluster-size histogram of the fuzzy-dedup "
+        "graph (every closure cluster has size >= 2 by construction, so "
+        "the singleton row — docs untouched by any near-dup pair — is "
+        "total minus clustered, attached as two 1-row broadcast "
+        "aggregates). The size distribution is the first thing a corpus "
+        "dedup run publishes: its power-law tail decides the dedup "
+        "savings estimate and whether the components iteration needs the "
+        "large-star upgrade. Cost beyond the cluster formation itself is "
+        "two count shuffles over (comp) and (sz) keys."
+    ),
+)
+def q_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    cc = dedup_clusters(pairs.select("id_a", "id_b")).select("id", "comp")
+    sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    nd = docs.agg(F.count("*").alias("total"))
+    indup = cc.agg(F.count("*").alias("n"))
+    singleton = nd.crossJoin(F.broadcast(indup)).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("total") - F.col("n")).cast("long").alias("n_clusters"),
+        (F.col("total") - F.col("n")).cast("long").alias("n_docs"),
+    )
+    return (
+        hist.select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        ).unionAll(singleton)
+    )

@@ -1999,3 +1999,58 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_sub") * 1.0 / F.sum("n_words"), 6).alias("fertility"),
         F.round(F.sum("n_chars") * 1.0 / F.sum("n_sub"), 6).alias("chars_per_subword"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram entropy (corpus diversity signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_source_entropy",
+    oracle="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    cnt AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source)
+    SELECT c.source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(-SUM((c * 1.0 / t.n) * LN(c * 1.0 / t.n)), 6) AS entropy_nats
+    FROM cnt c JOIN tot t ON c.source = t.source
+    GROUP BY c.source, t.n
+    """,
+    description=(
+        "Per-source unigram Shannon entropy (nats), with token and vocab "
+        "counts — the corpus-diversity signal that separates template/"
+        "boilerplate-heavy sources (low entropy) from organic text, used "
+        "alongside the repetition signals to down-weight degenerate "
+        "domains in mixture planning. Two partial-aggregated count "
+        "shuffles ((source, word) then source) plus a broadcast of the "
+        "per-source totals; the word stream explodes once and nothing "
+        "else moves — scan-bounded at any corpus size."
+    ),
+)
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").cast("long").alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "vocab",
+            "entropy_nats",
+        )
+    )

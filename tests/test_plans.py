@@ -595,8 +595,11 @@ _BNLJ_SITES = [
     ("q_embed_l2_topk", 1),
     ("q_epoch_capped_mixture", 1),
     # r5 late addition: the KNN purity audit probes through probe_topk's
-    # broadcast crossJoin (same site class as q_hard_negatives)
+    # broadcast crossJoin (same site class as q_hard_negatives), and the
+    # cluster-size histogram attaches its singleton row via two 1-row
+    # broadcast aggregates
     ("q_knn_label_purity", 1),
+    ("q_dedup_cluster_size_dist", 1),
 ]
 
 
