@@ -37,3 +37,46 @@ def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
     )
+
+
+def dup_span_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span counts — the removal/annotation pass
+    of exact-substring dedup (Lee et al. 2022, bounded to fixed-width
+    word k-grams instead of suffix arrays).
+
+    Returns (id_col, n_grams, n_dup): for each doc with >= k words, the
+    number of distinct word k-grams and how many of those grams occur in
+    at least ``min_df`` documents corpus-wide.
+
+    Scale shape (shared by q_dup_span_ratio and the scale sweep): grams
+    travel as 60-bit ints, never strings — one count shuffle for the
+    global gram doc-frequency, one int-keyed LEFT join back carrying a
+    dup marker, one per-doc aggregation. The marker join (not a window
+    over gh) is deliberate: a viral boilerplate gram streams through a
+    hash-join probe, where a count-over-window would buffer the whole
+    hot partition group.
+    """
+    from duva_spark.llm import minhash
+
+    ws = F.split(F.col(text_col), " ")
+    # word_shingles is per-doc distinct, so COUNT(*) per gh == doc freq.
+    grams = df.select(
+        id_col, F.explode(minhash.word_shingles(ws, k)).alias("gram")
+    ).select(id_col, minhash.md5_hash60(F.col("gram")).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gh", F.lit(1).alias("_dup"))
+    )
+    return (
+        grams.join(dup, "gh", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.count("_dup").alias("n_dup"))
+    )

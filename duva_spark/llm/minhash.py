@@ -182,7 +182,15 @@ def candidate_pairs(
     # localCheckpoint: consumed by the band explode and both verify
     # sides; blocks are freed with the result's lifetime (ADVICE r3).
     sig = sig.localCheckpoint()
-    buckets = band_explode(sig, id_col, n_bands)
+    # Docs shorter than k words have an EMPTY shingle set: every mh_i is
+    # null and concat_ws skips nulls, so they'd all share the md5('')
+    # band key in every band — a corpus with many short rows (titles,
+    # empty strings) would self-join that bucket quadratically, only for
+    # the null-Jaccard verify to drop every pair. Excluding them here is
+    # output-identical (the SQL mirror's NULL band keys never equi-join)
+    # and keeps the band join linear; q_lsh_band_load's census applies
+    # the same exclusion.
+    buckets = band_explode(sig.filter(F.size("_hs") > 0), id_col, n_bands)
     if max_bucket_size is not None:
         # Hot-bucket cap: boilerplate-heavy corpora put thousands of docs
         # in one band bucket, turning the self-join quadratic. Dropping

@@ -259,6 +259,28 @@ _MH_COLS_SQL = ",\n           ".join(
 )
 
 
+def _closure_cc_sql(pairs_sql: str) -> str:
+    """Shared WITH RECURSIVE prefix closing an (id_a, id_b) pair set into
+    ``cc(id, comp)`` via min-label reachability — the single SQL mirror
+    of ``components.connected_components`` used by every cluster-shaped
+    oracle (callers append their own CTEs/SELECT after it)."""
+    return f"""WITH RECURSIVE
+      e AS (SELECT id_a, id_b FROM ({pairs_sql}) p),
+      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM und),
+      r AS (
+        SELECT id, id AS reach FROM nodes
+        UNION
+        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+      ),
+      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)"""
+
+
+_CLOSURE_LSH = _closure_cc_sql(
+    _lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)
+)
+
+
 @register(
     "q_minhash_estimate_error",
     oracle=f"""
@@ -1031,16 +1053,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+    {_CLOSURE_LSH}
     SELECT id, comp, COUNT(*) OVER (PARTITION BY comp) AS n_members
     FROM cc
     """,
@@ -1365,16 +1378,7 @@ _NEW_SPLIT = "CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15) AS BIGINT) 
 @register(
     "q_dedup_canonical",
     oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+    {_CLOSURE_LSH},
       q AS (SELECT doc_id, {{_Q}} AS quality FROM documents),
       m AS (SELECT cc.id, cc.comp, q.quality FROM cc JOIN q ON q.doc_id = cc.id),
       canon AS (SELECT comp, id AS canonical_id FROM m
@@ -1698,16 +1702,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embed_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_REG["q_embed_cosine_near_dup"].oracle}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+    {_closure_cc_sql(_REG["q_embed_cosine_near_dup"].oracle)}
     SELECT id, comp, COUNT(*) OVER (PARTITION BY comp) AS n_members
     FROM cc
     """,
@@ -1733,16 +1728,7 @@ def q_embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_clusters_star",
     oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)
+    {_CLOSURE_LSH}
     SELECT id, comp FROM cc
     """,
     description=(
@@ -2034,16 +2020,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_survivorship",
     oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+    {_CLOSURE_LSH},
       m AS (SELECT cc.id, cc.comp, d.n_chars
             FROM cc JOIN documents d ON d.doc_id = cc.id),
       k AS (SELECT comp, id, n_chars,
@@ -2387,16 +2364,7 @@ def q_passage_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_leakproof_split",
     oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+    {_CLOSURE_LSH},
       lab AS (SELECT d.doc_id, COALESCE(cc.comp, d.doc_id) AS comp
               FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
       s AS (SELECT doc_id, comp,
@@ -2456,7 +2424,7 @@ _VH100 = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 
     "q_knn_label_purity",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-               FROM embeddings WHERE {_VH100} < 10),
+               FROM embeddings WHERE {_VH100} < 10 AND vec_id < 4096),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
           FROM embeddings),
     s AS (SELECT query_id, qlabel, neighbor_id, nlabel,
@@ -2488,12 +2456,14 @@ _VH100 = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 
         "by the majority label of its 5 exact nearest neighbors "
         "(cosine, the shared probe_topk tie contract; majority ties "
         "break to the smallest label); per-label purity = share of "
-        "probes whose vote agrees with their stored label. Probes are "
+        "probes whose vote agrees with their stored label. The probe "
+        "set is BOUNDED (10% md5 rate inside a fixed id window), which "
+        "is what makes the broadcast-probe plan legal: probes are "
         "broadcast so the corpus never shuffles in the similarity "
-        "stage; neighbor/probe labels re-attach through broadcast joins "
-        "of the tiny (probes x 5) rank frame. The probe rate is the "
-        "audit-cost knob at scale (fixed count or an IVF/LSH stage for "
-        "full-corpus audits — same contract as the ANN variants)."
+        "stage, and the (probes x 5) rank frame re-attaches labels "
+        "through broadcast joins. Auditing an unbounded fraction of a "
+        "billion-vector corpus instead means swapping the exact stage "
+        "for the IVF/LSH ANN variants — same output contract."
     ),
 )
 def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2501,7 +2471,9 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     h = minhash.md5_hash60(F.col("vec_id").cast("string")) % 100
-    probes = emb.filter(h < 10).select(
+    # the id window bounds the probe count absolutely — the broadcast
+    # contract of probe_topk requires a bounded probe set, not a rate
+    probes = emb.filter((h < 10) & (F.col("vec_id") < 4096)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
     )
@@ -2574,10 +2546,13 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_lsh_band_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash.with_signature(docs.select("doc_id", "text")).filter(
-        F.size("_hs") > 0
-    )
+    # same floor candidate_pairs applies: the 24-hash signature stage is
+    # the compute-heavy leg and must not serialize on a single-file scan
+    src = ensure_min_parallelism(docs.select("doc_id", "text"))
+    sig = minhash.with_signature(src).filter(F.size("_hs") > 0)
     banded = sig.select("doc_id", *minhash.band_hashes())
     buckets = minhash.band_explode(banded, "doc_id", minhash.N_BANDS)
     sizes = buckets.groupBy("band_idx", "band_hash").agg(F.count("*").alias("sz"))
@@ -2598,16 +2573,7 @@ def q_lsh_band_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_cluster_size_dist",
     oracle=f"""
-    WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({_lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
-        UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
-      ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id),
+    {_CLOSURE_LSH},
       sizes AS (SELECT comp, COUNT(*) AS sz FROM cc GROUP BY comp),
       nd AS (SELECT COUNT(*) AS total FROM documents),
       indup AS (SELECT COUNT(*) AS n FROM cc)
@@ -2634,11 +2600,13 @@ def q_lsh_band_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duva_spark.llm.components import dedup_clusters
+    from duva_spark.llm.components import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
-    cc = dedup_clusters(pairs.select("id_a", "id_b")).select("id", "comp")
+    # connected_components, not dedup_clusters: the latter's per-comp
+    # size window would be recomputed by the groupBy below anyway
+    cc = connected_components(pairs.select("id_a", "id_b"))
     sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
     hist = sizes.groupBy("sz").agg(
         F.count("*").cast("long").alias("n_clusters"),

@@ -1918,23 +1918,7 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    grams = docs.select(
-        "doc_id",
-        F.explode(minhash.word_shingles(ws, 8)).alias("gram"),
-    ).select("doc_id", minhash.md5_hash60(F.col("gram")).alias("gh"))
-    # word_shingles is per-doc distinct, so COUNT(*) per gh == doc frequency.
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("gh", F.lit(1).alias("_dup"))
-    )
-    per_doc = (
-        grams.join(dup, "gh", "left")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"), F.count("_dup").alias("n_dup"))
-    )
+    per_doc = dedup.dup_span_counts(docs, "doc_id", "text", k=8, min_df=2)
     n_dup = F.col("n_dup")
     return per_doc.select(
         "doc_id",

@@ -153,24 +153,13 @@ def sweep(spark, sizes_small, sizes_big, only=None):
     )
 
     def dup_span(n):
-        # q_dup_span_ratio's shape: gram doc-frequency -> left join marker
-        # -> per-doc count; grams travel as 60-bit ints (~23 grams/doc).
-        docs = _docs(spark, n)
-        ws = F.split(F.col("text"), " ")
-        grams = docs.select(
-            "doc_id", F.explode(minhash.word_shingles(ws, 8)).alias("gram")
-        ).select("doc_id", minhash.md5_hash60(F.col("gram")).alias("gh"))
-        dup = (
-            grams.groupBy("gh")
-            .agg(F.count("*").alias("nd"))
-            .filter(F.col("nd") >= 2)
-            .select("gh", F.lit(1).alias("_dup"))
-        )
-        _force(
-            grams.join(dup, "gh", "left")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_grams"), F.count("_dup").alias("n_dup"))
-        )
+        # q_dup_span_ratio's exact operator (shared helper, so the sweep
+        # cannot drift from the registered query's shape): gram
+        # doc-frequency -> marker join -> per-doc count, ~23 gram
+        # rows/doc travelling as 60-bit ints.
+        from duva_spark.llm import dedup as _dedup
+
+        _force(_dedup.dup_span_counts(_docs(spark, n), "doc_id", "text", k=8))
 
     cases.append(("dup_span_ratio", sizes_big, dup_span))
     cases.append(
