@@ -256,6 +256,27 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     assert any(a < 50 and b < 50 for a, b in {(r.id_a, r.id_b) for r in uncapped.collect()})
 
 
+def test_short_docs_never_enter_band_buckets(spark):
+    """Docs with <k words have empty shingle sets; concat_ws skips their
+    all-NULL minhash columns, so without the explicit exclusion they'd
+    all share the md5('') band key and the band self-join would go
+    quadratic in the short-doc count. They must produce zero candidate
+    rows (not just zero verified pairs)."""
+    from duva_spark.llm import minhash
+
+    short = [(i, "hi") for i in range(40)]
+    pair = [
+        (100, "a unique document about spark window aggregation semantics today"),
+        (101, "a unique document about spark window aggregation semantics tonight"),
+    ]
+    df = spark.createDataFrame(short + pair, "doc_id long, text string")
+    cand = minhash.candidate_pairs(df, "doc_id").select("id_a", "id_b").collect()
+    ids = {r.id_a for r in cand} | {r.id_b for r in cand}
+    assert ids <= {100, 101}  # no short doc in ANY candidate pair
+    pairs = {(r.id_a, r.id_b) for r in minhash.near_duplicates(df, "doc_id", threshold=0.5).collect()}
+    assert pairs == {(100, 101)}
+
+
 def test_multimodal_resize_and_frame_sample(docs):
     from duva_spark.llm.multimodal import resize_images, sample_frames, to_media_table
 
