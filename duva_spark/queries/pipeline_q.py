@@ -2038,3 +2038,126 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-epochs plan (data-constrained scaling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repeat_epochs_plan",
+    oracle="""
+    WITH t AS (SELECT source,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(toks) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS ns FROM t)
+    SELECT source,
+           toks AS n_tokens,
+           CAST(CEIL((2.0 * total / ns) / toks) AS BIGINT) AS epochs_needed,
+           LEAST(CAST(FLOOR(2.0 * total / ns) AS BIGINT), 4 * toks)
+             AS tokens_served,
+           CAST(CASE WHEN 2.0 * total / ns > 4 * toks THEN 1 ELSE 0 END
+                AS BIGINT) AS under_served
+    FROM t CROSS JOIN tot
+    """,
+    description=(
+        "Repeat-epochs plan under data-constrained scaling (Muennighoff "
+        "et al. 2023): a token budget of 2x the corpus split uniformly "
+        "across sources; per source, the epochs needed to fill its "
+        "share, the tokens actually servable under the ~4-epoch "
+        "useful-repetition ceiling (returns decay to noise beyond it), "
+        "and an under_served flag where even 4 epochs cannot fill the "
+        "share (the deficit re-allocates to data-rich domains in the "
+        "next planning iteration). Complements q_epoch_capped_mixture "
+        "(the single-epoch hard cap) with the multi-epoch regime. One "
+        "token-count aggregation + a 1-row broadcast — scan-level."
+    ),
+)
+def q_repeat_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    tot = t.agg(
+        F.sum("toks").cast("double").alias("total"),
+        F.count("*").cast("double").alias("ns"),
+    )
+    share = F.lit(2.0) * F.col("total") / F.col("ns")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("toks").alias("n_tokens"),
+        F.ceil(share / F.col("toks")).cast("long").alias("epochs_needed"),
+        F.least(F.floor(share).cast("long"), F.lit(4) * F.col("toks")).alias(
+            "tokens_served"
+        ),
+        F.when(share > 4 * F.col("toks"), 1).otherwise(0).cast("long").alias(
+            "under_served"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gram novelty curve (corpus ordering / diminishing-returns audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gram_novelty",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(unnest({_GRAM8})), 1, 15) AS BIGINT) AS gh
+          FROM d WHERE len(ws) >= 8),
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM g),
+    first AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh),
+    occ AS (SELECT g.doc_id, g.gh, (f.first_doc = g.doc_id) AS is_first
+            FROM g JOIN first f ON f.gh = g.gh),
+    b AS (SELECT CAST(FLOOR(10.0 * doc_id / m) AS BIGINT) AS decile,
+                 is_first
+          FROM occ CROSS JOIN mx)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE is_first) AS BIGINT) AS n_novel,
+           ROUND(COUNT(*) FILTER (WHERE is_first) * 1.0 / COUNT(*), 6)
+             AS novelty_rate
+    FROM b GROUP BY decile
+    """,
+    description=(
+        "Gram novelty curve — the diminishing-returns audit of corpus "
+        "ordering: docs are split into ingestion-order deciles (by id) "
+        "and each decile reports what fraction of its word 8-grams is "
+        "globally first-seen there. A flattening curve is the signal "
+        "that additional data from the same sources stops adding "
+        "content (and that later shards mostly repay dedup, not "
+        "training). Grams travel as 60-bit ints: one min-aggregate "
+        "shuffle for first-seen, one int-keyed join back (a first_doc "
+        "column attach, skew-tolerant for viral grams the same way the "
+        "dup-span marker join is), one decile aggregation; the max-id "
+        "bound attaches as a 1-row broadcast."
+    ),
+)
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    g = docs.select(
+        "doc_id", F.explode(minhash.word_shingles(ws, 8)).alias("gram")
+    ).select("doc_id", minhash.md5_hash60(F.col("gram")).alias("gh"))
+    mx = g.agg((F.max("doc_id") + 1).alias("m"))
+    first = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    occ = g.join(first, "gh").select(
+        "doc_id", (F.col("first_doc") == F.col("doc_id")).alias("is_first")
+    )
+    b = occ.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.lit(10.0) * F.col("doc_id") / F.col("m")).cast("long").alias(
+            "decile"
+        ),
+        "is_first",
+    )
+    novel = F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+    return b.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        novel.cast("long").alias("n_novel"),
+        F.round(novel * 1.0 / F.count("*"), 6).alias("novelty_rate"),
+    )

@@ -600,6 +600,8 @@ _BNLJ_SITES = [
     # broadcast aggregates
     ("q_knn_label_purity", 1),
     ("q_dedup_cluster_size_dist", 1),
+    ("q_repeat_epochs_plan", 1),
+    ("q_gram_novelty", 1),
 ]
 
 
