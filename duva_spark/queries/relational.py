@@ -4238,3 +4238,69 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("p50").cast("long").alias("p50_us"),
         F.floor("p90").cast("long").alias("p90_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day periodicity (chi-square uniformity — bot/batch traffic audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hourly_periodicity",
+    oracle="""
+    WITH h AS (SELECT event_type, EXTRACT(hour FROM ts) AS hr FROM events),
+    cnt AS (SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS o
+            FROM h GROUP BY event_type, hr),
+    tot AS (SELECT event_type, CAST(SUM(o) AS DOUBLE) AS n,
+                   COUNT(*) AS na, MAX(o) AS mo
+            FROM cnt GROUP BY event_type)
+    SELECT c.event_type,
+           CAST(t.n AS BIGINT) AS n_events,
+           CAST(t.na AS BIGINT) AS n_active_hours,
+           ROUND(SUM((c.o - t.n / 24) * (c.o - t.n / 24) / (t.n / 24))
+                 + (24 - t.na) * (t.n / 24), 6) AS chi2,
+           CAST(MIN(CASE WHEN c.o = t.mo THEN c.hr END) AS BIGINT)
+             AS peak_hour
+    FROM cnt c JOIN tot t USING (event_type)
+    GROUP BY c.event_type, t.n, t.na, t.mo
+    """,
+    description=(
+        "Hour-of-day periodicity per event type: the chi-square statistic "
+        "against a uniform 24-hour profile (df=23; empty hours contribute "
+        "their expected mass without materializing zero rows), active-hour "
+        "count and the peak hour (deterministic: smallest hour attaining "
+        "the max). High chi2 separates cron/bot/batch traffic from organic "
+        "diurnal activity — the events-side analogue of the text "
+        "repetition signals. Two partial-aggregated count shuffles over "
+        "at most 24 rows per event type; the per-type totals re-attach "
+        "by broadcast — scan-bounded at any event volume."
+    ),
+)
+def q_hourly_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("o"))
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("o").cast("double").alias("n"),
+        F.count("*").alias("na"),
+        F.max("o").alias("mo"),
+    )
+    e = F.col("n") / 24
+    joined = cnt.join(F.broadcast(tot), "event_type")
+    return (
+        joined.groupBy("event_type", "n", "na", "mo")
+        .agg(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("_chi_active"),
+            F.min(F.when(F.col("o") == F.col("mo"), F.col("hr"))).alias("_peak"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("na").cast("long").alias("n_active_hours"),
+            F.round(F.col("_chi_active") + (24 - F.col("na")) * e, 6).alias("chi2"),
+            F.col("_peak").cast("long").alias("peak_hour"),
+        )
+    )
