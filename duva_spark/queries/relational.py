@@ -4304,3 +4304,62 @@ def q_hourly_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_peak").cast("long").alias("peak_hour"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# User-activity Gini coefficient (skew/abuse audit, distributed ranks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_user_activity_gini",
+    oracle="""
+    WITH x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY user_id),
+    r AS (SELECT x, user_id,
+                 ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
+          FROM x),
+    s AS (SELECT CAST(SUM(i * x) AS BIGINT) AS sx,
+                 CAST(SUM(x) AS BIGINT) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM r)
+    SELECT n AS n_users,
+           t AS n_events,
+           ROUND(2.0 * sx / (n * t) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    description=(
+        "Gini coefficient of per-user event volume — the inequality/"
+        "abuse audit (a handful of users generating most traffic reads "
+        "near 1; organic audiences sit well below). Uses the exact "
+        "rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with ranks "
+        "assigned by the DISTRIBUTED prefix-sum operator over (count, "
+        "user) order — no ROW_NUMBER over a global ORDER BY, so no "
+        "Exchange SinglePartition stage at any user count (the oracle "
+        "uses the window because DuckDB is single-node anyway). All "
+        "sums are exact integer arithmetic until the final division, "
+        "so the statistic is bit-stable across engines."
+    ),
+)
+def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.prefix_sum import running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.groupBy("user_id").agg(F.count("*").alias("x")).withColumn(
+        "one", F.lit(1)
+    )
+    r = running_sum(x, ["x", "user_id"], "one", out_col="i")
+    s = r.agg(
+        F.sum(F.col("i") * F.col("x")).alias("sx"),
+        F.sum("x").alias("t"),
+        F.count("*").alias("n"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("t").cast("long").alias("n_events"),
+        F.round(
+            2.0 * F.col("sx") / (F.col("n") * F.col("t"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
