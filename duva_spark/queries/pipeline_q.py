@@ -1882,6 +1882,7 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dup_span_ratio",
+    headline=True,
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     g AS (SELECT doc_id,
