@@ -39,6 +39,24 @@ def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def gram_keys(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(id_col, gh) rows: each doc's DISTINCT word k-grams hashed to
+    60-bit ints — the single definition of the gram-key contract
+    (per-doc distinct via word_shingles, md5-derived 60-bit key,
+    explode drops docs shorter than k words) shared by the dup-span
+    pass, the novelty curve, and the repeated-n-gram censuses, and
+    mirrored in SQL by the _GRAM8 macro. Grams never shuffle as
+    strings."""
+    from duva_spark.llm import minhash
+
+    ws = F.split(F.col(text_col), " ")
+    return df.select(
+        id_col, F.explode(minhash.word_shingles(ws, k)).alias("gram")
+    ).select(id_col, minhash.md5_hash60(F.col("gram")).alias("gh"))
+
+
 def dup_span_counts(
     df: DataFrame,
     id_col: str,
@@ -62,13 +80,8 @@ def dup_span_counts(
     hash-join probe, where a count-over-window would buffer the whole
     hot partition group.
     """
-    from duva_spark.llm import minhash
-
-    ws = F.split(F.col(text_col), " ")
     # word_shingles is per-doc distinct, so COUNT(*) per gh == doc freq.
-    grams = df.select(
-        id_col, F.explode(minhash.word_shingles(ws, k)).alias("gram")
-    ).select(id_col, minhash.md5_hash60(F.col("gram")).alias("gh"))
+    grams = gram_keys(df, id_col, text_col, k)
     dup = (
         grams.groupBy("gh")
         .agg(F.count("*").alias("_df"))

@@ -606,13 +606,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duva_spark.llm import minhash
-
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(minhash.word_shingles(F.split(F.col("text"), " "), 8)).alias("gram"),
-    ).select("doc_id", minhash.md5_hash60(F.col("gram")).alias("gh"))
+    grams = dedup.gram_keys(docs, "doc_id", "text", 8)
     return (
         grams.groupBy("gh")
         .agg(
@@ -2141,11 +2136,14 @@ def q_repeat_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    g = docs.select(
-        "doc_id", F.explode(minhash.word_shingles(ws, 8)).alias("gram")
-    ).select("doc_id", minhash.md5_hash60(F.col("gram")).alias("gh"))
-    mx = g.agg((F.max("doc_id") + 1).alias("m"))
+    g = dedup.gram_keys(docs, "doc_id", "text", 8)
+    # same value the oracle derives from g (max id among docs with >= 8
+    # words), but computed from the doc frame — no third shingle+md5
+    # materialization of the corpus just for one scalar
+    mx = (
+        docs.filter(F.size(F.split("text", " ")) >= 8)
+        .agg((F.max("doc_id") + 1).alias("m"))
+    )
     first = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     occ = g.join(first, "gh").select(
         "doc_id", (F.col("first_doc") == F.col("doc_id")).alias("is_first")

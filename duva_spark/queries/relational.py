@@ -4319,13 +4319,14 @@ def q_hourly_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT x, user_id,
                  ROW_NUMBER() OVER (ORDER BY x, user_id) AS i
           FROM x),
-    s AS (SELECT CAST(SUM(i * x) AS BIGINT) AS sx,
+    s AS (SELECT CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE) AS sxd,
                  CAST(SUM(x) AS BIGINT) AS t,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM r)
     SELECT n AS n_users,
            t AS n_events,
-           ROUND(2.0 * sx / (n * t) - (n + 1.0) / n, 6) AS gini
+           ROUND(2.0 * sxd / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
     FROM s
     """,
     description=(
@@ -4334,11 +4335,16 @@ def q_hourly_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near 1; organic audiences sit well below). Uses the exact "
         "rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n with ranks "
         "assigned by the DISTRIBUTED prefix-sum operator over (count, "
-        "user) order — no ROW_NUMBER over a global ORDER BY, so no "
-        "Exchange SinglePartition stage at any user count (the oracle "
-        "uses the window because DuckDB is single-node anyway). All "
-        "sums are exact integer arithmetic until the final division, "
-        "so the statistic is bit-stable across engines."
+        "user) order — no ROW_NUMBER over a global ORDER BY window, so "
+        "full event data never funnels through one task (the final "
+        "1-row aggregate's SinglePartition exchange carries only one "
+        "partial-agg row per partition, the same caveat test_plans "
+        "documents for every global aggregate; the oracle uses the "
+        "window because DuckDB is single-node anyway). sum(i*x) "
+        "accumulates in 128-bit (decimal(38,0) / HUGEINT — i*x can "
+        "pass int64 around ~3e9 users x 3e9 events) and every quantity "
+        "is exact until the final double conversion, so the statistic "
+        "is bit-stable across engines."
     ),
 )
 def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4350,7 +4356,9 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = running_sum(x, ["x", "user_id"], "one", out_col="i")
     s = r.agg(
-        F.sum(F.col("i") * F.col("x")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxd"),
         F.sum("x").alias("t"),
         F.count("*").alias("n"),
     )
@@ -4358,7 +4366,8 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_users"),
         F.col("t").cast("long").alias("n_events"),
         F.round(
-            2.0 * F.col("sx") / (F.col("n") * F.col("t"))
+            2.0 * F.col("sxd")
+            / (F.col("n").cast("double") * F.col("t").cast("double"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),
