@@ -461,3 +461,38 @@ def test_leakproof_split_has_zero_spanning_clusters(spark):
     comps = {r["doc_id"]: r["comp"] for r in lab.collect()}
     for i in range(20):
         assert comps[i] == comps[i + 1000]
+
+
+def test_dup_span_counts_matches_python_reference(spark):
+    """dup_span_counts (the exact-substring-dedup removal pass) agrees
+    with a brute-force pure-python reference on a randomized corpus with
+    planted boilerplate, including docs below the k-word floor (absent
+    from the output) and dup counts per doc."""
+    words = [f"w{i}" for i in range(30)]
+    boiler = " ".join(words[:8])  # an 8-gram planted into many docs
+    rows = []
+    for i in range(60):
+        n = int(RNG.integers(0, 14))
+        body = " ".join(str(RNG.choice(words)) for _ in range(n))
+        if i % 3 == 0:
+            body = (boiler + " " + body).strip()
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup)
+        for r in dedup.dup_span_counts(df, "doc_id", "text", k=8).collect()
+    }
+    # python reference: distinct 8-gram sets per doc, global doc-freq
+    grams = {}
+    for i, t in rows:
+        ws = t.split(" ")
+        grams[i] = {" ".join(ws[j : j + 8]) for j in range(len(ws) - 7)} if len(ws) >= 8 else set()
+    from collections import Counter
+
+    df_count = Counter(g for gs in grams.values() for g in gs)
+    for i, gs in grams.items():
+        if not gs:
+            assert i not in got  # short docs never reach the output
+            continue
+        n_dup = sum(1 for g in gs if df_count[g] >= 2)
+        assert got[i] == (len(gs), n_dup), f"doc {i}"
