@@ -4372,3 +4372,58 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier census (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+    d AS (SELECT ABS(value - med) AS dev, med FROM events CROSS JOIN m),
+    s AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(s.mad), 6) AS mad,
+           CAST(COUNT(*) FILTER (WHERE dev > 3 * 1.4826 * s.mad) AS BIGINT)
+             AS n_outliers,
+           ROUND(COUNT(*) FILTER (WHERE dev > 3 * 1.4826 * s.mad) * 1.0
+                 / COUNT(*), 6) AS outlier_rate
+    FROM d CROSS JOIN s
+    """,
+    description=(
+        "Robust outlier census via median absolute deviation: events "
+        "more than 3 scaled MADs (x1.4826, the normal-consistency "
+        "constant) from the median — the metric-monitoring outlier rule "
+        "that, unlike z-scores, a few extreme values cannot poison "
+        "(breakdown point 50% vs 0%). Composes the distributed exact-"
+        "quantile operator twice (median of values, then median of "
+        "absolute deviations) — each pass is counts -> range-partitioned "
+        "prefix sums -> broadcast boundary pick, never an O(N) buffer in "
+        "one task — with both 1-row results re-attached by broadcast. "
+        "Interpolation arithmetic is bit-identical to DuckDB "
+        "quantile_cont, so the threshold compare agrees exactly."
+    ),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.quantile import quantile_cont_row
+
+    ev = load_table(spark, sf_dir, "events")
+    m = quantile_cont_row(ev, "value", {"med": 0.5})
+    d = ev.crossJoin(F.broadcast(m)).select(
+        F.abs(F.col("value") - F.col("med")).alias("dev"), "med"
+    )
+    s = quantile_cont_row(d, "dev", {"mad": 0.5})
+    is_out = F.col("dev") > 3 * 1.4826 * F.col("mad")
+    return d.crossJoin(F.broadcast(s)).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.round(
+            F.sum(F.when(is_out, 1).otherwise(0)) * 1.0 / F.count("*"), 6
+        ).alias("outlier_rate"),
+    )

@@ -602,6 +602,8 @@ _BNLJ_SITES = [
     ("q_dedup_cluster_size_dist", 1),
     ("q_repeat_epochs_plan", 1),
     ("q_gram_novelty", 1),
+    # two quantile re-attaches (median, then MAD)
+    ("q_mad_outliers", 2),
 ]
 
 
