@@ -21,11 +21,11 @@ from duva_spark.queries import load_all  # noqa: E402
 from duva_spark.session import get_spark  # noqa: E402
 
 
-# The r4-round HEAD: the reference point for like-for-like bench
+# The r5-round HEAD: the reference point for like-for-like bench
 # comparison (r4 verdict item 4 — cross-round ratios previously leaned
 # on BASELINE.md's ±30% host-variance note; replaying the old HEAD in
 # the SAME session removes the host from the comparison).
-_REF_COMMIT = "2f4e8a0"
+_REF_COMMIT = "dd256da"
 
 
 def _replay_reference(sf_dir: str) -> dict | None:
@@ -120,8 +120,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "method": f"min of {runs} runs per query (host noise mitigation)",
-        "samples": samples,
     }
+    # Verbose detail (per-run samples, full replay block) goes to stderr
+    # so the stdout JSON line stays compact: the driver's capture keeps
+    # only a bounded tail of stdout and r5's oversized line got its head
+    # truncated away ("parsed": null in BENCH_r05) — r5 verdict item 2.
+    detail: dict = {"samples": samples}
     if not os.environ.get("SPARK_GRAFT_NO_REF"):
         # stop our own JVM first: the replay must not run under memory/
         # CPU contention from the parent's resident executors, or the
@@ -132,21 +136,21 @@ def main() -> None:
             shared = {
                 k: v for k, v in ref.get("queries", {}).items() if k in timings
             }
+            this_shared = round(sum(timings[k] for k in shared), 3)
+            ref_shared = round(sum(shared.values()), 3)
             payload["ref"] = {
                 "head": _REF_COMMIT,
-                "total_sec": ref.get("value"),
-                "queries": ref.get("queries", {}),
-                "shared_total_sec": round(sum(shared.values()), 3),
-                "this_shared_total_sec": round(
-                    sum(timings[k] for k in shared), 3
-                ),
+                "shared_total_sec": ref_shared,
+                "this_shared_total_sec": this_shared,
+                "ratio": round(this_shared / ref_shared, 3) if ref_shared else None,
                 "note": (
-                    "r4-HEAD bench replayed in the same session/host as "
-                    "this run (same min-of-N estimator, own JVM, parent "
-                    "session stopped first) — like-for-like ratio "
-                    "independent of the host-variance caveat"
+                    "r5-HEAD replayed same-session, own JVM, parent "
+                    "stopped first; like-for-like shared-set ratio"
                 ),
             }
+            detail["ref_queries"] = ref.get("queries", {})
+            detail["ref_total_sec"] = ref.get("value")
+    print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
     print(json.dumps(payload))
 
 

@@ -28,6 +28,35 @@ from pathlib import Path
 
 FAILURE_CAP = 3  # app/utils/hyper_utils.py:254
 
+# Catalog schema version — the JSON-store analogue of the reference's
+# alembic migration chain (app/alembic/versions/, 8 revisions). The
+# store file stamps its version; on load, older versions are upgraded
+# in sequence through _UPGRADES and FUTURE versions are refused (the
+# reference's `alembic upgrade head` contract: old data migrates
+# forward, a new-schema DB is never opened by old code).
+SCHEMA_VERSION = 2
+
+
+class MetadataSchemaError(RuntimeError):
+    """Store file written by a NEWER schema than this code understands."""
+
+
+def _upgrade_v1_to_v2(doc: dict) -> dict:
+    """v1 → v2: v1 was the bare {dataset_id: row} mapping with no
+    version stamp; v2 wraps it in {"schema_version", "rows"} and
+    backfills fields added after v1 shipped (dataclass defaults), so a
+    v2 reader never sees a partial row."""
+    from dataclasses import fields
+
+    defaults = {
+        f.name: f.default for f in fields(DatasetState) if f.name != "dataset_id"
+    }
+    rows = {rid: {**defaults, **raw} for rid, raw in doc.items()}
+    return {"schema_version": 2, "rows": rows}
+
+
+_UPGRADES = {1: _upgrade_v1_to_v2}
+
 
 class FileStatus(str, enum.Enum):
     QUEUED = "Sync Queued"
@@ -60,13 +89,36 @@ class MetadataStore:
         # flush so updates can't interleave or get lost.
         self._mu = threading.RLock()
         if self._path.exists():
-            for rid, raw in json.loads(self._path.read_text()).items():
+            doc = json.loads(self._path.read_text())
+            # v1 files are the bare row mapping — no version stamp.
+            version = doc.get("schema_version", 1) if isinstance(doc, dict) else 1
+            if not isinstance(version, int):
+                version = 1
+            if version > SCHEMA_VERSION:
+                raise MetadataSchemaError(
+                    f"store {self._path} is schema v{version}; this build "
+                    f"understands ≤ v{SCHEMA_VERSION} — refuse rather than "
+                    "silently drop newer fields"
+                )
+            upgraded = version < SCHEMA_VERSION
+            while version < SCHEMA_VERSION:
+                doc = _UPGRADES[version](doc)
+                version = doc["schema_version"]
+            for rid, raw in doc["rows"].items() if "rows" in doc else doc.items():
                 self._rows[rid] = DatasetState(**raw)
+            if upgraded:
+                self._flush()  # persist the migrated form immediately
 
     def _flush(self) -> None:
         # Atomic: write a temp file in the same directory, then os.replace
         # — a crash mid-write can never leave a truncated store behind.
-        payload = json.dumps({rid: asdict(s) for rid, s in self._rows.items()}, indent=1)
+        payload = json.dumps(
+            {
+                "schema_version": SCHEMA_VERSION,
+                "rows": {rid: asdict(s) for rid, s in self._rows.items()},
+            },
+            indent=1,
+        )
         fd, tmp = tempfile.mkstemp(dir=self._path.parent or ".", suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
