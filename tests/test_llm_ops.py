@@ -843,3 +843,51 @@ def test_lloyd_sample_training_assigns_full_corpus(spark):
         by_parity[r["vec_id"] % 2].add(r["cluster"])
     assert all(len(v) == 1 for v in by_parity.values())
     assert by_parity[0] != by_parity[1]
+
+
+def test_assign_nearest_exact_ties_across_chunk_seam(spark):
+    """Adversarial exact-float ties straddling BOTH internal chunk seams
+    (the 256-centroid chunk and the 1024-row chunk): equal-distance
+    centroids on each side of index 256 must resolve to the LOWEST id,
+    in top-1 (strict-inequality update across chunks) and top-n (stable
+    argsort over the concatenated row) — r5 verdict item 8."""
+    from pyspark.sql import Row
+
+    from duva_spark.llm import assign
+
+    k = 260  # crosses the 256-centroid chunk boundary
+    # ids 254..257 sit at exact squared distance 1.0 from the origin —
+    # two in chunk 0, two in chunk 1; everything else is far away
+    tied = {254: [1.0, 0.0], 255: [-1.0, 0.0], 256: [0.0, 1.0], 257: [0.0, -1.0]}
+    rows = [
+        Row(cluster=i, cen=tied.get(i, [10.0 + i, 10.0])) for i in range(k)
+    ]
+    n_rows = 1030  # crosses the 1024-row chunk boundary too
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(n_rows)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+
+    top1 = assign.assign_nearest(df, rows, metric="euclidean").collect()
+    assert len(top1) == n_rows
+    assert {r.cluster for r in top1} == {254}  # lowest tied id, every row
+
+    top4 = assign.assign_nearest(
+        df.limit(3), rows, metric="euclidean", n=4, out_col="b"
+    ).collect()
+    assert all(r.b == [254, 255, 256, 257] for r in top4)
+
+    # cosine seam tie: ids 255 and 256 both at similarity exactly 1.0
+    # (colinear with the query, norms divide out exactly in binary fp)
+    crows = [
+        Row(cluster=i, cen={255: [2.0, 0.0], 256: [3.0, 0.0]}.get(i, [-10.0 - i, -10.0]))
+        for i in range(k)
+    ]
+    cdf = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    got = assign.assign_nearest(cdf, crows, metric="cosine", round_dp=9).collect()
+    assert got[0].cluster == 255
+
+    # zero-norm query: NaN sims map to -inf, argmax falls back to the
+    # lowest bucket id overall
+    zdf = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    assert assign.assign_nearest(zdf, crows, metric="cosine").collect()[0].cluster == 0
