@@ -260,3 +260,70 @@ def test_streaming_progress_listener_records_batches(spark, sf_dir):
     rows = sum(e.get("num_input_rows", 0) for e in rec.events if e["kind"] == "progress")
     assert rows > 0
     assert any(e["kind"] == "started" for e in rec.events)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill a streaming query mid-run AFTER a foreachBatch partial commit
+    (the merge for epoch 1 lands in the sink, but the crash happens
+    before Spark records the epoch's offset commit), then restart from
+    the same checkpoint with the production stream_upsert_sink. Spark
+    replays the uncommitted epoch; the idempotent merge absorbs the
+    replay; the final sink must equal the batch oracle exactly —
+    exactly-once to storage across a crash/restore (r5 verdict item 7)."""
+    import pytest
+
+    from duva_spark.sinks import merge_upsert
+    from duva_spark.streaming.jobs import stream_upsert_sink
+
+    src = str(tmp_path / "src")
+    # three single-file appends → with maxFilesPerTrigger=1 the stream
+    # sees exactly three micro-batches (epochs 0, 1, 2)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}_{j}") for j in range(5)], "k long, payload string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def make_stream():
+        return (
+            spark.readStream.schema("k long, payload string")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+
+    crash_flag = tmp_path / "crashed_once"
+
+    def write_batch(bdf, epoch_id):
+        merge_upsert(bdf.sparkSession, bdf, out, "k")
+        if epoch_id == 1 and not crash_flag.exists():
+            crash_flag.write_text("x")
+            raise RuntimeError("injected crash after partial commit")
+
+    q = (
+        make_stream()
+        .writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .queryName("restart_run1")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert crash_flag.exists()
+    # partial state on disk: epochs 0 and 1 merged (10 rows), epoch 2 not
+    assert spark.read.parquet(out).count() == 10
+
+    # restart from the SAME checkpoint via the shipped sink recipe —
+    # epoch 1 replays (offset never committed), merge is idempotent
+    stream_upsert_sink(
+        make_stream(), out, "k", query_name="restart_run2", checkpoint=ckpt
+    )
+
+    got = sorted(map(tuple, spark.read.parquet(out).select("k", "payload").collect()))
+    want = sorted(map(tuple, spark.read.parquet(src).select("k", "payload").collect()))
+    assert got == want  # value-level equality, no dupes, no gaps
+    assert len(got) == 15
