@@ -1925,6 +1925,72 @@ def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POSGRAM8 = (
+    "list_transform(range(1, len(ws) - 6), i -> {'pos': i, 'g': "
+    + " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(8))
+    + "})"
+)
+
+
+@register(
+    "q_dup_spans_exact",
+    headline=True,
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g0 AS (SELECT doc_id, len(ws) AS n_words, unnest({_POSGRAM8}) AS u
+           FROM d WHERE len(ws) >= 8),
+    g AS (SELECT doc_id, n_words, u.pos AS pos,
+                 CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS gh
+          FROM g0),
+    dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+            GROUP BY gh HAVING COUNT(*) >= 2),
+    hit AS (SELECT doc_id, pos FROM g SEMI JOIN dup USING (gh)),
+    lg AS (SELECT doc_id, pos,
+                  CASE WHEN pos > COALESCE(
+                           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                           -9) + 8
+                       THEN 1 ELSE 0 END AS new_span
+           FROM hit),
+    sp AS (SELECT doc_id, pos,
+                  SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM lg),
+    per_span AS (SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS span_len
+                 FROM sp GROUP BY doc_id, span_id
+                 HAVING MAX(pos) - MIN(pos) + 8 >= 16),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(span_len) AS BIGINT) AS covered
+            FROM per_span GROUP BY doc_id),
+    alld AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words
+             FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(covered, 0) AS BIGINT) AS covered_words,
+           ROUND(COALESCE(covered, 0) * 1.0 / n_words, 6) AS span_coverage
+    FROM alld LEFT JOIN agg USING (doc_id)
+    """,
+    description=(
+        "Variable-length duplicated-SPAN report — the full Lee et al. 2022 "
+        "exact-substring semantics that q_dup_span_ratio bounds to gram "
+        "counts: per-doc maximal duplicated regions (interval union of "
+        "overlapping/adjacent duplicated word-8-gram extents, merged spans "
+        "under 16 words dropped — the paper's min-span floor scaled to the "
+        "test corpus), with TRUE word coverage of the union rather than the "
+        "gram-hit fraction. Distributed without a suffix array: positional "
+        "grams travel as (doc, int pos, 60-bit key); one DISTINCT-pair "
+        "shuffle computes gram doc-frequency; a semi-join hash probe marks "
+        "duplicated positions (a viral boilerplate gram streams, never "
+        "buffers); the interval merge is a lag/running-sum window "
+        "partitioned by DOC id — state bounded by one document's length, "
+        "never by corpus-wide gram frequency, so the operator has no "
+        "hot-key partition at any corpus size."
+    ),
+)
+def q_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_spans_exact(docs, "doc_id", "text", k=8, min_df=2, min_span=16)
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer fertility (subwords per word / bytes per subword)
 # ---------------------------------------------------------------------------

@@ -496,3 +496,76 @@ def test_dup_span_counts_matches_python_reference(spark):
             continue
         n_dup = sum(1 for g in gs if df_count[g] >= 2)
         assert got[i] == (len(gs), n_dup), f"doc {i}"
+
+
+def test_dup_spans_exact_matches_python_interval_merge(spark):
+    """dup_spans_exact (variable-length Lee et al. span semantics) agrees
+    with a pure-python positional-gram + interval-union reference on a
+    randomized corpus with planted multi-template boilerplate, including
+    adjacent spans (templates inserted back-to-back merge into one
+    region), the min_span floor, and short/empty docs (zero rows)."""
+    import random
+
+    k, min_df, min_span = 8, 2, 16
+    rng = random.Random(4242)
+    templates = [
+        [f"t{j}x{i}" for i in range(length)]
+        for j, length in enumerate([10, 14, 20, 9])
+    ]
+    vocab = [f"r{i}" for i in range(500)]  # big vocab: random grams unique
+    rows = []
+    for did in range(80):
+        wordlist: list[str] = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.45:
+                wordlist += templates[rng.randrange(len(templates))]
+            else:
+                wordlist += [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        rows.append((did, " ".join(wordlist)))
+    rows.append((900, ""))  # empty doc
+    rows.append((901, "a b c"))  # below the k-word floor
+
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    got = {
+        r.doc_id: (r.n_words, r.n_spans, r.covered_words, r.span_coverage)
+        for r in dedup.dup_spans_exact(
+            df, "doc_id", "text", k=k, min_df=min_df, min_span=min_span
+        ).collect()
+    }
+
+    # --- pure-python reference -------------------------------------
+    grams = {}
+    for did, t in rows:
+        ws = t.split(" ")
+        grams[did] = [
+            (p, " ".join(ws[p : p + k])) for p in range(len(ws) - k + 1)
+        ]
+    from collections import defaultdict
+
+    docs_per_gram: dict[str, set] = defaultdict(set)
+    for did, pg in grams.items():
+        for _, g in pg:
+            docs_per_gram[g].add(did)
+    dup = {g for g, ds in docs_per_gram.items() if len(ds) >= min_df}
+    assert dup  # the corpus really planted shared spans
+
+    for did, t in rows:
+        ws = t.split(" ")
+        positions = sorted(p for p, g in grams[did] if g in dup)
+        spans: list[list[int]] = []  # [start, last_gram_pos]
+        for p in positions:
+            if spans and p <= spans[-1][1] + k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        kept = [(s, last + k - 1) for s, last in spans if last - s + k >= min_span]
+        covered = sum(e - s + 1 for s, e in kept)
+        n_words = len(ws)
+        want = (
+            n_words,
+            len(kept),
+            covered,
+            round(covered * 1.0 / n_words, 6),
+        )
+        assert got[did] == want, f"doc {did}: {got[did]} != {want}"
+    assert len(got) == len(rows)  # short/empty docs present with zeros

@@ -162,6 +162,23 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         _force(_dedup.dup_span_counts(_docs(spark, n), "doc_id", "text", k=8))
 
     cases.append(("dup_span_ratio", sizes_big, dup_span))
+
+    def dup_spans_exact(n):
+        # q_dup_spans_exact's operator (shared helper): positional grams
+        # -> distinct-pair doc-frequency shuffle -> semi-join marker ->
+        # per-DOC lag/running-sum interval merge. The window partitions
+        # by doc id (bounded state), so the sweep measures the extra
+        # positional volume + per-doc window against dup_span_ratio's
+        # count-only plan.
+        from duva_spark.llm import dedup as _dedup
+
+        _force(
+            _dedup.dup_spans_exact(
+                _docs(spark, n), "doc_id", "text", k=8, min_span=16
+            )
+        )
+
+    cases.append(("dup_spans_exact", sizes_big, dup_spans_exact))
     cases.append(
         (
             "kmeans_assign",
