@@ -229,6 +229,74 @@ def ivf_topk(
     )
 
 
+def ivf_topk_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ivf_topk evaluated at SEVERAL nprobe values in ONE pass — the
+    quality/cost dial of the IVF index (larger nprobe → more buckets
+    probed → higher recall, more candidate volume).
+
+    Returns (nprobe, query_id, neighbor_id, cosine_sim, rank). The
+    corpus is assigned ONCE through the shared shuffle-free Arrow
+    argmax; the query probe ranks max(nprobes) buckets once; only the
+    candidate sliver (probed buckets × queries, never the corpus) is
+    replicated per grid point before the per-(nprobe, query) window —
+    so a 3-point curve costs ~one ivf_topk at the widest nprobe, not
+    three separate index scans.
+    """
+    from duva_spark.llm import assign
+
+    nprobes = tuple(sorted(set(int(p) for p in nprobes)))
+    rows, id_type = _centroid_rows(centroids, label_col)
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, label_col,
+        centroid_rows=rows, id_type=id_type,
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qprobe = assign.assign_nearest(
+        q, rows, metric="cosine", round_dp=9, n=max(nprobes), vec_col="q_vec",
+        out_col="_buckets", id_field="bucket", cen_field="centroid",
+        id_type=id_type,
+    ).select(
+        "query_id", "q_vec", F.posexplode("_buckets").alias("probe_rank", "bucket")
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    # each corpus vector lives in exactly one bucket and a query's probed
+    # buckets are distinct, so (query, neighbor) appears at most once —
+    # no dedup needed before the rank window
+    sims = (
+        cand.join(F.broadcast(qprobe), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    ex = sims.select(
+        "*",
+        F.explode(F.array(*[F.lit(p).cast("int") for p in nprobes])).alias("nprobe"),
+    ).filter(F.col("probe_rank") < F.col("nprobe"))
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def rplsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
