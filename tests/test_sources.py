@@ -536,3 +536,134 @@ def test_onadata_datasource_permissive_parse(spark, tmp_path):
     assert rows[1] == ("x", 1)
     assert rows[249] == ("y", None)  # ragged row padded
     assert rows[250] == ("z", None)  # late non-integer degrades to NULL
+
+
+def test_native_merge_interaction_pinned(monkeypatch):
+    """The native MERGE branch cannot execute here (no Delta/Iceberg
+    jars, no network), so pin its API interaction instead: module-shaped
+    doubles record every call _native_merge_upsert makes, and the test
+    asserts the exact DeltaTable call chain / Iceberg MERGE SQL a real
+    backend would receive — the call signature is locked even though the
+    engine underneath is absent (r5 verdict item 4 fallback)."""
+    import sys
+    import types
+
+    from duva_spark.sinks import _native_merge_upsert
+
+    log: list = []
+
+    class FakeChain:
+        """Records method calls; every call returns the chain again."""
+
+        def __init__(self, name):
+            self._name = name
+
+        def __getattr__(self, attr):
+            def call(*a):
+                log.append((f"{self._name}.{attr}", a))
+                return FakeChain(self._name)
+
+            return call
+
+    class FakeWriteChain(FakeChain):
+        pass
+
+    class FakeDF:
+        def __init__(self, name="df"):
+            self._name = name
+
+        def alias(self, a):
+            log.append(("df.alias", (a,)))
+            return ("aliased_df", a)
+
+        def createOrReplaceTempView(self, v):
+            log.append(("df.tempview", (v,)))
+
+        @property
+        def write(self):
+            return FakeChain("write")
+
+    class FakeCountable:
+        def count(self):
+            return 7
+
+    class FakeReader:
+        def format(self, f):
+            log.append(("read.format", (f,)))
+            return self
+
+        def load(self, p):
+            log.append(("read.load", (p,)))
+            return FakeCountable()
+
+    class FakeSpark:
+        @property
+        def read(self):
+            return FakeReader()
+
+        def sql(self, text):
+            log.append(("spark.sql", (text,)))
+
+        def table(self, t):
+            log.append(("spark.table", (t,)))
+            return FakeCountable()
+
+    class FakeDeltaTable:
+        _exists = True
+
+        @staticmethod
+        def isDeltaTable(spark, path):
+            log.append(("isDeltaTable", (path,)))
+            return FakeDeltaTable._exists
+
+        @staticmethod
+        def forPath(spark, path):
+            log.append(("forPath", (path,)))
+            return FakeChain("t")
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = FakeDeltaTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    # --- Delta, table exists: the MERGE chain, exactly ----------------
+    n = _native_merge_upsert(FakeSpark(), FakeDF(), "/data/tbl", "_id", "delta")
+    assert n == 7
+    assert log == [
+        ("isDeltaTable", ("/data/tbl",)),
+        ("forPath", ("/data/tbl",)),
+        ("t.alias", ("t",)),
+        ("df.alias", ("s",)),  # argument evaluates before the merge call
+        ("t.merge", (("aliased_df", "s"), "t._id = s._id")),
+        ("t.whenMatchedUpdateAll", ()),
+        ("t.whenNotMatchedInsertAll", ()),
+        ("t.execute", ()),
+        ("read.format", ("delta",)),
+        ("read.load", ("/data/tbl",)),
+    ]
+
+    # --- Delta, table absent: bootstrap overwrite ---------------------
+    log.clear()
+    FakeDeltaTable._exists = False
+    n = _native_merge_upsert(FakeSpark(), FakeDF(), "/data/new", "_id", "delta")
+    assert n == 7
+    assert ("isDeltaTable", ("/data/new",)) in log
+    assert ("write.format", ("delta",)) in log
+    assert ("write.mode", ("overwrite",)) in log
+    assert ("write.save", ("/data/new",)) in log
+    assert ("forPath", ("/data/new",)) not in log  # no merge on bootstrap
+
+    # --- Iceberg: SQL-only MERGE INTO ---------------------------------
+    log.clear()
+    n = _native_merge_upsert(FakeSpark(), FakeDF(), "cat.db.tbl", "_id", "iceberg")
+    assert n == 7
+    assert log[0] == ("df.tempview", ("_merge_source",))
+    kind, (sql_text,) = log[1]
+    assert kind == "spark.sql"
+    assert sql_text == (
+        "MERGE INTO cat.db.tbl t USING _merge_source s ON t._id = s._id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert log[2] == ("spark.table", ("cat.db.tbl",))
