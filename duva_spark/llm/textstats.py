@@ -102,6 +102,58 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_of(text)))))
 
 
+# Gopher rule constants (Rae et al. 2021, appendix A1.1 — the public
+# rule battery most production corpora start from)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN = (3.0, 10.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Gopher quality-rule battery (Rae et al. 2021): word-count
+    bounds, mean word length, symbol-to-word ratio (# and ellipsis),
+    alphabetic-word fraction, and the distinct-stopword-hit rule, each as
+    its own boolean plus the conjunction. Pure Column expressions — the
+    whole battery folds into the scan projection and runs at parquet
+    speed with zero shuffles at any corpus size."""
+    t = F.col(text_col)
+    ws = words_of(t)
+    n = F.size(ws)
+    mean_len = (F.length(t) - n + 1) / n
+    n_symbols = (
+        F.length(t)
+        - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    )
+    alpha_frac = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / n
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(ws), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    p_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    p_mean = (mean_len >= GOPHER_MEAN_LEN[0]) & (mean_len <= GOPHER_MEAN_LEN[1])
+    p_sym = (n_symbols / n) <= GOPHER_MAX_SYMBOL_RATIO
+    p_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    p_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        "*",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(n_symbols / n, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        p_words.alias("pass_word_count"),
+        p_mean.alias("pass_mean_len"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_alpha.alias("pass_alpha"),
+        p_stop.alias("pass_stopwords"),
+        (p_words & p_mean & p_sym & p_alpha & p_stop).alias("pass_gopher"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.select(

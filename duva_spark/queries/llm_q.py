@@ -134,6 +134,163 @@ def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.GOPHER_STOPWORDS)
+_MEAN_LEN = f"(LENGTH(text) - {_NTOK} + 1) * 1.0 / {_NTOK}"
+_N_SYM = (
+    "(LENGTH(text) - LENGTH(replace(text, '#', ''))"
+    " + LENGTH(text) - LENGTH(replace(text, '…', '')))"
+)
+_ALPHA = f"len(list_filter({_WS}, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / {_NTOK}"
+_STOP_HITS = f"len(list_intersect(list_distinct({_WS}), [{_GOPHER_STOP_SQL}]))"
+
+
+@register(
+    "q_gopher_quality_flags",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NTOK} AS BIGINT) AS n_words,
+           ROUND({_MEAN_LEN}, 6) AS mean_word_len,
+           ROUND({_N_SYM} * 1.0 / {_NTOK}, 6) AS symbol_ratio,
+           ROUND({_ALPHA}, 6) AS alpha_frac,
+           CAST({_STOP_HITS} AS BIGINT) AS n_stop_hits,
+           {_NTOK} BETWEEN 50 AND 100000 AS pass_word_count,
+           {_MEAN_LEN} BETWEEN 3.0 AND 10.0 AS pass_mean_len,
+           {_N_SYM} * 1.0 / {_NTOK} <= 0.1 AS pass_symbol_ratio,
+           {_ALPHA} >= 0.8 AS pass_alpha,
+           {_STOP_HITS} >= 2 AS pass_stopwords,
+           ({_NTOK} BETWEEN 50 AND 100000)
+             AND ({_MEAN_LEN} BETWEEN 3.0 AND 10.0)
+             AND ({_N_SYM} * 1.0 / {_NTOK} <= 0.1)
+             AND ({_ALPHA} >= 0.8)
+             AND ({_STOP_HITS} >= 2) AS pass_gopher
+    FROM documents
+    """,
+    description=(
+        "Gopher quality-rule battery (Rae et al. 2021 A1.1): per-doc "
+        "word-count bounds, mean word length, symbol-to-word ratio, "
+        "alphabetic-word fraction, and the distinct-stopword-hit rule, "
+        "each as its own boolean plus the conjunction — the rule-based "
+        "complement to the score-based q_adaptive_quality_filter. Pure "
+        "Column expressions folded into the scan projection: zero "
+        "shuffles, parquet-scan speed at any corpus size."
+    ),
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.gopher_flags(docs).drop("text", "lang", "source", "n_chars")
+
+
+@register(
+    "q_heaps_law",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    w AS (SELECT doc_id, unnest({_WS}) AS w FROM documents),
+    first_seen AS (SELECT w, MIN(doc_id) AS first_doc FROM w GROUP BY w),
+    vb AS (SELECT LEAST(9, CAST(FLOOR(first_doc * 10.0 / (max_id + 1)) AS BIGINT)) AS bucket,
+                  COUNT(*) AS new_vocab
+           FROM first_seen, mx GROUP BY 1),
+    tb AS (SELECT LEAST(9, CAST(FLOOR(doc_id * 10.0 / (max_id + 1)) AS BIGINT)) AS bucket,
+                  CAST(SUM({_NTOK}) AS BIGINT) AS toks
+           FROM documents, mx GROUP BY 1),
+    c AS (SELECT tb.bucket,
+                 SUM(toks) OVER (ORDER BY tb.bucket) AS cum_tokens,
+                 SUM(COALESCE(new_vocab, 0)) OVER (ORDER BY tb.bucket) AS cum_vocab
+          FROM tb LEFT JOIN vb ON tb.bucket = vb.bucket)
+    SELECT bucket,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           ROUND(ln(cum_vocab) / ln(cum_tokens), 6) AS heaps_beta
+    FROM c
+    """,
+    description=(
+        "Heaps-law vocabulary-growth curve: cumulative distinct-word "
+        "count vs cumulative token count at 10 corpus-prefix points, "
+        "with the empirical Heaps exponent (ln V / ln N) per point — the "
+        "standard diagnostic for whether a corpus keeps contributing new "
+        "vocabulary or has saturated (when to stop collecting a source). "
+        "Distributed shape: ONE groupBy(word) shuffle computes each "
+        "word's first-seen document (vocabulary-sized, Zipf-bounded — "
+        "far smaller than the token stream); prefix buckets are pure "
+        "arithmetic on doc_id against a broadcast 1-row max; the "
+        "cumulative window runs over exactly 10 rows. The token stream "
+        "itself is never shuffled — n_tokens folds into the scan."
+    ),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+
+    def bucket(col):
+        return F.least(
+            F.lit(9), F.floor(col * 10.0 / (F.col("max_id") + 1)).cast("long")
+        )
+
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    first_seen = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    vb = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col("first_doc")).alias("bucket"))
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    tb = (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col("doc_id")).alias("bucket"))
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = tb.join(vb, "bucket", "left").select(
+        "bucket",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("cum_vocab"),
+    )
+    return c.select(
+        "bucket",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        F.round(F.log("cum_vocab") / F.log("cum_tokens"), 6).alias("heaps_beta"),
+    )
+
+
+@register(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH p AS (SELECT lang, {_LANG_PRED} AS lang_pred FROM documents)
+    SELECT lang, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+               AS share_of_lang
+    FROM p GROUP BY lang, lang_pred
+    """,
+    description=(
+        "Language-ID confusion matrix: the stopword-marker heuristic's "
+        "prediction against the labeled lang column, with each cell's "
+        "share of its true-language row — the eval that says WHERE the "
+        "cheap heuristic fails before a fasttext UDF replaces it "
+        "(COVERAGE.md known-gap #3 gets its measurement). One scan + one "
+        "(lang, pred) groupBy — the matrix is |langs|² rows; the share "
+        "window runs over that tiny frame, never the corpus."
+    ),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.select(
+        "lang", textstats.predicted_lang(F.col("text")).alias("lang_pred")
+    ).groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))
+    return cells.select(
+        "lang",
+        "lang_pred",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.col("n_docs") * 1.0 / F.sum("n_docs").over(W.partitionBy("lang")), 6
+        ).alias("share_of_lang"),
+    )
+
+
 @register(
     "q_fingerprint_collisions",
     oracle=f"""
