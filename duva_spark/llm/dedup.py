@@ -86,6 +86,50 @@ def positional_gram_keys(
     )
 
 
+def _dup_span_intervals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_df: int,
+    min_span: int,
+) -> DataFrame:
+    """Shared span machinery: (id_col, n_words, span_start, span_end)
+    per merged duplicated interval of at least ``min_span`` words —
+    positions 0-based, end inclusive. Used by dup_spans_exact (the
+    report) and remove_dup_spans (the transform)."""
+    from pyspark.sql import Window
+
+    pg = positional_gram_keys(df, id_col, text_col, k)
+    dup = (
+        pg.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gh")
+    )
+    hits = pg.join(dup, "gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # equal-length intervals sorted by start: the previous gram covers
+    # [lag, lag+k-1], so a new maximal span starts iff pos > lag + k
+    # (pos == lag+k is word-adjacent → one contiguous duplicated region)
+    lagp = F.lag("pos").over(w)
+    spans = hits.withColumn(
+        "_new", F.when(lagp.isNull() | (F.col("pos") > lagp + k), 1).otherwise(0)
+    ).withColumn("span_id", F.sum("_new").over(w))
+    return (
+        spans.groupBy(id_col, "span_id")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+        )
+        .filter(F.col("span_end") - F.col("span_start") + 1 >= min_span)
+        .drop("span_id")
+    )
+
+
 def dup_spans_exact(
     df: DataFrame,
     id_col: str,
@@ -115,38 +159,12 @@ def dup_spans_exact(
     single document's length, never by corpus-wide gram frequency, so no
     hot-key partition exists at any corpus size.
     """
-    from pyspark.sql import Window
-
     if min_span is None:
         min_span = k
-    pg = positional_gram_keys(df, id_col, text_col, k)
-    dup = (
-        pg.select(id_col, "gh")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("gh")
-    )
-    hits = pg.join(dup, "gh", "left_semi")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    # equal-length intervals sorted by start: the previous gram covers
-    # [lag, lag+k-1], so a new maximal span starts iff pos > lag + k
-    # (pos == lag+k is word-adjacent → one contiguous duplicated region)
-    lagp = F.lag("pos").over(w)
-    spans = hits.withColumn(
-        "_new", F.when(lagp.isNull() | (F.col("pos") > lagp + k), 1).otherwise(0)
-    ).withColumn("span_id", F.sum("_new").over(w))
-    per_span = (
-        spans.groupBy(id_col, "span_id")
-        .agg(
-            F.first("n_words").alias("n_words"),
-            (F.max("pos") - F.min("pos") + k).alias("span_len"),
-        )
-        .filter(F.col("span_len") >= min_span)
-    )
+    per_span = _dup_span_intervals(df, id_col, text_col, k, min_df, min_span)
     agg = per_span.groupBy(id_col).agg(
-        F.count("*").alias("n_spans"), F.sum("span_len").alias("covered_words")
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("covered_words"),
     )
     all_docs = df.select(id_col, F.size(F.split(F.col(text_col), " ")).alias("n_words"))
     return all_docs.join(agg, id_col, "left").select(
@@ -157,6 +175,54 @@ def dup_spans_exact(
         F.round(
             F.coalesce("covered_words", F.lit(0)) * 1.0 / F.col("n_words"), 6
         ).alias("span_coverage"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_df: int = 2,
+    min_span: int | None = None,
+) -> DataFrame:
+    """The REMOVAL pass of exact-substring dedup (Lee et al. 2022): cut
+    every merged duplicated span of >= ``min_span`` words out of each
+    document and return the cleaned text.
+
+    Returns (id_col, n_words, n_words_kept, cleaned_text). Documents
+    with no qualifying span pass through verbatim.
+
+    Scale shape: span discovery is _dup_span_intervals (see
+    dup_spans_exact — no hot-key partition); the per-doc interval list
+    re-attaches through one join keyed on the doc id (a doc's span list
+    is bounded by its own length), and the cut itself is a higher-order
+    array expression over the words array — index-filtered against the
+    span list inside codegen, no explode/re-aggregate round trip, so
+    document reconstruction costs a projection, not a shuffle.
+    """
+    if min_span is None:
+        min_span = k
+    per_span = _dup_span_intervals(df, id_col, text_col, k, min_df, min_span)
+    spans_per_doc = per_span.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    ws = F.split(F.col(text_col), " ")
+    joined = df.join(spans_per_doc, id_col, "left")
+    kept = F.when(F.col("_spans").isNull(), ws).otherwise(
+        F.filter(
+            ws,
+            lambda w, i: ~F.exists(
+                F.col("_spans"),
+                lambda sp: (i >= sp.span_start) & (i <= sp.span_end),
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(kept).cast("long").alias("n_words_kept"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
     )
 
 

@@ -1931,15 +1931,16 @@ _POSGRAM8 = (
     + "})"
 )
 
-
-@register(
-    "q_dup_spans_exact",
-    headline=True,
-    oracle=f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    g0 AS (SELECT doc_id, len(ws) AS n_words, unnest({_POSGRAM8}) AS u
+# Shared CTE chain for the variable-length span oracles (k=8, min_df=2,
+# min_span=16): positional grams -> distinct-doc gram frequency ->
+# duplicated positions -> lag/running-sum interval merge -> per-span
+# (1-based start s, inclusive end e). Used by q_dup_spans_exact and
+# q_dup_spans_removed so the two oracles cannot drift.
+_SPAN_CTES = f"""
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g0 AS (SELECT doc_id, unnest({_POSGRAM8}) AS u
            FROM d WHERE len(ws) >= 8),
-    g AS (SELECT doc_id, n_words, u.pos AS pos,
+    g AS (SELECT doc_id, u.pos AS pos,
                  CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS gh
           FROM g0),
     dup AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
@@ -1954,11 +1955,19 @@ _POSGRAM8 = (
     sp AS (SELECT doc_id, pos,
                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
            FROM lg),
-    per_span AS (SELECT doc_id, MAX(pos) - MIN(pos) + 8 AS span_len
+    per_span AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
                  FROM sp GROUP BY doc_id, span_id
-                 HAVING MAX(pos) - MIN(pos) + 8 >= 16),
+                 HAVING MAX(pos) - MIN(pos) + 8 >= 16)
+"""
+
+
+@register(
+    "q_dup_spans_exact",
+    headline=True,
+    oracle=f"""
+    WITH {_SPAN_CTES},
     agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-                   CAST(SUM(span_len) AS BIGINT) AS covered
+                   CAST(SUM(e - s + 1) AS BIGINT) AS covered
             FROM per_span GROUP BY doc_id),
     alld AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words
              FROM documents)
@@ -1989,6 +1998,46 @@ _POSGRAM8 = (
 def q_dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dup_spans_exact(docs, "doc_id", "text", k=8, min_df=2, min_span=16)
+
+
+@register(
+    "q_dup_spans_removed",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    spl AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS spans
+            FROM per_span GROUP BY doc_id),
+    sel AS (SELECT d.doc_id, ws,
+                   CASE WHEN spans IS NULL THEN range(1, len(ws) + 1)
+                        ELSE list_filter(range(1, len(ws) + 1),
+                             i -> len(list_filter(spans,
+                                  sp -> i >= sp.s AND i <= sp.e)) = 0)
+                   END AS keep
+            FROM d LEFT JOIN spl USING (doc_id))
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(keep) AS BIGINT) AS n_words_kept,
+           COALESCE(array_to_string(list_transform(keep, i -> ws[i]), ' '), '')
+               AS cleaned_text
+    FROM sel
+    """,
+    description=(
+        "The REMOVAL pass of exact-substring dedup (Lee et al. 2022): "
+        "every merged duplicated span of >=16 words is cut out of the "
+        "document and the cleaned text returned — the transform "
+        "q_dup_spans_exact only reports. Span discovery shares the "
+        "interval machinery (and this oracle shares the identical CTE "
+        "chain, so the two queries cannot drift); the per-doc span list "
+        "re-attaches through ONE join keyed on doc id, and the cut is a "
+        "higher-order index-filter over the words array inside codegen — "
+        "no explode/re-aggregate round trip, so reconstruction costs a "
+        "projection, not a shuffle. At 100 TB the cleaned corpus is "
+        "written back partition-parallel with text never crossing the "
+        "wire except for its own (bounded) span list."
+    ),
+)
+def q_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_dup_spans(docs, "doc_id", "text", k=8, min_df=2, min_span=16)
 
 
 # ---------------------------------------------------------------------------

@@ -569,3 +569,26 @@ def test_dup_spans_exact_matches_python_interval_merge(spark):
         )
         assert got[did] == want, f"doc {did}: {got[did]} != {want}"
     assert len(got) == len(rows)  # short/empty docs present with zeros
+
+    # the removal transform must cut exactly the reference's intervals
+    cleaned = {
+        r.doc_id: (r.n_words_kept, r.cleaned_text)
+        for r in dedup.remove_dup_spans(
+            df, "doc_id", "text", k=k, min_df=min_df, min_span=min_span
+        ).collect()
+    }
+    for did, t in rows:
+        ws = t.split(" ")
+        positions = sorted(p for p, g in grams[did] if g in dup)
+        spans = []
+        for p in positions:
+            if spans and p <= spans[-1][1] + k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        drop = set()
+        for s, last in spans:
+            if last - s + k >= min_span:
+                drop.update(range(s, last + k))
+        kept_ws = [w for i, w in enumerate(ws) if i not in drop]
+        assert cleaned[did] == (len(kept_ws), " ".join(kept_ws)), f"doc {did}"
