@@ -204,13 +204,15 @@ def ivf_topk(
         centroid_rows=rows, id_type=id_type,
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    qprobe = assign.assign_nearest(
+    probed = assign.assign_nearest(
         q, rows, metric="cosine", round_dp=9, n=nprobe, vec_col="q_vec",
         out_col="_buckets", id_field="bucket", cen_field="centroid",
         id_type=id_type,
-    ).select(
-        "query_id", "q_vec", F.explode("_buckets").alias("bucket")
     )
+    # n=1 returns a scalar bucket, n>1 an array — normalize to one row
+    # per probed bucket either way
+    bucket = F.explode("_buckets") if nprobe > 1 else F.col("_buckets")
+    qprobe = probed.select("query_id", "q_vec", bucket.alias("bucket"))
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )
@@ -260,13 +262,20 @@ def ivf_topk_grid(
         centroid_rows=rows, id_type=id_type,
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    qprobe = assign.assign_nearest(
+    probed = assign.assign_nearest(
         q, rows, metric="cosine", round_dp=9, n=max(nprobes), vec_col="q_vec",
         out_col="_buckets", id_field="bucket", cen_field="centroid",
         id_type=id_type,
-    ).select(
-        "query_id", "q_vec", F.posexplode("_buckets").alias("probe_rank", "bucket")
     )
+    if max(nprobes) > 1:
+        qprobe = probed.select(
+            "query_id", "q_vec", F.posexplode("_buckets").alias("probe_rank", "bucket")
+        )
+    else:  # degenerate 1-point grid: scalar bucket, rank 0
+        qprobe = probed.select(
+            "query_id", "q_vec",
+            F.lit(0).alias("probe_rank"), F.col("_buckets").alias("bucket"),
+        )
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )

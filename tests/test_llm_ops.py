@@ -891,3 +891,58 @@ def test_assign_nearest_exact_ties_across_chunk_seam(spark):
     # lowest bucket id overall
     zdf = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
     assert assign.assign_nearest(zdf, crows, metric="cosine").collect()[0].cluster == 0
+
+
+def test_ivf_topk_grid_assigns_once_and_matches_single_runs(spark):
+    """The nprobe grid must (a) evaluate the corpus-assignment UDF once
+    per join branch (same nondeterminism pin as ivf_topk — the grid adds
+    NO extra corpus work), and (b) agree slice-for-slice with separate
+    ivf_topk runs at each nprobe value."""
+    import contextlib
+    import io
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0], i % 4) for i in range(40)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = similarity.label_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 3)
+    grid = similarity.ivf_topk_grid(emb, queries, cents, k=3, nprobes=(1, 2))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        grid.explain()
+    plan = buf.getvalue()
+    n = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n == 2, f"grid must not add python-eval nodes: {n}"
+
+    got = {
+        (r.nprobe, r.query_id, r.rank): r.neighbor_id for r in grid.collect()
+    }
+    for p in (1, 2):
+        single = {
+            (p, r.query_id, r.rank): r.neighbor_id
+            for r in similarity.ivf_topk(emb, queries, cents, k=3, nprobe=p).collect()
+        }
+        slice_p = {k: v for k, v in got.items() if k[0] == p}
+        assert slice_p == single, f"nprobe={p} slice diverges from ivf_topk"
+
+
+def test_gopher_flags_plan_is_scan_only(spark):
+    """The Gopher rule battery must fold entirely into the scan
+    projection: no Exchange, no Join, no Window, no python eval."""
+    import contextlib
+    import io
+
+    from duva_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox of and that have with it jumps")],
+        "doc_id long, text string",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        textstats.gopher_flags(docs).explain("formatted")
+    plan = buf.getvalue()
+    for bad in ("Exchange", "Join", "Window", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, f"{bad} leaked into the rule-battery plan"
