@@ -93,22 +93,30 @@ def _dup_span_intervals(
     k: int,
     min_df: int,
     min_span: int,
+    marked_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Shared span machinery: (id_col, n_words, span_start, span_end)
     per merged duplicated interval of at least ``min_span`` words —
     positions 0-based, end inclusive. Used by dup_spans_exact (the
-    report) and remove_dup_spans (the transform)."""
+    report), remove_dup_spans (the transform), and contamination_spans
+    (which supplies ``marked_grams``, a (gh) frame of EXTERNAL gram keys
+    to mark instead of the internal >= min_df doc-frequency set)."""
     from pyspark.sql import Window
 
     pg = positional_gram_keys(df, id_col, text_col, k)
-    dup = (
-        pg.select(id_col, "gh")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("gh")
-    )
+    if marked_grams is not None:
+        # external mark sets (eval benchmarks) are tiny — broadcast the
+        # probe side so the marker join never shuffles the gram stream
+        dup = F.broadcast(marked_grams.select("gh").distinct())
+    else:
+        dup = (
+            pg.select(id_col, "gh")
+            .distinct()
+            .groupBy("gh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select("gh")
+        )
     hits = pg.join(dup, "gh", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     # equal-length intervals sorted by start: the previous gram covers
@@ -223,6 +231,46 @@ def remove_dup_spans(
         F.size(ws).cast("long").alias("n_words"),
         F.size(kept).cast("long").alias("n_words_kept"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
+def contamination_spans(
+    df: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_span: int | None = None,
+) -> DataFrame:
+    """Per-doc CONTAMINATED-span report: maximal regions whose word
+    k-grams appear in ``eval_grams`` (a (gh) frame of held-out benchmark
+    gram keys) — the span-level upgrade of the shared-gram COUNT the
+    n-gram contamination check reports, telling you how much contiguous
+    eval text leaked into each training doc, not just that grams match.
+
+    Same distributed shape as dup_spans_exact, with the doc-frequency
+    stage replaced by the (tiny, broadcastable) eval gram set: benchmark
+    suites are minuscule next to a training corpus, so the semi-join
+    probe side is a broadcast at any corpus scale.
+    """
+    if min_span is None:
+        min_span = k
+    per_span = _dup_span_intervals(
+        df, id_col, text_col, k, 0, min_span, marked_grams=eval_grams
+    )
+    agg = per_span.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("covered_words"),
+    )
+    all_docs = df.select(id_col, F.size(F.split(F.col(text_col), " ")).alias("n_words"))
+    return all_docs.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("covered_words", F.lit(0)).cast("long").alias("covered_words"),
+        F.round(
+            F.coalesce("covered_words", F.lit(0)) * 1.0 / F.col("n_words"), 6
+        ).alias("contamination_ratio"),
     )
 
 

@@ -2040,6 +2040,66 @@ def q_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_dup_spans(docs, "doc_id", "text", k=8, min_df=2, min_span=16)
 
 
+@register(
+    "q_contamination_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, {_H100} AS h
+               FROM documents),
+    g0 AS (SELECT doc_id, h, unnest({_POSGRAM8}) AS u
+           FROM d WHERE len(ws) >= 8),
+    g AS (SELECT doc_id, h, u.pos AS pos,
+                 CAST('0x' || substr(md5(u.g), 1, 15) AS BIGINT) AS gh
+          FROM g0),
+    ev AS (SELECT DISTINCT gh FROM g WHERE h < 10),
+    hit AS (SELECT doc_id, pos FROM g SEMI JOIN ev USING (gh)
+            WHERE h >= 10),
+    lg AS (SELECT doc_id, pos,
+                  CASE WHEN pos > COALESCE(
+                           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                           -9) + 8
+                       THEN 1 ELSE 0 END AS new_span
+           FROM hit),
+    sp AS (SELECT doc_id, pos,
+                  SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+           FROM lg),
+    per_span AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+                 FROM sp GROUP BY doc_id, span_id),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(e - s + 1) AS BIGINT) AS covered
+            FROM per_span GROUP BY doc_id),
+    alld AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words
+             FROM documents WHERE {_H100} >= 10)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(covered, 0) AS BIGINT) AS covered_words,
+           ROUND(COALESCE(covered, 0) * 1.0 / n_words, 6) AS contamination_ratio
+    FROM alld LEFT JOIN agg USING (doc_id)
+    """,
+    description=(
+        "Span-level benchmark contamination: for every training doc, the "
+        "maximal contiguous regions whose word 8-grams appear in the "
+        "held-out eval split (deterministic 10% hash sample), with true "
+        "word coverage — upgrades q_ngram_contamination's shared-gram "
+        "COUNT to 'how much contiguous eval text leaked', the signal "
+        "that separates licensing boilerplate from a verbatim benchmark "
+        "answer. Same distributed span machinery as dup_spans_exact with "
+        "the doc-frequency stage swapped for the eval gram set — "
+        "benchmark suites are tiny next to a training corpus, so the "
+        "marker semi-join probes a BROADCAST set and the gram stream "
+        "never shuffles; the interval merge stays doc-partitioned."
+    ),
+)
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = minhash.md5_hash60(F.col("doc_id").cast("string")) % 100
+    eval_grams = dedup.gram_keys(docs.filter(h < 10), "doc_id").select("gh")
+    train = docs.filter(h >= 10)
+    return dedup.contamination_spans(train, eval_grams, "doc_id", "text", k=8)
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer fertility (subwords per word / bytes per subword)
 # ---------------------------------------------------------------------------
