@@ -1947,6 +1947,93 @@ def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trunc_topk_sql(d: int) -> str:
+    """Brute-force cosine top-5 over the FIRST ``d`` embedding dims —
+    the same rank/round/tie contract as q_embed_cosine_topk's oracle,
+    with the sums bounded to range(1, d+1)."""
+    dot = (
+        f"list_aggregate(list_transform(range(1, {d + 1}), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum')"
+    )
+    nq = (
+        f"sqrt(list_aggregate(list_transform(range(1, {d + 1}), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))"
+    )
+    nc = (
+        f"sqrt(list_aggregate(list_transform(range(1, {d + 1}), "
+        "i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+      SELECT CAST({d} AS INT) AS dims, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY ROUND({dot} / ({nq} * {nc}), 6) DESC, c.vec_id) AS rank
+        FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q
+        CROSS JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+        WHERE q.vec_id <> c.vec_id)
+      WHERE rank <= 5"""
+
+
+@register(
+    "q_matryoshka_recall",
+    oracle=f"""
+    WITH bf AS ({_REG["q_embed_cosine_topk"].oracle}),
+    tr AS ({" UNION ALL ".join(_trunc_topk_sql(d) for d in (8, 16, 32))}),
+    g AS (SELECT CAST(unnest([8, 16, 32]) AS INT) AS dims),
+    bfg AS (SELECT g.dims, bf.query_id, bf.neighbor_id FROM bf CROSS JOIN g)
+    SELECT bfg.dims, bfg.query_id,
+           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(tr.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bfg LEFT JOIN tr
+      ON bfg.dims = tr.dims AND bfg.query_id = tr.query_id
+     AND bfg.neighbor_id = tr.neighbor_id
+    GROUP BY bfg.dims, bfg.query_id
+    """,
+    description=(
+        "Matryoshka dimension-truncation recall (Kusupati et al. 2022): "
+        "top-5 overlap between full-dim exact cosine search and the same "
+        "search over only the first 8/16/32 embedding dims — the "
+        "measurement that decides how far stored vectors can be "
+        "truncated (4-8x index shrink) before retrieval quality drops. "
+        "Each truncated search is the same broadcast-probe top-k with a "
+        "sliced vector (zero corpus shuffle, same tie/round contract via "
+        "the shared probe_topk); the oracle reuses the brute-force "
+        "oracle text for the full-dim reference."
+    ),
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = (8, 16, 32)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    parts = []
+    for d in dims:
+        te = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        parts.append(
+            similarity.brute_force_topk(te, te.filter(F.col("vec_id") < 5), k=5)
+            .select(
+                F.lit(d).cast("int").alias("t_dims"),
+                F.col("query_id").alias("q2"),
+                F.col("neighbor_id").alias("n2"),
+            )
+        )
+    tr = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    bfg = full.select(
+        "*", F.explode(F.array(*[F.lit(d).cast("int") for d in dims])).alias("dims")
+    )
+    j = bfg.join(
+        tr,
+        (bfg.dims == tr.t_dims) & (bfg.query_id == tr.q2) & (bfg.neighbor_id == tr.n2),
+        "left",
+    )
+    return j.groupBy("dims", "query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )
+
+
 @register(
     "q_embed_dedup_clusters",
     oracle=f"""

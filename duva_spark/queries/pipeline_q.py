@@ -126,6 +126,64 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_zipf_fit",
+    oracle="""
+    WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    c AS (SELECT source, w, COUNT(*) AS n FROM w GROUP BY source, w),
+    top AS (SELECT source, n,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n DESC, w) AS rank
+            FROM c QUALIFY rank <= 50)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           ROUND(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope
+    FROM top GROUP BY source
+    """,
+    description=(
+        "Zipf-fit diagnostic per source: OLS slope of ln(frequency) vs "
+        "ln(rank) over each source's top-50 words — natural text sits "
+        "near -1; a flat slope flags templated/synthetic content and a "
+        "steep one flags degenerate repetition, the cheap corpus-health "
+        "check next to q_heaps_law's growth curve. One corpus-scale "
+        "shuffle (the (source, word) count); the rank window and the "
+        "regression run over the vocabulary-sized count table, and the "
+        "per-source OLS is a 5-sum aggregate over 50 rows."
+    ),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("w"))
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 50)
+    pts = top.select(
+        "source",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = pts.groupBy("source").agg(
+        F.count("*").alias("n_top"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_top")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "source", n.cast("long").alias("n_top"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Length histogram
 # ---------------------------------------------------------------------------
