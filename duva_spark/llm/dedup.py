@@ -95,12 +95,12 @@ def _dup_span_intervals(
     min_span: int,
     marked_grams: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared span machinery: (id_col, n_words, span_start, span_end)
-    per merged duplicated interval of at least ``min_span`` words —
-    positions 0-based, end inclusive. Used by dup_spans_exact (the
-    report), remove_dup_spans (the transform), and contamination_spans
-    (which supplies ``marked_grams``, a (gh) frame of EXTERNAL gram keys
-    to mark instead of the internal >= min_df doc-frequency set)."""
+    """Shared span machinery: (id_col, span_start, span_end) per merged
+    duplicated interval of at least ``min_span`` words — positions
+    0-based, end inclusive. Used by dup_spans_exact (the report),
+    remove_dup_spans (the transform), and contamination_spans (which
+    supplies ``marked_grams``, a (gh) frame of EXTERNAL gram keys to
+    mark instead of the internal >= min_df doc-frequency set)."""
     from pyspark.sql import Window
 
     pg = positional_gram_keys(df, id_col, text_col, k)
@@ -129,7 +129,6 @@ def _dup_span_intervals(
     return (
         spans.groupBy(id_col, "span_id")
         .agg(
-            F.first("n_words").alias("n_words"),
             F.min("pos").alias("span_start"),
             (F.max("pos") + k - 1).alias("span_end"),
         )

@@ -250,7 +250,11 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("cum_vocab").cast("long").alias("cum_vocab"),
-        F.round(F.log("cum_vocab") / F.log("cum_tokens"), 6).alias("heaps_beta"),
+        # try_divide: ln(1)=0 when the first prefix holds one token; the
+        # oracle yields NULL, plain / would throw under ANSI mode
+        F.round(F.try_divide(F.log("cum_vocab"), F.log("cum_tokens")), 6).alias(
+            "heaps_beta"
+        ),
     )
 
 
@@ -2019,7 +2023,9 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("neighbor_id").alias("n2"),
             )
         )
-    tr = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    import functools
+
+    tr = functools.reduce(lambda a, b: a.unionByName(b), parts)
     bfg = full.select(
         "*", F.explode(F.array(*[F.lit(d).cast("int") for d in dims])).alias("dims")
     )

@@ -176,8 +176,12 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     n = F.col("n_top")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: a source with a single distinct top word has zero x
+    # variance; the oracle's regr_slope returns NULL there, and plain /
+    # would throw under the session's ANSI mode
+    slope = F.try_divide(
+        n * F.col("sxy") - F.col("sx") * F.col("sy"),
+        n * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return agg.select(
         "source", n.cast("long").alias("n_top"), F.round(slope, 6).alias("zipf_slope")
