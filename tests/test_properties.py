@@ -592,3 +592,63 @@ def test_dup_spans_exact_matches_python_interval_merge(spark):
                 drop.update(range(s, last + k))
         kept_ws = [w for i, w in enumerate(ws) if i not in drop]
         assert cleaned[did] == (len(kept_ws), " ".join(kept_ws)), f"doc {did}"
+
+
+def test_contamination_spans_matches_python_reference(spark):
+    """contamination_spans (span machinery with an EXTERNAL gram set)
+    agrees with a python positional-gram + interval-union reference:
+    eval-set grams mark positions, spans merge per doc, coverage is the
+    union size — including train docs with zero contamination."""
+    import random
+
+    k = 8
+    rng = random.Random(77)
+    eval_phrase = [f"e{i}" for i in range(18)]  # the "benchmark" text
+    vocab = [f"v{i}" for i in range(400)]
+    rows = []
+    for did in range(50):
+        words: list[str] = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.4:
+                words += eval_phrase
+            else:
+                words += [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        rows.append((did, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+
+    eval_doc = spark.createDataFrame(
+        [(9000, " ".join(eval_phrase))], "doc_id long, text string"
+    )
+    eval_grams = dedup.gram_keys(eval_doc, "doc_id").select("gh")
+    got = {
+        r.doc_id: (r.n_words, r.n_spans, r.covered_words, r.contamination_ratio)
+        for r in dedup.contamination_spans(df, eval_grams, "doc_id", k=k).collect()
+    }
+
+    ev = {
+        " ".join(eval_phrase[p : p + k])
+        for p in range(len(eval_phrase) - k + 1)
+    }
+    for did, t in rows:
+        ws = t.split(" ")
+        positions = sorted(
+            p
+            for p in range(len(ws) - k + 1)
+            if " ".join(ws[p : p + k]) in ev
+        )
+        spans = []
+        for p in positions:
+            if spans and p <= spans[-1][1] + k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        covered = sum(last - s + k for s, last in spans)
+        want = (
+            len(ws),
+            len(spans),
+            covered,
+            round(covered * 1.0 / len(ws), 6),
+        )
+        assert got[did] == want, f"doc {did}: {got[did]} != {want}"
+    assert any(v[1] > 0 for v in got.values())  # contamination planted
+    assert any(v[1] == 0 for v in got.values())  # and clean docs exist

@@ -179,6 +179,21 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         )
 
     cases.append(("dup_spans_exact", sizes_big, dup_spans_exact))
+
+    def dup_spans_removed(n):
+        # q_dup_spans_removed's operator: span discovery (shared with
+        # dup_spans_exact) + per-doc span-list join + higher-order
+        # index-filter reconstruction — measures what the TRANSFORM adds
+        # over the report at the same corpus sizes.
+        from duva_spark.llm import dedup as _dedup
+
+        _force(
+            _dedup.remove_dup_spans(
+                _docs(spark, n), "doc_id", "text", k=8, min_span=16
+            )
+        )
+
+    cases.append(("dup_spans_removed", sizes_big, dup_spans_removed))
     cases.append(
         (
             "kmeans_assign",
