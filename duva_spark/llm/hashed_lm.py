@@ -1,0 +1,218 @@
+"""Hashed bag-of-words language models: DSIR importance resampling and a
+count-trained multinomial Naive Bayes classifier.
+
+Both operators are public techniques re-expressed Spark-first:
+
+- **DSIR** (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): documents are featurized as word-unigram
+  counts hashed into ``n_buckets`` buckets; a *target* and a *raw*
+  bucket-unigram LM (Laplace-smoothed) give every document an importance
+  log-weight ``sum_b c_b * (ln p_b - ln q_b)``; the corpus is then
+  resampled by Gumbel top-k over ``log_w + Gumbel(0,1)`` — the
+  exponential-sort trick that makes weighted sampling-without-replacement
+  a plain ORDER BY. The Gumbel here is *deterministic* (derived from the
+  60-bit md5 key of the doc id) so runs are reproducible and the DuckDB
+  oracle can recompute the identical sample.
+- **Multinomial NB** with Laplace smoothing — the fasttext-shaped linear
+  classifier that trains by counting: per-(label, bucket) counts become
+  log-likelihoods, priors come from label frequencies, scoring is one
+  broadcast join + per-doc sum. Unseen (bucket, label) pairs contribute
+  ``ln(0+1) = 0`` after the per-label ``-n_tok * ln(N_l + B)`` term is
+  factored out, so the sparse count table never needs densifying.
+
+Scale design (the 100 TB question): the gram→bucket hash is a pure
+codegen projection; every model table is at most ``n_buckets`` (DSIR) or
+``n_buckets × n_labels`` (NB) rows — broadcast-sized by construction,
+independent of corpus size. The only corpus-sized exchanges are the
+map-side-combined count aggregations and the final per-doc reduce; the
+resample itself is a TakeOrderedAndProject (per-partition top-k, no
+global sort). Nothing is ever pairwise.
+
+Reference parity note: onaio/duva has no data-selection surface at all
+(it is an ingest/export service — see app/core/importer.py); this module
+is part of the beyond-reference LLM-pipeline inventory SURVEY.md §2c
+calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from duva_spark.llm.minhash import md5_hash60
+
+TWO_60 = float(1 << 60)
+
+
+def bucket_of(col: Column, n_buckets: int) -> Column:
+    """Word → hashed feature bucket in [0, n_buckets): the single
+    definition of the feature-hash contract (md5-derived 60-bit key mod
+    B; DuckDB twin: ``CAST('0x'||substr(md5(w),1,15) AS BIGINT) % B``)."""
+    return (md5_hash60(col) % n_buckets).cast("int")
+
+
+def gumbel_key(id_col: Column) -> Column:
+    """Deterministic standard-Gumbel draw keyed on the row id: the
+    uniform is ``(hash60(id)+0.5)/2^60`` (never exactly 0 or 1), the
+    Gumbel is ``-ln(-ln(u))``. Reproducible across runs AND engines."""
+    u = (md5_hash60(id_col.cast("string")) + F.lit(0.5)) / F.lit(TWO_60)
+    return -F.log(-F.log(u))
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(id_col, F.explode(F.split(text_col, " ")).alias("word"))
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id_col, log_w): per-document DSIR importance log-weight.
+
+    ``target_col`` is a boolean column on ``df`` marking the
+    target-domain rows the selection should steer toward. The raw LM is
+    the whole frame, so every token's bucket exists in the raw table and
+    the ratio join is a plain inner join on the broadcast-sized bucket
+    table; target-absent buckets are Laplace-smoothed to ``1/(N_t+B)``.
+    """
+    tok = df.select(
+        F.col(id_col), F.col(target_col).alias("_is_target"), F.explode(F.split(text_col, " ")).alias("word")
+    ).select(id_col, "_is_target", bucket_of(F.col("word"), n_buckets).alias("bucket"))
+
+    counts = tok.groupBy("bucket").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").alias("n_raw"), F.sum("t_cnt").alias("n_tgt")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + 1) / (F.col("n_tgt") + F.lit(float(n_buckets))))
+            - F.log((F.col("r_cnt") + 1) / (F.col("n_raw") + F.lit(float(n_buckets))))
+        ).alias("lr"),
+    )
+    return (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("log_w"))
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    k: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Gumbel top-k resample: the ``k`` rows of ``df`` whose
+    ``log_w + Gumbel`` key is largest — equivalent to sampling k docs
+    without replacement with probability ∝ exp(log_w). Returns ``df``'s
+    columns plus (log_w, sample_key), ordered by sample_key desc; the
+    ORDER BY LIMIT pair plans as TakeOrderedAndProject (bounded driver
+    result, no global sort)."""
+    w = dsir_log_weights(df, id_col, text_col, target_col, n_buckets)
+    keyed = df.join(w, id_col).select(
+        "*", (F.col("log_w") + gumbel_key(F.col(id_col))).alias("sample_key")
+    )
+    return keyed.orderBy(F.col("sample_key").desc()).limit(k)
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Count-train a multinomial NB: returns (likelihoods, label_stats).
+
+    likelihoods: (label, bucket, ln_cnt1) with ``ln_cnt1 =
+    ln(c_lb + 1)`` for every OBSERVED (label, bucket) pair — the sparse
+    half of the smoothed log-likelihood ``ln((c_lb+1)/(N_l+B))``; the
+    dense half is per-label constant and lives in label_stats as
+    ``ln_denom = ln(N_l + B)`` next to the doc-frequency prior
+    ``ln_prior``. Both tables are broadcast-sized (≤ B×L and L rows)."""
+    tok = df.select(F.col(label_col).alias("label"), F.explode(F.split(text_col, " ")).alias("word"))
+    bucketed = tok.select("label", bucket_of(F.col("word"), n_buckets).alias("bucket"))
+    lik = bucketed.groupBy("label", "bucket").agg(
+        F.log(F.count("*") + 1).alias("ln_cnt1")
+    )
+    per_label = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("d_l")
+    )
+    n_docs = per_label.agg(F.sum("d_l").cast("double").alias("n_docs"))
+    stats = (
+        per_label.crossJoin(F.broadcast(n_docs))
+        .join(
+            bucketed.groupBy(F.col("label")).agg(F.count("*").alias("n_l")),
+            "label",
+        )
+        .select(
+            "label",
+            F.log(F.col("d_l") / F.col("n_docs")).alias("ln_prior"),
+            F.log(F.col("n_l") + F.lit(float(n_buckets))).alias("ln_denom"),
+        )
+    )
+    return lik, stats
+
+
+def nb_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lik: DataFrame,
+    stats: DataFrame,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id_col, label, score): smoothed NB log-posterior of every row of
+    ``df`` under every trained label. The corpus-sized work is one
+    map-side-combined groupBy; the model attaches as broadcast joins.
+    Unseen (bucket, label) pairs need no densified grid: their smoothed
+    term is ``ln 1 = 0`` plus the per-label ``-n_tok·ln_denom`` already
+    carried by the doc×label frame."""
+    tok = _tokens(df, id_col, text_col).select(
+        id_col, bucket_of(F.col("word"), n_buckets).alias("bucket")
+    )
+    sparse = (
+        tok.join(F.broadcast(lik), "bucket")
+        .groupBy(id_col, "label")
+        .agg(F.sum("ln_cnt1").alias("s1"))
+    )
+    ntok = tok.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    grid = ntok.crossJoin(F.broadcast(stats))
+    return (
+        grid.join(sparse, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("ln_prior")
+                + F.coalesce(F.col("s1"), F.lit(0.0))
+                - F.col("n_tok") * F.col("ln_denom")
+            ).alias("score"),
+        )
+    )
+
+
+def nb_predict(scored: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, pred_label): argmax label per row, deterministic across
+    engines — scores are rounded to 6 decimals before ranking (so a
+    sub-ulp cross-engine ln() difference cannot flip an order) and exact
+    ties break toward the lexicographically smallest label."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.round(F.col("score"), 6).desc(), F.col("label").asc()
+        )
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("label").alias("pred_label"))
+    )

@@ -2397,3 +2397,158 @@ def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("long").alias("n_novel"),
         F.round(novel * 1.0 / F.count("*"), 6).alias("novelty_rate"),
     )
+
+
+_H60_DOCID = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+_BUCKET = (
+    "CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15) AS BIGINT)"
+    " % 4096"
+)
+
+
+@register(
+    "q_dsir_selection",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_target, {_BUCKET} AS bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS r_cnt,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(r_cnt) AS DOUBLE) AS n_raw,
+                   CAST(SUM(t_cnt) AS DOUBLE) AS n_tgt FROM counts),
+    ratio AS (
+      SELECT bucket,
+             ln((t_cnt + 1) / (n_tgt + 4096.0))
+               - ln((r_cnt + 1) / (n_raw + 4096.0)) AS lr
+      FROM counts CROSS JOIN tot
+    ),
+    w AS (
+      SELECT doc_id, SUM(lr) AS log_w
+      FROM tok JOIN ratio USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           ROUND(w.log_w, 6) AS log_w,
+           ROUND(w.log_w + (-ln(-ln(({_H60_DOCID} + 0.5)
+                                    / 1152921504606846976.0))), 6) AS sample_key
+    FROM documents d JOIN w USING (doc_id)
+    ORDER BY w.log_w + (-ln(-ln(({_H60_DOCID} + 0.5)
+                                / 1152921504606846976.0))) DESC
+    LIMIT 50
+    """,
+    description=(
+        "DSIR data selection (Xie et al. 2023): documents featurized as "
+        "word unigrams hashed into 4,096 buckets; a target (lang='en') "
+        "and a raw Laplace-smoothed bucket LM give each doc an "
+        "importance log-weight sum_b c_b(ln p_b - ln q_b); the corpus "
+        "is resampled by deterministic Gumbel top-k (weighted sampling "
+        "without replacement as a plain ORDER BY LIMIT). Both model "
+        "tables are <= 4,096 rows regardless of corpus size and attach "
+        "as broadcasts; the only corpus-sized exchanges are two "
+        "map-side-combined aggregations, and the resample plans as "
+        "TakeOrderedAndProject - no global sort at any scale."
+    ),
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    picked = hashed_lm.dsir_resample(
+        docs, "doc_id", "text", "is_target", k=50, n_buckets=4096
+    )
+    return picked.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("sample_key", 6).alias("sample_key"),
+    )
+
+
+@register(
+    "q_nb_lang_classifier",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, text, {_H60_DOCID} % 100 < 70 AS is_train
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, is_train, {_BUCKET} AS bucket FROM split
+    ),
+    lik AS (
+      SELECT lang AS label, bucket, ln(COUNT(*) + 1) AS ln_cnt1
+      FROM tok WHERE is_train GROUP BY lang, bucket
+    ),
+    per_label AS (
+      SELECT lang AS label, COUNT(*) AS d_l FROM split WHERE is_train GROUP BY lang
+    ),
+    nd AS (SELECT CAST(SUM(d_l) AS DOUBLE) AS n_docs FROM per_label),
+    toks_l AS (
+      SELECT lang AS label, COUNT(*) AS n_l FROM tok WHERE is_train GROUP BY lang
+    ),
+    stats AS (
+      SELECT p.label, ln(p.d_l / nd.n_docs) AS ln_prior,
+             ln(t.n_l + 4096.0) AS ln_denom
+      FROM per_label p CROSS JOIN nd JOIN toks_l t USING (label)
+    ),
+    sparse AS (
+      SELECT t.doc_id, l.label, SUM(l.ln_cnt1) AS s1
+      FROM tok t JOIN lik l USING (bucket)
+      WHERE NOT t.is_train
+      GROUP BY t.doc_id, l.label
+    ),
+    ntok AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok WHERE NOT is_train GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT n.doc_id, s.label,
+             s.ln_prior + COALESCE(sp.s1, 0.0) - n.n_tok * s.ln_denom AS score
+      FROM ntok n CROSS JOIN stats s
+      LEFT JOIN sparse sp ON sp.doc_id = n.doc_id AND sp.label = s.label
+    ),
+    pred AS (
+      SELECT doc_id, label AS pred_lang
+      FROM scored
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY ROUND(score, 6) DESC, label ASC) = 1
+    )
+    SELECT d.lang AS true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY d.lang, p.pred_lang
+    """,
+    description=(
+        "Count-trained multinomial Naive Bayes language classifier "
+        "(the fasttext-shaped linear model trained by aggregation "
+        "alone): deterministic 70/30 hash split, per-(label, bucket) "
+        "Laplace-smoothed log-likelihood table (<= 4,096 x L rows, "
+        "broadcast), held-out docs scored by one broadcast join + "
+        "per-doc sum (unseen pairs need no dense grid - their smoothed "
+        "term factors into a per-label constant), argmax with a "
+        "rounded-score deterministic tie-break, reported as a "
+        "true-vs-predicted confusion matrix. Training IS a shuffle-"
+        "frugal aggregation, so the classifier retrains per-corpus at "
+        "any scale - the trainable upgrade over the q_lang_confusion "
+        "stopword heuristic."
+    ),
+)
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = docs.withColumn("is_train", h100 < 70)
+    train = split.filter("is_train")
+    test = split.filter(~F.col("is_train"))
+    lik, stats = hashed_lm.nb_train(train, "lang", "text", n_buckets=4096)
+    scored = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=4096)
+    pred = hashed_lm.nb_predict(scored, "doc_id")
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), F.col("pred_label").alias("pred_lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -946,3 +946,131 @@ def test_gopher_flags_plan_is_scan_only(spark):
     plan = buf.getvalue()
     for bad in ("Exchange", "Join", "Window", "ArrowEvalPython", "BatchEvalPython"):
         assert bad not in plan, f"{bad} leaked into the rule-battery plan"
+
+
+# ---------------------------------------------------------------------------
+# hashed bag-of-words LMs: DSIR importance weights + count-trained NB
+# ---------------------------------------------------------------------------
+
+
+def _dsir_python_reference(rows, n_buckets):
+    """Pure-python DSIR log-weights over (id, text, is_target) rows,
+    mirroring the documented contract (md5-60-bit bucket hash, Laplace
+    smoothing over the raw-observed bucket domain)."""
+    import hashlib
+    from collections import Counter
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_buckets
+
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for i, text, is_t in rows:
+        bs = [bucket(w) for w in text.split(" ")]
+        per_doc[i] = bs
+        raw.update(bs)
+        if is_t:
+            tgt.update(bs)
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    import math
+
+    def lr(b):
+        return math.log((tgt[b] + 1) / (n_tgt + n_buckets)) - math.log(
+            (raw[b] + 1) / (n_raw + n_buckets)
+        )
+
+    return {i: sum(lr(b) for b in bs) for i, bs in per_doc.items()}
+
+
+def test_dsir_log_weights_match_python_reference(spark):
+    from duva_spark.llm import hashed_lm
+
+    rows = [
+        (1, "alpha beta gamma alpha", True),
+        (2, "alpha beta", True),
+        (3, "delta epsilon zeta", False),
+        (4, "alpha delta", False),
+        (5, "eta theta eta theta eta", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+    got = {
+        r.doc_id: r.log_w
+        for r in hashed_lm.dsir_log_weights(
+            df, "doc_id", "text", "is_target", n_buckets=64
+        ).collect()
+    }
+    want = _dsir_python_reference(rows, 64)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+    # directional sanity: the pure-target-vocab doc outweighs the
+    # pure-raw-vocab doc
+    assert got[2] > got[5]
+
+
+def test_dsir_resample_deterministic_and_bounded(spark):
+    from duva_spark.llm import hashed_lm
+
+    df = spark.createDataFrame(
+        [(i, ("target words here" if i % 2 else "other stuff entirely"), i % 2 == 1) for i in range(40)],
+        "doc_id long, text string, is_target boolean",
+    )
+    a = hashed_lm.dsir_resample(df, "doc_id", "text", "is_target", k=10).collect()
+    b = hashed_lm.dsir_resample(df, "doc_id", "text", "is_target", k=10).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # reproducible
+    assert len(a) == 10
+    # with two disjoint vocab pools the target-looking docs should
+    # dominate the sample (importance weights differ by several nats,
+    # dwarfing Gumbel noise for most draws)
+    n_target = sum(1 for r in a if r.is_target)
+    assert n_target >= 8
+
+
+def test_dsir_resample_plans_top_k_not_global_sort(spark):
+    from duva_spark.llm import hashed_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, "c d", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    plan = hashed_lm.dsir_resample(
+        df, "doc_id", "text", "is_target", k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_nb_classifier_separates_disjoint_vocab(spark):
+    from duva_spark.llm import hashed_lm
+
+    train = spark.createDataFrame(
+        [(i, "en", "hello world common tongue") for i in range(10)]
+        + [(10 + i, "fr", "bonjour monde langue commune") for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "hello common"), (101, "bonjour langue"), (102, "monde monde world monde")],
+        "doc_id long, text string",
+    )
+    lik, stats = hashed_lm.nb_train(train, "lang", "text", n_buckets=256)
+    scored = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=256)
+    pred = {r.doc_id: r.pred_label for r in hashed_lm.nb_predict(scored, "doc_id").collect()}
+    assert pred == {100: "en", 101: "fr", 102: "fr"}
+
+
+def test_nb_predict_exact_tie_breaks_to_smallest_label(spark):
+    from duva_spark.llm import hashed_lm
+
+    # symmetric training (equal priors, equal token totals) + an
+    # all-unseen test doc → exact score tie → lexicographically
+    # smallest label must win (the documented determinism rule)
+    train = spark.createDataFrame(
+        [(1, "bb", "x y"), (2, "bb", "x y"), (3, "aa", "p q"), (4, "aa", "p q")],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame([(9, "zzz unseen")], "doc_id long, text string")
+    lik, stats = hashed_lm.nb_train(train, "lang", "text", n_buckets=128)
+    scored = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=128)
+    rows = {(r.doc_id, r.label): r.score for r in scored.collect()}
+    assert rows[(9, "aa")] == pytest.approx(rows[(9, "bb")], abs=1e-12)
+    pred = hashed_lm.nb_predict(scored, "doc_id").collect()
+    assert pred[0].pred_label == "aa"

@@ -604,6 +604,10 @@ _BNLJ_SITES = [
     ("q_gram_novelty", 1),
     # two quantile re-attaches (median, then MAD)
     ("q_mad_outliers", 2),
+    # r6 hashed-LM sites: the DSIR bucket-ratio totals attach (1-row),
+    # and the NB prior-normalizer + doc×label stats grid attaches
+    ("q_dsir_selection", 1),
+    ("q_nb_lang_classifier", 2),
 ]
 
 
