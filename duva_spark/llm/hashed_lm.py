@@ -43,10 +43,11 @@ from duva_spark.llm.minhash import md5_hash60
 TWO_60 = float(1 << 60)
 
 
-def bucket_of(col: Column, n_buckets: int) -> Column:
+def bucket_of(col: Column, n_buckets: int | Column) -> Column:
     """Word → hashed feature bucket in [0, n_buckets): the single
     definition of the feature-hash contract (md5-derived 60-bit key mod
-    B; DuckDB twin: ``CAST('0x'||substr(md5(w),1,15) AS BIGINT) % B``)."""
+    B; DuckDB twin: ``CAST('0x'||substr(md5(w),1,15) AS BIGINT) % B``).
+    ``n_buckets`` may be a Column for grid sweeps over candidate widths."""
     return (md5_hash60(col) % n_buckets).cast("int")
 
 

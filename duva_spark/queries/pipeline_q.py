@@ -2552,3 +2552,74 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang").alias("true_lang"), F.col("pred_label").alias("pred_lang"))
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+_HASH_GRID = (8, 16, 4096)  # candidate bucket counts; last = the live dial
+
+
+@register(
+    "q_feature_hash_collisions",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    wb AS (
+      SELECT g.b,
+             CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % g.b AS bucket,
+             cnt
+      FROM wc CROSS JOIN (VALUES {", ".join(f"({b})" for b in _HASH_GRID)}) AS g(b)
+    ),
+    bl AS (
+      SELECT b, bucket, COUNT(*) AS load, CAST(SUM(cnt) AS BIGINT) AS toks
+      FROM wb GROUP BY b, bucket
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM wc)
+    SELECT b AS hash_buckets,
+           load AS words_in_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(toks) AS DOUBLE) / tot.n, 6) AS token_share
+    FROM bl CROSS JOIN tot GROUP BY b, load, tot.n
+    """,
+    description=(
+        "Feature-hash collision census - the operational audit that "
+        "sizes the hashed-LM bucket count (the dial behind "
+        "q_dsir_selection / q_nb_lang_classifier, the way "
+        "q_lsh_band_load sizes the MinHash banding). For each "
+        "candidate bucket count the Zipf-bounded vocabulary hashes to "
+        "its buckets, and the report histograms bucket load alongside "
+        "the FRACTION OF TOKEN MASS sitting in buckets of that load - "
+        "the quantity that actually bounds how much probability the "
+        "hashing trick conflates; the grid makes the quality/width "
+        "trade-off visible in one pass. All aggregates are "
+        "vocabulary-sized (far sub-corpus); the grid and the "
+        "token-mass total attach as broadcasts."
+    ),
+)
+def q_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    wc = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    grid = docs.sparkSession.createDataFrame(
+        [(b,) for b in _HASH_GRID], "b int"
+    )
+    wb = wc.crossJoin(F.broadcast(grid)).select(
+        "b", "cnt", hashed_lm.bucket_of(F.col("word"), F.col("b")).alias("bucket")
+    )
+    bl = wb.groupBy("b", "bucket").agg(
+        F.count("*").alias("load"), F.sum("cnt").alias("toks")
+    )
+    tot = wc.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        bl.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("b").alias("hash_buckets"), F.col("load").alias("words_in_bucket"), "n")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.round(F.sum("toks").cast("double") / F.col("n"), 6).alias(
+                "token_share"
+            ),
+        )
+        .drop("n")
+    )

@@ -608,6 +608,8 @@ _BNLJ_SITES = [
     # and the NB prior-normalizer + doc×label stats grid attaches
     ("q_dsir_selection", 1),
     ("q_nb_lang_classifier", 2),
+    # the 3-row bucket-count grid + the 1-row token-mass total
+    ("q_feature_hash_collisions", 2),
 ]
 
 

@@ -194,6 +194,40 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         )
 
     cases.append(("dup_spans_removed", sizes_big, dup_spans_removed))
+
+    def dsir_weights(n):
+        # q_dsir_selection's weight stage (shared hashed_lm helper):
+        # token explode -> bucket hash -> two map-side-combined count
+        # aggs into a <=4096-row model table -> broadcast ratio join ->
+        # per-doc sum. Expected ~1x per 10x: the model is constant-size.
+        from duva_spark.llm import hashed_lm
+
+        docs = _docs(spark, n).withColumn(
+            "is_target", F.col("doc_id") % 3 == 0
+        )
+        _force(hashed_lm.dsir_log_weights(docs, "doc_id", "text", "is_target"))
+
+    cases.append(("dsir_weights", sizes_big, dsir_weights))
+
+    def nb_classify(n):
+        # q_nb_lang_classifier's train+score chain: counting train
+        # (broadcast-sized model), broadcast-join scoring, per-doc
+        # argmax window over L=5 rows per doc.
+        from duva_spark.llm import hashed_lm
+
+        docs = _docs(spark, n).withColumn(
+            "label", F.format_string("l%d", F.pmod(F.col("doc_id"), 5))
+        )
+        split = docs.withColumn(
+            "is_train", F.pmod(F.xxhash64("doc_id"), 100) < 70
+        )
+        train = split.filter("is_train")
+        test = split.filter(~F.col("is_train"))
+        lik, stats = hashed_lm.nb_train(train, "label", "text")
+        scored = hashed_lm.nb_score(test, "doc_id", "text", lik, stats)
+        _force(hashed_lm.nb_predict(scored, "doc_id"))
+
+    cases.append(("nb_classify", sizes_big, nb_classify))
     cases.append(
         (
             "kmeans_assign",
