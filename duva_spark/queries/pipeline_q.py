@@ -2623,3 +2623,136 @@ def q_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n")
     )
+
+
+@register(
+    "q_stupid_backoff_nll",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws,
+             {_H60_DOCID} % 100 < 70 AS is_train
+      FROM documents
+    ),
+    uni_tr AS (SELECT unnest(ws) AS w FROM split WHERE is_train),
+    ucnt AS (SELECT w, COUNT(*) AS cnt FROM uni_tr GROUP BY w),
+    utot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n,
+                    CAST(COUNT(*) AS DOUBLE) AS v FROM ucnt),
+    bi_tr AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+      FROM split WHERE is_train
+    ),
+    bcnt AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS bc
+             FROM bi_tr GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(bc) AS DOUBLE) AS cc FROM bcnt GROUP BY w1),
+    ho0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                     i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+      FROM split WHERE NOT is_train
+    ),
+    ho AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM ho0),
+    scored AS (
+      SELECT h.doc_id,
+             CASE WHEN bc.bc IS NOT NULL THEN -ln(bc.bc / ctx.cc)
+                  ELSE -ln(0.4 * (COALESCE(u.cnt, 0) + 1)
+                           / (utot.n + utot.v)) END AS nll,
+             CASE WHEN bc.bc IS NULL THEN 1 ELSE 0 END AS backed
+      FROM ho h
+      LEFT JOIN bcnt bc ON bc.w1 = h.w1 AND bc.w2 = h.w2
+      LEFT JOIN ctx ON ctx.w1 = h.w1
+      LEFT JOIN ucnt u ON u.w = h.w2
+      CROSS JOIN utot
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll,
+             CAST(SUM(backed) AS DOUBLE) AS bk, CAST(COUNT(*) AS DOUBLE) AS nt
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(SUM(p.bk) / SUM(p.nt), 6) AS backoff_rate
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    description=(
+        "Stupid Backoff held-out scoring (Brants et al. 2007 - the "
+        "smoothing designed FOR MapReduce-scale distributed LMs: no "
+        "normalization pass, so the model stays two count tables): "
+        "bigram/unigram counts train on the deterministic 70% hash "
+        "split; held-out bigrams score bc/cc when seen, else back off "
+        "to 0.4 x the add-one unigram relative frequency (the add-one "
+        "keeps unseen-unigram NLL finite - a documented deviation, "
+        "Brants leaves that case undefined). Reports per-language "
+        "held-out NLL plus the BACKOFF RATE - the coverage signal a "
+        "corpus-vs-corpus domain shift moves first. Same 100 TB shape "
+        "as the interpolated-bigram filter: Zipf-bounded count tables, "
+        "hash-key joins broadcastable after a frequency cut, no "
+        "driver-side model state."
+    ),
+)
+def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
+    )
+    bigrams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train = split.filter("is_train")
+    ucnt = train.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cnt")
+    )
+    utot = ucnt.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.count("*").cast("double").alias("v"),
+    )
+    bcnt = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ctx = bcnt.groupBy("w1").agg(F.sum("bc").cast("double").alias("cc"))
+    ho = bigrams(split.filter(~F.col("is_train")))
+    scored = (
+        ho.join(bcnt, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(ucnt.withColumnRenamed("w", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("bc").isNotNull(), -F.log(F.col("bc") / F.col("cc"))
+            )
+            .otherwise(
+                -F.log(
+                    F.lit(0.4)
+                    * (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    / (F.col("n") + F.col("v"))
+                )
+            )
+            .alias("nll"),
+            F.when(F.col("bc").isNull(), 1).otherwise(0).alias("backed"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.sum("backed").cast("double").alias("bk"),
+        F.count("*").cast("double").alias("nt"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            F.round(F.sum("bk") / F.sum("nt"), 6).alias("backoff_rate"),
+        )
+    )

@@ -610,6 +610,8 @@ _BNLJ_SITES = [
     ("q_nb_lang_classifier", 2),
     # the 3-row bucket-count grid + the 1-row token-mass total
     ("q_feature_hash_collisions", 2),
+    # the 1-row (N, V) unigram-total attach
+    ("q_stupid_backoff_nll", 1),
 ]
 
 
