@@ -2967,3 +2967,66 @@ def q_dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         ).unionAll(singleton)
     )
+
+
+_KCENTER_K = 8
+
+
+def _kcenter_sql(k: int) -> str:
+    """Chained-CTE oracle for the greedy k-center traversal: round i's
+    winner is the arg-max (over the corpus) of the ROUNDED min distance
+    to the i-1 already-selected rows, ties to the smallest id — the
+    identical round-then-rank contract the Spark operator applies."""
+    l2 = (
+        "sqrt(list_aggregate(list_transform(range(1, 65), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE)) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))), 'sum'))"
+    )
+    ctes = [
+        "sel1 AS (SELECT 1 AS sel_rank, vec_id, embedding, 0.0 AS sel_dist "
+        "FROM embeddings WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))"
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"m{i} AS (SELECT e.vec_id, ROUND(MIN({l2}), 6) AS mind "
+            f"FROM embeddings e CROSS JOIN sel{p} s GROUP BY e.vec_id)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT vec_id, mind FROM m{i} "
+            f"ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT * FROM sel{p} UNION ALL "
+            f"SELECT {i} AS sel_rank, e.vec_id, e.embedding, w.mind AS sel_dist "
+            f"FROM w{i} w JOIN embeddings e USING (vec_id))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, sel_dist FROM sel{k}"
+    )
+
+
+@register(
+    "q_kcenter_coreset",
+    oracle=_kcenter_sql(_KCENTER_K),
+    description=(
+        "Greedy k-center coreset (Gonzalez 1985; Sener & Savarese 2018 "
+        "active-learning coresets): the diversity-sampling selection - "
+        "repeatedly pick the embedding farthest from everything picked "
+        "so far. Each of the k rounds is ONE linear scan with the <=k "
+        "selected vectors inlined as codegen literals (no UDF, no "
+        "join, no corpus shuffle) and a TakeOrderedAndProject winner; "
+        "driver state is k vectors, so the operator is k embarrassingly "
+        "parallel passes at any corpus size - the bounded-iteration "
+        "contract of the Lloyd KMeans next door. Distances round to 6dp "
+        "before the arg-max with ties to the smallest id, so the "
+        "DuckDB chained-CTE oracle replays the selection exactly."
+    ),
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return coreset.kcenter_frame(emb, "vec_id", "embedding", _KCENTER_K)

@@ -1074,3 +1074,25 @@ def test_nb_predict_exact_tie_breaks_to_smallest_label(spark):
     assert rows[(9, "aa")] == pytest.approx(rows[(9, "bb")], abs=1e-12)
     pred = hashed_lm.nb_predict(scored, "doc_id").collect()
     assert pred[0].pred_label == "aa"
+
+
+def test_kcenter_greedy_picks_farthest_corners(spark):
+    from duva_spark.llm import coreset
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    df = spark.createDataFrame(
+        [(0, v(0, 0)), (1, v(10, 0)), (2, v(0, 10)), (3, v(10, 10)), (4, v(5, 5)), (5, v(1, 1))],
+        "vec_id long, embedding array<float>",
+    )
+    picks = coreset.kcenter_select(df, "vec_id", "embedding", 4)
+    ids = [p[1] for p in picks]
+    assert ids[0] == 0  # deterministic seed: smallest id
+    assert ids[1] == 3  # farthest from origin is the opposite corner
+    # the two remaining corners tie at distance 10 → smallest id first
+    assert ids[2:] == [1, 2]
+    radii = [p[2] for p in picks[1:]]
+    assert radii == sorted(radii, reverse=True)  # farthest-point radii shrink
+    frame = coreset.kcenter_frame(df, "vec_id", "embedding", 4)
+    assert [r.sel_rank for r in frame.orderBy("sel_rank").collect()] == [1, 2, 3, 4]
