@@ -4427,3 +4427,98 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_out, 1).otherwise(0)) * 1.0 / F.count("*"), 6
         ).alias("outlier_rate"),
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    st AS (
+      SELECT event_type, AVG(x) AS mu, STDDEV_SAMP(x) AS sigma
+      FROM cnt GROUP BY event_type
+    ),
+    y AS (
+      SELECT c.event_type, c.hb, (c.x - s.mu) / s.sigma - 0.5 AS yv
+      FROM cnt c JOIN st s USING (event_type)
+      WHERE s.sigma > 0
+    ),
+    r AS (
+      SELECT event_type, hb,
+             SUM(yv) OVER (PARTITION BY event_type ORDER BY hb
+                           ROWS UNBOUNDED PRECEDING) AS ct
+      FROM y
+    ),
+    s2 AS (
+      SELECT event_type, hb,
+             ROUND(ct - LEAST(0, MIN(ct) OVER (PARTITION BY event_type
+                   ORDER BY hb ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+      FROM r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(MAX(cusum), 6) AS max_cusum,
+           CAST(SUM(CASE WHEN cusum > 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           MIN(CASE WHEN cusum > 5
+                    THEN strftime(hb, '%Y-%m-%d %H:%M:%S') END) AS first_alarm
+    FROM s2 GROUP BY event_type
+    """,
+    description=(
+        "One-sided CUSUM changepoint detection (Page 1954) over hourly "
+        "event-rate buckets: the max(0, S+y) recurrence is NOT a window "
+        "function, but its closed form S_t = c_t - min(0, min_j<=t c_j) "
+        "IS - a running sum and a running min of it - so the classic "
+        "sequential detector becomes two stacked per-type window passes "
+        "with no recursion and no driver loop. Per-type standardization "
+        "joins back from a broadcast-sized stats table; the cusum is "
+        "rounded before thresholding so alarm counts are deterministic "
+        "cross-engine. Partitioned per event type, the state never "
+        "exceeds one type's hourly spine - the same bounded-window "
+        "contract as the span interval-merge."
+    ),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cnt = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hb"))
+        .groupBy("event_type", "hb")
+        .agg(F.count("*").alias("x"))
+    )
+    st = cnt.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sigma")
+    )
+    y = (
+        cnt.join(F.broadcast(st), "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            "hb",
+            ((F.col("x") - F.col("mu")) / F.col("sigma") - F.lit(0.5)).alias("yv"),
+        )
+    )
+    wrun = (
+        W.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = y.select("event_type", "hb", F.sum("yv").over(wrun).alias("ct"))
+    s2 = r.select(
+        "event_type",
+        "hb",
+        F.round(
+            F.col("ct") - F.least(F.lit(0.0), F.min("ct").over(wrun)), 6
+        ).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 5
+    return s2.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.round(F.max("cusum"), 6).alias("max_cusum"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+        F.min(
+            F.when(alarm, F.date_format("hb", "yyyy-MM-dd HH:mm:ss"))
+        ).alias("first_alarm"),
+    )
