@@ -2408,6 +2408,7 @@ _BUCKET = (
 
 @register(
     "q_dsir_selection",
+    headline=True,
     oracle=f"""
     WITH tok AS (
       SELECT doc_id, lang = 'en' AS is_target, {_BUCKET} AS bucket

@@ -228,6 +228,16 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         _force(hashed_lm.nb_predict(scored, "doc_id"))
 
     cases.append(("nb_classify", sizes_big, nb_classify))
+
+    def kcenter_case(n):
+        # q_kcenter_coreset's operator: k=8 greedy rounds, each one
+        # linear codegen scan + TakeOrderedAndProject (the collect IS
+        # the action — one winner row per round). Expected ~1x per 10x.
+        from duva_spark.llm import coreset
+
+        coreset.kcenter_select(_embeddings(spark, n), "vec_id", "embedding", 8)
+
+    cases.append(("kcenter_greedy", sizes_small, kcenter_case))
     cases.append(
         (
             "kmeans_assign",
