@@ -116,12 +116,19 @@ def dsir_resample(
     without replacement with probability ∝ exp(log_w). Returns ``df``'s
     columns plus (log_w, sample_key), ordered by sample_key desc; the
     ORDER BY LIMIT pair plans as TakeOrderedAndProject (bounded driver
-    result, no global sort)."""
+    result, no global sort).
+
+    The ranking key is rounded to 6 decimals with an ascending id
+    tie-break (same determinism contract as nb_predict/kcenter/ivf):
+    a sub-ulp cross-engine ln()/summation-order difference at the k-th
+    boundary can otherwise flip the selected set."""
     w = dsir_log_weights(df, id_col, text_col, target_col, n_buckets)
     keyed = df.join(w, id_col).select(
         "*", (F.col("log_w") + gumbel_key(F.col(id_col))).alias("sample_key")
     )
-    return keyed.orderBy(F.col("sample_key").desc()).limit(k)
+    return keyed.orderBy(
+        F.round(F.col("sample_key"), 6).desc(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def nb_train(

@@ -119,7 +119,11 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     alphabetic-word fraction, and the distinct-stopword-hit rule, each as
     its own boolean plus the conjunction. Pure Column expressions — the
     whole battery folds into the scan projection and runs at parquet
-    speed with zero shuffles at any corpus size."""
+    speed with zero shuffles at any corpus size.
+
+    Ellipses count in BOTH spellings the A1.1 rule is applied to: the
+    U+2026 character and the ASCII '...' sequence (each '...' occurrence
+    counts once — occurrence count via length-delta / 3)."""
     t = F.col(text_col)
     ws = words_of(t)
     n = F.size(ws)
@@ -128,6 +132,7 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(t)
         - F.length(F.replace(t, F.lit("#"), F.lit("")))
         + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
     )
     alpha_frac = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / n
     stop_hits = F.size(

@@ -104,7 +104,16 @@ class MetadataStore:
             while version < SCHEMA_VERSION:
                 doc = _UPGRADES[version](doc)
                 version = doc["schema_version"]
-            for rid, raw in doc["rows"].items() if "rows" in doc else doc.items():
+            # Post-upgrade, a well-formed doc ALWAYS carries "rows"; a
+            # v2-stamped file without it is corrupt — refuse loudly
+            # rather than iterating the envelope into a TypeError.
+            rows = doc.get("rows")
+            if not isinstance(rows, dict):
+                raise MetadataSchemaError(
+                    f"store {self._path} is stamped v{version} but has no "
+                    '"rows" mapping — file is malformed'
+                )
+            for rid, raw in rows.items():
                 self._rows[rid] = DatasetState(**raw)
             if upgraded:
                 self._flush()  # persist the migrated form immediately

@@ -138,7 +138,8 @@ _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.GOPHER_STOPWORDS)
 _MEAN_LEN = f"(LENGTH(text) - {_NTOK} + 1) * 1.0 / {_NTOK}"
 _N_SYM = (
     "(LENGTH(text) - LENGTH(replace(text, '#', ''))"
-    " + LENGTH(text) - LENGTH(replace(text, '…', '')))"
+    " + LENGTH(text) - LENGTH(replace(text, '…', ''))"
+    " + (LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3)"
 )
 _ALPHA = f"len(list_filter({_WS}, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / {_NTOK}"
 _STOP_HITS = f"len(list_intersect(list_distinct({_WS}), [{_GOPHER_STOP_SQL}]))"

@@ -2436,8 +2436,9 @@ _BUCKET = (
            ROUND(w.log_w + (-ln(-ln(({_H60_DOCID} + 0.5)
                                     / 1152921504606846976.0))), 6) AS sample_key
     FROM documents d JOIN w USING (doc_id)
-    ORDER BY w.log_w + (-ln(-ln(({_H60_DOCID} + 0.5)
-                                / 1152921504606846976.0))) DESC
+    ORDER BY ROUND(w.log_w + (-ln(-ln(({_H60_DOCID} + 0.5)
+                                      / 1152921504606846976.0))), 6) DESC,
+             d.doc_id
     LIMIT 50
     """,
     description=(

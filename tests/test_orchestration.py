@@ -243,3 +243,27 @@ def test_store_refuses_future_schema(tmp_path):
     p.write_text(json.dumps({"schema_version": SCHEMA_VERSION + 1, "rows": {}}))
     with _pytest.raises(MetadataSchemaError):
         MetadataStore(p)
+
+
+def test_metadata_store_refuses_malformed_rows(tmp_path):
+    """A v2-stamped file MISSING the "rows" mapping is corrupt: the load
+    must raise the clear MetadataSchemaError, not a cryptic TypeError
+    from iterating the envelope keys (ADVICE r6 item 3)."""
+    import json
+
+    import pytest as _pytest
+
+    from duva_spark.orchestration.state import (
+        SCHEMA_VERSION,
+        MetadataSchemaError,
+        MetadataStore,
+    )
+
+    p = tmp_path / "store.json"
+    p.write_text(json.dumps({"schema_version": SCHEMA_VERSION}))
+    with _pytest.raises(MetadataSchemaError, match="rows"):
+        MetadataStore(p)
+
+    p.write_text(json.dumps({"schema_version": SCHEMA_VERSION, "rows": [1, 2]}))
+    with _pytest.raises(MetadataSchemaError, match="rows"):
+        MetadataStore(p)
