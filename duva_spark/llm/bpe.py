@@ -1,0 +1,164 @@
+"""BPE merge-rule training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") as a bounded-iteration
+Spark loop.
+
+The classic trainer never iterates the corpus: it iterates the **word-
+frequency table** — count every distinct whitespace word ONCE (the only
+corpus-sized job), split each word into character symbols, then repeat
+``n_merges`` times: count adjacent symbol pairs weighted by word
+frequency, pick the most frequent pair, and greedily merge its
+occurrences in every word's symbol sequence. This module is that loop,
+Spark-first:
+
+- The corpus-sized work is exactly ONE map-side-combined groupBy (the
+  word vocabulary). Every later round touches only the vocab table —
+  Zipf-bounded, independent of corpus row count.
+- Per round: pair counts are one small shuffle on the (a, b) symbol-pair
+  key (alphabet²-bounded early, vocab-bounded always); the winning pair
+  comes back through an ORDER BY LIMIT 1 → TakeOrderedAndProject
+  (per-partition top-1, the driver receives ONE row per round — the
+  same bounded-collect contract as ``llm/coreset.py`` and
+  ``llm/kmeans.py``).
+- The merge application is a pure whole-stage-codegen fold
+  (``F.aggregate``) with the winning pair inlined as literals — no UDF,
+  no join, no shuffle. Greedy left-to-right semantics (scan, merge,
+  skip both) are exactly the reference algorithm's; the fold form is
+  equivalent because a just-merged token ``a+b`` can never re-match as
+  ``a`` (``b`` is non-empty), property-tested against a pure-python
+  scan reference in tests/test_llm_ops.py.
+
+Determinism contract: pair counts are exact integers; ties break
+(count DESC, left ASC, right ASC) under binary string collation on
+both engines — no float anywhere in the ranking.
+
+At 100 TB: one corpus scan + N vocab-table rounds, each round's state
+persisted so lineage stays depth-1; driver holds N merge rows. The
+trainer composes with q_bpe_pair_counts (the single-round statistic)
+the way kmeans composes with assign_nearest.
+
+Reference parity: none — onaio/duva has no tokenizer surface (it is an
+ingest/export service, app/core/importer.py); this is part of the
+beyond-reference LLM-pipeline inventory SURVEY.md §2c calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt): whitespace-word frequency table — the trainer's input
+    and the ONLY corpus-sized computation in BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def greedy_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply merge rule (a, b) → a+b to a symbol array, greedy
+    left-to-right (merge and consume both; 'a a a' with rule (a,a)
+    yields ['aa','a']). Pure codegen fold: the accumulator appends the
+    symbol, or replaces its own tail when (tail, current) is the pair.
+    Equivalent to the scan because the merged token a+b ≠ a."""
+    merged = a + b
+
+    def step(acc: Column, s: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """(a, b, n): adjacent-pair frequencies over the current symbol
+    sequences, weighted by word count (overlapping pairs counted, the
+    reference trainer's statistic). One vocab-bounded shuffle."""
+    return (
+        seqs.select(
+            "cnt",
+            F.explode(
+                # sequence(0, -1) DESCENDS in Spark — single-symbol
+                # words must short-circuit to an empty pair list.
+                F.expr(
+                    "CASE WHEN size(syms) >= 2 THEN"
+                    " transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> list[tuple[int, str, str, str, int]]:
+    """Train ``n_merges`` BPE merge rules; returns
+    [(merge_round, left_sym, right_sym, merged, pair_count)].
+
+    Driver state is the ≤n_merges winning rows (one bounded collect per
+    round); the corpus is scanned once, every round after operates on
+    the persisted word-frequency table."""
+    vocab = word_vocab(docs, text_col)
+    seqs = vocab.select(
+        "w",
+        "cnt",
+        F.expr("filter(split(w, ''), c -> c <> '')").alias("syms"),
+    ).persist()
+    rules: list[tuple[int, str, str, str, int]] = []
+    handles = [seqs]
+    try:
+        for r in range(1, n_merges + 1):
+            win = (
+                _pair_counts(seqs)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not win:  # vocabulary fully merged — stop early
+                break
+            a, b, n = win[0]["a"], win[0]["b"], int(win[0]["n"])
+            rules.append((r, a, b, a + b, n))
+            seqs = seqs.select(
+                "w", "cnt", greedy_merge(F.col("syms"), a, b).alias("syms")
+            ).persist()
+            handles.append(seqs)
+    finally:
+        for h in handles:
+            h.unpersist()
+    return rules
+
+
+def bpe_train_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """The trained merge table as a DataFrame (n_merges rows, built from
+    the driver-side winners — bounded by n_merges, the kcenter_frame
+    pattern)."""
+    spark = docs.sparkSession
+    rows = [
+        (int(r), a, b, m, int(n))
+        for r, a, b, m, n in bpe_train(docs, text_col, n_merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_round long, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    )

@@ -2758,3 +2758,105 @@ def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bk") / F.sum("nt"), 6).alias("backoff_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule TRAINING (the bounded loop over the word-frequency table)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled chained-CTE replay of the BPE trainer (the kmeans/
+    PageRank oracle pattern): round r counts adjacent pairs over sq_r,
+    best_r is the (count DESC, a, b) argmax, sq_{r+1} applies the merge
+    greedily left-to-right via window functions — candidate positions,
+    overlap chains grouped by the i-ROW_NUMBER trick (overlaps only
+    exist when a=b), odd chain offsets taken, absorbed positions (one
+    past a taken merge) dropped, sequences reassembled in position
+    order."""
+    ctes = [
+        """sq_1 AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p_{r} AS MATERIALIZED (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM (SELECT cnt, syms[i] AS a, syms[i + 1] AS b
+            FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM sq_{r}))
+      GROUP BY a, b
+    )""")
+        ctes.append(f"""best_{r} AS MATERIALIZED (
+      SELECT a, b, n FROM p_{r} ORDER BY n DESC, a, b LIMIT 1
+    )""")
+        if r == n_merges:
+            break
+        ctes.append(f"""pos_{r} AS MATERIALIZED (
+      SELECT q.w, q.cnt, q.i, q.syms[q.i] AS s,
+             (q.i < len(q.syms) AND q.syms[q.i] = be.a
+              AND q.syms[q.i + 1] = be.b) AS cand
+      FROM (SELECT w, cnt, syms, unnest(range(1, len(syms) + 1)) AS i
+            FROM sq_{r}) q
+      CROSS JOIN best_{r} be
+    )""")
+        ctes.append(f"""tk_{r} AS MATERIALIZED (
+      SELECT w, i FROM (
+        SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, g ORDER BY i) AS rn
+        FROM (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS g
+              FROM pos_{r} WHERE cand)
+      ) WHERE rn % 2 = 1
+    )""")
+        ctes.append(f"""sq_{r + 1} AS MATERIALIZED (
+      SELECT o.w, any_value(o.cnt) AS cnt, list(o.tok ORDER BY o.i) AS syms
+      FROM (
+        SELECT p.w, p.cnt, p.i,
+               CASE WHEN t.i IS NOT NULL
+                    THEN (SELECT a || b FROM best_{r}) ELSE p.s END AS tok
+        FROM pos_{r} p
+        LEFT JOIN tk_{r} t ON p.w = t.w AND p.i = t.i
+        LEFT JOIN tk_{r} t2 ON p.w = t2.w AND p.i = t2.i + 1
+        WHERE t2.i IS NULL
+      ) o
+      GROUP BY o.w
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged, n AS pair_count FROM best_{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT * FROM ({union})
+    ORDER BY merge_round
+    """
+    )
+
+
+@register(
+    "q_bpe_train_merges",
+    oracle=_bpe_oracle(8),
+    description=(
+        "BPE merge-rule TRAINING (Sennrich et al. 2016): 8 bounded merge "
+        "rounds over the word-frequency table — the trainer half of the "
+        "tokenizer story whose single-round statistic is "
+        "q_bpe_pair_counts. The corpus is scanned exactly once (the "
+        "vocab groupBy); each round is one vocab-bounded pair-count "
+        "shuffle, a TakeOrderedAndProject argmax (ONE row to the "
+        "driver, the kcenter/kmeans bounded-iteration contract), and a "
+        "pure-codegen greedy merge fold with the winning pair inlined "
+        "as literals — no UDF, no join, no corpus shuffle at any "
+        "scale. Exact-integer counts and (count DESC, pair ASC) "
+        "tie-breaks make the loop bit-deterministic across engines; "
+        "the oracle replays all 8 rounds as an unrolled CTE chain with "
+        "window-function greedy merging."
+    ),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train_frame(docs, "text", n_merges=8)

@@ -1096,3 +1096,63 @@ def test_kcenter_greedy_picks_farthest_corners(spark):
     assert radii == sorted(radii, reverse=True)  # farthest-point radii shrink
     frame = coreset.kcenter_frame(df, "vec_id", "embedding", 4)
     assert [r.sel_rank for r in frame.orderBy("sel_rank").collect()] == [1, 2, 3, 4]
+
+
+def _bpe_greedy_python(seq, a, b):
+    """Reference greedy left-to-right merge: scan, merge, consume both."""
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def test_bpe_greedy_merge_matches_scan_reference(spark):
+    """The codegen fold must equal the scan semantics — including the
+    odd-run case ('a a a a a' with rule (a,a) → [aa, aa, a]) where a
+    naive string-replace implementation diverges."""
+    from duva_spark.llm import bpe
+
+    cases = [
+        (["a", "a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["x", "a", "b", "a", "b", "y"], "a", "b"),
+        (["b", "a", "b"], "a", "b"),
+        (["a"], "a", "a"),
+        ([], "a", "b"),
+        (["a", "ab", "ab"], "a", "ab"),
+        (["p", "a", "r", "t"], "a", "r"),
+    ]
+    rows = [(i, seq) for i, (seq, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, syms array<string>")
+    for idx, (seq, a, b) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == idx)
+            .select(bpe.greedy_merge(F.col("syms"), a, b).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == _bpe_greedy_python(seq, a, b), (seq, a, b)
+
+
+def test_bpe_train_on_constructed_corpus(spark):
+    """Deterministic trainer end-to-end on a corpus whose merge order is
+    computable by hand: 'lo lo low low lower' repeated — (l,o) wins
+    round 1 (freq 5/doc), then (lo,w) (freq 3/doc), then ties break
+    lexicographically."""
+    from duva_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "lo lo low low lower") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rules = bpe.bpe_train(docs, "text", n_merges=3)
+    assert [(r[1], r[2]) for r in rules] == [("l", "o"), ("lo", "w"), ("e", "r")]
+    assert rules[0][4] == 20  # 5 (l,o) pairs per doc × 4 docs
+    assert rules[1][4] == 12  # 3 (lo,w) pairs per doc × 4 docs
+    # round numbering and merged spellings
+    assert [r[0] for r in rules] == [1, 2, 3]
+    assert [r[3] for r in rules] == ["lo", "low", "er"]

@@ -238,6 +238,72 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         coreset.kcenter_select(_embeddings(spark, n), "vec_id", "embedding", 8)
 
     cases.append(("kcenter_greedy", sizes_small, kcenter_case))
+
+    def bpe_train_case(n):
+        # q_bpe_train_merges' operator: ONE corpus-sized word-count
+        # groupBy, then 4 merge rounds over the vocab table (bounded by
+        # distinct words — here ≤997 — regardless of n). The sweep
+        # should show the corpus scan dominating: ~linear per 10x, with
+        # round cost flat.
+        from duva_spark.llm import bpe
+
+        bpe.bpe_train(_docs(spark, n), "text", n_merges=4)
+
+    cases.append(("bpe_train", sizes_big, bpe_train_case))
+
+    def stupid_backoff_case(n):
+        # q_stupid_backoff_nll's chain on synthetic docs: bigram/unigram
+        # count tables on the 70% hash split, held-out 30% scored by
+        # bc/cc with 0.4-backoff. Count-table LM: two map-side-combined
+        # count shuffles + Zipf-bounded model joins — expect ~linear.
+        from duva_spark.llm import hashed_lm
+
+        docs = _docs(spark, n)
+        h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+        split = docs.select(
+            "doc_id", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
+        )
+        bigrams = lambda df: df.select(  # noqa: E731
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+        train = split.filter("is_train")
+        ucnt = train.select(F.explode("ws").alias("w")).groupBy("w").agg(
+            F.count("*").alias("cnt")
+        )
+        utot = ucnt.agg(
+            F.sum("cnt").cast("double").alias("n"),
+            F.count("*").cast("double").alias("v"),
+        )
+        bcnt = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+        ctx = bcnt.groupBy("w1").agg(F.sum("bc").cast("double").alias("cc"))
+        ho = bigrams(split.filter(~F.col("is_train")))
+        scored = (
+            ho.join(bcnt, ["w1", "w2"], "left")
+            .join(ctx, "w1", "left")
+            .join(ucnt.withColumnRenamed("w", "w2"), "w2", "left")
+            .crossJoin(F.broadcast(utot))
+            .select(
+                "doc_id",
+                F.when(F.col("bc").isNotNull(), -F.log(F.col("bc") / F.col("cc")))
+                .otherwise(
+                    -F.log(
+                        F.lit(0.4)
+                        * (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                        / (F.col("n") + F.col("v"))
+                    )
+                )
+                .alias("nll"),
+            )
+        )
+        _force(scored.groupBy("doc_id").agg(F.avg("nll").alias("avg_nll")))
+
+    cases.append(("stupid_backoff", sizes_big, stupid_backoff_case))
     cases.append(
         (
             "kmeans_assign",
