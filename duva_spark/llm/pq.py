@@ -1,0 +1,181 @@
+"""Product quantization (PQ) for embedding compression + ANN scoring.
+
+Public technique (Jégou, Douze, Schmid 2011, "Product Quantization for
+Nearest Neighbor Search" — the compression step behind FAISS's IVF-PQ):
+split each dim-D vector into ``m`` contiguous subvectors, train an
+independent ``ksub``-centroid codebook per subspace (plain Lloyd — this
+module reuses ``llm/kmeans.py`` verbatim, so training inherits its
+shuffle-free-assignment plan and its cross-engine determinism contract),
+and store each vector as ``m`` small codes. Asymmetric distance
+computation (ADC) then approximates ``||q - x||²`` as the sum of
+per-subspace distances from the query's EXACT subvectors to x's
+RECONSTRUCTED subvectors — a table lookup per subspace, no float vector
+left at query time.
+
+Scale design (the 100 TB question):
+- Training: ``m × iters`` Lloyd rounds over ``dsub``-dim subvector
+  projections — each round one shuffle-free Arrow assignment + one
+  hash-shuffle centroid update, exactly the audited KMeans shape.
+  Codebooks are ``m × ksub`` rows total — driver/broadcast-sized by
+  construction (32 rows here).
+- Encoding: ``m`` chained shuffle-free Arrow projections
+  (``assign.assign_nearest``) — zero Exchange between the corpus scan
+  and the code columns (plan-asserted in tests). A corpus row shrinks
+  from D floats to m small ints — the point of PQ at 100 TB.
+- ADC query: the per-(query, subspace, code) distance table is computed
+  DRIVER-SIDE (|queries| × m × ksub scalars — bounded because a probe
+  set is small by definition, same guard as brute_force_topk_arrow) and
+  attaches via m broadcast hash joins; the only corpus-sized work is
+  the scored scan plus the per-query top-k window, identical to the
+  brute-force baseline's accepted shape.
+
+Determinism contract: per-subspace d2 entries are computed as
+SEQUENTIAL python-float sums (IEEE double, index order) — bit-identical
+to the oracle's ``list_aggregate(..., 'sum')``; the m-term ADC sum is
+written as one fixed left-to-right addition on both engines; the final
+distance rounds to 6 dp before ranking with neighbor-id tie-break.
+
+Reference parity: none — onaio/duva has no vector surface; this extends
+the beyond-reference similarity inventory (SURVEY.md §2c) and composes
+three already-verified operators (lloyd, assign_nearest, the L2
+baseline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from duva_spark.llm import assign, kmeans
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int,
+    ksub: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> list[list]:
+    """Train one Lloyd codebook per subspace; returns m lists of
+    centroid Rows (cluster, cen) sorted by cluster id. m × ksub rows
+    total — the codebook IS driver-sized by construction."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books: list[list] = []
+    for s in range(m):
+        sub = emb.select(
+            id_col, F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sub")
+        )
+        cen, _ = kmeans.lloyd(
+            sub, k=ksub, iters=iters, dim=dsub, id_col=id_col, vec_col="sub", dp=dp
+        )
+        books.append(sorted(cen.collect(), key=lambda r: r["cluster"]))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """emb plus code_0..code_{m-1}: m chained shuffle-free Arrow
+    projections (no Join, no Exchange — the corpus never moves)."""
+    m = len(codebooks)
+    dsub = dim // m
+    df = emb
+    for s in range(m):
+        df = assign.assign_nearest(
+            df.withColumn("_sub", F.slice(F.col(vec_col), s * dsub + 1, dsub)),
+            codebooks[s],
+            metric="euclidean",
+            vec_col="_sub",
+            out_col=f"code_{s}",
+            id_field="cluster",
+            cen_field="cen",
+            id_type="int",
+        ).drop("_sub")
+    return df
+
+
+def _adc_tables(
+    qrows: list, codebooks: list[list], dim: int, vec_col: str, id_col: str
+) -> list[list[tuple]]:
+    """Per-subspace driver-side distance tables:
+    tables[s] = [(query_id, code, d2), ...] with d2 the SEQUENTIAL
+    index-order float sum (bit-identical to list_aggregate('sum'))."""
+    m = len(codebooks)
+    dsub = dim // m
+    tables: list[list[tuple]] = []
+    for s in range(m):
+        rows = []
+        for qr in qrows:
+            qsub = [float(x) for x in qr[vec_col][s * dsub : (s + 1) * dsub]]
+            for crow in codebooks[s]:
+                acc = 0.0
+                for qx, cx in zip(qsub, crow["cen"]):
+                    d = qx - float(cx)
+                    acc += d * d
+                rows.append((qr[id_col], int(crow["cluster"]), acc))
+        tables.append(rows)
+    return tables
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list],
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+    max_probes: int = 4096,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_dist, rank): PQ-ADC approximate L2
+    top-k of each probe against the encoded corpus. The m distance
+    tables attach as broadcast hash joins keyed on (query, code); the
+    ADC sum is one fixed left-to-right addition; ranking mirrors
+    q_embed_l2_topk (round 6 dp, neighbor-id tie-break)."""
+    from pyspark.sql import Window as W
+
+    spark = codes.sparkSession
+    qrows = queries.select(id_col, vec_col).limit(max_probes + 1).collect()
+    if len(qrows) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes}; ADC tables are "
+            "driver-built and must stay bounded"
+        )
+    m = len(codebooks)
+    scored = codes
+    for s, rows in enumerate(_adc_tables(qrows, codebooks, dim, vec_col, id_col)):
+        qd = spark.createDataFrame(
+            rows, f"query_id long, code_{s} int, d2_{s} double"
+        )
+        on = ["code_" + str(s)] if s == 0 else ["query_id", f"code_{s}"]
+        scored = scored.join(F.broadcast(qd), on)
+    adc = F.round(_ordered_sum(m), dp)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _ordered_sum(m: int):
+    """d2_0 + d2_1 + ... built left-to-right so the float addition order
+    matches the oracle's literal expression exactly."""
+    acc = F.col("d2_0")
+    for s in range(1, m):
+        acc = acc + F.col(f"d2_{s}")
+    return acc

@@ -3031,3 +3031,145 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return coreset.kcenter_frame(emb, "vec_id", "embedding", _KCENTER_K)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: codebook training + ADC recall audit
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM, _PQ_DP = 4, 8, 2, 64, 6
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ replay: per subspace s, the SAME Lloyd CTE chain as
+    the kmeans oracle over the subvector slice (s{s}p/c/d/a), a final
+    code assignment vs the trained codebook (s{s}f), and a query-side
+    distance table (qd{s}); ADC is the fixed left-to-right 4-term sum
+    the Spark side also writes, rounded to 6 dp before the
+    neighbor-id-tie-broken rank; recall joins against the already-
+    verified exact-L2 oracle. All CTEs MATERIALIZED — DuckDB inlines
+    CTEs per reference, and s{s}p/qd0 are multiply referenced."""
+    m, k, iters, dim, dp = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM, _PQ_DP
+    dsub = dim // m
+    ctes = []
+    for s in range(m):
+        off = s * dsub
+        d2 = (
+            f"list_aggregate(list_transform(range(1, {dsub + 1}),"
+            f" i -> (p.e[i] - c.cen[i]) * (p.e[i] - c.cen[i])), 'sum')"
+        )
+        ctes.append(
+            f"s{s}p AS MATERIALIZED (SELECT vec_id,"
+            f" list_transform(range({off + 1}, {off + dsub + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE)) AS e FROM embeddings)"
+        )
+        ctes.append(
+            f"s{s}c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cluster,"
+            f" list_transform(e, x -> ROUND(x, {dp})) AS cen"
+            f" FROM s{s}p WHERE vec_id < {k})"
+        )
+        for it in range(iters):
+            ctes.append(
+                f"s{s}d{it} AS MATERIALIZED (SELECT p.vec_id, p.e, c.cluster,"
+                f" {d2} AS dist FROM s{s}p p CROSS JOIN s{s}c{it} c)"
+            )
+            ctes.append(
+                f"s{s}a{it} AS MATERIALIZED (SELECT vec_id, e, cluster"
+                f" FROM s{s}d{it} QUALIFY ROW_NUMBER() OVER"
+                f" (PARTITION BY vec_id ORDER BY dist, cluster) = 1)"
+            )
+            dims = ", ".join(f"ROUND(AVG(e[{i + 1}]), {dp})" for i in range(dsub))
+            ctes.append(
+                f"s{s}c{it + 1} AS MATERIALIZED (SELECT cluster, [{dims}] AS cen"
+                f" FROM s{s}a{it} GROUP BY cluster)"
+            )
+        ctes.append(
+            f"s{s}f AS MATERIALIZED (SELECT vec_id, cluster AS code_{s} FROM ("
+            f"SELECT p.vec_id, c.cluster, {d2} AS dist"
+            f" FROM s{s}p p CROSS JOIN s{s}c{iters} c)"
+            f" QUALIFY ROW_NUMBER() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, cluster) = 1)"
+        )
+        ctes.append(
+            f"qd{s} AS MATERIALIZED (SELECT q.vec_id AS query_id,"
+            f" c.cluster AS code_{s},"
+            f" list_aggregate(list_transform(range(1, {dsub + 1}),"
+            f" i -> (CAST(q.embedding[{off} + i] AS DOUBLE) - c.cen[i])"
+            f" * (CAST(q.embedding[{off} + i] AS DOUBLE) - c.cen[i])), 'sum')"
+            f" AS d2_{s}"
+            f" FROM embeddings q CROSS JOIN s{s}c{iters} c WHERE q.vec_id < 5)"
+        )
+    code_cols = ", ".join(f"s{s}f.code_{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}f USING (vec_id)" for s in range(1, m))
+    adc_sum = " + ".join(f"qd{s}.d2_{s}" for s in range(m))
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.query_id = qd0.query_id"
+        f" AND qd{s}.code_{s} = c.code_{s}"
+        for s in range(1, m)
+    )
+    ctes.append(
+        f"codes AS MATERIALIZED (SELECT s0f.vec_id, {code_cols}"
+        f" FROM s0f {code_joins})"
+    )
+    ctes.append(
+        f"sc AS MATERIALIZED (SELECT qd0.query_id, c.vec_id AS neighbor_id,"
+        f" ROUND({adc_sum}, {dp}) AS adc_dist"
+        f" FROM codes c JOIN qd0 ON qd0.code_0 = c.code_0 {qd_joins}"
+        f" WHERE c.vec_id <> qd0.query_id)"
+    )
+    ctes.append(
+        "pqt AS MATERIALIZED (SELECT query_id, neighbor_id FROM sc"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, neighbor_id) <= 5)"
+    )
+    ctes.append(f"bf AS MATERIALIZED ({_REG['q_embed_l2_topk'].oracle})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT bf.query_id,
+           CAST(COUNT(pqt.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(pqt.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN pqt
+      ON bf.query_id = pqt.query_id AND bf.neighbor_id = pqt.neighbor_id
+    GROUP BY bf.query_id
+    """
+    )
+
+
+@register(
+    "q_embed_pq_recall",
+    oracle=_pq_oracle(),
+    description=(
+        "Product quantization recall audit (Jégou et al. 2011, the "
+        "FAISS IVF-PQ compression step): 4 subspaces × 8-centroid "
+        "codebooks trained with the SAME audited Lloyd operator as "
+        "q_kmeans_centroids (shuffle-free Arrow assignment, one hash "
+        "shuffle per update), corpus encoded to 4 small codes via "
+        "chained shuffle-free projections, probes scored by asymmetric "
+        "distance (driver-built |q|×m×ksub lookup tables attached as "
+        "broadcast hash joins — per-subspace d2 summed sequentially so "
+        "both engines see bit-identical doubles), recall@5 measured "
+        "against the verified exact-L2 baseline. At 100 TB the corpus "
+        "never shuffles: training is the KMeans shape, encoding is a "
+        "projection, and query cost is a scored scan + bounded-probe "
+        "window — while storage per vector drops from 64 floats to 4 "
+        "bytes."
+    ),
+)
+def q_embed_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM)
+    codes = pq.pq_encode(emb, books, dim=_PQ_DIM)
+    queries = emb.filter(F.col("vec_id") < 5)
+    pqt = pq.pq_adc_topk(codes, queries, books, k=5, dim=_PQ_DIM).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    bf = q_embed_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    j = bf.join(pqt, (bf.query_id == pqt.q2) & (bf.neighbor_id == pqt.n2), "left")
+    return j.groupBy("query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )

@@ -1156,3 +1156,68 @@ def test_bpe_train_on_constructed_corpus(spark):
     # round numbering and merged spellings
     assert [r[0] for r in rules] == [1, 2, 3]
     assert [r[3] for r in rules] == ["lo", "low", "er"]
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding must be m chained Arrow projections: no Join, no
+    Window, no Exchange between the corpus scan and the code columns —
+    the corpus never moves (the kmeans-assignment contract, lifted)."""
+    import contextlib
+    import io
+
+    from duva_spark.llm import pq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)] * 4) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    books = pq.pq_train(emb, m=2, ksub=2, iters=1, dim=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pq.pq_encode(emb, books, dim=8).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
+
+
+def test_pq_adc_recovers_cluster_structure(spark):
+    """On well-separated per-subspace clusters PQ quantization is
+    lossless, so ADC top-k must equal exact L2 top-k: vectors live at
+    two centers per subspace with a tiny per-id jitter; every probe's
+    nearest neighbors share its center pattern."""
+    from duva_spark.llm import pq, similarity  # noqa: F401
+
+    rows = []
+    for i in range(24):
+        pat = (i % 2, (i // 2) % 2)  # subspace center pattern
+        v = []
+        for s, p in enumerate(pat):
+            base = 10.0 * p
+            v += [base + 0.001 * i, base - 0.001 * i]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq.pq_train(emb, m=2, ksub=4, iters=3, dim=4)
+    codes = pq.pq_encode(emb, books, dim=4)
+    probes = emb.filter(F.col("vec_id") < 4)
+    got = pq.pq_adc_topk(codes, probes, books, k=3, dim=4).collect()
+    assert len(got) == 12
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid, nbrs in by_q.items():
+        pat = (qid % 2, (qid // 2) % 2)
+        for n in nbrs:
+            assert (n % 2, (n // 2) % 2) == pat, (qid, n)
+
+
+def test_pq_adc_probe_guard(spark):
+    """The ADC distance tables are driver-built — an oversized probe set
+    must refuse, not silently materialize."""
+    from duva_spark.llm import pq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    books = pq.pq_train(emb, m=1, ksub=2, iters=1, dim=2)
+    codes = pq.pq_encode(emb, books, dim=2)
+    with pytest.raises(ValueError, match="max_probes"):
+        pq.pq_adc_topk(codes, emb, books, k=2, dim=2, max_probes=4)
