@@ -244,6 +244,65 @@ def near_duplicates(
     )
 
 
+def corpus_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """The persisted signature index of a corpus: (id, _hs,
+    band_0..band_{B-1}), materialized (localCheckpoint) so every delta
+    tick joins against it WITHOUT recomputing corpus signatures. At
+    100 TB this frame is written once to storage and appended to; here
+    it is the checkpointed in-session equivalent."""
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
+    src = ensure_min_parallelism(corpus_df.select(id_col, text_col))
+    return (
+        with_signature(src, text_col, k, n_hashes)
+        .select(id_col, "_hs", *band_hashes(n_hashes, n_bands))
+        .localCheckpoint()
+    )
+
+
+def delta_pairs_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Match a NEW batch against a prebuilt ``corpus_index``: the
+    batch's bands equi-join the index's band table (cost O(|batch| ×
+    bucket occupancy), never corpus×corpus), candidates verify with
+    exact Jaccard over the hashed shingle sets. Returns
+    (new_id, corpus_id, jaccard) for matches ≥ threshold. This is the
+    per-tick body of the streaming ingest pipeline
+    (q_stream_true_incremental_dedup runs it per micro-batch)."""
+    sig_n = corpus_index(new_df, id_col, text_col, k, n_hashes, n_bands)
+    cand = (
+        band_explode(sig_n, id_col, n_bands, "new_id")
+        .join(band_explode(index, id_col, n_bands, "corpus_id"), ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    jn = sig_n.select(F.col(id_col).alias("new_id"), F.col("_hs").alias("sh_a"))
+    jc = index.select(F.col(id_col).alias("corpus_id"), F.col("_hs").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(jn, "new_id")
+        .join(jc, "corpus_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def incremental_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -259,33 +318,13 @@ def incremental_pairs(
 
     This is the shape an ingest pipeline actually runs every tick: the
     corpus signature/band table is the persisted index (at 100 TB it is
-    written once and appended to), and each incoming batch joins its
-    bands against it — cost O(|batch| × bucket occupancy), never
-    O(|corpus|²) and never corpus×corpus. Returns
-    (new_id, corpus_id, jaccard) for verified matches ≥ threshold.
+    written once and appended to — ``corpus_index``), and each incoming
+    batch joins its bands against it (``delta_pairs_against_index``) —
+    cost O(|batch| × bucket occupancy), never O(|corpus|²) and never
+    corpus×corpus. Returns (new_id, corpus_id, jaccard) for verified
+    matches ≥ threshold.
     """
-    from duva_spark.operators.parallel import ensure_min_parallelism
-
-    def signature(side: DataFrame) -> DataFrame:
-        src = ensure_min_parallelism(side.select(id_col, text_col))
-        return with_signature(src, text_col, k, n_hashes).select(
-            id_col, "_hs", *band_hashes(n_hashes, n_bands)
-        ).localCheckpoint()
-
-    sig_n, sig_c = signature(new_df), signature(corpus_df)
-    cand = (
-        band_explode(sig_n, id_col, n_bands, "new_id")
-        .join(band_explode(sig_c, id_col, n_bands, "corpus_id"), ["band_idx", "band_hash"])
-        .select("new_id", "corpus_id")
-        .dropDuplicates(["new_id", "corpus_id"])
-    )
-    jn = sig_n.select(F.col(id_col).alias("new_id"), F.col("_hs").alias("sh_a"))
-    jc = sig_c.select(F.col(id_col).alias("corpus_id"), F.col("_hs").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.join(jn, "new_id")
-        .join(jc, "corpus_id")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "corpus_id", "jaccard")
+    index = corpus_index(corpus_df, id_col, text_col, k, n_hashes, n_bands)
+    return delta_pairs_against_index(
+        new_df, index, id_col, text_col, threshold, k, n_hashes, n_bands
     )

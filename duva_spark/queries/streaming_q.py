@@ -365,3 +365,78 @@ def q_stream_true_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TRUE streaming incremental fuzzy dedup (the production ingest pipeline)
+# ---------------------------------------------------------------------------
+
+from duva_spark.queries import REGISTRY as _REG  # noqa: E402 — llm_q loads first
+
+
+@register(
+    "q_stream_true_incremental_dedup",
+    # identical semantics to the batch operator by construction — reuse
+    # its verified oracle text verbatim (the q_ann_recall composition
+    # pattern): all-pairs LSH, keep exactly the cross-split pairs
+    oracle=None,  # bound right below, after llm_q's registration resolves
+    description=(
+        "TRUE streaming incremental fuzzy dedup under the value-hash "
+        "gate — the composition a production ingest pipeline runs: the "
+        "~20% md5-slice of documents arrives as a REAL readStream file "
+        "source; the other 80% is the corpus whose MinHash/LSH band "
+        "index is built ONCE (minhash.corpus_index — at 100 TB the "
+        "persisted, appended-to signature table); each micro-batch's "
+        "band signatures equi-join the index (never corpus×corpus, "
+        "never batch×batch), verified matches merge into an idempotent "
+        "keyed upsert sink (exactly-once to storage, the same recipe "
+        "the crash-restore test exercises), Trigger.AvailableNow runs "
+        "to completion, and the sink is read back as the result. Equals "
+        "the batch q_incremental_dedup value-for-value."
+    ),
+)
+def q_stream_true_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from duva_spark.llm import minhash
+    from duva_spark.sinks import merge_upsert
+    from duva_spark.streaming.jobs import read_documents_stream
+
+    h = minhash.md5_hash60(F.col("doc_id").cast("string"))
+    is_new = (h % 10) < 2
+    corpus = load_table(spark, sf_dir, "documents").filter(~is_new)
+    index = minhash.corpus_index(corpus, "doc_id", "text")
+
+    stream = read_documents_stream(spark, sf_dir).filter(is_new)
+    td = tempfile.mkdtemp(prefix="duva_incr_dedup_")
+    sink, ckpt = os.path.join(td, "matches"), os.path.join(td, "ckpt")
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        m = minhash.delta_pairs_against_index(
+            bdf, index, "doc_id", "text", threshold=0.5
+        ).withColumn("pair_key", F.concat_ws("_", "new_id", "corpus_id"))
+        merge_upsert(bdf.sparkSession, m, sink, "pair_key")
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .queryName("q_true_incr_dedup")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select("new_id", "corpus_id", "jaccard")
+
+
+# Bind the reused oracle now that llm_q's registry entry exists (module
+# import order in load_all guarantees it).
+import dataclasses as _dc  # noqa: E402
+
+_REG["q_stream_true_incremental_dedup"] = _dc.replace(
+    _REG["q_stream_true_incremental_dedup"],
+    oracle=_REG["q_incremental_dedup"].oracle,
+)

@@ -59,6 +59,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hou
     return stream.withWatermark("ts", watermark)
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the arriving-docs
+    leg of the streaming ingest-dedup pipeline). Documents carry no
+    event time, so no watermark: the per-batch dedup join is stateless
+    — all state lives in the persisted corpus index."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
 def dedup_within_watermark(stream: DataFrame, keys: list[str]) -> DataFrame:
     """Stateful streaming dedup bounded by the watermark (the streaming
     sibling of llm.dedup.dedup_exact)."""

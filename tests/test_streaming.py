@@ -327,3 +327,93 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     want = sorted(map(tuple, spark.read.parquet(src).select("k", "payload").collect()))
     assert got == want  # value-level equality, no dupes, no gaps
     assert len(got) == 15
+
+
+def test_incremental_dedup_stream_crash_restore(spark, tmp_path):
+    """The streaming fuzzy-dedup pipeline (micro-batch band signatures
+    joined against the persisted corpus index, idempotent keyed upsert
+    sink) must survive a mid-run crash: epoch 1's merge lands but the
+    offset commit doesn't, the restart replays it, and the final sink
+    equals the batch delta_pairs_against_index result value-for-value."""
+    import pytest
+
+    from duva_spark.llm import minhash
+    from duva_spark.sinks import merge_upsert
+
+    corpus_rows = [
+        (100 + i, f"alpha beta gamma delta epsilon zeta token{i}") for i in range(6)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    index = minhash.corpus_index(corpus, "doc_id", "text")
+
+    # two single-file arrival batches; each contains one near-dup of the
+    # corpus (shares the 6-word prefix) and one unrelated doc
+    src = str(tmp_path / "arrivals")
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta extra1"),
+         (2, "totally unrelated words nothing shared here at all")],
+        [(3, "alpha beta gamma delta epsilon zeta extra2"),
+         (4, "different vocabulary again nothing in common whatsoever")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    crash_flag = tmp_path / "crashed_once"
+
+    def write_batch(bdf, epoch_id):
+        from pyspark.sql import functions as F
+
+        m = minhash.delta_pairs_against_index(
+            bdf, index, "doc_id", "text", threshold=0.3
+        ).withColumn("pair_key", F.concat_ws("_", "new_id", "corpus_id"))
+        merge_upsert(bdf.sparkSession, m, out, "pair_key")
+        if epoch_id == 1 and not crash_flag.exists():
+            crash_flag.write_text("x")
+            raise RuntimeError("injected crash after partial commit")
+
+    def make_stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+
+    def start(name):
+        return (
+            make_stream()
+            .writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start("incr_dedup_run1")
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert crash_flag.exists()
+
+    q2 = start("incr_dedup_run2")
+    q2.awaitTermination()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).select("new_id", "corpus_id", "jaccard").collect())
+    )
+    arrivals = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want = sorted(
+        map(
+            tuple,
+            minhash.delta_pairs_against_index(
+                arrivals, index, "doc_id", "text", threshold=0.3
+            ).collect(),
+        )
+    )
+    assert got == want  # no dupes from the replayed epoch, no gaps
+    assert {t[0] for t in got} == {1, 3}  # only the near-dup arrivals match
