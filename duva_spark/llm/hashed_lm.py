@@ -224,3 +224,155 @@ def nb_predict(scored: DataFrame, id_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select(id_col, F.col("label").alias("pred_label"))
     )
+
+
+def domain_bucket_counts(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+) -> DataFrame:
+    """(domain, bucket, c, n): hashed-unigram token counts per domain —
+    the ONE corpus-sized computation DoReMi needs. The result is at most
+    |domains| × n_buckets rows (broadcast-sized by construction, like
+    every model table in this module); every reweighting round after
+    runs on this frame alone."""
+    tok = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).select("domain", bucket_of(F.col("word"), n_buckets).alias("bucket"))
+    cnt = tok.groupBy("domain", "bucket").agg(F.count("*").alias("c"))
+    nd = cnt.groupBy("domain").agg(F.sum("c").alias("n"))
+    doms = nd.select("domain")
+    bks = cnt.select("bucket").distinct()
+    return (
+        doms.crossJoin(bks)
+        .join(cnt, ["domain", "bucket"], "left")
+        .join(nd, "domain")
+        .select(
+            "domain",
+            "bucket",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "n",
+        )
+    )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    eta: float = 0.5,
+    smoothing: float = 0.1,
+    rounds: int = 4,
+) -> list[tuple[str, float, float, float]]:
+    """DoReMi-style mixture reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+    with the hashed-unigram LM standing in for the proxy model: returns
+    [(domain, baseline_nll, excess, weight)] after ``rounds``
+    multiplicative-weights rounds.
+
+    Spec (both engines replay it exactly):
+    - p_{d,b} = (c_{d,b}+1)/(n_d+B): each domain's Laplace-smoothed
+      bucket LM; baseline_d = round(-Σ_b c ln p / n_d, 6) — the
+      domain's NLL under its OWN LM (the "perfectly fit reference").
+    - Round t: mixture q_b = Σ_d α_{t,d} p_{d,b}; per-domain excess
+      E_d = max(0, round(-Σ_b c ln q / n_d − baseline_d, 6)) — the
+      6-dp rounding truncates cross-engine summation drift every round
+      (the kmeans centroid-grid trick).
+    - α'_d = α_{t,d}·exp(η·E_d); α_{t+1,d} = round((1−s)·α'_d/Z +
+      s/D, 9) — exponentiated-gradient step, uniform smoothing,
+      re-normalized; α_0 uniform.
+
+    Scale: the corpus is scanned once (domain_bucket_counts); each
+    round is one aggregation over the ≤ D×B-row count table with the
+    current α attached as a broadcast D-row frame, and the driver holds
+    D floats — the kcenter/kmeans bounded-iteration contract.
+    """
+    import math
+
+    spark = df.sparkSession
+    grid = domain_bucket_counts(df, domain_col, text_col, n_buckets).localCheckpoint()
+    p = grid.select(
+        "domain",
+        "bucket",
+        "c",
+        "n",
+        ((F.col("c") + 1) / (F.col("n") + F.lit(float(n_buckets)))).alias("p"),
+    ).localCheckpoint()
+    base_rows = (
+        p.groupBy("domain")
+        .agg(F.round(-F.sum(F.col("c") * F.log("p")) / F.first("n"), 6).alias("b"))
+        .collect()
+    )
+    baseline = {r["domain"]: float(r["b"]) for r in base_rows}
+    domains = sorted(baseline)
+    d_count = len(domains)
+    alpha = {d: 1.0 / d_count for d in domains}
+    excess = {d: 0.0 for d in domains}
+    for _ in range(rounds):
+        a_df = spark.createDataFrame(
+            [(d, alpha[d]) for d in domains], "domain string, w double"
+        )
+        q = (
+            p.join(F.broadcast(a_df), "domain")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("w") * F.col("p")).alias("q"))
+        )
+        e_rows = (
+            p.join(q, "bucket")
+            .groupBy("domain")
+            .agg(
+                F.round(-F.sum(F.col("c") * F.log("q")) / F.first("n"), 6).alias(
+                    "nll"
+                )
+            )
+            .collect()
+        )
+        mix_nll = {r["domain"]: float(r["nll"]) for r in e_rows}
+        excess = {
+            d: max(0.0, round_half_up(mix_nll[d] - baseline[d], 6)) for d in domains
+        }
+        up = {d: alpha[d] * math.exp(eta * excess[d]) for d in domains}
+        z = 0.0
+        for d in domains:  # fixed domain order — deterministic sum
+            z += up[d]
+        alpha = {
+            d: round_half_up(
+                (1.0 - smoothing) * up[d] / z + smoothing / d_count, 9
+            )
+            for d in domains
+        }
+    return [(d, baseline[d], excess[d], alpha[d]) for d in domains]
+
+
+def round_half_up(x: float, dp: int) -> float:
+    """Decimal HALF_UP rounding of a non-negative-ish float — matches
+    Spark F.round and DuckDB ROUND for the magnitudes used here (model
+    weights and NLLs; python's built-in round() is half-EVEN and would
+    diverge on exact boundaries)."""
+    import math
+
+    s = 10.0**dp
+    return math.floor(x * s + 0.5) / s if x >= 0 else -math.floor(-x * s + 0.5) / s
+
+
+def doremi_frame(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    eta: float = 0.5,
+    smoothing: float = 0.1,
+    rounds: int = 4,
+) -> DataFrame:
+    """The reweighting result as a DataFrame (domain, baseline_nll,
+    excess, weight) — D rows, built from the bounded driver-side loop
+    (the kcenter_frame pattern)."""
+    spark = df.sparkSession
+    rows = doremi_weights(df, domain_col, text_col, n_buckets, eta, smoothing, rounds)
+    return spark.createDataFrame(
+        [(d, float(b), float(e), float(w)) for d, b, e, w in rows],
+        "domain string, baseline_nll double, excess double, weight double",
+    )

@@ -2860,3 +2860,121 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe.bpe_train_frame(docs, "text", n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi mixture reweighting (multiplicative weights over domain excess NLL)
+# ---------------------------------------------------------------------------
+
+_DOREMI_B, _DOREMI_ETA, _DOREMI_S, _DOREMI_T = 512, 0.5, 0.1, 4
+
+
+def _doremi_oracle() -> str:
+    """Unrolled multiplicative-weights replay (the kmeans/PageRank
+    oracle pattern): the corpus-sized token count happens once (cnt);
+    everything after runs on the ≤ D×B-row grid. Per round t: mixture
+    q{t} over buckets, per-domain mixture NLL rounded to 6 dp (the
+    round-per-iteration drift truncation), excess vs the own-LM
+    baseline, exp(η·E) update, normalize + uniform-smooth, round to
+    9 dp. MATERIALIZED throughout (DuckDB inlines CTEs per
+    reference)."""
+    b, eta, s, t_rounds = _DOREMI_B, _DOREMI_ETA, _DOREMI_S, _DOREMI_T
+    bucket = (
+        "CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)"
+        f" AS BIGINT) % {b}"
+    )
+    ctes = [
+        f"tok AS MATERIALIZED (SELECT lang AS domain, {bucket} AS bucket FROM documents)",
+        "cnt AS MATERIALIZED (SELECT domain, bucket, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM tok GROUP BY domain, bucket)",
+        "nd AS MATERIALIZED (SELECT domain, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY domain)",
+        "doms AS MATERIALIZED (SELECT domain FROM nd)",
+        "dc AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM doms)",
+        "bks AS MATERIALIZED (SELECT DISTINCT bucket FROM cnt)",
+        "grid AS MATERIALIZED (SELECT d.domain, b.bucket, COALESCE(c.c, 0) AS c, nd.n"
+        " FROM doms d CROSS JOIN bks b"
+        " LEFT JOIN cnt c ON c.domain = d.domain AND c.bucket = b.bucket"
+        " JOIN nd ON nd.domain = d.domain)",
+        f"p AS MATERIALIZED (SELECT domain, bucket, c, n,"
+        f" (c + 1) / (n + {float(b)}) AS p FROM grid)",
+        "base AS MATERIALIZED (SELECT domain,"
+        " ROUND(-SUM(c * ln(p)) / ANY_VALUE(n), 6) AS b FROM p GROUP BY domain)",
+        "a0 AS MATERIALIZED (SELECT doms.domain, 1.0 / dc.d AS w"
+        " FROM doms CROSS JOIN dc)",
+    ]
+    for t in range(t_rounds):
+        ctes.append(
+            f"q{t} AS MATERIALIZED (SELECT p.bucket, SUM(a.w * p.p) AS q"
+            f" FROM p JOIN a{t} a ON a.domain = p.domain GROUP BY p.bucket)"
+        )
+        ctes.append(
+            f"e{t} AS MATERIALIZED (SELECT p.domain,"
+            f" GREATEST(0.0, ROUND(ROUND(-SUM(p.c * ln(q.q)) / ANY_VALUE(p.n), 6)"
+            f" - ANY_VALUE(base.b), 6)) AS e"
+            f" FROM p JOIN q{t} q ON q.bucket = p.bucket"
+            f" JOIN base ON base.domain = p.domain"
+            f" GROUP BY p.domain)"
+        )
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT a.domain, a.w * exp({eta} * e.e) AS uw"
+            f" FROM a{t} a JOIN e{t} e ON e.domain = a.domain)"
+        )
+        ctes.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT u.domain,"
+            f" ROUND({1.0 - s} * u.uw / (SELECT SUM(uw) FROM u{t})"
+            f" + {s} / (SELECT d FROM dc), 9) AS w FROM u{t} u)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT base.domain, base.b AS baseline_nll, e{t_rounds - 1}.e AS excess,
+           a{t_rounds}.w AS weight
+    FROM base
+    JOIN e{t_rounds - 1} ON e{t_rounds - 1}.domain = base.domain
+    JOIN a{t_rounds} ON a{t_rounds}.domain = base.domain
+    ORDER BY base.domain
+    """
+    )
+
+
+@register(
+    "q_doremi_weights",
+    oracle=_doremi_oracle(),
+    description=(
+        "DoReMi-style mixture reweighting (Xie et al. 2023): 4 "
+        "multiplicative-weights rounds over per-domain EXCESS NLL — "
+        "each domain's NLL under the current mixture hashed-unigram LM "
+        "minus its NLL under its own LM (the perfectly-fit reference), "
+        "exponentiated-gradient update with uniform smoothing. The "
+        "iterative upgrade of the static mixture planners "
+        "(q_mixture_sampling family): weights move toward the domains "
+        "the mixture models worst. The corpus is scanned ONCE for the "
+        "domain×bucket count table (≤ D×512 rows, broadcast-sized by "
+        "construction); every round is one aggregation over that table "
+        "with the current weights attached as a D-row broadcast, and "
+        "the driver holds D floats — the kcenter/kmeans bounded-"
+        "iteration contract. Per-round 6-dp rounding truncates cross-"
+        "engine summation drift; the oracle replays all rounds as an "
+        "unrolled MATERIALIZED-CTE chain."
+    ),
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hashed_lm.doremi_frame(
+        docs,
+        "lang",
+        "text",
+        n_buckets=_DOREMI_B,
+        eta=_DOREMI_ETA,
+        smoothing=_DOREMI_S,
+        rounds=_DOREMI_T,
+    )
+    return out.select(
+        F.col("domain"),
+        F.round("baseline_nll", 6).alias("baseline_nll"),
+        F.round("excess", 6).alias("excess"),
+        F.round("weight", 9).alias("weight"),
+    ).orderBy("domain")

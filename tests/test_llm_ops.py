@@ -1221,3 +1221,108 @@ def test_pq_adc_probe_guard(spark):
     codes = pq.pq_encode(emb, books, dim=2)
     with pytest.raises(ValueError, match="max_probes"):
         pq.pq_adc_topk(codes, emb, books, k=2, dim=2, max_probes=4)
+
+
+def _doremi_python_reference(rows, n_buckets, eta, smoothing, rounds):
+    """Pure-python replay of the doremi_weights spec (hashed buckets via
+    the same md5-60bit contract, Laplace LMs, per-round 6-dp excess,
+    exponentiated-gradient update, 9-dp weights)."""
+    import hashlib
+    import math
+
+    from duva_spark.llm.hashed_lm import round_half_up
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_buckets
+
+    cnt, nd = {}, {}
+    for d, text in rows:
+        for w in text.split(" "):
+            b = bucket(w)
+            cnt[(d, b)] = cnt.get((d, b), 0) + 1
+            nd[d] = nd.get(d, 0) + 1
+    domains = sorted(nd)
+    buckets = sorted({b for _, b in cnt})
+    p = {
+        (d, b): (cnt.get((d, b), 0) + 1) / (nd[d] + n_buckets)
+        for d in domains
+        for b in buckets
+    }
+    base = {
+        d: round_half_up(
+            -sum(cnt.get((d, b), 0) * math.log(p[(d, b)]) for b in buckets) / nd[d],
+            6,
+        )
+        for d in domains
+    }
+    alpha = {d: 1.0 / len(domains) for d in domains}
+    excess = {d: 0.0 for d in domains}
+    for _ in range(rounds):
+        q = {b: sum(alpha[d] * p[(d, b)] for d in domains) for b in buckets}
+        mix = {
+            d: round_half_up(
+                -sum(cnt.get((d, b), 0) * math.log(q[b]) for b in buckets) / nd[d],
+                6,
+            )
+            for d in domains
+        }
+        excess = {d: max(0.0, round_half_up(mix[d] - base[d], 6)) for d in domains}
+        up = {d: alpha[d] * math.exp(eta * excess[d]) for d in domains}
+        z = sum(up[d] for d in domains)
+        alpha = {
+            d: round_half_up(
+                (1 - smoothing) * up[d] / z + smoothing / len(domains), 9
+            )
+            for d in domains
+        }
+    return [(d, base[d], excess[d], alpha[d]) for d in domains]
+
+
+def test_doremi_weights_match_python_reference(spark):
+    from duva_spark.llm import hashed_lm
+
+    rows = [
+        ("web", "the cat sat on the mat with the hat"),
+        ("web", "dogs and cats and hats and mats galore"),
+        ("code", "def foo bar return foo bar baz qux"),
+        ("code", "class foo init self return self value"),
+        ("books", "once upon a time in a land far away"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = hashed_lm.doremi_weights(
+        df, "lang", "text", n_buckets=64, eta=0.5, smoothing=0.1, rounds=3
+    )
+    want = _doremi_python_reference(rows, 64, 0.5, 0.1, 3)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        for i in (1, 2, 3):
+            assert g[i] == pytest.approx(w[i], abs=2e-9), (g, w)
+    # weights are a smoothed distribution: sum to 1, floor at s/D
+    ws = [g[3] for g in got]
+    assert sum(ws) == pytest.approx(1.0, abs=1e-6)
+    assert min(ws) >= 0.1 / len(ws) - 1e-9
+
+
+def test_doremi_upweights_worst_modeled_domain(spark):
+    """Two domains share a vocabulary (the mixture models each of them
+    with ~2/3 of its own probability mass → excess ≈ ln 3/2); a third
+    disjoint-vocabulary domain is modeled with only ~1/3 of its mass
+    (excess ≈ ln 3) — the multiplicative-weights update must pull the
+    badly-modeled domain ABOVE the well-modeled pair."""
+    from duva_spark.llm import hashed_lm
+
+    shared = "alpha beta gamma delta epsilon " * 4
+    rows = (
+        [("a", shared)] * 4
+        + [("b", shared)] * 4
+        + [("c", "zeta11 zeta22 zeta33 zeta44 zeta55 " * 4)] * 4
+    )
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {
+        d: w
+        for d, _, _, w in hashed_lm.doremi_weights(
+            df, "lang", "text", n_buckets=128, rounds=3
+        )
+    }
+    assert got["c"] > got["a"] and got["c"] > got["b"]
+    assert got["c"] > 1 / 3  # above uniform
