@@ -118,19 +118,35 @@ def _dup_span_intervals(
             .select("gh")
         )
     hits = pg.join(dup, "gh", "left_semi")
+    return merge_covered_intervals(hits.select(id_col, "pos"), id_col, k, min_span)
+
+
+def merge_covered_intervals(
+    hits: DataFrame, id_col: str, unit_len: int, min_span: int
+) -> DataFrame:
+    """Interval union of equal-length covered units: ``hits`` is
+    (id_col, pos) where each pos covers [pos, pos+unit_len-1]; returns
+    merged (id_col, span_start, span_end) of at least ``min_span``
+    positions. The ONE window partitions by the doc id — state bounded
+    by a single document's length at any corpus size. Shared by the
+    word-k-gram span family (unit_len=k) and the sentence-run family
+    (unit_len=1)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
-    # equal-length intervals sorted by start: the previous gram covers
-    # [lag, lag+k-1], so a new maximal span starts iff pos > lag + k
-    # (pos == lag+k is word-adjacent → one contiguous duplicated region)
+    # equal-length intervals sorted by start: the previous unit covers
+    # [lag, lag+unit_len-1], so a new maximal span starts iff
+    # pos > lag + unit_len (pos == lag+unit_len is adjacent → one
+    # contiguous covered region)
     lagp = F.lag("pos").over(w)
     spans = hits.withColumn(
-        "_new", F.when(lagp.isNull() | (F.col("pos") > lagp + k), 1).otherwise(0)
+        "_new", F.when(lagp.isNull() | (F.col("pos") > lagp + unit_len), 1).otherwise(0)
     ).withColumn("span_id", F.sum("_new").over(w))
     return (
         spans.groupBy(id_col, "span_id")
         .agg(
             F.min("pos").alias("span_start"),
-            (F.max("pos") + k - 1).alias("span_end"),
+            (F.max("pos") + unit_len - 1).alias("span_end"),
         )
         .filter(F.col("span_end") - F.col("span_start") + 1 >= min_span)
         .drop("span_id")
@@ -308,4 +324,91 @@ def dup_span_counts(
         grams.join(dup, "gh", "left")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_grams"), F.count("_dup").alias("n_dup"))
+    )
+
+
+def sentences_of(text_col: str, boundary: str = " the ") -> F.Column:
+    """The sentence-segment array of a text column: padded text split on
+    the literal ``boundary``, segments trimmed, empties dropped — one
+    pure projection, the single definition shared by the positional
+    keys and the per-doc census."""
+    segs = F.split(F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), boundary)
+    return F.filter(F.transform(segs, lambda s: F.trim(s)), lambda s: s != "")
+
+
+def positional_sentence_keys(
+    df: DataFrame, id_col: str, text_col: str = "text", boundary: str = " the "
+) -> DataFrame:
+    """(id_col, n_sents, pos, sh): each doc's sentence segments WITH
+    their 0-based position, hashed to the same 60-bit key contract as
+    gram_keys. Segmentation is a pure projection: the padded text
+    splits on ``boundary`` (left-to-right non-overlapping, identical in
+    Spark regex split and DuckDB string_split for a literal pattern),
+    segments are trimmed and empties dropped BEFORE positions are
+    assigned. The default boundary is the determiner token " the " —
+    the synthetic test corpus carries no punctuation, so a common
+    function word stands in for sentence-final markers; real corpora
+    pass a punctuation boundary instead."""
+    from duva_spark.llm import minhash
+
+    sents = sentences_of(text_col, boundary)
+    return (
+        df.select(
+            id_col,
+            F.size(sents).alias("n_sents"),
+            F.posexplode(sents).alias("pos", "sent"),
+        )
+        .select(id_col, "n_sents", "pos", minhash.md5_hash60(F.col("sent")).alias("sh"))
+    )
+
+
+def dup_sentence_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    boundary: str = " the ",
+    min_df: int = 2,
+    min_span: int = 1,
+) -> DataFrame:
+    """Sentence-granularity exact dedup report (the sentence-level
+    deployment of Lee et al. 2022): a sentence is duplicated when its
+    exact hash occurs in >= ``min_df`` distinct documents; maximal RUNS
+    of consecutive duplicated sentences merge through the shared
+    interval machinery (``merge_covered_intervals``, unit_len=1).
+    Returns per doc: (id_col, n_sents, n_spans, covered_sents,
+    sent_coverage).
+
+    Scale shape: identical to dup_spans_exact with the gram stream
+    replaced by the (much smaller) sentence stream — one DISTINCT-pair
+    doc-frequency shuffle, a semi-join marker probe, and the one
+    doc-partitioned window."""
+    ps = positional_sentence_keys(df, id_col, text_col, boundary)
+    dup = (
+        ps.select(id_col, "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("sh")
+    )
+    hits = ps.join(dup, "sh", "left_semi")
+    per_span = merge_covered_intervals(hits.select(id_col, "pos"), id_col, 1, min_span)
+    agg = per_span.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("covered"),
+    )
+    # all_docs from the source frame (a doc whose sentence array is
+    # empty yields no positional rows, but must still report 0s)
+    alld = df.select(
+        id_col, F.size(sentences_of(text_col, boundary)).alias("n_sents")
+    )
+    cov = F.coalesce("covered", F.lit(0))
+    return alld.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        cov.cast("long").alias("covered_sents"),
+        F.when(F.col("n_sents") == 0, F.lit(0.0))
+        .otherwise(F.round(cov * 1.0 / F.col("n_sents"), 6))
+        .alias("sent_coverage"),
     )

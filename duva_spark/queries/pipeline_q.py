@@ -2978,3 +2978,85 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("excess", 6).alias("excess"),
         F.round("weight", 9).alias("weight"),
     ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# Sentence-granularity exact dedup (Lee et al.'s sentence-level deployment)
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT = (
+    "list_filter(list_transform(string_split(' ' || text || ' ', ' the '),"
+    " s -> trim(s)), s -> s <> '')"
+)
+
+
+@register(
+    "q_dup_sentences",
+    oracle=f"""
+    WITH sd AS MATERIALIZED (
+      SELECT doc_id, {_SENT_SPLIT} AS sents FROM documents
+    ),
+    sg AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(sents) + 1),
+                    i -> {{'pos': i,
+                          'sh': CAST('0x' || substr(md5(sents[i]), 1, 15)
+                                AS BIGINT)}})) AS u
+      FROM sd
+    ),
+    s0 AS MATERIALIZED (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM sg),
+    dup AS MATERIALIZED (
+      SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM s0)
+      GROUP BY sh HAVING COUNT(*) >= 2
+    ),
+    hit AS MATERIALIZED (SELECT doc_id, pos FROM s0 SEMI JOIN dup USING (sh)),
+    lg AS (SELECT doc_id, pos,
+                  CASE WHEN pos > COALESCE(
+                           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                           -9) + 1
+                       THEN 1 ELSE 0 END AS new_span
+           FROM hit),
+    spn AS (SELECT doc_id, pos,
+                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+            FROM lg),
+    per_span AS MATERIALIZED (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+      FROM spn GROUP BY doc_id, span_id
+    ),
+    agg AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS covered
+      FROM per_span GROUP BY doc_id
+    )
+    SELECT sd.doc_id,
+           CAST(len(sd.sents) AS BIGINT) AS n_sents,
+           CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(agg.covered, 0) AS BIGINT) AS covered_sents,
+           CASE WHEN len(sd.sents) = 0 THEN 0.0
+                ELSE ROUND(COALESCE(agg.covered, 0) * 1.0 / len(sd.sents), 6)
+           END AS sent_coverage
+    FROM sd LEFT JOIN agg USING (doc_id)
+    """,
+    description=(
+        "Sentence-granularity exact dedup — the sentence-level "
+        "deployment of Lee et al. 2022's exact-substring pass (their "
+        "practical pipelines dedup at sentence boundaries as well as "
+        "50-token spans): a sentence is duplicated when its exact hash "
+        "occurs in >= 2 distinct documents; maximal RUNS of consecutive "
+        "duplicated sentences merge through the SAME interval machinery "
+        "as the word-gram span family (merge_covered_intervals, "
+        "unit_len=1 — a pure re-parameterization, which is the point). "
+        "The synthetic corpus has no punctuation, so the determiner "
+        "token ' the ' stands in as the sentence boundary (documented "
+        "on the operator; real corpora pass punctuation). Scale shape "
+        "identical to q_dup_spans_exact with the 23x-amplified gram "
+        "stream replaced by the ~sentence-count stream: one "
+        "DISTINCT-pair doc-frequency shuffle, a semi-join marker probe, "
+        "and the one doc-partitioned window."
+    ),
+)
+def q_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_sentence_spans(
+        docs, "doc_id", "text", boundary=" the ", min_df=2, min_span=1
+    )

@@ -1326,3 +1326,63 @@ def test_doremi_upweights_worst_modeled_domain(spark):
     }
     assert got["c"] > got["a"] and got["c"] > got["b"]
     assert got["c"] > 1 / 3  # above uniform
+
+
+def test_dup_sentence_spans_merges_runs(spark):
+    """Constructed corpus: docs 1 and 2 share two CONSECUTIVE sentences
+    (one merged run of 2) and doc 3 shares only the first of them
+    (a singleton run); doc 4 is all-unique."""
+    from duva_spark.llm import dedup
+
+    rows = [
+        (1, "alpha beta the gamma delta the unique1 words1"),
+        (2, "alpha beta the gamma delta the unique2 words2"),
+        (3, "alpha beta the solo sentence here"),
+        (4, "nothing shared the anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_sents, r.n_spans, r.covered_sents, r.sent_coverage)
+        for r in dedup.dup_sentence_spans(df, "doc_id", "text").collect()
+    }
+    # docs 1/2: sentences [alpha beta][gamma delta][uniqueN wordsN] —
+    # first two duplicated and adjacent → one span covering 2
+    assert got[1] == (3, 1, 2, 0.666667)
+    assert got[2] == (3, 1, 2, 0.666667)
+    # doc 3: [alpha beta][solo sentence here] — one singleton dup span
+    assert got[3] == (2, 1, 1, 0.5)
+    assert got[4] == (2, 0, 0, 0.0)
+
+
+def test_sentences_of_boundary_edges(spark):
+    """Segmentation edge cases: leading/trailing/consecutive boundaries
+    produce no empty segments, and a boundary-only text yields zero
+    sentences (coverage reports 0.0, no division blowup)."""
+    from duva_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "the alpha beta the"),
+            (2, "the"),
+            (3, "alpha the the beta"),
+        ],
+        "doc_id long, text string",
+    )
+    segs = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", dedup.sentences_of("text").alias("s")
+        ).collect()
+    }
+    assert segs[1] == ["alpha beta"]
+    assert segs[2] == []
+    # ' alpha the the beta ': non-overlapping split consumes the first
+    # ' the '; the second 'the' survives inside the next segment — a
+    # documented quirk of the literal-split boundary, identical on both
+    # engines
+    assert segs[3] == ["alpha", "the beta"]
+    out = {
+        r.doc_id: (r.n_sents, r.sent_coverage)
+        for r in dedup.dup_sentence_spans(df, "doc_id", "text").collect()
+    }
+    assert out[2] == (0, 0.0)
