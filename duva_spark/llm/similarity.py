@@ -454,3 +454,112 @@ def brute_force_topk_arrow(
     return partial.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def rplsh_topk_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    grid: list[tuple[int, int]],
+    dim: int = 64,
+    k: int = 5,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """RP-LSH recall/cost dial in ONE pass: top-k at every
+    (n_tables, n_bits) grid point without re-coding the corpus per
+    point — the sign-bit analogue of ``ivf_topk_grid``'s one-pass
+    discipline.
+
+    The nesting that makes one pass possible: bit i of a code depends
+    only on plane (seed+tbl, i), so the low ``b`` bits of a
+    max_bits-code ARE the b-bit code, and tables 0..T-1 are a prefix of
+    0..max_tables-1. The corpus is therefore coded ONCE at
+    (max_tables, max_bits); the base candidate join runs at the
+    SMALLEST grid mask (the superset of every grid point's collisions);
+    each grid point then filters that candidate sliver by its table
+    count and its prefix mask — only the sliver replicates per grid
+    point, never the corpus. Exact-cosine verification is computed once
+    per distinct candidate pair and shared by all grid points.
+
+    Returns (n_tables, n_bits, query_id, neighbor_id, cosine_sim, rank),
+    rank <= k per (grid point, query).
+    """
+    max_bits = max(b for _, b in grid)
+    max_tables = max(t for t, _ in grid)
+    base_mask = (1 << min(b for _, b in grid)) - 1
+
+    def codes(c):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_code(c, dim, max_bits, seed + t).alias("code"),
+                )
+                for t in range(max_tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(codes(F.col(vec_col))).alias("bk"),
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        "bk.tbl",
+        F.col("bk.code").alias("c_code"),
+        F.col("bk.code").bitwiseAND(F.lit(base_mask)).alias("b_low"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(codes(F.col(vec_col))).alias("bk"),
+    ).select(
+        "query_id",
+        "q_vec",
+        "bk.tbl",
+        F.col("bk.code").alias("q_code"),
+        F.col("bk.code").bitwiseAND(F.lit(base_mask)).alias("b_low"),
+    )
+    base = c.join(F.broadcast(q), ["tbl", "b_low"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = (
+        base.select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    spark = corpus.sparkSession
+    grid_df = spark.createDataFrame(
+        [(t, b, (1 << b) - 1) for t, b in grid],
+        "n_tables int, n_bits int, mask long",
+    )
+    cand = (
+        base.select("query_id", "neighbor_id", "tbl", "c_code", "q_code")
+        .crossJoin(F.broadcast(grid_df))
+        .filter(
+            (F.col("tbl") < F.col("n_tables"))
+            & (
+                F.col("c_code").bitwiseAND(F.col("mask"))
+                == F.col("q_code").bitwiseAND(F.col("mask"))
+            )
+        )
+        .select("n_tables", "n_bits", "query_id", "neighbor_id")
+        .distinct()
+    )
+    w = W.partitionBy("n_tables", "n_bits", "query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(sims, ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "n_tables", "n_bits", "query_id", "neighbor_id", "cosine_sim", "rank"
+        )
+    )

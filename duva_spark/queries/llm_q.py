@@ -3173,3 +3173,114 @@ def q_embed_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n2").alias("n_hits"),
         F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RP-LSH recall curve (the tables x bits dial, one-pass like the IVF grid)
+# ---------------------------------------------------------------------------
+
+_RPLSH_GRID = [(4, 4), (8, 4), (8, 6)]  # (n_tables, n_bits)
+
+
+def _rplsh_grid_oracle() -> str:
+    """Mirror of rplsh_topk_grid: one code pass at (8 tables, 6 bits),
+    base candidate join at the smallest prefix mask (& 15), per-grid
+    filter on table count + prefix mask, shared exact-cosine
+    verification, recall vs the verified brute-force oracle. CTEs are
+    deliberately NOT materialized: DuckDB 1.x hits an internal error
+    ("Recursive CTE scan found without recursive CTE node") when this
+    chain is marked MATERIALIZED; reference counts here are <= 2, so
+    inlining is cheap."""
+    grid_rows = ", ".join(
+        f"({t}, {b}, {(1 << b) - 1})" for t, b in _RPLSH_GRID
+    )
+    return f"""
+    WITH pc AS ({_rplsh_buckets_sql(6, 8)}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, tbl,
+                              bucket AS q_code, bucket & 15 AS b_low
+                       FROM pc WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, tbl,
+                              bucket AS c_code, bucket & 15 AS b_low
+                       FROM pc),
+    base AS (
+      SELECT q.query_id, c.neighbor_id, q.qv, c.cv, c.tbl, c.c_code, q.q_code
+      FROM c JOIN q USING (tbl, b_low)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id, ROUND({{_COS_QC}}, 6) AS cosine_sim
+      FROM (SELECT DISTINCT query_id, neighbor_id, qv, cv FROM base)
+    ),
+    grid AS (
+      SELECT * FROM (VALUES {grid_rows}) t(n_tables, n_bits, mask)
+    ),
+    cand AS (
+      SELECT DISTINCT g.n_tables, g.n_bits, b.query_id, b.neighbor_id
+      FROM base b CROSS JOIN grid g
+      WHERE b.tbl < g.n_tables AND (b.c_code & g.mask) = (b.q_code & g.mask)
+    ),
+    lsh AS (
+      SELECT n_tables, n_bits, query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY n_tables, n_bits, query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand JOIN sims USING (query_id, neighbor_id)
+      QUALIFY rank <= 5
+    ),
+    bf AS ({{_BF}}),
+    bfg AS (SELECT g.n_tables, g.n_bits, bf.query_id, bf.neighbor_id
+            FROM bf CROSS JOIN grid g)
+    SELECT bfg.n_tables, bfg.n_bits, bfg.query_id,
+           CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(lsh.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bfg LEFT JOIN lsh
+      ON bfg.n_tables = lsh.n_tables AND bfg.n_bits = lsh.n_bits
+     AND bfg.query_id = lsh.query_id AND bfg.neighbor_id = lsh.neighbor_id
+    GROUP BY bfg.n_tables, bfg.n_bits, bfg.query_id
+    """.replace("{_COS_QC}", _COS_QC).replace(
+        "{_BF}", _REG["q_embed_cosine_topk"].oracle
+    )
+
+
+@register(
+    "q_rplsh_recall_curve",
+    oracle=_rplsh_grid_oracle(),
+    description=(
+        "RP-LSH quality/cost dial: recall@5 at (tables, bits) in "
+        "{(4,4), (8,4), (8,6)} against the exact brute-force top-5 — "
+        "the sign-bit family's analogue of q_ann_recall_curve, so both "
+        "ANN strategies document their dials symmetrically. ONE code "
+        "pass at the maximal (8 tables, 6 bits): bit i depends only on "
+        "plane i, so every grid point's code is a PREFIX MASK of the "
+        "maximal code, and smaller table counts are a prefix of the "
+        "table range — the base candidate join runs once at the "
+        "smallest mask (the superset of all grid collisions), each "
+        "grid point filters that sliver, and exact-cosine verification "
+        "is shared across points. Corpus cost: one codegen projection "
+        "+ one explode, zero corpus shuffle, regardless of grid size."
+    ),
+)
+def q_rplsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = similarity.rplsh_topk_grid(
+        emb, emb.filter(F.col("vec_id") < 5), _RPLSH_GRID, dim=64, k=5
+    ).select(
+        "n_tables",
+        "n_bits",
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("n2"),
+    )
+    bf = q_embed_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    grid_df = spark.createDataFrame(_RPLSH_GRID, "n_tables int, n_bits int")
+    bfg = bf.crossJoin(F.broadcast(grid_df))
+    j = bfg.join(
+        lsh,
+        (bfg.n_tables == lsh.n_tables)
+        & (bfg.n_bits == lsh.n_bits)
+        & (bfg.query_id == lsh.q2)
+        & (bfg.neighbor_id == lsh.n2),
+        "left",
+    )
+    return j.groupBy(bfg.n_tables, bfg.n_bits, "query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )

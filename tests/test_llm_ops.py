@@ -1386,3 +1386,35 @@ def test_sentences_of_boundary_edges(spark):
         for r in dedup.dup_sentence_spans(df, "doc_id", "text").collect()
     }
     assert out[2] == (0, 0.0)
+
+
+def test_rplsh_grid_matches_single_runs(spark):
+    """One-pass grid vs independent rplsh_topk runs at each (tables,
+    bits) point — the prefix-mask/prefix-table nesting must reproduce
+    every single-run result exactly."""
+    from duva_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (i, [((i * 7 + j * 13) % 19 - 9.0) / 9.0 for j in range(8)])
+            for i in range(60)
+        ],
+        ["vec_id", "embedding"],
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    grid = [(2, 3), (4, 3), (4, 5)]
+    got = similarity.rplsh_topk_grid(emb, probes, grid, dim=8, k=4)
+    for t, b in grid:
+        g = sorted(
+            (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+            for r in got.filter(
+                (F.col("n_tables") == t) & (F.col("n_bits") == b)
+            ).collect()
+        )
+        single = sorted(
+            (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+            for r in similarity.rplsh_topk(
+                emb, probes, dim=8, n_bits=b, k=4, seed=0, n_tables=t
+            ).collect()
+        )
+        assert g == single, (t, b)
