@@ -21,11 +21,11 @@ from duva_spark.queries import load_all  # noqa: E402
 from duva_spark.session import get_spark  # noqa: E402
 
 
-# The r5-round HEAD: the reference point for like-for-like bench
+# The r6-round HEAD: the reference point for like-for-like bench
 # comparison (r4 verdict item 4 — cross-round ratios previously leaned
 # on BASELINE.md's ±30% host-variance note; replaying the old HEAD in
 # the SAME session removes the host from the comparison).
-_REF_COMMIT = "dd256da"
+_REF_COMMIT = "5f8867a"
 
 
 def _replay_reference(sf_dir: str) -> dict | None:

@@ -162,3 +162,39 @@ def bpe_train_frame(
         "merge_round long, left_sym string, right_sym string,"
         " merged string, pair_count long",
     )
+
+
+def encode_word(word: Column, rules: list[tuple[int, str, str, str, int]]) -> Column:
+    """A word's BPE symbol sequence after applying the trained merge
+    rules IN TRAINING ORDER: char split, then one greedy fold per rule
+    with the pair inlined as literals — a single codegen expression, no
+    UDF, no lookup table, no shuffle. (The tokenizer-application dual
+    of bpe_train: train once, encode as a pure projection.)"""
+    syms = F.filter(F.split(word, ""), lambda c: c != "")
+    for _, a, b, _, _ in rules:
+        syms = greedy_merge(syms, a, b)
+    return syms
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    rules: list[tuple[int, str, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_words, n_char_tokens, n_bpe_tokens, compression):
+    per-document token census under the trained merges. The whole
+    encode folds into the scan projection — per-word nested greedy
+    folds in codegen, zero exchanges before the per-doc aggregate."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    per_word = F.transform(ws, lambda w: F.size(encode_word(w, rules)))
+    chars = F.transform(ws, lambda w: F.length(w))
+    n_char = F.aggregate(chars, F.lit(0), lambda acc, v: acc + v)
+    n_bpe = F.aggregate(per_word, F.lit(0), lambda acc, v: acc + v)
+    return docs.select(
+        id_col,
+        F.size(ws).cast("long").alias("n_words"),
+        n_char.cast("long").alias("n_char_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(n_bpe * 1.0 / n_char, 6).alias("compression"),
+    )

@@ -2765,7 +2765,7 @@ def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, through_final_seqs: bool = False) -> str:
     """Unrolled chained-CTE replay of the BPE trainer (the kmeans/
     PageRank oracle pattern): round r counts adjacent pairs over sq_r,
     best_r is the (count DESC, a, b) argmax, sq_{r+1} applies the merge
@@ -2793,7 +2793,7 @@ def _bpe_oracle(n_merges: int) -> str:
         ctes.append(f"""best_{r} AS MATERIALIZED (
       SELECT a, b, n FROM p_{r} ORDER BY n DESC, a, b LIMIT 1
     )""")
-        if r == n_merges:
+        if r == n_merges and not through_final_seqs:
             break
         ctes.append(f"""pos_{r} AS MATERIALIZED (
       SELECT q.w, q.cnt, q.i, q.syms[q.i] AS s,
@@ -2823,6 +2823,10 @@ def _bpe_oracle(n_merges: int) -> str:
       ) o
       GROUP BY o.w
     )""")
+    if through_final_seqs:
+        # emit only the CTE chain (caller appends its own final SELECT
+        # over sq_{n_merges+1}, the fully-merged sequences)
+        return ",\n    ".join(ctes)
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym,"
         f" b AS right_sym, a || b AS merged, n AS pair_count FROM best_{r}"
@@ -2940,6 +2944,7 @@ def _doremi_oracle() -> str:
 
 @register(
     "q_doremi_weights",
+    headline=True,
     oracle=_doremi_oracle(),
     description=(
         "DoReMi-style mixture reweighting (Xie et al. 2023): 4 "
@@ -2992,6 +2997,7 @@ _SENT_SPLIT = (
 
 @register(
     "q_dup_sentences",
+    headline=True,
     oracle=f"""
     WITH sd AS MATERIALIZED (
       SELECT doc_id, {_SENT_SPLIT} AS sents FROM documents
@@ -3060,3 +3066,47 @@ def q_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_sentence_spans(
         docs, "doc_id", "text", boundary=" the ", min_df=2, min_span=1
     )
+
+
+@register(
+    "q_bpe_encode",
+    oracle=(
+        "WITH "
+        + _bpe_oracle(8, through_final_seqs=True)
+        + """,
+    dw AS MATERIALIZED (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(dw.w)) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(len(s.syms)) * 1.0 / SUM(length(dw.w)), 6) AS compression
+    FROM dw JOIN sq_9 s ON s.w = dw.w
+    GROUP BY dw.doc_id
+    """
+    ),
+    description=(
+        "BPE tokenizer APPLICATION — the other half of the train/encode "
+        "loop (q_bpe_train_merges trains these same 8 rules): every "
+        "document is re-tokenized under the trained merges and the "
+        "per-doc token census reported (char tokens vs BPE tokens vs "
+        "the compression ratio — the statistic that prices a tokenizer "
+        "before it ships). The encode is a PURE PROJECTION: per-word "
+        "nested greedy folds with the 8 pairs inlined as codegen "
+        "literals — no UDF, no vocabulary lookup join, zero exchanges "
+        "before the per-doc aggregate, so at 100 TB encoding runs at "
+        "parquet-scan speed embarrassingly parallel. The oracle reuses "
+        "the trainer's CTE chain through the final merged sequences "
+        "(sq_9) and joins documents' words against it — vocabulary-"
+        "table semantics and per-word-fold semantics provably agree."
+    ),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe.bpe_train(docs, "text", n_merges=8)
+    return bpe.encode_token_counts(docs, rules, "doc_id", "text")

@@ -1418,3 +1418,40 @@ def test_rplsh_grid_matches_single_runs(spark):
             ).collect()
         )
         assert g == single, (t, b)
+
+
+def test_bpe_encode_is_scan_only_and_matches_python(spark):
+    """Encoding under trained rules is a pure projection (no Exchange,
+    no Join in the plan), and per-word sequences equal the python scan
+    reference applied rule-by-rule in training order."""
+    import contextlib
+    import io
+
+    from duva_spark.llm import bpe
+
+    rules = [(1, "a", "b", "ab", 9), (2, "ab", "c", "abc", 5), (3, "d", "d", "dd", 3)]
+    df = spark.createDataFrame(
+        [(1, "abc abdd ddd xyz"), (2, "ababc ddabc")], "doc_id long, text string"
+    )
+    out = bpe.encode_token_counts(df, rules)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    def enc(word):
+        syms = list(word)
+        for _, a, b, _, _ in rules:
+            syms = _bpe_greedy_python(syms, a, b)
+        return syms
+
+    got = {r.doc_id: (r.n_words, r.n_char_tokens, r.n_bpe_tokens) for r in out.collect()}
+    for doc_id, text in [(1, "abc abdd ddd xyz"), (2, "ababc ddabc")]:
+        words = text.split(" ")
+        want = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(enc(w)) for w in words),
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)

@@ -304,6 +304,30 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         _force(scored.groupBy("doc_id").agg(F.avg("nll").alias("avg_nll")))
 
     cases.append(("stupid_backoff", sizes_big, stupid_backoff_case))
+
+    def doremi_case(n):
+        # q_doremi_weights' operator: one corpus-sized domain×bucket
+        # count, then 3 reweighting rounds over the ≤ D×B-row table —
+        # rounds are corpus-independent, so expect the count groupBy's
+        # ~linear ratio.
+        from duva_spark.llm import hashed_lm
+
+        docs = _docs(spark, n).withColumn("dom", (F.col("doc_id") % 5).cast("string"))
+        hashed_lm.doremi_weights(docs, "dom", "text", n_buckets=512, rounds=3)
+
+    cases.append(("doremi_reweight", sizes_big, doremi_case))
+
+    def pq_case(n):
+        # q_embed_pq_recall's train+encode chain: m×iters Lloyd rounds
+        # on subvectors + m shuffle-free Arrow encode projections —
+        # expect the kmeans_assign class (~1x per 10x).
+        from duva_spark.llm import pq
+
+        emb = _embeddings(spark, n)
+        books = pq.pq_train(emb, m=4, ksub=8, iters=2, dim=64)
+        _force(pq.pq_encode(emb, books, dim=64))
+
+    cases.append(("pq_train_encode", sizes_small, pq_case))
     cases.append(
         (
             "kmeans_assign",
