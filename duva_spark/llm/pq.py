@@ -179,3 +179,93 @@ def _ordered_sum(m: int):
     for s in range(1, m):
         acc = acc + F.col(f"d2_{s}")
     return acc
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroid_rows: list,
+    codebooks: list[list],
+    k: int,
+    nprobe: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+    max_probes: int = 4096,
+) -> DataFrame:
+    """IVF-PQ (the FAISS-style composition, non-residual variant):
+    the corpus is bucketed by nearest L2 centroid (shuffle-free Arrow
+    assignment) AND PQ-encoded; a query probes its ``nprobe`` nearest
+    buckets and ranks ONLY those buckets' members by ADC distance.
+    Candidate count per query is |corpus| × nprobe / nlist in
+    expectation — the IVF candidate cut and the PQ memory cut compose.
+
+    Returns (query_id, neighbor_id, adc_dist, rank), rank <= k.
+    Determinism: bucket assignment rounds distances to ``dp`` before
+    the argmin (ties to the lower bucket id); ADC rounds to ``dp``
+    before the neighbor-id-tie-broken rank — both mirrored by the
+    oracle.
+    """
+    from pyspark.sql import Window as W
+
+    from duva_spark.llm import assign
+
+    spark = emb.sparkSession
+    assigned = assign.assign_nearest(
+        emb,
+        centroid_rows,
+        metric="euclidean",
+        vec_col=vec_col,
+        out_col="bucket",
+        id_field="bucket",
+        cen_field="centroid",
+        round_dp=dp,
+        id_type="int",
+    )
+    codes = pq_encode(assigned, codebooks, dim, id_col, vec_col)
+    qrows = queries.select(id_col, vec_col).limit(max_probes + 1).collect()
+    if len(qrows) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes}; ADC tables are "
+            "driver-built and must stay bounded"
+        )
+    qdf = spark.createDataFrame(
+        [(r[id_col], list(map(float, r[vec_col]))) for r in qrows],
+        f"query_id long, {vec_col} array<double>",
+    )
+    qprobe = (
+        assign.assign_nearest(
+            qdf,
+            centroid_rows,
+            metric="euclidean",
+            n=nprobe,
+            vec_col=vec_col,
+            out_col="buckets",
+            id_field="bucket",
+            cen_field="centroid",
+            round_dp=dp,
+            id_type="int",
+        )
+        .select(
+            "query_id",
+            # n=1 returns a scalar bucket, n>1 an array — normalize to
+            # one row per probed bucket either way (the ivf_topk rule)
+            (F.explode("buckets") if nprobe > 1 else F.col("buckets")).alias(
+                "bucket"
+            ),
+        )
+    )
+    scored = codes.join(F.broadcast(qprobe), "bucket")
+    m = len(codebooks)
+    for s, rows in enumerate(_adc_tables(qrows, codebooks, dim, vec_col, id_col)):
+        qd = spark.createDataFrame(rows, f"query_id long, code_{s} int, d2_{s} double")
+        scored = scored.join(F.broadcast(qd), ["query_id", f"code_{s}"])
+    adc = F.round(_ordered_sum(m), dp)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

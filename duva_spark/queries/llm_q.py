@@ -3040,15 +3040,14 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM, _PQ_DP = 4, 8, 2, 64, 6
 
 
-def _pq_oracle() -> str:
-    """Unrolled PQ replay: per subspace s, the SAME Lloyd CTE chain as
-    the kmeans oracle over the subvector slice (s{s}p/c/d/a), a final
-    code assignment vs the trained codebook (s{s}f), and a query-side
-    distance table (qd{s}); ADC is the fixed left-to-right 4-term sum
-    the Spark side also writes, rounded to 6 dp before the
-    neighbor-id-tie-broken rank; recall joins against the already-
-    verified exact-L2 oracle. All CTEs MATERIALIZED — DuckDB inlines
-    CTEs per reference, and s{s}p/qd0 are multiply referenced."""
+def _pq_subspace_ctes() -> list[str]:
+    """The shared per-subspace CTE chains of the PQ oracles: for each
+    subspace s, the SAME Lloyd chain as the kmeans oracle over the
+    subvector slice (s{s}p/c/d/a), a final code assignment vs the
+    trained codebook (s{s}f), and a query-side distance table (qd{s}).
+    Used by q_embed_pq_recall and q_embed_ivfpq_recall so the two
+    cannot drift. All CTEs MATERIALIZED — DuckDB inlines CTEs per
+    reference, and s{s}p/qd0 are multiply referenced."""
     m, k, iters, dim, dp = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM, _PQ_DP
     dsub = dim // m
     ctes = []
@@ -3099,18 +3098,32 @@ def _pq_oracle() -> str:
             f" AS d2_{s}"
             f" FROM embeddings q CROSS JOIN s{s}c{iters} c WHERE q.vec_id < 5)"
         )
+    return ctes
+
+
+def _pq_codes_cte(m: int) -> str:
+    """The joined per-vector code table (vec_id, code_0..code_{m-1})."""
     code_cols = ", ".join(f"s{s}f.code_{s}" for s in range(m))
     code_joins = " ".join(f"JOIN s{s}f USING (vec_id)" for s in range(1, m))
+    return (
+        f"codes AS MATERIALIZED (SELECT s0f.vec_id, {code_cols}"
+        f" FROM s0f {code_joins})"
+    )
+
+
+def _pq_oracle() -> str:
+    """PQ recall oracle: subspace chains + joined codes + fixed-order
+    ADC sum (rounded 6 dp, neighbor-id tie-break) + recall vs the
+    verified exact-L2 oracle."""
+    m, dp = _PQ_M, _PQ_DP
+    ctes = _pq_subspace_ctes()
     adc_sum = " + ".join(f"qd{s}.d2_{s}" for s in range(m))
     qd_joins = " ".join(
         f"JOIN qd{s} ON qd{s}.query_id = qd0.query_id"
         f" AND qd{s}.code_{s} = c.code_{s}"
         for s in range(1, m)
     )
-    ctes.append(
-        f"codes AS MATERIALIZED (SELECT s0f.vec_id, {code_cols}"
-        f" FROM s0f {code_joins})"
-    )
+    ctes.append(_pq_codes_cte(m))
     ctes.append(
         f"sc AS MATERIALIZED (SELECT qd0.query_id, c.vec_id AS neighbor_id,"
         f" ROUND({adc_sum}, {dp}) AS adc_dist"
@@ -3281,6 +3294,125 @@ def q_rplsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return j.groupBy(bfg.n_tables, bfg.n_bits, "query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed FAISS-style index (bucket cut x memory cut)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ replay: the shared PQ subspace chains + joined codes,
+    an L2 label-centroid bucketing (distances ROUNDed to 6 dp before
+    the argmin, ties to the lower bucket — the assign_nearest
+    contract), nprobe=2 query probes, ADC ranking restricted to probed
+    buckets, recall vs the verified exact-L2 oracle."""
+    m, dp, dim = _PQ_M, _PQ_DP, _PQ_DIM
+    d2c = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+        f" * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), 'sum')"
+    )
+    ctes = _pq_subspace_ctes()
+    ctes.append(_pq_codes_cte(m))
+    ctes.append(
+        f"cent AS MATERIALIZED (SELECT bucket, list(avgv ORDER BY i) AS centroid"
+        f" FROM (SELECT label AS bucket, i,"
+        f" AVG(CAST(embedding[i] AS DOUBLE)) AS avgv"
+        f" FROM embeddings, range(1, {dim + 1}) t(i) GROUP BY label, i)"
+        f" GROUP BY bucket)"
+    )
+    ctes.append(
+        f"assigned AS MATERIALIZED (SELECT vec_id, bucket FROM ("
+        f"SELECT e.vec_id, c.bucket,"
+        f" ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY ROUND({d2c}, {dp}), c.bucket) AS rn"
+        f" FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qprobe AS MATERIALIZED (SELECT query_id, bucket FROM ("
+        f"SELECT e.vec_id AS query_id, c.bucket,"
+        f" ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY ROUND({d2c}, {dp}), c.bucket) AS rn"
+        f" FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5)"
+        f" WHERE rn <= {_IVFPQ_NPROBE})"
+    )
+    adc_sum = " + ".join(f"qd{s}.d2_{s}" for s in range(m))
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.query_id = qp.query_id"
+        f" AND qd{s}.code_{s} = c.code_{s}"
+        for s in range(1, m)
+    )
+    ctes.append(
+        f"sc AS MATERIALIZED (SELECT qp.query_id, c.vec_id AS neighbor_id,"
+        f" ROUND({adc_sum}, {dp}) AS adc_dist"
+        f" FROM codes c"
+        f" JOIN assigned a ON a.vec_id = c.vec_id"
+        f" JOIN qprobe qp ON qp.bucket = a.bucket"
+        f" JOIN qd0 ON qd0.query_id = qp.query_id AND qd0.code_0 = c.code_0"
+        f" {qd_joins}"
+        f" WHERE c.vec_id <> qp.query_id)"
+    )
+    ctes.append(
+        "ivfpq AS MATERIALIZED (SELECT query_id, neighbor_id FROM sc"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, neighbor_id) <= 5)"
+    )
+    ctes.append(f"bf AS MATERIALIZED ({_REG['q_embed_l2_topk'].oracle})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT bf.query_id,
+           CAST(COUNT(ivfpq.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(ivfpq.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN ivfpq
+      ON bf.query_id = ivfpq.query_id AND bf.neighbor_id = ivfpq.neighbor_id
+    GROUP BY bf.query_id
+    """
+    )
+
+
+@register(
+    "q_embed_ivfpq_recall",
+    oracle=_ivfpq_oracle(),
+    description=(
+        "IVF-PQ recall audit — the composed FAISS-style index "
+        "(non-residual variant), closing the ANN inventory: brute "
+        "force (exact), IVF (candidate cut), RP-LSH (no-training cut), "
+        "PQ (memory cut), and now their composition. The corpus is "
+        "bucketed by nearest L2 label-centroid via the shuffle-free "
+        "Arrow assignment AND PQ-encoded to 4 codes; a query probes "
+        "its 2 nearest buckets and ADC-ranks only those buckets' "
+        "members — expected candidates |corpus| x nprobe/nlist, "
+        "scored from 4-byte codes instead of 64 floats. Shares the PQ "
+        "subspace oracle chains verbatim with q_embed_pq_recall (the "
+        "two cannot drift) and measures recall@5 against the verified "
+        "exact-L2 baseline. Zero corpus shuffle end-to-end: bucketing "
+        "and encoding are projections; scoring joins are broadcasts."
+    ),
+)
+def q_embed_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.pq_train(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, dim=_PQ_DIM)
+    cent = similarity.label_centroids(emb)
+    rows = cent.select(
+        F.col("label").cast("int").alias("bucket"), "centroid"
+    ).collect()
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivfpq = pq.ivfpq_topk(
+        emb, queries, rows, books, k=5, nprobe=_IVFPQ_NPROBE, dim=_PQ_DIM
+    ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
+    bf = q_embed_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    j = bf.join(ivfpq, (bf.query_id == ivfpq.q2) & (bf.neighbor_id == ivfpq.n2), "left")
+    return j.groupBy("query_id").agg(
         F.count("n2").alias("n_hits"),
         F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
     )

@@ -1455,3 +1455,33 @@ def test_bpe_encode_is_scan_only_and_matches_python(spark):
             sum(len(enc(w)) for w in words),
         )
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_ivfpq_candidates_respect_probed_buckets(spark):
+    """IVF-PQ must rank ONLY members of the query's nprobe nearest
+    buckets: with two well-separated clusters and nprobe=1, every
+    returned neighbor shares the query's cluster; with nprobe=2 the
+    candidate set widens to both."""
+    from duva_spark.llm import pq, similarity
+
+    rows = []
+    for i in range(20):
+        side = i % 2
+        base = 100.0 * side
+        rows.append((i, [base + 0.01 * i] * 8, side))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cent = similarity.label_centroids(emb)
+    crows = cent.select(
+        F.col("label").cast("int").alias("bucket"), "centroid"
+    ).collect()
+    books = pq.pq_train(emb, m=2, ksub=4, iters=2, dim=8)
+    probes = emb.filter(F.col("vec_id") < 2)
+    near = pq.ivfpq_topk(emb, probes, crows, books, k=3, nprobe=1, dim=8).collect()
+    assert len(near) == 6
+    for r in near:
+        assert r.neighbor_id % 2 == r.query_id % 2, tuple(r)
+    wide = pq.ivfpq_topk(emb, probes, crows, books, k=19, nprobe=2, dim=8).collect()
+    # with both buckets probed every other vector is a candidate
+    assert {(r.query_id, r.neighbor_id) for r in wide} == {
+        (q, n) for q in (0, 1) for n in range(20) if n != q
+    }
