@@ -261,3 +261,156 @@ def top_bigram_fraction(text: Column) -> Column:
     bg = word_bigrams(text)
     top = _max_equal_adjacent_run(F.array_sort(bg))
     return F.when(F.size(bg) > 0, top / F.size(bg)).otherwise(F.lit(0.0))
+
+
+# Gopher repetition-rule thresholds (Rae et al. 2021, appendix A1.1,
+# table A1 — the second half of the battery: repetition signals).
+# Applied to the 6-dp ROUNDED fraction so a boundary value cannot flip
+# between engines.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-doc Gopher REPETITION battery (Rae et al. 2021 A1.1, table
+    A1) — the within-document complement of the cross-document span
+    family:
+
+    - ``top_frac_{2,3,4}``: fraction of word characters contained in
+      the most frequently occurring n-gram (occurrence count × the
+      gram's word-char length, over the doc's total word chars); ties
+      on count break to the LOWEST 60-bit gram hash on both engines.
+    - ``dup_frac_{5..10}``: fraction of word characters covered by any
+      n-gram occurring >= 2 times in the doc, counted by POSITION
+      COVERAGE (overlapping duplicate grams never double-count) through
+      the shared interval machinery (``merge_covered_intervals``,
+      unit_len=n) — the DataTrove/NeMo-Curator accounting.
+    - ``pass_repetition``: the conjunction of all nine thresholds
+      (table A1), each compared on the ``dp``-rounded fraction.
+
+    Character accounting covers word characters only (inter-word
+    whitespace excluded on both engines — on canonically single-spaced
+    text the two differ only by the whitespace mass, documented
+    deviation from the paper's raw-char counts).
+
+    Scale design: grams carry 60-bit hashes, never strings, into the
+    one (doc, n, gh) count shuffle; every window and join partitions by
+    the doc id, so state is bounded by a single document's length at
+    any corpus size. The spans→chars join re-reads only (id, text) —
+    column-pruned at the scan.
+    """
+    from pyspark.sql import Window
+
+    from duva_spark.llm import minhash
+    from duva_spark.llm.dedup import merge_covered_intervals
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
+    ws = words_of(F.col(text_col))
+    base = df.select(F.col(id_col), ws.alias("ws"))
+
+    def grams_of(n: int):
+        # slot i (0-based) is the gram starting at word i; the filter
+        # drops the degenerate short-doc slot sequence(0,0) produces
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("ws", i + 1, n)).alias("gram"),
+                ),
+            ),
+            lambda s: s["pos"] <= F.size("ws") - n,
+        )
+
+    g = (
+        base.select(
+            id_col,
+            F.explode(F.flatten(F.array(*[grams_of(n) for n in top_ns + dup_ns]))).alias("g"),
+        )
+        .select(
+            id_col,
+            F.col("g.n").alias("n"),
+            F.col("g.pos").alias("pos"),
+            minhash.md5_hash60(F.col("g.gram")).alias("gh"),
+            (F.length("g.gram") - (F.col("g.n") - 1)).alias("glen"),
+        )
+    )
+    counts = g.groupBy(id_col, "n", "gh").agg(
+        F.count("*").alias("cnt"), F.max("glen").alias("glen")
+    )
+    wtop = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gh"))
+    top = (
+        counts.filter(F.col("n").isin(top_ns))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "n", (F.col("cnt") * F.col("glen")).alias("topchars"))
+    )
+    dup = counts.filter(F.col("n").isin(dup_ns) & (F.col("cnt") >= 2)).select(
+        id_col, "n", "gh"
+    )
+    hits = g.join(dup, [id_col, "n", "gh"], "left_semi")
+    spans = None
+    for n in dup_ns:
+        s_n = merge_covered_intervals(
+            hits.filter(F.col("n") == n).select(id_col, "pos"), id_col, n, n
+        ).withColumn("n", F.lit(n))
+        spans = s_n if spans is None else spans.unionByName(s_n)
+    cov = (
+        spans.join(base, id_col)
+        .select(
+            id_col,
+            "n",
+            F.length(
+                F.concat_ws(
+                    "",
+                    F.slice(
+                        "ws",
+                        F.col("span_start") + 1,
+                        F.col("span_end") - F.col("span_start") + 1,
+                    ),
+                )
+            ).alias("chars"),
+        )
+        .groupBy(id_col, "n")
+        .agg(F.sum("chars").alias("dupchars"))
+    )
+    topw = top.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("n") == n, F.col("topchars"))).alias(f"top_{n}") for n in top_ns]
+    )
+    covw = cov.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"dup_{n}") for n in dup_ns]
+    )
+    stats = base.select(
+        id_col,
+        F.size("ws").alias("n_words"),
+        F.length(F.concat_ws("", "ws")).alias("word_chars"),
+    )
+    out = stats.join(topw, id_col, "left").join(covw, id_col, "left")
+    wc = F.col("word_chars")
+
+    def frac(raw):
+        return F.when(wc > 0, F.round(F.coalesce(raw, F.lit(0)) / wc, dp)).otherwise(
+            F.lit(0.0)
+        )
+
+    passes = []
+    cols = [F.col(id_col), F.col("n_words").cast("long"), wc.cast("long").alias("word_chars")]
+    for n in top_ns:
+        f = frac(F.col(f"top_{n}"))
+        cols.append(f.alias(f"top_frac_{n}"))
+        passes.append(f <= GOPHER_TOP_NGRAM_MAX[n])
+    for n in dup_ns:
+        f = frac(F.col(f"dup_{n}"))
+        cols.append(f.alias(f"dup_frac_{n}"))
+        passes.append(f <= GOPHER_DUP_NGRAM_MAX[n])
+    conj = passes[0]
+    for p in passes[1:]:
+        conj = conj & p
+    return out.select(*cols, conj.alias("pass_repetition"))

@@ -181,6 +181,119 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.gopher_flags(docs).drop("text", "lang", "source", "n_chars")
 
 
+def _gopher_rep_oracle() -> str:
+    """Replay of the repetition battery: per n, a positional gram CTE
+    (60-bit hash + word-char length), a (doc, gh) count CTE, then for
+    top-ns a QUALIFY argmax (count DESC, hash ASC — the Spark window's
+    exact tie rule) and for dup-ns the shared lag/running-sum interval
+    merge (unit_len=n) with covered chars re-sliced from the word
+    array. Word-char accounting (whitespace excluded) on both engines."""
+    from duva_spark.llm.textstats import GOPHER_DUP_NGRAM_MAX, GOPHER_TOP_NGRAM_MAX
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
+    ctes = [f"w AS MATERIALIZED (SELECT doc_id, {_WS} AS ws FROM documents)"]
+    for n in top_ns + dup_ns:
+        gram = f"array_to_string(list_slice(ws, i, i + {n} - 1), ' ')"
+        ctes.append(
+            f"g{n} AS MATERIALIZED (SELECT doc_id, i - 1 AS pos,"
+            f" CAST('0x' || substr(md5({gram}), 1, 15) AS BIGINT) AS gh,"
+            f" length({gram}) - {n - 1} AS glen"
+            f" FROM (SELECT doc_id, ws, unnest(range(1,"
+            f" greatest(len(ws) - {n} + 1, 0) + 1)) AS i FROM w))"
+        )
+        ctes.append(
+            f"c{n} AS MATERIALIZED (SELECT doc_id, gh, MAX(glen) AS glen,"
+            f" COUNT(*) AS cnt FROM g{n} GROUP BY doc_id, gh)"
+        )
+    for n in top_ns:
+        ctes.append(
+            f"t{n} AS MATERIALIZED (SELECT doc_id, cnt * glen AS topchars FROM c{n}"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id"
+            f" ORDER BY cnt DESC, gh) = 1)"
+        )
+    for n in dup_ns:
+        ctes.append(
+            f"h{n} AS MATERIALIZED (SELECT g.doc_id, g.pos FROM g{n} g"
+            f" SEMI JOIN (SELECT doc_id, gh FROM c{n} WHERE cnt >= 2) d"
+            f" ON g.doc_id = d.doc_id AND g.gh = d.gh)"
+        )
+        ctes.append(
+            f"s{n} AS (SELECT doc_id, pos, SUM(new_span) OVER"
+            f" (PARTITION BY doc_id ORDER BY pos) AS span_id FROM ("
+            f"SELECT doc_id, pos, CASE WHEN pos > COALESCE("
+            f"lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),"
+            f" -{n + 9}) + {n} THEN 1 ELSE 0 END AS new_span FROM h{n}))"
+        )
+        ctes.append(
+            f"p{n} AS MATERIALIZED (SELECT doc_id, MIN(pos) AS s,"
+            f" MAX(pos) + {n} - 1 AS e FROM s{n} GROUP BY doc_id, span_id)"
+        )
+        ctes.append(
+            f"v{n} AS MATERIALIZED (SELECT p.doc_id, SUM(length("
+            f"array_to_string(list_slice(w.ws, p.s + 1, p.e + 1), '')))"
+            f" AS dupchars FROM p{n} p JOIN w ON w.doc_id = p.doc_id"
+            f" GROUP BY p.doc_id)"
+        )
+    sels = [
+        "w.doc_id",
+        "CAST(len(w.ws) AS BIGINT) AS n_words",
+        "CAST(length(array_to_string(w.ws, '')) AS BIGINT) AS word_chars",
+    ]
+    wc = "length(array_to_string(w.ws, ''))"
+    passes = []
+    joins = []
+    for n in top_ns:
+        f = (
+            f"CASE WHEN {wc} > 0 THEN ROUND(COALESCE(t{n}.topchars, 0)"
+            f" * 1.0 / {wc}, 6) ELSE 0.0 END"
+        )
+        sels.append(f"{f} AS top_frac_{n}")
+        passes.append(f"{f} <= {GOPHER_TOP_NGRAM_MAX[n]}")
+        joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = w.doc_id")
+    for n in dup_ns:
+        f = (
+            f"CASE WHEN {wc} > 0 THEN ROUND(COALESCE(v{n}.dupchars, 0)"
+            f" * 1.0 / {wc}, 6) ELSE 0.0 END"
+        )
+        sels.append(f"{f} AS dup_frac_{n}")
+        passes.append(f"{f} <= {GOPHER_DUP_NGRAM_MAX[n]}")
+        joins.append(f"LEFT JOIN v{n} ON v{n}.doc_id = w.doc_id")
+    sels.append("(" + " AND ".join(passes) + ") AS pass_repetition")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    SELECT "
+        + ",\n           ".join(sels)
+        + "\n    FROM w "
+        + " ".join(joins)
+    )
+
+
+@register(
+    "q_gopher_repetition",
+    headline=True,
+    oracle=_gopher_rep_oracle(),
+    description=(
+        "Gopher REPETITION battery (Rae et al. 2021 A1.1, table A1) — "
+        "the second half of the rule set, complementing "
+        "q_gopher_quality_flags: per doc, the fraction of word "
+        "characters in the single most frequent {2,3,4}-gram (ties on "
+        "count to the lowest 60-bit gram hash), the fraction of word "
+        "characters COVERED by any duplicated {5..10}-gram — overlap-"
+        "safe position coverage through the SAME interval machinery as "
+        "the cross-doc span family (merge_covered_intervals, "
+        "unit_len=n; the DataTrove/NeMo-Curator accounting) — and the "
+        "nine-threshold conjunction. Grams shuffle as 60-bit ints, "
+        "never strings; every window and join partitions by doc id, so "
+        "state is bounded by one document's length at any corpus size."
+    ),
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.gopher_repetition(docs).orderBy("doc_id")
+
+
 @register(
     "q_heaps_law",
     oracle=f"""

@@ -1485,3 +1485,77 @@ def test_ivfpq_candidates_respect_probed_buckets(spark):
     assert {(r.query_id, r.neighbor_id) for r in wide} == {
         (q, n) for q in (0, 1) for n in range(20) if n != q
     }
+
+
+def test_gopher_repetition_matches_python_reference(spark):
+    """The repetition battery vs a brute-force reference: top-n-gram
+    char fraction (count-desc, hash-asc tie), overlap-safe duplicate
+    n-gram position coverage, short-doc and empty-doc edges."""
+    import hashlib
+
+    from duva_spark.llm.textstats import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+        gopher_repetition,
+    )
+
+    texts = [
+        # overlapping duplicate 5-grams: the run of 9 'p's
+        "one two three four five p p p p p p p p p tail",
+        # a repeated 6-word phrase (non-overlapping duplicates)
+        "aa bb cc dd ee ff gg " * 3 + "zz yy xx ww vv uu",
+        # shorter than every dup-n, still has 2/3/4-grams
+        "tiny doc here",
+        # shorter than every n
+        "solo",
+        "",
+    ]
+    docs = [(i, t.strip()) for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for doc_id, text in docs:
+        words = text.split(" ")
+        wchars = sum(len(w) for w in words)
+        want = {"n_words": len(words), "word_chars": wchars}
+        for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
+            grams = [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+            if grams and wchars:
+                from collections import Counter
+
+                c = Counter(grams)
+                best = min(c, key=lambda g: (-c[g], h60(" ".join(g))))
+                want[f"top_frac_{n}"] = round(
+                    c[best] * sum(len(w) for w in best) / wchars, 6
+                )
+            else:
+                want[f"top_frac_{n}"] = 0.0
+        for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
+            grams = [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+            from collections import Counter
+
+            c = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if c[g] >= 2:
+                    covered.update(range(i, i + n))
+            want[f"dup_frac_{n}"] = (
+                round(sum(len(words[i]) for i in covered) / wchars, 6)
+                if wchars
+                else 0.0
+            )
+        want["pass_repetition"] = all(
+            want[f"top_frac_{n}"] <= t for n, t in GOPHER_TOP_NGRAM_MAX.items()
+        ) and all(
+            want[f"dup_frac_{n}"] <= t for n, t in GOPHER_DUP_NGRAM_MAX.items()
+        )
+        g = got[doc_id]
+        for k, v in want.items():
+            assert g[k] == v, (doc_id, k, g[k], v)
