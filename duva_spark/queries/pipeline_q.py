@@ -3110,3 +3110,134 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rules = bpe.bpe_train(docs, "text", n_merges=8)
     return bpe.encode_token_counts(docs, rules, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation retention funnel (the composition flagship)
+# ---------------------------------------------------------------------------
+
+from duva_spark.llm.funnel import FUNNEL_STAGES as _FUNNEL_STAGES  # noqa: E402
+
+
+def _funnel_oracle() -> str:
+    """Sequential replay of the seven-stage funnel: quality and
+    repetition flags come from the SAME oracle texts as their
+    standalone queries (the repetition battery nests verbatim as a
+    WITH-subquery — the two cannot drift), the dedup keepers are
+    conditional-MIN windows over the survivor set, and the
+    contamination mark reuses the _GRAM8/_H100 gram contract."""
+    from duva_spark.queries.llm_q import (
+        _ALPHA,
+        _FPRINT,
+        _MEAN_LEN,
+        _N_SYM,
+        _gopher_rep_oracle,
+    )
+
+    # the language-agnostic STRUCTURAL subset of the battery: the
+    # English-stopword rule is per-language in production (and zeroes a
+    # multilingual corpus), so the funnel gates on the other four rules
+    pass_gopher = (
+        f"({_NTOK} BETWEEN 50 AND 100000)"
+        f" AND ({_MEAN_LEN} BETWEEN 3.0 AND 10.0)"
+        f" AND ({_N_SYM} * 1.0 / {_NTOK} <= 0.1)"
+        f" AND ({_ALPHA} >= 0.8)"
+    )
+    rows = []
+    for k, stage in enumerate(_FUNNEL_STAGES, start=1):
+        src, out = (f"n{k - 1}" if k > 1 else "n1"), f"n{k}"
+        rows.append(
+            f"SELECT {k} AS stage_ord, '{stage}' AS stage,"
+            f" {src} AS docs_in, {out} AS docs_out,"
+            f" {src} - {out} AS dropped,"
+            f" CASE WHEN {src} > 0 THEN ROUND({out} * 1.0 / {src}, 6)"
+            f" ELSE 0.0 END AS retention,"
+            f" CASE WHEN n1 > 0 THEN ROUND({out} * 1.0 / n1, 6)"
+            f" ELSE 0.0 END AS cum_retention FROM fagg"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH fq AS MATERIALIZED (
+      SELECT doc_id, {pass_gopher} AS pass_gopher FROM documents
+    ),
+    frep AS MATERIALIZED (
+      SELECT doc_id, pass_repetition FROM ({_gopher_rep_oracle()}) t
+    ),
+    fd AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws, md5(text) AS ch,
+             {_FPRINT} AS fp, {_H100} AS h
+      FROM documents
+    ),
+    fg AS MATERIALIZED (
+      SELECT doc_id, h,
+             CAST('0x' || substr(md5(unnest({_GRAM8})), 1, 15) AS BIGINT) AS gh
+      FROM fd WHERE len(ws) >= 8
+    ),
+    fe AS MATERIALIZED (SELECT DISTINCT gh FROM fg WHERE h < 10),
+    fcont AS MATERIALIZED (
+      SELECT DISTINCT doc_id FROM fg SEMI JOIN fe USING (gh) WHERE h >= 10
+    ),
+    ff1 AS MATERIALIZED (
+      SELECT fd.doc_id, fd.ch, fd.fp,
+             fd.h >= 10 AS b2,
+             fd.h >= 10 AND fq.pass_gopher AS b3,
+             fd.h >= 10 AND fq.pass_gopher AND frep.pass_repetition AS b4,
+             fcont.doc_id IS NOT NULL AS contaminated
+      FROM fd JOIN fq USING (doc_id) JOIN frep USING (doc_id)
+      LEFT JOIN fcont USING (doc_id)
+    ),
+    ff2 AS (
+      SELECT *, b4 AND doc_id = MIN(CASE WHEN b4 THEN doc_id END)
+                    OVER (PARTITION BY ch) AS b5
+      FROM ff1
+    ),
+    ff3 AS (
+      SELECT *, b5 AND doc_id = MIN(CASE WHEN b5 THEN doc_id END)
+                    OVER (PARTITION BY fp) AS b6
+      FROM ff2
+    ),
+    ff4 AS MATERIALIZED (
+      SELECT *, b6 AND NOT contaminated AS b7 FROM ff3
+    ),
+    fagg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(CASE WHEN b2 THEN 1 END), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(CASE WHEN b3 THEN 1 END), 0) AS BIGINT) AS n3,
+             CAST(COALESCE(SUM(CASE WHEN b4 THEN 1 END), 0) AS BIGINT) AS n4,
+             CAST(COALESCE(SUM(CASE WHEN b5 THEN 1 END), 0) AS BIGINT) AS n5,
+             CAST(COALESCE(SUM(CASE WHEN b6 THEN 1 END), 0) AS BIGINT) AS n6,
+             CAST(COALESCE(SUM(CASE WHEN b7 THEN 1 END), 0) AS BIGINT) AS n7
+      FROM ff4
+    )
+    SELECT * FROM ({union}) ORDER BY stage_ord
+    """
+
+
+@register(
+    "q_pipeline_funnel",
+    headline=True,
+    oracle=_funnel_oracle(),
+    description=(
+        "End-to-end curation retention funnel — the composition "
+        "flagship: seven SEQUENTIAL stages over the documents table "
+        "(ingest → 90% train holdout → Gopher quality battery → Gopher "
+        "repetition battery → exact dedup canonical keeper → near-dup "
+        "fingerprint keeper → eval-set decontamination), each stage's "
+        "predicate evaluated over the SURVIVORS of the previous one — "
+        "the per-stage retention report a FineWeb/RefinedWeb-style "
+        "production pipeline publishes. Composes five verified operator "
+        "families in ONE pass: the stage booleans nest (b_k = b_{k-1} & "
+        "pred_k), the two dedup keepers are conditional-MIN windows over "
+        "the survivor set (so the canonical doc is chosen among "
+        "survivors, not the raw corpus), contamination is the broadcast "
+        "eval-gram probe, and a single aggregation row unpivots to the "
+        "seven funnel rows. At 100 TB: two doc-keyed hash-partition "
+        "windows, one broadcast semi-join, one global count row — no "
+        "corpus-sized exchange beyond the flag joins."
+    ),
+)
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.funnel import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_funnel(docs)
