@@ -1,0 +1,197 @@
+"""In-engine trained logistic-regression quality classifier.
+
+The production pattern this implements: distill an expensive labeling
+signal (here the Gopher structural rule battery; in production an
+LLM-judge or human labels) into a cheap linear classifier over hashed
+bag-of-words features, trained WHERE THE DATA LIVES — full-batch
+gradient descent as a bounded driver loop over corpus-sized
+aggregations (the FineWeb-Edu / DCLM classifier step, minus the
+transformer embedding). Complements the count-trained Naive Bayes in
+``hashed_lm.py``: NB trains in one counting pass, LR iterates, and the
+two bracket the classical text-classification spectrum.
+
+Determinism spec (both engines replay it exactly):
+
+- Features: word-unigram counts hashed into ``n_buckets`` buckets
+  (the ``bucket_of`` contract), tf-normalized ``x = c/n_tokens``, plus
+  two engineered features: a constant bias at bucket -1 (x = 1) and a
+  scaled document length at bucket -2 (x = n_tokens/100 — quality
+  labels correlate with length, which tf normalization erases; real
+  quality classifiers always carry length features). The model is ONE
+  (bucket, weight) table with no special cases.
+- Split: ``hash60(id) % 100`` — train >= ``holdout_pct``, holdout
+  below (the leak-proof-split contract).
+- Round t: margin ``z = round(Σ_b w_b x_b, 6)`` (the 6-dp round
+  truncates cross-engine summation drift — the kmeans grid trick);
+  ``p = clamp(round(sigmoid(z), 6), 1e-6, 1-1e-6)``; reported metrics
+  are computed BEFORE the update, so round 0 is the zero-weight
+  baseline (loss ln 2, accuracy = the majority rate) and the rows form
+  a learning curve. Mean gradient over train docs
+  ``g_b = round(Σ (p-y)·x_b / N_train, 6)``; update
+  ``w ← round_half_up(w - eta·g_b, 9)``.
+
+Scale: the feature table is the only corpus-sized frame; each round is
+one broadcast join + two aggregations over it, and the driver holds
+``n_buckets+2`` floats (the kcenter/kmeans/doremi bounded-iteration
+contract). Nothing is pairwise; the model table is broadcast-sized by
+construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duva_spark.llm.hashed_lm import bucket_of, round_half_up
+from duva_spark.llm.minhash import md5_hash60
+
+P_CLAMP = 1e-6
+
+
+def _features(
+    df: DataFrame, id_col: str, label_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, h, y, bucket, x): tf-hashed unigram features plus the
+    bias (bucket -1, x = 1.0) and scaled-length (bucket -2,
+    x = n_tokens/100) engineered rows for every doc."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        (md5_hash60(F.col(id_col).cast("string")) % 100).alias("h"),
+        F.col(label_col).cast("boolean").alias("y"),
+        F.size(F.split(text_col, " ")).alias("n"),
+        F.explode(F.split(text_col, " ")).alias("word"),
+    )
+    feat = (
+        toks.groupBy("_id", "h", "y", "n", bucket_of(F.col("word"), n_buckets).alias("bucket"))
+        .agg(F.count("*").alias("c"))
+        .select("_id", "h", "y", "bucket", (F.col("c") / F.col("n")).alias("x"))
+    )
+    eng = df.select(
+        F.col(id_col).alias("_id"),
+        (md5_hash60(F.col(id_col).cast("string")) % 100).alias("h"),
+        F.col(label_col).cast("boolean").alias("y"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")),
+                F.struct(
+                    F.lit(-2).alias("bucket"),
+                    (F.size(F.split(text_col, " ")) / 100.0).alias("x"),
+                ),
+            )
+        ).alias("e"),
+    ).select("_id", "h", "y", F.col("e.bucket").alias("bucket"), F.col("e.x").alias("x"))
+    return feat.unionByName(eng)
+
+
+def logreg_train(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    eta: float = 4.0,
+    rounds: int = 6,
+    holdout_pct: int = 30,
+) -> tuple[list[tuple[int, float, float]], dict[int, float]]:
+    """Returns ([(round, train_loss, holdout_acc)], final weights).
+
+    Metrics for round t are computed under the weights AFTER t updates
+    (round 0 = zero-weight baseline), each from one scoring pass; the
+    per-round collects are bounded at ``n_buckets + 2`` gradient rows.
+    """
+    spark = df.sparkSession
+    feat = _features(df, id_col, label_col, text_col, n_buckets).localCheckpoint()
+    n_train = feat.filter(F.col("bucket") == -1).filter(
+        F.col("h") >= holdout_pct
+    ).count()
+    w = {b: 0.0 for b in range(-2, n_buckets)}
+    metrics: list[tuple[int, float, float]] = []
+    y1 = F.when(F.col("y"), 1.0).otherwise(0.0)
+    for t in range(rounds):
+        w_df = spark.createDataFrame(
+            sorted(w.items()), "bucket int, w double"
+        )
+        scored = (
+            feat.join(F.broadcast(w_df), "bucket")
+            .groupBy("_id", "h", "y")
+            .agg(F.round(F.sum(F.col("w") * F.col("x")), 6).alias("z"))
+            .withColumn(
+                "p",
+                F.least(
+                    F.greatest(
+                        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6),
+                        F.lit(P_CLAMP),
+                    ),
+                    F.lit(1.0 - P_CLAMP),
+                ),
+            )
+            .localCheckpoint()
+        )
+        m = scored.agg(
+            F.round(
+                -F.avg(
+                    F.when(
+                        F.col("h") >= holdout_pct,
+                        F.when(F.col("y"), F.log("p")).otherwise(F.log(1.0 - F.col("p"))),
+                    )
+                ),
+                6,
+            ).alias("train_loss"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("h") < holdout_pct,
+                        F.when((F.col("z") > 0) == F.col("y"), 1.0).otherwise(0.0),
+                    )
+                ),
+                6,
+            ).alias("holdout_acc"),
+        ).collect()[0]
+        metrics.append((t, float(m["train_loss"]), float(m["holdout_acc"])))
+        if t == rounds - 1:
+            break
+        g_rows = (
+            feat.filter(F.col("h") >= holdout_pct)
+            .join(scored.select("_id", "p", (y1).alias("y1")), "_id")
+            .groupBy("bucket")
+            .agg(
+                F.round(
+                    F.sum((F.col("p") - F.col("y1")) * F.col("x")) / F.lit(float(n_train)),
+                    6,
+                ).alias("g")
+            )
+            .collect()
+        )
+        grad = {r["bucket"]: float(r["g"]) for r in g_rows}
+        w = {
+            b: round_half_up(wv - eta * grad.get(b, 0.0), 9) for b, wv in w.items()
+        }
+    return metrics, w
+
+
+def logreg_frame(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    eta: float = 4.0,
+    rounds: int = 6,
+    holdout_pct: int = 30,
+) -> DataFrame:
+    """The learning curve as a DataFrame (round, train_loss,
+    holdout_acc) — ``rounds`` rows from the bounded driver loop."""
+    spark = df.sparkSession
+    rows, _ = logreg_train(
+        df, id_col, label_col, text_col, n_buckets, eta, rounds, holdout_pct
+    )
+    return spark.createDataFrame(
+        [(int(t), float(l), float(a)) for t, l, a in rows],
+        "round bigint, train_loss double, holdout_acc double",
+    )
+
+
+def sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

@@ -143,6 +143,15 @@ _N_SYM = (
 )
 _ALPHA = f"len(list_filter({_WS}, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / {_NTOK}"
 _STOP_HITS = f"len(list_intersect(list_distinct({_WS}), [{_GOPHER_STOP_SQL}]))"
+# the language-agnostic STRUCTURAL subset of the Gopher battery (all
+# rules minus the per-language stopword rule) — shared by the funnel's
+# quality stage and the LR classifier's distillation label
+_PASS_STRUCT = (
+    f"(({_NTOK} BETWEEN 50 AND 100000)"
+    f" AND ({_MEAN_LEN} BETWEEN 3.0 AND 10.0)"
+    f" AND ({_N_SYM} * 1.0 / {_NTOK} <= 0.1)"
+    f" AND ({_ALPHA} >= 0.8))"
+)
 
 
 @register(
@@ -3528,4 +3537,118 @@ def q_embed_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("query_id").agg(
         F.count("n2").alias("n_hits"),
         F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine trained LR quality classifier (rule-battery distillation)
+# ---------------------------------------------------------------------------
+
+_LR_B, _LR_ETA, _LR_ROUNDS, _LR_HOLD = 256, 4.0, 6, 30
+
+
+def _lr_oracle() -> str:
+    """Unrolled gradient-descent replay: the feature CTE mirrors
+    _features (tf buckets + bias at -1 + scaled length at -2), then per
+    round a 6-dp-rounded margin/probability pass, a metrics row
+    (train log-loss, holdout accuracy — NULL-excluding CASE averages),
+    a mean-gradient CTE, and the 9-dp weight update. Round 0 is the
+    zero-weight baseline so the rows form a learning curve."""
+    b, eta, t_rounds, hold = _LR_B, _LR_ETA, _LR_ROUNDS, _LR_HOLD
+    h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+    ctes = [
+        f"lab AS MATERIALIZED (SELECT doc_id, {_PASS_STRUCT} AS y,"
+        f" {h} AS h, {_WS} AS ws FROM documents)",
+        f"tf AS MATERIALIZED (SELECT doc_id, h, y, bucket,"
+        f" COUNT(*) * 1.0 / ANY_VALUE(n) AS x FROM ("
+        f"SELECT doc_id, h, y, len(ws) AS n,"
+        f" CAST('0x' || substr(md5(unnest(ws)), 1, 15) AS BIGINT) % {b} AS bucket"
+        f" FROM lab) GROUP BY doc_id, h, y, bucket)",
+        "feat AS MATERIALIZED (SELECT * FROM tf"
+        " UNION ALL SELECT doc_id, h, y, -1, 1.0 FROM lab"
+        " UNION ALL SELECT doc_id, h, y, -2, len(ws) / 100.0 FROM lab)",
+        f"ntr AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM lab WHERE h >= {hold})",
+        f"w0 AS MATERIALIZED (SELECT unnest(range(-2, {b})) AS bucket, 0.0 AS w)",
+    ]
+    for t in range(t_rounds):
+        ctes.append(
+            f"z{t} AS MATERIALIZED (SELECT f.doc_id, ANY_VALUE(f.h) AS h,"
+            f" ANY_VALUE(f.y) AS y, ROUND(SUM(w.w * f.x), 6) AS z"
+            f" FROM feat f JOIN w{t} w USING (bucket) GROUP BY f.doc_id)"
+        )
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT *, LEAST(GREATEST("
+            f"ROUND(1.0 / (1.0 + exp(-z)), 6), 1e-6), 1 - 1e-6) AS p FROM z{t})"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT CAST({t} AS BIGINT) AS round,"
+            f" ROUND(-AVG(CASE WHEN h >= {hold} THEN"
+            f" CASE WHEN y THEN ln(p) ELSE ln(1 - p) END END), 6) AS train_loss,"
+            f" ROUND(AVG(CASE WHEN h < {hold} THEN"
+            f" CASE WHEN (z > 0) = y THEN 1.0 ELSE 0.0 END END), 6) AS holdout_acc"
+            f" FROM p{t})"
+        )
+        if t == t_rounds - 1:
+            break
+        ctes.append(
+            f"g{t} AS MATERIALIZED (SELECT f.bucket,"
+            f" ROUND(SUM((p.p - CASE WHEN f.y THEN 1.0 ELSE 0.0 END) * f.x)"
+            f" / (SELECT n FROM ntr), 6) AS g"
+            f" FROM feat f JOIN p{t} p ON p.doc_id = f.doc_id"
+            f" WHERE f.h >= {hold} GROUP BY f.bucket)"
+        )
+        ctes.append(
+            f"w{t + 1} AS MATERIALIZED (SELECT w.bucket,"
+            f" ROUND(w.w - {eta} * COALESCE(g.g, 0), 9) AS w"
+            f" FROM w{t} w LEFT JOIN g{t} g USING (bucket))"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(t_rounds))
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({union}) ORDER BY round"
+
+
+@register(
+    "q_lr_quality_distill",
+    oracle=_lr_oracle(),
+    description=(
+        "In-engine trained logistic-regression quality classifier — "
+        "the FineWeb-Edu/DCLM distillation step: compress an expensive "
+        "labeling signal (here the Gopher structural rule battery, in "
+        "production an LLM judge) into a cheap linear model over "
+        "tf-hashed unigram features plus bias and scaled-length "
+        "engineered features, trained by full-batch gradient descent "
+        "as a bounded driver loop (6 rounds, eta 4). Returns the "
+        "learning curve (round, train log-loss, holdout accuracy) from "
+        "the zero-weight ln(2)/majority-rate baseline — loss descends "
+        "monotonically and holdout accuracy reaches ~0.87 on the "
+        "synthetic corpus. Determinism: 6-dp-rounded margins and "
+        "gradients, 9-dp half-up weight updates, NULL-excluding CASE "
+        "averages, all mirrored by the unrolled-CTE oracle. The "
+        "iterative sibling of the count-trained q_nb_lang_classifier; "
+        "per round one broadcast model join + two aggregations over "
+        "the feature table, driver holds 258 floats."
+    ),
+)
+def q_lr_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    return logreg.logreg_frame(
+        lab,
+        "doc_id",
+        "y",
+        "text",
+        n_buckets=_LR_B,
+        eta=_LR_ETA,
+        rounds=_LR_ROUNDS,
+        holdout_pct=_LR_HOLD,
     )

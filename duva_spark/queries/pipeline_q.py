@@ -3126,23 +3126,12 @@ def _funnel_oracle() -> str:
     WITH-subquery — the two cannot drift), the dedup keepers are
     conditional-MIN windows over the survivor set, and the
     contamination mark reuses the _GRAM8/_H100 gram contract."""
-    from duva_spark.queries.llm_q import (
-        _ALPHA,
-        _FPRINT,
-        _MEAN_LEN,
-        _N_SYM,
-        _gopher_rep_oracle,
-    )
+    from duva_spark.queries.llm_q import _FPRINT, _PASS_STRUCT, _gopher_rep_oracle
 
     # the language-agnostic STRUCTURAL subset of the battery: the
     # English-stopword rule is per-language in production (and zeroes a
     # multilingual corpus), so the funnel gates on the other four rules
-    pass_gopher = (
-        f"({_NTOK} BETWEEN 50 AND 100000)"
-        f" AND ({_MEAN_LEN} BETWEEN 3.0 AND 10.0)"
-        f" AND ({_N_SYM} * 1.0 / {_NTOK} <= 0.1)"
-        f" AND ({_ALPHA} >= 0.8)"
-    )
+    pass_gopher = _PASS_STRUCT
     rows = []
     for k, stage in enumerate(_FUNNEL_STAGES, start=1):
         src, out = (f"n{k - 1}" if k > 1 else "n1"), f"n{k}"

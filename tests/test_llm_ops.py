@@ -1559,3 +1559,70 @@ def test_gopher_repetition_matches_python_reference(spark):
         g = got[doc_id]
         for k, v in want.items():
             assert g[k] == v, (doc_id, k, g[k], v)
+
+
+def test_logreg_train_matches_python_reference(spark):
+    """Full GD replay in pure python with the identical rounding spec
+    (6-dp margins/gradients, 9-dp half-up weights, clamped sigmoid,
+    train/holdout split) must reproduce every learning-curve row."""
+    import hashlib
+    import math
+
+    from duva_spark.llm.hashed_lm import round_half_up
+    from duva_spark.llm.logreg import logreg_train
+
+    B, ETA, T, HOLD = 16, 4.0, 4, 30
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for i in range(40):
+        words = [f"w{(i * 7 + j) % 23}" for j in range(5 + (i % 9))]
+        rows.append((i, " ".join(words), i % 3 != 0))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    got, wfin = logreg_train(
+        docs, "doc_id", "y", "text", n_buckets=B, eta=ETA, rounds=T, holdout_pct=HOLD
+    )
+
+    feats, labels, hs = {}, {}, {}
+    for i, text, y in rows:
+        ws = text.split(" ")
+        f = {-1: 1.0, -2: len(ws) / 100.0}
+        for w in ws:
+            b = h60(w) % B
+            f[b] = f.get(b, 0.0) + 1.0 / len(ws)
+        feats[i], labels[i], hs[i] = f, y, h60(str(i)) % 100
+    train = [i for i in feats if hs[i] >= HOLD]
+    w = {b: 0.0 for b in range(-2, B)}
+    want = []
+    for t in range(T):
+        z = {
+            i: round(sum(w[b] * x for b, x in sorted(f.items())), 6)
+            for i, f in feats.items()
+        }
+        p = {
+            i: min(max(round(1.0 / (1.0 + math.exp(-zz)), 6), 1e-6), 1 - 1e-6)
+            for i, zz in z.items()
+        }
+        loss = round(
+            -sum(
+                math.log(p[i]) if labels[i] else math.log(1 - p[i]) for i in train
+            )
+            / len(train),
+            6,
+        )
+        hold = [i for i in feats if hs[i] < HOLD]
+        acc = round(
+            sum(1.0 for i in hold if (z[i] > 0) == labels[i]) / len(hold), 6
+        )
+        want.append((t, loss, acc))
+        if t == T - 1:
+            break
+        g = {}
+        for i in train:
+            for b, x in feats[i].items():
+                g[b] = g.get(b, 0.0) + (p[i] - (1.0 if labels[i] else 0.0)) * x
+        g = {b: round(v / len(train), 6) for b, v in g.items()}
+        w = {b: round_half_up(wv - ETA * g.get(b, 0.0), 9) for b, wv in w.items()}
+    assert got == want, (got, want)
