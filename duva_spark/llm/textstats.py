@@ -284,12 +284,12 @@ def gopher_repetition(
     - ``top_frac_{2,3,4}``: fraction of word characters contained in
       the most frequently occurring n-gram (occurrence count × the
       gram's word-char length, over the doc's total word chars); ties
-      on count break to the LOWEST 60-bit gram hash on both engines.
+      on count break to the LEXICOGRAPHICALLY SMALLEST gram on both
+      engines.
     - ``dup_frac_{5..10}``: fraction of word characters covered by any
       n-gram occurring >= 2 times in the doc, counted by POSITION
-      COVERAGE (overlapping duplicate grams never double-count) through
-      the shared interval machinery (``merge_covered_intervals``,
-      unit_len=n) — the DataTrove/NeMo-Curator accounting.
+      COVERAGE (overlapping duplicate grams never double-count) — the
+      DataTrove/NeMo-Curator accounting.
     - ``pass_repetition``: the conjunction of all nine thresholds
       (table A1), each compared on the ``dp``-rounded fraction.
 
@@ -298,119 +298,110 @@ def gopher_repetition(
     text the two differ only by the whitespace mass, documented
     deviation from the paper's raw-char counts).
 
-    Scale design: grams carry 60-bit hashes, never strings, into the
-    one (doc, n, gh) count shuffle; every window and join partitions by
-    the doc id, so state is bounded by a single document's length at
-    any corpus size. The spans→chars join re-reads only (id, text) —
-    column-pruned at the scan.
+    Scale design — ZERO SHUFFLES: every statistic here is a function of
+    ONE document, so the whole battery is array expressions inside the
+    scan projection (plan-asserted no-Exchange, like the quality
+    battery). Per n: sort the doc's gram array once — the longest
+    equal-adjacent run IS the top count (ascending sort makes the first
+    maximal run the lexicographic tie-winner), adjacent-equal pairs ARE
+    the duplicate-gram set, and coverage is a width-n sliding OR over
+    the dup flags. An earlier draft shuffled a 9-way-amplified
+    (doc, n, gram-hash) stream to count grams corpus-wide — measurably
+    the wrong shape (13x per 10x from single-host spill) for a
+    statistic that never needed cross-document state.
     """
-    from pyspark.sql import Window
-
-    from duva_spark.llm import minhash
-    from duva_spark.llm.dedup import merge_covered_intervals
-
+    ws = words_of(F.col(text_col))
     top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
     dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
-    ws = words_of(F.col(text_col))
     base = df.select(F.col(id_col), ws.alias("ws"))
+    wc = F.length(F.concat_ws("", "ws"))
+    L = F.size("ws")
 
     def grams_of(n: int):
-        # slot i (0-based) is the gram starting at word i; the filter
-        # drops the degenerate short-doc slot sequence(0,0) produces
-        return F.filter(
+        # slot i (0-based) is the gram starting at word i; guarded so a
+        # doc shorter than n words yields an empty array
+        return F.when(
+            L >= n,
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("ws") - n, F.lit(0))),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    i.alias("pos"),
-                    F.concat_ws(" ", F.slice("ws", i + 1, n)).alias("gram"),
-                ),
+                F.sequence(F.lit(0), L - n),
+                lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)),
             ),
-            lambda s: s["pos"] <= F.size("ws") - n,
-        )
+        ).otherwise(F.array().cast("array<string>"))
 
-    g = (
-        base.select(
-            id_col,
-            F.explode(F.flatten(F.array(*[grams_of(n) for n in top_ns + dup_ns]))).alias("g"),
-        )
-        .select(
-            id_col,
-            F.col("g.n").alias("n"),
-            F.col("g.pos").alias("pos"),
-            minhash.md5_hash60(F.col("g.gram")).alias("gh"),
-            (F.length("g.gram") - (F.col("g.n") - 1)).alias("glen"),
-        )
-    )
-    counts = g.groupBy(id_col, "n", "gh").agg(
-        F.count("*").alias("cnt"), F.max("glen").alias("glen")
-    )
-    wtop = Window.partitionBy(id_col, "n").orderBy(F.desc("cnt"), F.asc("gh"))
-    top = (
-        counts.filter(F.col("n").isin(top_ns))
-        .withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "n", (F.col("cnt") * F.col("glen")).alias("topchars"))
-    )
-    dup = counts.filter(F.col("n").isin(dup_ns) & (F.col("cnt") >= 2)).select(
-        id_col, "n", "gh"
-    )
-    hits = g.join(dup, [id_col, "n", "gh"], "left_semi")
-    spans = None
-    for n in dup_ns:
-        s_n = merge_covered_intervals(
-            hits.filter(F.col("n") == n).select(id_col, "pos"), id_col, n, n
-        ).withColumn("n", F.lit(n))
-        spans = s_n if spans is None else spans.unionByName(s_n)
-    cov = (
-        spans.join(base, id_col)
-        .select(
-            id_col,
-            "n",
-            F.length(
-                F.concat_ws(
-                    "",
-                    F.slice(
-                        "ws",
-                        F.col("span_start") + 1,
-                        F.col("span_end") - F.col("span_start") + 1,
-                    ),
+    def top_chars(n: int):
+        # longest equal-adjacent run in the SORTED gram array = the max
+        # occurrence count; strict '>' keeps the first (lexicographically
+        # smallest) maximal run's gram as the tie-winner
+        sg = F.array_sort(grams_of(n))
+        z = F.aggregate(
+            sg,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+                F.lit("").alias("bg"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+                F.when(
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)) > a["best"],
+                    x,
                 )
-            ).alias("chars"),
+                .otherwise(a["bg"])
+                .alias("bg"),
+            ),
         )
-        .groupBy(id_col, "n")
-        .agg(F.sum("chars").alias("dupchars"))
-    )
-    topw = top.groupBy(id_col).agg(
-        *[F.max(F.when(F.col("n") == n, F.col("topchars"))).alias(f"top_{n}") for n in top_ns]
-    )
-    covw = cov.groupBy(id_col).agg(
-        *[F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"dup_{n}") for n in dup_ns]
-    )
-    stats = base.select(
-        id_col,
-        F.size("ws").alias("n_words"),
-        F.length(F.concat_ws("", "ws")).alias("word_chars"),
-    )
-    out = stats.join(topw, id_col, "left").join(covw, id_col, "left")
-    wc = F.col("word_chars")
+        return z["best"].cast("long") * (F.length(z["bg"]) - (n - 1))
+
+    def dup_chars(n: int):
+        # duplicate grams = values with an equal neighbor in the sorted
+        # array; coverage = width-n sliding OR over per-gram dup flags,
+        # charged at each covered word's length (overlap-safe)
+        g = grams_of(n)
+        sg = F.array_sort(g)
+        eqs = F.zip_with(
+            sg,
+            F.slice(sg, 2, F.greatest(F.size(sg) - 1, F.lit(0))),
+            lambda a, b: F.when(a == b, a),
+        )
+        dups = F.array_distinct(F.filter(eqs, lambda x: x.isNotNull()))
+        flags = F.transform(g, lambda x: F.array_contains(dups, x))
+        covered = F.aggregate(
+            F.sequence(F.lit(0), L - 1),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.exists(
+                    F.sequence(
+                        F.greatest(j - (n - 1), F.lit(0)),
+                        F.least(j, F.size(g) - 1),
+                    ),
+                    lambda i: F.element_at(flags, i + 1),
+                ),
+                F.length(F.element_at(F.col("ws"), j + 1)),
+            ).otherwise(F.lit(0)),
+        )
+        return F.when((L >= n) & (F.size(dups) > 0), covered).otherwise(F.lit(0))
 
     def frac(raw):
-        return F.when(wc > 0, F.round(F.coalesce(raw, F.lit(0)) / wc, dp)).otherwise(
-            F.lit(0.0)
-        )
+        return F.when(wc > 0, F.round(raw / wc, dp)).otherwise(F.lit(0.0))
 
+    cols = [F.col(id_col), L.cast("long").alias("n_words"), wc.cast("long").alias("word_chars")]
     passes = []
-    cols = [F.col(id_col), F.col("n_words").cast("long"), wc.cast("long").alias("word_chars")]
     for n in top_ns:
-        f = frac(F.col(f"top_{n}"))
+        f = frac(top_chars(n))
         cols.append(f.alias(f"top_frac_{n}"))
         passes.append(f <= GOPHER_TOP_NGRAM_MAX[n])
     for n in dup_ns:
-        f = frac(F.col(f"dup_{n}"))
+        f = frac(dup_chars(n))
         cols.append(f.alias(f"dup_frac_{n}"))
         passes.append(f <= GOPHER_DUP_NGRAM_MAX[n])
     conj = passes[0]
-    for p in passes[1:]:
-        conj = conj & p
-    return out.select(*cols, conj.alias("pass_repetition"))
+    for p_ in passes[1:]:
+        conj = conj & p_
+    return base.select(*cols, conj.alias("pass_repetition"))

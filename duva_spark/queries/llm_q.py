@@ -191,12 +191,16 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gopher_rep_oracle() -> str:
-    """Replay of the repetition battery: per n, a positional gram CTE
-    (60-bit hash + word-char length), a (doc, gh) count CTE, then for
-    top-ns a QUALIFY argmax (count DESC, hash ASC — the Spark window's
-    exact tie rule) and for dup-ns the shared lag/running-sum interval
-    merge (unit_len=n) with covered chars re-sliced from the word
-    array. Word-char accounting (whitespace excluded) on both engines."""
+    """Replay of the repetition battery: per n, a positional gram CTE,
+    a per-doc (gram) count CTE, then for top-ns a QUALIFY argmax
+    (count DESC, gram ASC — the operator's lexicographic tie rule) and
+    for dup-ns the lag/running-sum interval merge (unit_len=n) with
+    covered chars re-sliced from the word array — the set-union twin of
+    the operator's sliding-OR coverage. The ORACLE counts grams with a
+    per-doc GROUP BY; the OPERATOR computes the same values shuffle-
+    free inside the scan projection (sorted-array runs) — same numbers,
+    deliberately different shapes. Word-char accounting (whitespace
+    excluded) on both engines."""
     from duva_spark.llm.textstats import GOPHER_DUP_NGRAM_MAX, GOPHER_TOP_NGRAM_MAX
 
     top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
@@ -206,26 +210,26 @@ def _gopher_rep_oracle() -> str:
         gram = f"array_to_string(list_slice(ws, i, i + {n} - 1), ' ')"
         ctes.append(
             f"g{n} AS MATERIALIZED (SELECT doc_id, i - 1 AS pos,"
-            f" CAST('0x' || substr(md5({gram}), 1, 15) AS BIGINT) AS gh,"
-            f" length({gram}) - {n - 1} AS glen"
+            f" {gram} AS gram"
             f" FROM (SELECT doc_id, ws, unnest(range(1,"
             f" greatest(len(ws) - {n} + 1, 0) + 1)) AS i FROM w))"
         )
         ctes.append(
-            f"c{n} AS MATERIALIZED (SELECT doc_id, gh, MAX(glen) AS glen,"
-            f" COUNT(*) AS cnt FROM g{n} GROUP BY doc_id, gh)"
+            f"c{n} AS MATERIALIZED (SELECT doc_id, gram,"
+            f" length(gram) - {n - 1} AS glen,"
+            f" COUNT(*) AS cnt FROM g{n} GROUP BY doc_id, gram)"
         )
     for n in top_ns:
         ctes.append(
             f"t{n} AS MATERIALIZED (SELECT doc_id, cnt * glen AS topchars FROM c{n}"
             f" QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id"
-            f" ORDER BY cnt DESC, gh) = 1)"
+            f" ORDER BY cnt DESC, gram) = 1)"
         )
     for n in dup_ns:
         ctes.append(
             f"h{n} AS MATERIALIZED (SELECT g.doc_id, g.pos FROM g{n} g"
-            f" SEMI JOIN (SELECT doc_id, gh FROM c{n} WHERE cnt >= 2) d"
-            f" ON g.doc_id = d.doc_id AND g.gh = d.gh)"
+            f" SEMI JOIN (SELECT doc_id, gram FROM c{n} WHERE cnt >= 2) d"
+            f" ON g.doc_id = d.doc_id AND g.gram = d.gram)"
         )
         ctes.append(
             f"s{n} AS (SELECT doc_id, pos, SUM(new_span) OVER"
@@ -288,19 +292,21 @@ def _gopher_rep_oracle() -> str:
         "the second half of the rule set, complementing "
         "q_gopher_quality_flags: per doc, the fraction of word "
         "characters in the single most frequent {2,3,4}-gram (ties on "
-        "count to the lowest 60-bit gram hash), the fraction of word "
-        "characters COVERED by any duplicated {5..10}-gram — overlap-"
-        "safe position coverage through the SAME interval machinery as "
-        "the cross-doc span family (merge_covered_intervals, "
-        "unit_len=n; the DataTrove/NeMo-Curator accounting) — and the "
-        "nine-threshold conjunction. Grams shuffle as 60-bit ints, "
-        "never strings; every window and join partitions by doc id, so "
-        "state is bounded by one document's length at any corpus size."
+        "count to the lexicographically smallest gram), the fraction "
+        "of word characters COVERED by any duplicated {5..10}-gram — "
+        "overlap-safe position coverage (the DataTrove/NeMo-Curator "
+        "accounting) — and the nine-threshold conjunction. Every "
+        "statistic is a function of ONE document, so the battery runs "
+        "with ZERO shuffles: sorted-gram-array runs give the top count "
+        "and the duplicate set, a width-n sliding OR gives coverage — "
+        "all array expressions inside the scan projection "
+        "(plan-asserted no-Exchange). The oracle recomputes the same "
+        "values with per-doc GROUP BYs and the interval-merge CTEs."
     ),
 )
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.gopher_repetition(docs).orderBy("doc_id")
+    return textstats.gopher_repetition(docs)
 
 
 @register(

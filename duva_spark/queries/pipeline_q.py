@@ -3230,3 +3230,109 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curation_funnel(docs)
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus datasheet
+# ---------------------------------------------------------------------------
+
+
+def _datasheet_oracle() -> str:
+    from duva_spark.queries.llm_q import _PASS_STRUCT
+
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT source, lang, md5(text) AS ch, {_NTOK} AS n,
+             CASE WHEN {_PASS_STRUCT} THEN 1.0 ELSE 0.0 END AS q
+      FROM documents
+    ),
+    lc AS MATERIALIZED (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY source, lang
+    ),
+    top AS MATERIALIZED (
+      SELECT source, lang AS top_lang, c AS top_c FROM lc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) = 1
+    ),
+    agg AS MATERIALIZED (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             ROUND(AVG(n), 6) AS mean_words,
+             ROUND(AVG(q), 6) AS quality_rate,
+             ROUND(1.0 - COUNT(DISTINCT ch) * 1.0 / COUNT(*), 6) AS dup_rate,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM b GROUP BY source
+    )
+    SELECT agg.*, top.top_lang,
+           ROUND(top.top_c * 1.0 / agg.n_docs, 6) AS top_lang_share
+    FROM agg JOIN top USING (source)
+    ORDER BY source
+    """
+
+
+@register(
+    "q_corpus_datasheet",
+    oracle=_datasheet_oracle(),
+    description=(
+        "Per-source corpus datasheet (Gebru et al. 2021, 'Datasheets "
+        "for Datasets'): the one-row-per-source summary a corpus "
+        "release publishes — doc/token counts, mean doc length, "
+        "structural-quality pass rate (the shared _PASS_STRUCT "
+        "contract), exact-duplicate rate (1 - distinct content hashes "
+        "/ docs), language count, and the dominant language with its "
+        "share (count-desc, lang-asc tie). One groupBy over "
+        "scan-projected columns plus a source-partitioned top-1 "
+        "window; source cardinality bounds every post-shuffle table."
+    ),
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = textstats.gopher_flags(docs)
+    b = flagged.select(
+        "source",
+        "lang",
+        F.md5("text").alias("ch"),
+        F.col("n_words").alias("n"),
+        F.when(
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha"),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("q"),
+    )
+    lc = b.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top = (
+        lc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    agg = b.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.round(F.avg("n"), 6).alias("mean_words"),
+        F.round(F.avg("q"), 6).alias("quality_rate"),
+        F.round(1.0 - F.countDistinct("ch") / F.count("*"), 6).alias("dup_rate"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return (
+        agg.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_words",
+            "quality_rate",
+            "dup_rate",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_c") / F.col("n_docs"), 6).alias("top_lang_share"),
+        )
+        .orderBy("source")
+    )

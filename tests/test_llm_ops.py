@@ -1489,10 +1489,9 @@ def test_ivfpq_candidates_respect_probed_buckets(spark):
 
 def test_gopher_repetition_matches_python_reference(spark):
     """The repetition battery vs a brute-force reference: top-n-gram
-    char fraction (count-desc, hash-asc tie), overlap-safe duplicate
-    n-gram position coverage, short-doc and empty-doc edges."""
-    import hashlib
-
+    char fraction (count-desc, lexicographic-gram tie), overlap-safe
+    duplicate n-gram position coverage, short-doc and empty-doc
+    edges."""
     from duva_spark.llm.textstats import (
         GOPHER_DUP_NGRAM_MAX,
         GOPHER_TOP_NGRAM_MAX,
@@ -1518,9 +1517,6 @@ def test_gopher_repetition_matches_python_reference(spark):
         ).collect()
     }
 
-    def h60(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
     for doc_id, text in docs:
         words = text.split(" ")
         wchars = sum(len(w) for w in words)
@@ -1531,7 +1527,7 @@ def test_gopher_repetition_matches_python_reference(spark):
                 from collections import Counter
 
                 c = Counter(grams)
-                best = min(c, key=lambda g: (-c[g], h60(" ".join(g))))
+                best = min(c, key=lambda g: (-c[g], " ".join(g)))
                 want[f"top_frac_{n}"] = round(
                     c[best] * sum(len(w) for w in best) / wchars, 6
                 )

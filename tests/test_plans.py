@@ -626,3 +626,19 @@ def test_broadcast_scalar_crossjoins_never_cartesian(spark, sf_dir, qname, min_b
     plan = _plan(REGISTRY[qname].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{qname} planned a real cartesian"
     assert plan.count("BroadcastNestedLoopJoin") >= min_bnlj
+
+
+def test_gopher_repetition_is_shuffle_free(spark, sf_dir):
+    """The full Gopher repetition battery (top-{2,3,4}-gram fractions +
+    duplicated-{5..10}-gram coverage) is a function of ONE document, so
+    it must plan as a pure scan projection: sorted-gram-array runs and
+    sliding-OR coverage as array expressions — no Exchange, no Join, no
+    Window, no Python eval anywhere."""
+    q = load_all()["q_gopher_repetition"]
+    df = q.fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert df.count() > 0

@@ -541,6 +541,44 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         )
     )
 
+    def gopher_repetition_case(n):
+        # q_gopher_repetition's operator: one 9-way positional gram
+        # explode (n ∈ 2..10 over 30-word docs ≈ 230 gram rows/doc)
+        # into a (doc, n, gh) count shuffle, doc-partitioned top/keeper
+        # windows, per-n interval merges, one doc-keyed chars join.
+        # Everything partitions by doc id — expect the amplified-stream
+        # shuffle class (linear, possibly spill-inflated like the span
+        # family at the top size).
+        from duva_spark.llm import textstats
+
+        _force(textstats.gopher_repetition(_docs(spark, n)))
+
+    cases.append(("gopher_repetition", sizes_big, gopher_repetition_case))
+
+    def curation_funnel_case(n):
+        # q_pipeline_funnel's operator: quality flags (scan-only) +
+        # the repetition battery + two conditional-MIN keeper windows +
+        # broadcast eval-gram probe + one global count row. Dominated
+        # by the repetition battery's gram stream — expect its class.
+        from duva_spark.llm.funnel import curation_funnel
+
+        curation_funnel(_docs(spark, n)).collect()
+
+    cases.append(("curation_funnel", sizes_big, curation_funnel_case))
+
+    def logreg_case(n):
+        # q_lr_quality_distill's trainer: feature build (one token
+        # explode + count groupBy), then 3 rounds of broadcast model
+        # join + two aggregations over the feature table. Expect
+        # ~linear: every round is corpus-linear with a constant-size
+        # model exchange.
+        from duva_spark.llm import logreg
+
+        docs = _docs(spark, n).withColumn("y", F.col("doc_id") % 3 != 0)
+        logreg.logreg_train(docs, "doc_id", "y", "text", rounds=3)
+
+    cases.append(("logreg_distill", sizes_big, logreg_case))
+
     results = {}
     for name, sizes, fn in cases:
         if only and name not in only:
