@@ -285,7 +285,9 @@ def _gopher_rep_oracle() -> str:
 
 @register(
     "q_gopher_repetition",
-    headline=True,
+    # not headline: q_pipeline_funnel (headline) evaluates this battery
+    # inside the composition, so benching both would double-count the
+    # round's most compute-dense per-doc operator
     oracle=_gopher_rep_oracle(),
     description=(
         "Gopher REPETITION battery (Rae et al. 2021 A1.1, table A1) — "
