@@ -196,5 +196,9 @@ def encode_token_counts(
         F.size(ws).cast("long").alias("n_words"),
         n_char.cast("long").alias("n_char_tokens"),
         n_bpe.cast("long").alias("n_bpe_tokens"),
-        F.round(n_bpe * 1.0 / n_char, 6).alias("compression"),
+        # empty/whitespace-only doc: 0/0 is defined as 0.0 (the oracle's
+        # LEFT JOIN + CASE twin), not NULL
+        F.when(n_char > 0, F.round(n_bpe * 1.0 / n_char, 6))
+        .otherwise(F.lit(0.0))
+        .alias("compression"),
     )

@@ -329,10 +329,13 @@ def dup_span_counts(
 
 def sentences_of(text_col: str, boundary: str = " the ") -> F.Column:
     """The sentence-segment array of a text column: padded text split on
-    the literal ``boundary``, segments trimmed, empties dropped — one
+    the LITERAL ``boundary``, segments trimmed, empties dropped — one
     pure projection, the single definition shared by the positional
-    keys and the per-doc census."""
-    segs = F.split(F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), boundary)
+    keys and the per-doc census. F.split takes a Java regex, so the
+    boundary is \\Q..\\E-quoted: a punctuation boundary like ". "
+    splits literally, matching the DuckDB oracle's string_split."""
+    quoted = "\\Q" + boundary.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    segs = F.split(F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), quoted)
     return F.filter(F.transform(segs, lambda s: F.trim(s)), lambda s: s != "")
 
 

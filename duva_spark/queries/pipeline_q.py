@@ -2790,8 +2790,17 @@ def _bpe_oracle(n_merges: int, through_final_seqs: bool = False) -> str:
             FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM sq_{r}))
       GROUP BY a, b
     )""")
+        # sentinel: if the vocabulary is fully merged before round r
+        # (p_r empty), emit an unmatchable chr(1) pair with count -1 so
+        # later rounds become exact no-ops instead of emptying every
+        # downstream CTE — mirroring the operator's early break. Real
+        # pairs (count >= 1) always outrank it; the trainer's final
+        # union filters sentinel rows out.
         ctes.append(f"""best_{r} AS MATERIALIZED (
-      SELECT a, b, n FROM p_{r} ORDER BY n DESC, a, b LIMIT 1
+      SELECT a, b, n FROM (
+        SELECT a, b, n FROM p_{r}
+        UNION ALL SELECT chr(1), chr(1), CAST(-1 AS BIGINT)
+      ) ORDER BY n DESC, a, b LIMIT 1
     )""")
         if r == n_merges and not through_final_seqs:
             break
@@ -2830,6 +2839,7 @@ def _bpe_oracle(n_merges: int, through_final_seqs: bool = False) -> str:
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, a AS left_sym,"
         f" b AS right_sym, a || b AS merged, n AS pair_count FROM best_{r}"
+        f" WHERE n >= 1"
         for r in range(1, n_merges + 1)
     )
     return (
@@ -3078,14 +3088,23 @@ def q_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> ''
+    ),
+    ag AS MATERIALIZED (
+      SELECT dw.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(dw.w)) AS BIGINT) AS n_char_tokens,
+             CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN sq_9 s ON s.w = dw.w
+      GROUP BY dw.doc_id
     )
-    SELECT dw.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(length(dw.w)) AS BIGINT) AS n_char_tokens,
-           CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
-           ROUND(SUM(len(s.syms)) * 1.0 / SUM(length(dw.w)), 6) AS compression
-    FROM dw JOIN sq_9 s ON s.w = dw.w
-    GROUP BY dw.doc_id
+    SELECT d.doc_id,
+           CAST(COALESCE(ag.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(ag.n_char_tokens, 0) AS BIGINT) AS n_char_tokens,
+           CAST(COALESCE(ag.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN COALESCE(ag.n_char_tokens, 0) > 0
+                THEN ROUND(ag.n_bpe_tokens * 1.0 / ag.n_char_tokens, 6)
+                ELSE 0.0 END AS compression
+    FROM documents d LEFT JOIN ag USING (doc_id)
     """
     ),
     description=(

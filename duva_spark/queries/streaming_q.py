@@ -397,6 +397,8 @@ from duva_spark.queries import REGISTRY as _REG  # noqa: E402 — llm_q loads fi
 )
 def q_stream_true_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import hashlib
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -411,7 +413,15 @@ def q_stream_true_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     index = minhash.corpus_index(corpus, "doc_id", "text")
 
     stream = read_documents_stream(spark, sf_dir).filter(is_new)
-    td = tempfile.mkdtemp(prefix="duva_incr_dedup_")
+    # one deterministic scratch dir per sf_dir, wiped at entry: repeated
+    # oracle/bench runs reuse it instead of leaking a fresh mkdtemp per
+    # invocation (the returned DataFrame reads the sink lazily, so the
+    # dir cannot be removed on exit)
+    td = os.path.join(
+        tempfile.gettempdir(),
+        "duva_incr_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(td, ignore_errors=True)
     sink, ckpt = os.path.join(td, "matches"), os.path.join(td, "ckpt")
 
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
@@ -432,9 +442,12 @@ def q_stream_true_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(sink).select("new_id", "corpus_id", "jaccard")
 
 
-# Bind the reused oracle now that llm_q's registry entry exists (module
-# import order in load_all guarantees it).
+# Bind the reused oracle now that llm_q's registry entry exists (the
+# top-of-module `from duva_spark.queries.llm_q import ...` below makes
+# the ordering explicit rather than relying on load_all's import order).
 import dataclasses as _dc  # noqa: E402
+
+from duva_spark.queries import llm_q as _llm_q  # noqa: E402, F401 — registers q_incremental_dedup
 
 _REG["q_stream_true_incremental_dedup"] = _dc.replace(
     _REG["q_stream_true_incremental_dedup"],

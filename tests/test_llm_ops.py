@@ -1622,3 +1622,34 @@ def test_logreg_train_matches_python_reference(spark):
         g = {b: round(v / len(train), 6) for b, v in g.items()}
         w = {b: round_half_up(wv - ETA * g.get(b, 0.0), 9) for b, wv in w.items()}
     assert got == want, (got, want)
+
+
+def test_bpe_encode_oracle_survives_early_vocab_exhaustion(spark):
+    """When the vocabulary fully merges before 8 rounds, the operator
+    breaks early; the oracle's chr(1) sentinel rounds must behave as
+    exact no-ops (not empty every downstream CTE) so both sides still
+    agree — including a (0, 0, 0, 0.0) row for an empty document."""
+    import duckdb
+
+    from duva_spark.llm import bpe
+    from duva_spark.queries import load_all
+
+    rows = [(0, "ab ab ab"), (1, "ab cd"), (2, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rules = bpe.bpe_train(docs, "text", n_merges=8)
+    assert len(rules) == 2  # ab, cd — then no pairs remain
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_char_tokens"], r["n_bpe_tokens"], r["compression"])
+        for r in bpe.encode_token_counts(docs, rules).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES"
+        " (0, 'ab ab ab'), (1, 'ab cd'), (2, '')) t(doc_id, text)"
+    )
+    q = load_all()["q_bpe_encode"]
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(q.oracle).fetchall()}
+    assert got == want, (got, want)
+    tr = load_all()["q_bpe_train_merges"]
+    merges = con.execute(tr.oracle).fetchall()
+    assert [(m[0], m[1], m[2]) for m in merges] == [(1, "a", "b"), (2, "c", "d")]

@@ -542,13 +542,13 @@ def sweep(spark, sizes_small, sizes_big, only=None):
     )
 
     def gopher_repetition_case(n):
-        # q_gopher_repetition's operator: one 9-way positional gram
-        # explode (n ∈ 2..10 over 30-word docs ≈ 230 gram rows/doc)
-        # into a (doc, n, gh) count shuffle, doc-partitioned top/keeper
-        # windows, per-n interval merges, one doc-keyed chars join.
-        # Everything partitions by doc id — expect the amplified-stream
-        # shuffle class (linear, possibly spill-inflated like the span
-        # family at the top size).
+        # q_gopher_repetition's operator: the whole battery is doc-local
+        # array expressions inside the scan projection (sorted-gram
+        # runs + sliding-OR coverage) — ZERO shuffles, plan-asserted.
+        # Expect near-linear with no spill cliff; cost is per-doc
+        # interpreted higher-order-function evaluation, linear in
+        # doc length × n. (An earlier shuffle-based draft measured
+        # 13x/10x from single-host spill — kept out.)
         from duva_spark.llm import textstats
 
         _force(textstats.gopher_repetition(_docs(spark, n)))
