@@ -25,7 +25,24 @@ from duva_spark.session import get_spark  # noqa: E402
 # comparison (r4 verdict item 4 — cross-round ratios previously leaned
 # on BASELINE.md's ±30% host-variance note; replaying the old HEAD in
 # the SAME session removes the host from the comparison).
-_REF_COMMIT = "5f8867a"
+_REF_COMMIT = "7669d30"
+
+# The round-1 10-query headline set: the driver's self-baseline
+# (BASELINE.md, 10.639 s at sf0.1). Its subtotal is emitted as its own
+# field so the cross-round vs-baseline ratio never needs recomputing
+# by hand from the per-query map (r7 verdict item 7).
+_R1_SUBSET = (
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_embed_cosine_topk",
+    "q_join_asof",
+    "q_minhash_lsh_pairs",
+    "q_stream_sessions",
+    "q_stream_tumbling",
+)
 
 
 def _replay_reference(sf_dir: str) -> dict | None:
@@ -118,6 +135,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "r1_subset_sec": round(
+            sum(timings[k] for k in _R1_SUBSET if k in timings), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "method": f"min of {runs} runs per query (host noise mitigation)",
     }
@@ -144,8 +164,9 @@ def main() -> None:
                 "this_shared_total_sec": this_shared,
                 "ratio": round(this_shared / ref_shared, 3) if ref_shared else None,
                 "note": (
-                    "r5-HEAD replayed same-session, own JVM, parent "
-                    "stopped first; like-for-like shared-set ratio"
+                    f"{_REF_COMMIT} (previous round HEAD) replayed "
+                    "same-session, own JVM, parent stopped first; "
+                    "like-for-like shared-set ratio"
                 ),
             }
             detail["ref_queries"] = ref.get("queries", {})

@@ -32,7 +32,10 @@ Determinism contract: pair counts are exact integers; ties break
 both engines — no float anywhere in the ranking.
 
 At 100 TB: one corpus scan + N vocab-table rounds, each round's state
-persisted so lineage stays depth-1; driver holds N merge rows. The
+localCheckpoint'd so lineage TRULY stays depth-1 (persist() would only
+cache — an eviction replays every prior merge round; the checkpoint
+severs the chain, the hashed_lm/doremi contract); driver holds N merge
+rows. The
 trainer composes with q_bpe_pair_counts (the single-round statistic)
 the way kmeans composes with assign_nearest.
 
@@ -115,32 +118,31 @@ def bpe_train(
     round); the corpus is scanned once, every round after operates on
     the persisted word-frequency table."""
     vocab = word_vocab(docs, text_col)
+    # lazy localCheckpoint per round: the next round's argmax job both
+    # materializes AND truncates lineage at this generation, so an
+    # executor loss never replays prior merge rounds and superseded
+    # generations are reclaimed by GC (persist() only cached — an
+    # eviction replayed the whole chain; r7 ADVICE item)
     seqs = vocab.select(
         "w",
         "cnt",
         F.expr("filter(split(w, ''), c -> c <> '')").alias("syms"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     rules: list[tuple[int, str, str, str, int]] = []
-    handles = [seqs]
-    try:
-        for r in range(1, n_merges + 1):
-            win = (
-                _pair_counts(seqs)
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not win:  # vocabulary fully merged — stop early
-                break
-            a, b, n = win[0]["a"], win[0]["b"], int(win[0]["n"])
-            rules.append((r, a, b, a + b, n))
-            seqs = seqs.select(
-                "w", "cnt", greedy_merge(F.col("syms"), a, b).alias("syms")
-            ).persist()
-            handles.append(seqs)
-    finally:
-        for h in handles:
-            h.unpersist()
+    for r in range(1, n_merges + 1):
+        win = (
+            _pair_counts(seqs)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not win:  # vocabulary fully merged — stop early
+            break
+        a, b, n = win[0]["a"], win[0]["b"], int(win[0]["n"])
+        rules.append((r, a, b, a + b, n))
+        seqs = seqs.select(
+            "w", "cnt", greedy_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=False)
     return rules
 
 

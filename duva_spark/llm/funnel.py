@@ -112,7 +112,13 @@ def curation_funnel(
     )
     agg = flags.agg(
         F.count("*").alias("n1"),
-        *[F.sum(F.col(f"b{k}").cast("long")).alias(f"n{k}") for k in range(2, 8)],
+        # COALESCE mirrors the oracle: on an empty corpus SUM over zero
+        # rows is NULL in both engines, but the report must show 0-doc
+        # stages, not NULL ones (r7 ADVICE item)
+        *[
+            F.coalesce(F.sum(F.col(f"b{k}").cast("long")), F.lit(0)).alias(f"n{k}")
+            for k in range(2, 8)
+        ],
     )
     stages = []
     for k, stage in enumerate(FUNNEL_STAGES, start=1):

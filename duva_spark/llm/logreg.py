@@ -103,9 +103,18 @@ def logreg_train(
     """
     spark = df.sparkSession
     feat = _features(df, id_col, label_col, text_col, n_buckets).localCheckpoint()
-    n_train = feat.filter(F.col("bucket") == -1).filter(
-        F.col("h") >= holdout_pct
-    ).count()
+    split = feat.filter(F.col("bucket") == -1).agg(
+        F.sum(F.when(F.col("h") >= holdout_pct, 1).otherwise(0)).alias("tr"),
+        F.sum(F.when(F.col("h") < holdout_pct, 1).otherwise(0)).alias("ho"),
+    ).collect()[0]
+    n_train, n_hold = int(split["tr"] or 0), int(split["ho"] or 0)
+    if n_train == 0 or n_hold == 0:
+        # a degenerate hash split would otherwise surface as a cryptic
+        # divide-by-zero / float(None) deep in the loop (r7 ADVICE item)
+        raise ValueError(
+            f"degenerate split: {n_train} train / {n_hold} holdout docs "
+            f"(holdout_pct={holdout_pct}); both sides must be non-empty"
+        )
     w = {b: 0.0 for b in range(-2, n_buckets)}
     metrics: list[tuple[int, float, float]] = []
     y1 = F.when(F.col("y"), 1.0).otherwise(0.0)

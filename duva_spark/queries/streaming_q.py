@@ -413,13 +413,16 @@ def q_stream_true_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     index = minhash.corpus_index(corpus, "doc_id", "text")
 
     stream = read_documents_stream(spark, sf_dir).filter(is_new)
-    # one deterministic scratch dir per sf_dir, wiped at entry: repeated
-    # oracle/bench runs reuse it instead of leaking a fresh mkdtemp per
-    # invocation (the returned DataFrame reads the sink lazily, so the
-    # dir cannot be removed on exit)
+    # one deterministic scratch dir per (process, sf_dir), wiped at
+    # entry: repeated oracle/bench runs in a process reuse it instead of
+    # leaking a fresh mkdtemp per invocation (the returned DataFrame
+    # reads the sink lazily, so the dir cannot be removed on exit). The
+    # PID component keeps two CONCURRENT runs over the same sf_dir from
+    # clobbering each other's sink/checkpoint mid-stream (r7 ADVICE).
     td = os.path.join(
         tempfile.gettempdir(),
-        "duva_incr_dedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        f"duva_incr_dedup_{os.getpid()}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
     )
     shutil.rmtree(td, ignore_errors=True)
     sink, ckpt = os.path.join(td, "matches"), os.path.join(td, "ckpt")

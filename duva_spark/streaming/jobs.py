@@ -14,6 +14,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _require_single_file(path: str) -> None:
+    """The file-stream sources below glob-filter on a LEAF FILE name
+    inside sf_dir; a directory-style parquet dataset (part-*.parquet
+    inside <table>.parquet/) would silently match zero files and the
+    stream would return empty instead of failing (r7 ADVICE item)."""
+    import os
+
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"stream source expects a single parquet FILE at {path}; "
+            "a directory-style dataset will not match pathGlobFilter"
+        )
+
+
 def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
     """Stream-source schema with the on-disk ts type (nanos-as-long or a
     native timestamp — see catalog.load_table for the two generations)."""
@@ -41,6 +55,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hou
     # stream-source schema and normalize to session-UTC TimestampType.
     import os
 
+    _require_single_file(os.path.join(sf_dir, "events.parquet"))
     ts_on_disk = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
     )
@@ -66,6 +81,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     — all state lives in the persisted corpus index."""
     import os
 
+    _require_single_file(os.path.join(sf_dir, "documents.parquet"))
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     return (
         spark.readStream.schema(schema)
