@@ -181,6 +181,189 @@ def _ordered_sum(m: int):
     return acc
 
 
+def residuals(
+    emb: DataFrame,
+    centroid_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """(id, bucket, resid): IVF coarse assignment plus the residual
+    vector ``resid = vec − centroid[bucket]`` (FAISS's default encoding
+    input — residuals concentrate around 0, so the same PQ code budget
+    buys materially better recall than coding raw vectors).
+
+    ``centroid_rows`` carry 6-dp-ROUNDED centroids (fields bucket /
+    centroid) so the residual elements are bit-identical across engines
+    (double minus exact-decimal, no AVG summation drift in the value
+    itself; assignment distances additionally round to ``dp`` before
+    the argmin — the assign_nearest contract). Shuffle-free: one Arrow
+    assignment projection + one broadcast hash join on the nlist-row
+    centroid table."""
+    assigned = assign.assign_nearest(
+        emb,
+        centroid_rows,
+        metric="euclidean",
+        vec_col=vec_col,
+        out_col="bucket",
+        id_field="bucket",
+        cen_field="centroid",
+        round_dp=dp,
+        id_type="int",
+    )
+    spark = emb.sparkSession
+    cen_df = spark.createDataFrame(
+        [
+            (int(r["bucket"]), [float(x) for x in r["centroid"]])
+            for r in centroid_rows
+        ],
+        "bucket int, _cen array<double>",
+    )
+    return assigned.join(F.broadcast(cen_df), "bucket").select(
+        id_col,
+        "bucket",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), "_cen", lambda a, b: a - b
+        ).alias("resid"),
+    )
+
+
+def _residual_adc_tables(
+    qrows: list,
+    qprobe_pairs: list[tuple[int, int]],
+    cen_by_bucket: dict[int, list[float]],
+    codebooks: list[list],
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> list[list[tuple]]:
+    """Per-subspace driver-side distance tables for the RESIDUAL path:
+    tables[s] = [(query_id, bucket, code, d2), ...] where d2 sums
+    ``((q_i − cent_i) − cen_i)²`` in index order with the subtraction
+    left-to-right — the exact expression the oracle's
+    ``q[i] - centroid[i] - cen[i]`` evaluates. Bounded at
+    |q| × nprobe × m × ksub rows by construction."""
+    m = len(codebooks)
+    dsub = dim // m
+    qvec = {r[id_col]: [float(x) for x in r[vec_col]] for r in qrows}
+    tables: list[list[tuple]] = []
+    for s in range(m):
+        off = s * dsub
+        rows = []
+        for qid, bucket in qprobe_pairs:
+            qv, cv = qvec[qid], cen_by_bucket[bucket]
+            for crow in codebooks[s]:
+                acc = 0.0
+                for i in range(dsub):
+                    d = qv[off + i] - cv[off + i] - float(crow["cen"][i])
+                    acc += d * d
+                rows.append((qid, bucket, int(crow["cluster"]), acc))
+        tables.append(rows)
+    return tables
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroid_rows: list,
+    k: int,
+    nprobe: int,
+    dim: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+    max_probes: int = 4096,
+) -> DataFrame:
+    """Residual IVF-PQ top-k (Jégou et al. 2011 §V; the FAISS
+    IndexIVFPQ default): PQ codebooks are trained on and applied to
+    the RESIDUALS ``vec − coarse_centroid`` instead of the raw vectors,
+    and a query's ADC tables are built per probed bucket from the
+    query's own residual against that bucket's centroid. Composes three
+    verified operators — assign_nearest (coarse + code assignment),
+    subvector Lloyd (codebooks), and the broadcast-ADC scoring shape.
+
+    Returns (query_id, neighbor_id, adc_dist, rank), rank <= k.
+    Scale: the residual table is computed once (one Arrow projection +
+    one broadcast join) and checkpointed — at 100 TB it IS the
+    persisted index artifact; training/encoding inherit the audited
+    Lloyd/projection shapes; query-time joins are all broadcasts keyed
+    (query, bucket, code), so the corpus never shuffles."""
+    from pyspark.sql import Window as W
+
+    spark = emb.sparkSession
+    # the residual frame is read m×(iters+1)+1 times (training rounds +
+    # encoding); checkpoint so the Arrow assignment runs once — this is
+    # the "persisted index" materialization, not a convenience cache
+    res = residuals(emb, centroid_rows, id_col, vec_col, dp).localCheckpoint(
+        eager=False
+    )
+    books = pq_train(res, m=m, ksub=ksub, iters=iters, dim=dim,
+                     id_col=id_col, vec_col="resid", dp=dp)
+    codes = pq_encode(res, books, dim=dim, id_col=id_col, vec_col="resid")
+    qrows = queries.select(id_col, vec_col).limit(max_probes + 1).collect()
+    if len(qrows) > max_probes:
+        raise ValueError(
+            f"probe set exceeds max_probes={max_probes}; ADC tables are "
+            "driver-built and must stay bounded"
+        )
+    qdf = spark.createDataFrame(
+        [(r[id_col], list(map(float, r[vec_col]))) for r in qrows],
+        f"query_id long, {vec_col} array<double>",
+    )
+    qprobe = (
+        assign.assign_nearest(
+            qdf,
+            centroid_rows,
+            metric="euclidean",
+            n=nprobe,
+            vec_col=vec_col,
+            out_col="buckets",
+            id_field="bucket",
+            cen_field="centroid",
+            round_dp=dp,
+            id_type="int",
+        )
+        .select(
+            "query_id",
+            (F.explode("buckets") if nprobe > 1 else F.col("buckets")).alias(
+                "bucket"
+            ),
+        )
+    )
+    # the probe pairs are driver-bounded (|q| × nprobe) and are needed
+    # to key the per-bucket residual ADC tables
+    qprobe_pairs = [
+        (r["query_id"], int(r["bucket"])) for r in qprobe.collect()
+    ]
+    qprobe_df = spark.createDataFrame(qprobe_pairs, "query_id long, bucket int")
+    cen_by_bucket = {
+        int(r["bucket"]): [float(x) for x in r["centroid"]]
+        for r in centroid_rows
+    }
+    scored = codes.join(F.broadcast(qprobe_df), "bucket")
+    tables = _residual_adc_tables(
+        qrows, qprobe_pairs, cen_by_bucket, books, dim, vec_col, id_col
+    )
+    for s, rows in enumerate(tables):
+        qd = spark.createDataFrame(
+            rows, f"query_id long, bucket int, code_{s} int, d2_{s} double"
+        )
+        scored = scored.join(
+            F.broadcast(qd), ["query_id", "bucket", f"code_{s}"]
+        )
+    adc = F.round(_ordered_sum(m), dp)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -3170,27 +3170,29 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM, _PQ_DP = 4, 8, 2, 64, 6
 
 
-def _pq_subspace_ctes() -> list[str]:
-    """The shared per-subspace CTE chains of the PQ oracles: for each
-    subspace s, the SAME Lloyd chain as the kmeans oracle over the
-    subvector slice (s{s}p/c/d/a), a final code assignment vs the
-    trained codebook (s{s}f), and a query-side distance table (qd{s}).
-    Used by q_embed_pq_recall and q_embed_ivfpq_recall so the two
-    cannot drift. All CTEs MATERIALIZED — DuckDB inlines CTEs per
-    reference, and s{s}p/qd0 are multiply referenced."""
+def _pq_train_chains(base: str, elem: str) -> list[list[str]]:
+    """One per-subspace CTE chain per s: the SAME Lloyd chain as the
+    kmeans oracle over the subvector slice (s{s}p/c/d/a) plus the final
+    code assignment vs the trained codebook (s{s}f), over ``base``'s
+    vectors with per-element SQL expression ``elem`` (lambda var i,
+    1-indexed from the subspace offset). Shared by the raw-vector PQ
+    oracles (base=embeddings, cast floats) and the residual IVF-PQ
+    oracle (base=resid, already-double r[i]) so the training replay
+    cannot drift between the three."""
     m, k, iters, dim, dp = _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_DIM, _PQ_DP
     dsub = dim // m
-    ctes = []
+    chains = []
     for s in range(m):
         off = s * dsub
         d2 = (
             f"list_aggregate(list_transform(range(1, {dsub + 1}),"
             f" i -> (p.e[i] - c.cen[i]) * (p.e[i] - c.cen[i])), 'sum')"
         )
+        ctes = []
         ctes.append(
             f"s{s}p AS MATERIALIZED (SELECT vec_id,"
             f" list_transform(range({off + 1}, {off + dsub + 1}),"
-            f" i -> CAST(embedding[i] AS DOUBLE)) AS e FROM embeddings)"
+            f" i -> {elem}) AS e FROM {base})"
         )
         ctes.append(
             f"s{s}c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cluster,"
@@ -3219,6 +3221,23 @@ def _pq_subspace_ctes() -> list[str]:
             f" QUALIFY ROW_NUMBER() OVER"
             f" (PARTITION BY vec_id ORDER BY dist, cluster) = 1)"
         )
+        chains.append(ctes)
+    return chains
+
+
+def _pq_subspace_ctes() -> list[str]:
+    """The shared per-subspace CTE chains of the raw-vector PQ oracles:
+    the training chains plus a query-side distance table (qd{s}) per
+    subspace. Used by q_embed_pq_recall and q_embed_ivfpq_recall so the
+    two cannot drift. All CTEs MATERIALIZED — DuckDB inlines CTEs per
+    reference, and s{s}p/qd0 are multiply referenced."""
+    m, iters, dim, dp = _PQ_M, _PQ_ITERS, _PQ_DIM, _PQ_DP
+    dsub = dim // m
+    chains = _pq_train_chains("embeddings", "CAST(embedding[i] AS DOUBLE)")
+    ctes = []
+    for s in range(m):
+        off = s * dsub
+        ctes.extend(chains[s])
         ctes.append(
             f"qd{s} AS MATERIALIZED (SELECT q.vec_id AS query_id,"
             f" c.cluster AS code_{s},"
@@ -3542,6 +3561,156 @@ def q_embed_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
     bf = q_embed_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
     j = bf.join(ivfpq, (bf.query_id == ivfpq.q2) & (bf.neighbor_id == ivfpq.n2), "left")
+    return j.groupBy("query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ: the FAISS IndexIVFPQ default (codebooks on residuals)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_residual_oracle() -> str:
+    """Residual IVF-PQ replay: 6-dp-ROUNDED label centroids (the
+    rounding makes the residual VALUES — not just distances —
+    bit-identical across engines), coarse assignment, the residual
+    table, the SHARED training chains re-based onto the residuals
+    (``_pq_train_chains('resid', 'r[i]')`` — identical text generator
+    as the raw-vector PQ oracles), per-(query, bucket) residual ADC
+    tables with the left-to-right ``q − centroid − cen`` subtraction,
+    probed-bucket ADC ranking, recall vs the verified exact-L2 bf."""
+    m, dp, dim, iters = _PQ_M, _PQ_DP, _PQ_DIM, _PQ_ITERS
+    dsub = dim // m
+    d2c = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+        f" * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), 'sum')"
+    )
+    ctes = [
+        f"cent AS MATERIALIZED (SELECT bucket, list(avgv ORDER BY i) AS centroid"
+        f" FROM (SELECT label AS bucket, i,"
+        f" ROUND(AVG(CAST(embedding[i] AS DOUBLE)), {dp}) AS avgv"
+        f" FROM embeddings, range(1, {dim + 1}) t(i) GROUP BY label, i)"
+        f" GROUP BY bucket)",
+        f"assigned AS MATERIALIZED (SELECT vec_id, bucket FROM ("
+        f"SELECT e.vec_id, c.bucket,"
+        f" ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY ROUND({d2c}, {dp}), c.bucket) AS rn"
+        f" FROM embeddings e CROSS JOIN cent c) WHERE rn = 1)",
+        f"resid AS MATERIALIZED (SELECT e.vec_id, a.bucket,"
+        f" list_transform(range(1, {dim + 1}),"
+        f" i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS r"
+        f" FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id"
+        f" JOIN cent c ON c.bucket = a.bucket)",
+        f"qprobe AS MATERIALIZED (SELECT query_id, bucket FROM ("
+        f"SELECT e.vec_id AS query_id, c.bucket,"
+        f" ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY ROUND({d2c}, {dp}), c.bucket) AS rn"
+        f" FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5)"
+        f" WHERE rn <= {_IVFPQ_NPROBE})",
+    ]
+    chains = _pq_train_chains("resid", "r[i]")
+    for s in range(m):
+        off = s * dsub
+        ctes.extend(chains[s])
+        qres = f"CAST(q.embedding[{off} + i] AS DOUBLE) - ct.centroid[{off} + i] - c.cen[i]"
+        ctes.append(
+            f"qd{s} AS MATERIALIZED (SELECT qp.query_id, qp.bucket,"
+            f" c.cluster AS code_{s},"
+            f" list_aggregate(list_transform(range(1, {dsub + 1}),"
+            f" i -> ({qres}) * ({qres})), 'sum') AS d2_{s}"
+            f" FROM qprobe qp JOIN embeddings q ON q.vec_id = qp.query_id"
+            f" JOIN cent ct ON ct.bucket = qp.bucket"
+            f" CROSS JOIN s{s}c{iters} c)"
+        )
+    ctes.append(_pq_codes_cte(m))
+    adc_sum = " + ".join(f"qd{s}.d2_{s}" for s in range(m))
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.query_id = qp.query_id"
+        f" AND qd{s}.bucket = qp.bucket AND qd{s}.code_{s} = c.code_{s}"
+        for s in range(1, m)
+    )
+    ctes.append(
+        f"sc AS MATERIALIZED (SELECT qp.query_id, c.vec_id AS neighbor_id,"
+        f" ROUND({adc_sum}, {dp}) AS adc_dist"
+        f" FROM codes c"
+        f" JOIN assigned a ON a.vec_id = c.vec_id"
+        f" JOIN qprobe qp ON qp.bucket = a.bucket"
+        f" JOIN qd0 ON qd0.query_id = qp.query_id AND qd0.bucket = qp.bucket"
+        f" AND qd0.code_0 = c.code_0"
+        f" {qd_joins}"
+        f" WHERE c.vec_id <> qp.query_id)"
+    )
+    ctes.append(
+        "rpq AS MATERIALIZED (SELECT query_id, neighbor_id FROM sc"
+        " QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, neighbor_id) <= 5)"
+    )
+    ctes.append(f"bf AS MATERIALIZED ({_REG['q_embed_l2_topk'].oracle})")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT bf.query_id,
+           CAST(COUNT(rpq.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(rpq.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN rpq
+      ON bf.query_id = rpq.query_id AND bf.neighbor_id = rpq.neighbor_id
+    GROUP BY bf.query_id
+    """
+    )
+
+
+@register(
+    "q_embed_ivfpq_residual_recall",
+    oracle=_ivfpq_residual_oracle(),
+    description=(
+        "RESIDUAL IVF-PQ recall audit (Jégou et al. 2011 §V — the "
+        "FAISS IndexIVFPQ default, upgrading r7's non-residual "
+        "variant): PQ codebooks are trained on and applied to the "
+        "residuals vec − coarse_centroid, which concentrate around 0 "
+        "so the same 4-codebook budget buys better recall; a query's "
+        "ADC tables are built per probed bucket from the query's own "
+        "residual against that bucket's centroid. Composes three "
+        "verified operators (assign_nearest coarse+code assignment, "
+        "subvector Lloyd, broadcast-ADC scoring) and re-bases the "
+        "SHARED per-subspace oracle training chains onto the residual "
+        "table (same generator as q_embed_pq_recall — the replays "
+        "cannot drift). Centroids round to 6 dp so the residual VALUES "
+        "are bit-identical across engines. Zero corpus shuffle: the "
+        "residual table is one Arrow projection + one broadcast join "
+        "(checkpointed — at 100 TB it IS the persisted index "
+        "artifact); all query-time joins are broadcasts keyed "
+        "(query, bucket, code). Measured against the verified exact-L2 "
+        "top-5 baseline at the same nprobe/code budget as the "
+        "non-residual q_embed_ivfpq_recall."
+    ),
+)
+def q_embed_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.label_centroids(emb)
+    rows = cent.select(
+        F.col("label").cast("int").alias("bucket"),
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    ).collect()
+    queries = emb.filter(F.col("vec_id") < 5)
+    rpq = pq.ivfpq_residual_topk(
+        emb,
+        queries,
+        rows,
+        k=5,
+        nprobe=_IVFPQ_NPROBE,
+        dim=_PQ_DIM,
+        m=_PQ_M,
+        ksub=_PQ_KSUB,
+        iters=_PQ_ITERS,
+    ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
+    bf = q_embed_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    j = bf.join(rpq, (bf.query_id == rpq.q2) & (bf.neighbor_id == rpq.n2), "left")
     return j.groupBy("query_id").agg(
         F.count("n2").alias("n_hits"),
         F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),

@@ -1223,6 +1223,52 @@ def test_pq_adc_probe_guard(spark):
         pq.pq_adc_topk(codes, emb, books, k=2, dim=2, max_probes=4)
 
 
+def test_residuals_subtract_assigned_centroid(spark):
+    """residuals() must bucket each vector to its nearest (rounded)
+    centroid and emit vec − that centroid, elementwise double."""
+    from duva_spark.llm import pq
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [101.0, 99.0]), (2, [3.0, -1.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])], ["bucket", "centroid"]
+    ).collect()
+    got = {r["vec_id"]: r for r in pq.residuals(emb, cents).collect()}
+    assert got[0]["bucket"] == 0 and got[0]["resid"] == [1.0, 2.0]
+    assert got[1]["bucket"] == 1 and got[1]["resid"] == [1.0, -1.0]
+    assert got[2]["bucket"] == 0 and got[2]["resid"] == [3.0, -1.0]
+
+
+def test_ivfpq_residual_recovers_fine_structure(spark):
+    """With coarse buckets at 0/100 and fine sub-clusters at +0/+5
+    inside each bucket, residual PQ must be lossless: every probe's
+    top neighbors share BOTH its coarse bucket (nprobe=1) and its fine
+    sub-cluster — the structure raw-vector codebooks straddling two
+    coarse offsets would blur."""
+    from duva_spark.llm import pq
+
+    rows = []
+    for i in range(24):
+        f, c = i % 2, (i // 2) % 2
+        v = [100.0 * c + 5.0 * f + 0.001 * i] * 4
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [100.0] * 4)], ["bucket", "centroid"]
+    ).collect()
+    got = pq.ivfpq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 4), cents,
+        k=3, nprobe=1, dim=4, m=2, ksub=2, iters=2,
+    ).collect()
+    assert len(got) == 12
+    for r in got:
+        qf, qc = r.query_id % 2, (r.query_id // 2) % 2
+        nf, nc = r.neighbor_id % 2, (r.neighbor_id // 2) % 2
+        assert (nf, nc) == (qf, qc), (r.query_id, r.neighbor_id)
+
+
 def _doremi_python_reference(rows, n_buckets, eta, smoothing, rounds):
     """Pure-python replay of the doremi_weights spec (hashed buckets via
     the same md5-60bit contract, Laplace LMs, per-round 6-dp excess,
