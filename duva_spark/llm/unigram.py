@@ -1,0 +1,214 @@
+"""Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization";
+the SentencePiece unigram trainer) as a bounded-iteration Spark loop —
+the second production tokenizer family next to BPE (``llm/bpe.py``).
+
+This is the hard-EM (Viterbi) variant: seed a candidate vocabulary from
+weighted substring counts, then repeat ``rounds`` times — segment every
+distinct word by Viterbi under the current piece log-probabilities
+(E-step), recount pieces from the chosen segmentations, and re-estimate
+Laplace-smoothed probabilities (M-step). Full EM marginalizes over all
+segmentations (forward-backward); the Viterbi variant keeps the same
+fixed-point structure with a deterministic, cross-engine-replayable
+E-step — the property the DuckDB oracle needs.
+
+Spark-first shape (the bpe_train contract):
+
+- The corpus is scanned ONCE (the word-frequency groupBy reused from
+  ``bpe.word_vocab``). Everything after operates on the Zipf-bounded
+  distinct-word table.
+- The seed vocabulary is ONE substring-explosion aggregate over that
+  table, cut by a TakeOrderedAndProject (top ``n_seed`` multi-char
+  pieces by count, ties to the lexicographically smallest) plus ALL
+  single characters — guaranteeing every word stays segmentable.
+- Per round: the ≤(n_seed + alphabet) piece log-probs are inlined as a
+  MAP LITERAL in the segmentation expression (no join, no shuffle —
+  the bpe literal-inlining trick, generalized from a pair to a map);
+  the Viterbi DP is a pure fold (``F.aggregate``) per word; the E-step
+  count is one vocab-bounded shuffle; driver state is V floats — the
+  kcenter/kmeans/doremi bounded-iteration contract.
+
+Determinism spec (both engines replay it exactly):
+
+- Seed counts and E-step counts are exact integers (occurrences
+  weighted by word frequency).
+- ``lp(p) = round(ln((c_p + 1) / (T + V)), 6)`` — Laplace smoothing
+  keeps every vocab piece alive across rounds; the 6-dp round absorbs
+  sub-ulp cross-engine ln() drift.
+- Viterbi: ``best[i] = max_j best[j] + lp(w[j+1..i])`` over start
+  positions ``j ∈ [max(0, i−max_len), i−1]``; the chosen predecessor
+  is the SMALLEST j attaining the max (equivalently: the fold keeps a
+  candidate only when strictly better, scanning j ascending). Score
+  sums are the same left-to-right double additions on both engines, so
+  the exact-equality backtrace the oracle uses picks the same path.
+
+Reference parity: none — onaio/duva has no tokenizer surface
+(app/core/importer.py is an ingest/export service); this extends the
+beyond-reference LLM-pipeline inventory (SURVEY.md §2c) alongside BPE.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from duva_spark.llm.bpe import word_vocab
+from duva_spark.llm.hashed_lm import round_half_up
+
+_SENTINEL = -1e18
+
+
+def substring_counts(words: DataFrame, max_len: int) -> DataFrame:
+    """(piece, c): weighted occurrence counts of every substring of
+    length 1..max_len over the word-frequency table (overlapping
+    occurrences each count, weighted by word frequency). One explode +
+    one map-side-combined groupBy over the vocab-bounded table."""
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda st: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_len), F.length("w") - st + 1)
+                ),
+                lambda ln: F.col("w").substr(st, ln),
+            ),
+        )
+    )
+    return (
+        words.select("cnt", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    )
+
+
+def viterbi_segment(word: Column, vocab_map: Column, max_len: int) -> Column:
+    """The word's max-likelihood segmentation under ``vocab_map``
+    (piece → 6-dp log-prob) as ``array<string>`` — a single pure fold
+    (``F.aggregate``) over character positions: state i carries
+    (best score, best segment) for the prefix w[1..i]; candidates scan
+    start positions j ascending and replace only when STRICTLY better,
+    so the smallest j attaining the max wins (the rule the oracle's
+    exact-equality backtrace reproduces). No UDF, no join, no shuffle."""
+    n = F.length(word)
+    init = F.array(
+        F.struct(
+            F.lit(0.0).alias("s"), F.array().cast("array<string>").alias("seg")
+        )
+    )
+    sentinel = F.struct(
+        F.lit(_SENTINEL).alias("s"), F.array().cast("array<string>").alias("seg")
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        def cand(b: Column, j: Column) -> Column:
+            piece = word.substr(j + 1, i - j)
+            lpv = F.element_at(vocab_map, piece)
+            st = F.element_at(acc, j + 1)
+            cs = st["s"] + lpv
+            better = lpv.isNotNull() & (cs > b["s"])
+            return F.when(
+                better,
+                F.struct(
+                    cs.alias("s"),
+                    F.concat(st["seg"], F.array(piece)).alias("seg"),
+                ),
+            ).otherwise(b)
+
+        best = F.aggregate(
+            F.sequence(F.greatest(i - F.lit(max_len), F.lit(0)), i - 1),
+            sentinel,
+            cand,
+        )
+        return F.concat(acc, F.array(best))
+
+    states = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    return F.element_at(states, n + 1)["seg"]
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    n_seed: int = 48,
+    rounds: int = 3,
+    dp: int = 6,
+    word_cap: int = 16,
+) -> tuple[list[str], dict[str, int], int, int]:
+    """Train the unigram LM; returns (vocab pieces, final E-step counts,
+    final total piece count T, vocab size V).
+
+    Words longer than ``word_cap`` characters are excluded from
+    training entirely (seed counts AND E-step) — the bounded-unroll cap
+    the cross-engine oracle replays, and the SentencePiece-style
+    max-length guard a production trainer carries anyway (URLs and
+    base64 blobs otherwise flood the substring table).
+
+    Driver state is the ≤(n_seed + alphabet) piece table per round (one
+    bounded collect each — the kmeans contract); the corpus is scanned
+    once, every round operates on the checkpointed word table."""
+    words = (
+        word_vocab(docs, text_col)
+        .filter(F.length("w") <= word_cap)
+        .localCheckpoint(eager=False)
+    )
+    sc = substring_counts(words, max_len)
+    singles = sc.filter(F.length("piece") == 1)
+    multis = (
+        sc.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(n_seed)
+    )
+    seed_rows = singles.unionByName(multis).collect()
+    pieces = sorted(r["piece"] for r in seed_rows)
+    vsz = len(pieces)
+    t0 = sum(int(r["c"]) for r in seed_rows)
+    lp = {
+        r["piece"]: round_half_up(math.log((int(r["c"]) + 1) / (t0 + vsz)), dp)
+        for r in seed_rows
+    }
+    counts: dict[str, int] = {}
+    tt = 0
+    for _ in range(rounds):
+        vocab_map = F.map_from_arrays(
+            F.array(*[F.lit(p) for p in pieces]),
+            F.array(*[F.lit(lp[p]) for p in pieces]),
+        )
+        seg = viterbi_segment(F.col("w"), vocab_map, max_len)
+        rows = (
+            words.select("cnt", F.explode(seg).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("c"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["c"]) for r in rows}
+        tt = sum(counts.values())
+        lp = {
+            p: round_half_up(math.log((counts.get(p, 0) + 1) / (tt + vsz)), dp)
+            for p in pieces
+        }
+    return pieces, counts, tt, vsz
+
+
+def unigram_train_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    n_seed: int = 48,
+    rounds: int = 3,
+    k_out: int = 20,
+    dp: int = 6,
+    word_cap: int = 16,
+) -> DataFrame:
+    """The trained vocabulary's top ``k_out`` pieces as a DataFrame
+    (piece, cnt, prob) — cnt the final Viterbi-count, prob the smoothed
+    probability rounded to ``dp``; ordered by (cnt DESC, piece ASC),
+    built from the bounded driver loop (the kcenter_frame pattern)."""
+    spark = docs.sparkSession
+    _, counts, tt, vsz = unigram_train(
+        docs, text_col, max_len, n_seed, rounds, dp, word_cap
+    )
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
+    rows = [
+        (p, int(c), round_half_up((c + 1) / (tt + vsz), dp)) for p, c in top
+    ]
+    return spark.createDataFrame(rows, "piece string, cnt long, prob double")

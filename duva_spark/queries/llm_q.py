@@ -3829,3 +3829,165 @@ def q_lr_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_LR_ROUNDS,
         holdout_pct=_LR_HOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (Kudo 2018 / SentencePiece, hard-EM variant)
+# ---------------------------------------------------------------------------
+
+_UNI_L, _UNI_SEED, _UNI_R, _UNI_K, _UNI_CAP = 4, 48, 3, 20, 16
+
+
+def _unigram_oracle() -> str:
+    """Unrolled hard-EM replay, deliberately LAMBDA-FREE: DuckDB 1.x's
+    list_reduce miscarries struct-typed accumulators containing lists,
+    and nested lambdas inside a fold cross-contaminate rows under
+    vectorized execution (verified: 'customer' received 'spark'
+    pieces), so the Viterbi DP is unrolled into _UNI_CAP chained
+    lateral-alias columns (candidates reach back only max_len=4
+    positions) and the backtrace into _UNI_CAP chained CTE steps whose
+    predecessor choice is a plain CASE over the 4 candidate widths —
+    widest first = smallest start, the Spark fold's tie rule. Words
+    longer than _UNI_CAP chars are excluded from training on BOTH
+    engines (the documented cap that makes the unroll finite)."""
+    L, n_seed, rounds, k_out, cap = _UNI_L, _UNI_SEED, _UNI_R, _UNI_K, _UNI_CAP
+
+    # --- DP: one MATERIALIZED CTE per position (a lateral-alias or
+    # plain-CTE chain would be INLINED by the planner — each level
+    # duplicates the previous expression ~4×, exploding the plan
+    # exponentially; materialization makes every step a 31-row table)
+    def dp_expr(i: int) -> str:
+        cands = []
+        for d in range(1, min(L, i) + 1):
+            prev = "CAST(0 AS DOUBLE)" if i - d == 0 else f"b{i - d}"
+            cands.append(
+                f"{prev} + element_at(m, substr(w, {i - d + 1}, {d}))[1]"
+            )
+        return (
+            f"CASE WHEN {i} <= len(w) THEN"
+            f" list_aggregate([{', '.join(cands)}], 'max')"
+            f" ELSE NULL END AS b{i}"
+        )
+
+    best_list = "[CAST(0 AS DOUBLE), " + ", ".join(
+        f"b{i}" for i in range(1, cap + 1)
+    ) + "]"
+
+    # --- walk step: widest matching candidate = smallest start
+    def lkd(d: int) -> str:
+        return f"element_at(m, substr(w, pos - {d} + 1, {d}))[1]"
+
+    dstar = (
+        "CASE "
+        + " ".join(
+            f"WHEN pos >= {d} AND {lkd(d)} IS NOT NULL"
+            f" AND best[pos - {d} + 1] + {lkd(d)} = best[pos + 1] THEN {d}"
+            for d in range(L, 1, -1)
+        )
+        + " ELSE 1 END"
+    )
+
+    ctes = [
+        f"words AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt"
+        f" FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        f" WHERE w <> '' AND len(w) <= {cap} GROUP BY w)",
+        f"sc AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c"
+        f" FROM (SELECT cnt, substr(w, CAST(st AS INT), CAST(ln AS INT)) AS piece"
+        f" FROM words, range(1, {cap + 1}) t(st), range(1, {L + 1}) u(ln)"
+        f" WHERE st <= len(w) AND ln <= least({L}, len(w) - st + 1))"
+        f" GROUP BY piece)",
+        f"v0 AS MATERIALIZED (SELECT piece, c FROM sc WHERE len(piece) = 1"
+        f" UNION ALL SELECT piece, c FROM (SELECT piece, c FROM sc"
+        f" WHERE len(piece) >= 2 ORDER BY c DESC, piece ASC LIMIT {n_seed}))",
+        "tv AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS t,"
+        " CAST(COUNT(*) AS BIGINT) AS vsz FROM v0)",
+        "lp0 AS MATERIALIZED (SELECT piece,"
+        " ROUND(ln((c + 1.0) / (t + vsz)), 6) AS lp FROM v0, tv)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"m{r} AS (SELECT map(list(piece ORDER BY piece),"
+            f" list(lp ORDER BY piece)) AS m FROM lp{r - 1})"
+        )
+        ctes.append(
+            f"d{r}_0 AS MATERIALIZED (SELECT w, cnt, m FROM words, m{r})"
+        )
+        for i in range(1, cap + 1):
+            ctes.append(
+                f"d{r}_{i} AS MATERIALIZED (SELECT *, {dp_expr(i)}"
+                f" FROM d{r}_{i - 1})"
+            )
+        ctes.append(
+            f"w{r}_0 AS MATERIALIZED (SELECT w, cnt, m,"
+            f" {best_list} AS best,"
+            f" CAST([] AS VARCHAR[]) AS pieces, CAST(len(w) AS INT) AS pos"
+            f" FROM d{r}_{cap})"
+        )
+        for k in range(1, cap + 1):
+            ctes.append(
+                f"w{r}_{k} AS MATERIALIZED (SELECT w, cnt, m, best,"
+                f" CASE WHEN pos > 0 THEN"
+                f" list_append(pieces, substr(w, pos - ds + 1, ds))"
+                f" ELSE pieces END AS pieces,"
+                f" CASE WHEN pos > 0 THEN pos - ds ELSE 0 END AS pos"
+                f" FROM (SELECT w, cnt, m, best, pieces, pos, {dstar} AS ds"
+                f" FROM w{r}_{k - 1}))"
+            )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT piece,"
+            f" CAST(SUM(cnt) AS BIGINT) AS c FROM (SELECT cnt,"
+            f" unnest(pieces) AS piece FROM w{r}_{cap}) GROUP BY piece)"
+        )
+        ctes.append(
+            f"t{r} AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c{r})"
+        )
+        if r < rounds:
+            ctes.append(
+                f"lp{r} AS MATERIALIZED (SELECT v0.piece,"
+                f" ROUND(ln((COALESCE(c.c, 0) + 1.0) / (t.t + tv.vsz)), 6)"
+                f" AS lp FROM v0 LEFT JOIN c{r} c ON c.piece = v0.piece,"
+                f" t{r} t, tv)"
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT c.piece, c.c AS cnt,
+           ROUND((c.c + 1.0) / (t.t + tv.vsz), 6) AS prob
+    FROM c{rounds} c, t{rounds} t, tv
+    ORDER BY c.c DESC, c.piece ASC LIMIT {k_out}
+    """
+    )
+
+
+@register(
+    "q_unigram_lm_train",
+    oracle=_unigram_oracle(),
+    description=(
+        "Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece "
+        "unigram algorithm; hard-EM/Viterbi variant) — the second "
+        "production tokenizer family next to the BPE trainer: seed a "
+        "candidate vocabulary from weighted substring counts (top-48 "
+        "multi-char pieces + every single character, so words always "
+        "segment), then 3 EM rounds — Viterbi-segment every DISTINCT "
+        "word under the current 6-dp Laplace log-probs (a pure "
+        "F.aggregate fold with the piece→log-prob table inlined as a "
+        "MAP LITERAL — the bpe literal-inlining trick generalized), "
+        "recount pieces, re-estimate. The corpus is scanned once (the "
+        "word-frequency groupBy); every round is one vocab-bounded "
+        "count shuffle and a ≤(48+alphabet)-row driver collect — the "
+        "kmeans/doremi/BPE bounded-iteration contract. Ties: Viterbi "
+        "picks the smallest start attaining the max (identical "
+        "left-to-right double sums on both engines make the oracle's "
+        "exact-equality backtrace pick the same path); output is the "
+        "top-20 pieces by (count DESC, piece ASC) with smoothed "
+        "probabilities. Returns (piece, cnt, prob)."
+    ),
+)
+def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_train_frame(
+        docs, max_len=_UNI_L, n_seed=_UNI_SEED, rounds=_UNI_R, k_out=_UNI_K
+    )

@@ -1158,6 +1158,115 @@ def test_bpe_train_on_constructed_corpus(spark):
     assert [r[3] for r in rules] == ["lo", "low", "er"]
 
 
+def _unigram_python_reference(texts, max_len, n_seed, rounds):
+    """Pure-python replay of the unigram_train spec: weighted substring
+    seed vocab (singles + top-n_seed multis, count-desc piece-asc),
+    Laplace 6-dp log-probs, Viterbi with smallest-start tie-break,
+    hard-EM recounts."""
+    import math
+    from collections import Counter
+
+    from duva_spark.llm.hashed_lm import round_half_up
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w and len(w) <= 16:  # the word_cap contract
+                words[w] += 1
+    sub = Counter()
+    for w, c in words.items():
+        for st in range(len(w)):
+            for ln in range(1, min(max_len, len(w) - st) + 1):
+                sub[w[st : st + ln]] += c
+    seed = {p: c for p, c in sub.items() if len(p) == 1}
+    seed.update(
+        dict(
+            sorted(
+                ((p, c) for p, c in sub.items() if len(p) >= 2),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:n_seed]
+        )
+    )
+    vsz, t0 = len(seed), sum(seed.values())
+    lp = {
+        p: round_half_up(math.log((c + 1) / (t0 + vsz)), 6)
+        for p, c in seed.items()
+    }
+
+    def viterbi(w):
+        n = len(w)
+        best, back = [0.0] + [None] * n, [0] * (n + 1)
+        for i in range(1, n + 1):
+            bs, bj = -1e18, None
+            for j in range(max(0, i - max_len), i):
+                p = w[j:i]
+                if p in lp:
+                    cs = best[j] + lp[p]
+                    if cs > bs:
+                        bs, bj = cs, j
+            best[i], back[i] = bs, bj
+        seg, i = [], n
+        while i > 0:
+            seg.append(w[back[i] : i])
+            i = back[i]
+        return seg
+
+    cnt = Counter()
+    for _ in range(rounds):
+        cnt = Counter()
+        for w, c in words.items():
+            for p in viterbi(w):
+                cnt[p] += c
+        tt = sum(cnt.values())
+        lp = {
+            p: round_half_up(math.log((cnt.get(p, 0) + 1) / (tt + vsz)), 6)
+            for p in lp
+        }
+    return dict(cnt), tt, vsz
+
+
+def test_unigram_train_matches_python_reference(spark):
+    """Three EM rounds on a corpus with genuinely competing
+    segmentations (ban/band/ana overlap, repeated-char runs) must
+    reproduce the pure-python hard-EM replay count-for-count."""
+    from duva_spark.llm import unigram
+
+    texts = [
+        "banana bandana banana aaa",
+        "ban and band banana aaa aaaa",
+        "a an band bandana nab nab",
+        # >16-char word: excluded from training by the word_cap contract
+        "bananabandanabananaband nab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    pieces, counts, tt, vsz = unigram.unigram_train(
+        docs, max_len=4, n_seed=8, rounds=3
+    )
+    ref_counts, ref_tt, ref_vsz = _unigram_python_reference(texts, 4, 8, 3)
+    assert counts == ref_counts
+    assert (tt, vsz) == (ref_tt, ref_vsz)
+
+
+def test_unigram_viterbi_prefers_longest_on_equal_scores(spark):
+    """When two segmentations of a span score identically, the fold's
+    strictly-greater update keeps the earliest start = the longest
+    final piece — pinned so both engines' tie rule stays explicit."""
+    from duva_spark.llm import unigram
+
+    # lp('ab') == lp('a') + lp('b') exactly → 'ab' (earliest j) wins
+    docs = spark.createDataFrame([(0, "ab")], ["doc_id", "text"])
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b"), F.lit("ab")),
+        F.array(F.lit(-1.0), F.lit(-2.0), F.lit(-3.0)),
+    )
+    got = docs.select(
+        unigram.viterbi_segment(F.col("text"), m, 4).alias("seg")
+    ).collect()[0]["seg"]
+    assert got == ["ab"]
+
+
 def test_pq_encode_is_shuffle_free(spark):
     """PQ encoding must be m chained Arrow projections: no Join, no
     Window, no Exchange between the corpus scan and the code columns —
