@@ -1,0 +1,96 @@
+"""Classifier evaluation operators: ranking AUC and calibration bins.
+
+Production data-quality pipelines gate on ranking quality (does the
+classifier ORDER documents well?) and calibration (do predicted
+probabilities mean what they say?), not just accuracy — the FineWeb-Edu
+/ DCLM classifier-audit step. Both operators here are
+grouped-by-score-first, so the expensive part never sorts the corpus:
+
+- **AUC** via the rank-statistic (Mann-Whitney U) form with average
+  ranks for ties. Scores are 6-dp-rounded probabilities, so the group
+  table is bounded at 10^6+1 rows REGARDLESS of corpus size: group by
+  score → (count, positives) per score, one bounded prefix-sum window
+  over the score groups, and the tie-averaged rank sum falls out as
+  ``Σ_g pos_g · (2·offset_g + count_g + 1)`` in exact integers
+  (decimal(38,0) — the rank-sum trick from the exact-quantile family;
+  int64 would wrap silently at 100 TB counts).
+- **Calibration**: decile bins on the predicted probability, each with
+  observed positive rate — one map-side-combined aggregation.
+
+Determinism: all counts exact; the single division happens once at the
+end on exact-decimal operands cast to double, rounded to 6 dp; bin ids
+come from ``floor(p·10)`` on the same 6-dp double in both engines, so a
+binary-representation wobble (0.3·10 = 2.999…) lands identically.
+
+Reference parity: none — onaio/duva has no classifier surface; this
+extends the LLM-pipeline inventory (SURVEY.md §2c) next to the NB/LR
+trainers it audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,0)"
+
+
+def auc_frame(scored: DataFrame, p_col: str = "p", y_col: str = "y") -> DataFrame:
+    """One row (n_pos, n_neg, auc): tie-averaged Mann-Whitney AUC of
+    boolean ``y_col`` against score ``p_col`` (expected 6-dp-rounded so
+    the group table is bounded). NULL auc when a class is empty."""
+    g = scored.groupBy(F.col(p_col).alias("p")).agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col(y_col), 1).otherwise(0)).alias("mp"),
+    )
+    o = g.withColumn(
+        "off", F.sum("m").over(Window.orderBy("p")) - F.col("m")
+    )
+    s = o.agg(
+        F.sum(
+            F.col("mp").cast(DEC)
+            * (2 * F.col("off") + F.col("m") + 1).cast(DEC)
+        ).alias("s2"),
+        F.sum("mp").cast(DEC).alias("np"),
+        F.sum(F.col("m") - F.col("mp")).cast(DEC).alias("nn"),
+    )
+    auc = F.round(
+        (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+        / (2 * F.col("np") * F.col("nn")).cast("double"),
+        6,
+    )
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.when((F.col("np") > 0) & (F.col("nn") > 0), auc).alias("auc"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    model_name: str,
+    p_col: str = "p",
+    y_col: str = "y",
+    bins: int = 10,
+) -> DataFrame:
+    """(model, bin, n, mean_p, frac_pos): the reliability table — one
+    aggregation, bin = floor(p·bins) clamped to the last bin."""
+    b = F.least(
+        F.floor(F.col(p_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    # mean_p sums the 6-dp probabilities as EXACT scaled integers (the
+    # money_cents trick, decimal-accumulated): a float AVG can land a
+    # hair on either side of a 5e-7 rounding boundary depending on
+    # summation order — observed as a last-digit cross-engine mismatch
+    p_scaled = F.floor(F.col(p_col) * 1e6 + F.lit(0.5)).cast(DEC)
+    return scored.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(p_scaled).cast("double")
+            / (F.count("*").cast("double") * 1e6),
+            6,
+        ).alias("mean_p"),
+        F.round(
+            F.avg(F.when(F.col(y_col), 1.0).otherwise(0.0)), 6
+        ).alias("frac_pos"),
+    ).select(F.lit(model_name).alias("model"), "bin", "n", "mean_p", "frac_pos")

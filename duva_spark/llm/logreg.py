@@ -85,6 +85,43 @@ def _features(
     return feat.unionByName(eng)
 
 
+def _score(feat: DataFrame, weights: dict[int, float]) -> DataFrame:
+    """(_id, h, y, z, p): margins and clamped probabilities of every doc
+    in the feature table under the given weight table — one broadcast
+    model join + a per-doc aggregation (the round-scoring pass, shared
+    by the training loop and post-hoc evaluation so they cannot
+    drift)."""
+    spark = feat.sparkSession
+    w_df = spark.createDataFrame(sorted(weights.items()), "bucket int, w double")
+    return (
+        feat.join(F.broadcast(w_df), "bucket")
+        .groupBy("_id", "h", "y")
+        .agg(F.round(F.sum(F.col("w") * F.col("x")), 6).alias("z"))
+        .withColumn(
+            "p",
+            F.least(
+                F.greatest(
+                    F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6),
+                    F.lit(P_CLAMP),
+                ),
+                F.lit(1.0 - P_CLAMP),
+            ),
+        )
+    )
+
+
+def logreg_score(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str,
+    weights: dict[int, float],
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Score ``df`` under a trained weight dict: (_id, h, y, z, p)."""
+    return _score(_features(df, id_col, label_col, text_col, n_buckets), weights)
+
+
 def logreg_train(
     df: DataFrame,
     id_col: str,
@@ -101,7 +138,6 @@ def logreg_train(
     (round 0 = zero-weight baseline), each from one scoring pass; the
     per-round collects are bounded at ``n_buckets + 2`` gradient rows.
     """
-    spark = df.sparkSession
     feat = _features(df, id_col, label_col, text_col, n_buckets).localCheckpoint()
     split = feat.filter(F.col("bucket") == -1).agg(
         F.sum(F.when(F.col("h") >= holdout_pct, 1).otherwise(0)).alias("tr"),
@@ -119,25 +155,7 @@ def logreg_train(
     metrics: list[tuple[int, float, float]] = []
     y1 = F.when(F.col("y"), 1.0).otherwise(0.0)
     for t in range(rounds):
-        w_df = spark.createDataFrame(
-            sorted(w.items()), "bucket int, w double"
-        )
-        scored = (
-            feat.join(F.broadcast(w_df), "bucket")
-            .groupBy("_id", "h", "y")
-            .agg(F.round(F.sum(F.col("w") * F.col("x")), 6).alias("z"))
-            .withColumn(
-                "p",
-                F.least(
-                    F.greatest(
-                        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6),
-                        F.lit(P_CLAMP),
-                    ),
-                    F.lit(1.0 - P_CLAMP),
-                ),
-            )
-            .localCheckpoint()
-        )
+        scored = _score(feat, w).localCheckpoint()
         m = scored.agg(
             F.round(
                 -F.avg(

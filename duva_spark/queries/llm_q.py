@@ -3724,13 +3724,14 @@ def q_embed_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 _LR_B, _LR_ETA, _LR_ROUNDS, _LR_HOLD = 256, 4.0, 6, 30
 
 
-def _lr_oracle() -> str:
-    """Unrolled gradient-descent replay: the feature CTE mirrors
-    _features (tf buckets + bias at -1 + scaled length at -2), then per
-    round a 6-dp-rounded margin/probability pass, a metrics row
-    (train log-loss, holdout accuracy — NULL-excluding CASE averages),
-    a mean-gradient CTE, and the 9-dp weight update. Round 0 is the
-    zero-weight baseline so the rows form a learning curve."""
+def _lr_ctes() -> list[str]:
+    """The shared unrolled gradient-descent CTE chain: the feature CTE
+    mirrors _features (tf buckets + bias at -1 + scaled length at -2),
+    then per round a 6-dp-rounded margin/probability pass, a metrics
+    row, a mean-gradient CTE, and the 9-dp weight update. Shared by
+    q_lr_quality_distill, q_lr_quality_auc and q_classifier_calibration
+    so the training replay cannot drift — the last p{t} CTE is the
+    final-weight scoring pass the evaluation oracles read."""
     b, eta, t_rounds, hold = _LR_B, _LR_ETA, _LR_ROUNDS, _LR_HOLD
     h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
     ctes = [
@@ -3779,8 +3780,17 @@ def _lr_oracle() -> str:
             f" ROUND(w.w - {eta} * COALESCE(g.g, 0), 9) AS w"
             f" FROM w{t} w LEFT JOIN g{t} g USING (bucket))"
         )
-    union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(t_rounds))
-    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({union}) ORDER BY round"
+    return ctes
+
+
+def _lr_oracle() -> str:
+    """The learning curve: the shared GD chain's per-round metric rows
+    (round 0 = the zero-weight baseline)."""
+    union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(_LR_ROUNDS))
+    return (
+        "WITH " + ",\n    ".join(_lr_ctes())
+        + f"\n    SELECT * FROM ({union}) ORDER BY round"
+    )
 
 
 @register(
@@ -3991,3 +4001,230 @@ def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram.unigram_train_frame(
         docs, max_len=_UNI_L, n_seed=_UNI_SEED, rounds=_UNI_R, k_out=_UNI_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation depth: ranking AUC + calibration (LR and NB)
+# ---------------------------------------------------------------------------
+
+
+def _lr_auc_oracle() -> str:
+    """Holdout AUC under the final GD weights: the shared LR chain's
+    last scoring pass (p{rounds-1}) feeds the grouped tie-averaged
+    Mann-Whitney rank statistic — counts exact, rank sums in HUGEINT
+    (the decimal(38,0) twin), ONE double division rounded at the end."""
+    T, hold = _LR_ROUNDS - 1, _LR_HOLD
+    ctes = _lr_ctes()
+    ctes.append(f"hold AS (SELECT p, y FROM p{T} WHERE h < {hold})")
+    ctes.append(
+        "gsc AS (SELECT p, COUNT(*) AS m,"
+        " SUM(CASE WHEN y THEN 1 ELSE 0 END) AS mp FROM hold GROUP BY p)"
+    )
+    ctes.append(
+        "osc AS (SELECT p, m, mp,"
+        " SUM(m) OVER (ORDER BY p) - m AS offs FROM gsc)"
+    )
+    ctes.append(
+        "ssc AS (SELECT SUM(CAST(mp AS HUGEINT)"
+        " * (2 * CAST(offs AS HUGEINT) + m + 1)) AS s2,"
+        " CAST(SUM(mp) AS HUGEINT) AS np,"
+        " CAST(SUM(m - mp) AS HUGEINT) AS nn FROM osc)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           CASE WHEN np > 0 AND nn > 0 THEN
+             ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                   / CAST(2 * np * nn AS DOUBLE), 6)
+           END AS auc
+    FROM ssc
+    """
+    )
+
+
+@register(
+    "q_lr_quality_auc",
+    oracle=_lr_auc_oracle(),
+    description=(
+        "Holdout ranking AUC of the distilled LR quality classifier — "
+        "the gate a production pipeline applies before trusting a "
+        "classifier to ORDER documents (FineWeb-Edu keeps top-scoring "
+        "docs; accuracy alone says nothing about ranking). Tie-averaged "
+        "Mann-Whitney rank statistic computed GROUPED-BY-SCORE-FIRST: "
+        "6-dp probabilities bound the group table at 10^6+1 rows at any "
+        "corpus size, so the prefix-sum window runs over score groups, "
+        "never corpus rows, and the rank sum accumulates in "
+        "decimal(38,0)/HUGEINT (int64 wraps silently at 100 TB counts "
+        "— the exact-quantile lesson). Reuses the SHARED unrolled-GD "
+        "oracle chain of q_lr_quality_distill verbatim (the training "
+        "replay cannot drift) and scores under the final round's "
+        "weights. Returns (n_pos, n_neg, auc)."
+    ),
+)
+def q_lr_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import evals, logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+    )
+    scored = logreg.logreg_score(lab, "doc_id", "y", "text", w, n_buckets=_LR_B)
+    return evals.auc_frame(scored.filter(F.col("h") < _LR_HOLD))
+
+
+_NB_CAL_B = 256
+
+
+def _calibration_oracle() -> str:
+    """10-bin reliability tables for the LR (shared GD chain, final
+    weights) and a count-trained NB on the SAME structural-quality
+    label and hash split; NB posterior p = sigmoid(score_true −
+    score_false) clamped and 6-dp rounded like the LR probability."""
+    T, hold, b = _LR_ROUNDS - 1, _LR_HOLD, _NB_CAL_B
+    ctes = _lr_ctes()
+    ctes.append(
+        "nbtok AS MATERIALIZED (SELECT doc_id, y, h,"
+        " CAST('0x' || substr(md5(unnest(ws)), 1, 15) AS BIGINT)"
+        f" % {b} AS bucket FROM lab)"
+    )
+    ctes.append(
+        f"nblik AS (SELECT y AS label, bucket, ln(COUNT(*) + 1) AS ln_cnt1"
+        f" FROM nbtok WHERE h >= {hold} GROUP BY y, bucket)"
+    )
+    ctes.append(
+        f"nbpl AS (SELECT y AS label, COUNT(*) AS d_l FROM lab"
+        f" WHERE h >= {hold} GROUP BY y)"
+    )
+    ctes.append("nbnd AS (SELECT CAST(SUM(d_l) AS DOUBLE) AS n_docs FROM nbpl)")
+    ctes.append(
+        f"nbtl AS (SELECT y AS label, COUNT(*) AS n_l FROM nbtok"
+        f" WHERE h >= {hold} GROUP BY y)"
+    )
+    ctes.append(
+        "nbstats AS (SELECT p.label, ln(p.d_l / nd.n_docs) AS ln_prior,"
+        f" ln(t.n_l + {b}.0) AS ln_denom"
+        " FROM nbpl p CROSS JOIN nbnd nd JOIN nbtl t ON t.label = p.label)"
+    )
+    ctes.append(
+        "nbsparse AS (SELECT t.doc_id, l.label, SUM(l.ln_cnt1) AS s1"
+        " FROM nbtok t JOIN nblik l USING (bucket)"
+        f" WHERE t.h < {hold} GROUP BY t.doc_id, l.label)"
+    )
+    ctes.append(
+        f"nbntok AS (SELECT doc_id, COUNT(*) AS n_tok FROM nbtok"
+        f" WHERE h < {hold} GROUP BY doc_id)"
+    )
+    ctes.append(
+        "nbscored AS (SELECT n.doc_id, s.label,"
+        " s.ln_prior + COALESCE(sp.s1, 0.0) - n.n_tok * s.ln_denom AS score"
+        " FROM nbntok n CROSS JOIN nbstats s"
+        " LEFT JOIN nbsparse sp ON sp.doc_id = n.doc_id AND sp.label = s.label)"
+    )
+    ctes.append(
+        "nbp AS (SELECT tt.doc_id, LEAST(GREATEST("
+        "ROUND(1.0 / (1.0 + exp(ff.score - tt.score)), 6), 1e-6), 1 - 1e-6) AS p"
+        " FROM (SELECT doc_id, score FROM nbscored WHERE label) tt"
+        " JOIN (SELECT doc_id, score FROM nbscored WHERE NOT label) ff"
+        " ON ff.doc_id = tt.doc_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT * FROM (
+      SELECT 'lr' AS model, LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(FLOOR(p * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_p,
+             ROUND(AVG(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+      FROM p{T} WHERE h < {hold} GROUP BY bin
+      UNION ALL
+      SELECT 'nb' AS model, LEAST(CAST(FLOOR(p.p * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(FLOOR(p.p * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_p,
+             ROUND(AVG(CASE WHEN l.y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+      FROM nbp p JOIN lab l ON l.doc_id = p.doc_id GROUP BY bin
+    )
+    """
+    )
+
+
+@register(
+    "q_classifier_calibration",
+    oracle=_calibration_oracle(),
+    description=(
+        "10-bin reliability (calibration) tables for BOTH trained "
+        "quality classifiers — the distilled LR (shared unrolled-GD "
+        "oracle chain, final-round weights) and a count-trained "
+        "Naive Bayes on the SAME structural-quality label and leak-"
+        "proof hash split — evaluated on the holdout: per decile of "
+        "predicted probability, the observed positive rate. A model "
+        "can be accurate yet badly calibrated; production pipelines "
+        "threshold on probabilities, so this is the audit that says "
+        "whether 0.9 means 90%. NB posterior folds the two class "
+        "scores through a sigmoid (clamped + 6-dp like the LR "
+        "probability). One aggregation per model — bins are "
+        "map-side-combined, nothing corpus-sized moves. Returns "
+        "(model, bin, n, mean_p, frac_pos)."
+    ),
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import evals, hashed_lm, logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+    )
+    lr_scored = logreg.logreg_score(
+        lab, "doc_id", "y", "text", w, n_buckets=_LR_B
+    ).filter(F.col("h") < _LR_HOLD)
+    lr_cal = evals.calibration_bins(lr_scored, "lr")
+
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    train = lab.filter(h100 >= _LR_HOLD)
+    test = lab.filter(h100 < _LR_HOLD)
+    lik, stats = hashed_lm.nb_train(train, "y", "text", n_buckets=_NB_CAL_B)
+    sc = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=_NB_CAL_B)
+    tt = sc.filter(F.col("label")).select("doc_id", F.col("score").alias("st"))
+    ff = sc.filter(~F.col("label")).select("doc_id", F.col("score").alias("sf"))
+    from duva_spark.llm.logreg import P_CLAMP
+
+    nbp = tt.join(ff, "doc_id").select(
+        "doc_id",
+        F.least(
+            F.greatest(
+                F.round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("sf") - F.col("st"))),
+                    6,
+                ),
+                F.lit(P_CLAMP),
+            ),
+            F.lit(1.0 - P_CLAMP),
+        ).alias("p"),
+    )
+    nb_scored = nbp.join(lab.select("doc_id", "y"), "doc_id")
+    nb_cal = evals.calibration_bins(nb_scored, "nb")
+    return lr_cal.unionByName(nb_cal)

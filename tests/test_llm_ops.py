@@ -1808,3 +1808,60 @@ def test_bpe_encode_oracle_survives_early_vocab_exhaustion(spark):
     tr = load_all()["q_bpe_train_merges"]
     merges = con.execute(tr.oracle).fetchall()
     assert [(m[0], m[1], m[2]) for m in merges] == [(1, "a", "b"), (2, "c", "d")]
+
+
+def test_auc_known_values(spark):
+    """Tie-averaged Mann-Whitney AUC against hand-computed cases:
+    perfect ranking -> 1.0, anti-ranking -> 0.0, all-tied -> 0.5."""
+    from duva_spark.llm import evals
+
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)], ["p", "y"]
+    )
+    assert evals.auc_frame(perfect).collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, True), (0.2, True), (0.8, False), (0.9, False)], ["p", "y"]
+    )
+    assert evals.auc_frame(inverted).collect()[0]["auc"] == 0.0
+    tied = spark.createDataFrame(
+        [(0.5, True), (0.5, True), (0.5, False), (0.5, False)], ["p", "y"]
+    )
+    assert evals.auc_frame(tied).collect()[0]["auc"] == 0.5
+    # mixed case vs sklearn-style hand calc: pos={0.9,0.5}, neg={0.5,0.1}
+    # pairs: (0.9>0.5)=1, (0.9>0.1)=1, (0.5=0.5)=0.5, (0.5>0.1)=1 -> 3.5/4
+    mixed = spark.createDataFrame(
+        [(0.9, True), (0.5, True), (0.5, False), (0.1, False)], ["p", "y"]
+    )
+    assert evals.auc_frame(mixed).collect()[0]["auc"] == 0.875
+
+
+def test_auc_empty_class_is_null(spark):
+    from duva_spark.llm import evals
+
+    one_class = spark.createDataFrame([(0.9, True), (0.1, True)], ["p", "y"])
+    row = evals.auc_frame(one_class).collect()[0]
+    assert row["auc"] is None and row["n_neg"] == 0
+
+
+def test_calibration_bins_clamp_and_rates(spark):
+    from duva_spark.llm import evals
+
+    rows = [(0.05, False), (0.05, True), (0.95, True), (1.0, True), (0.999999, True)]
+    df = spark.createDataFrame(rows, ["p", "y"])
+    got = {r["bin"]: r for r in evals.calibration_bins(df, "m").collect()}
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.5
+    # p = 1.0 and 0.999999 clamp into the last bin with 0.95
+    assert got[9]["n"] == 3 and got[9]["frac_pos"] == 1.0
+    assert all(r["model"] == "m" for r in got.values())
+
+
+def test_logreg_degenerate_split_raises(spark):
+    """All docs hashing into one side of the split must fail loudly,
+    not divide by zero (r7 ADVICE item)."""
+    from duva_spark.llm import logreg
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", True), (2, "d e f", False)], ["doc_id", "text", "y"]
+    )
+    with pytest.raises(ValueError, match="degenerate split"):
+        logreg.logreg_train(docs, "doc_id", "y", "text", holdout_pct=0)
