@@ -3138,21 +3138,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 from duva_spark.llm.funnel import FUNNEL_STAGES as _FUNNEL_STAGES  # noqa: E402
 
 
-def _funnel_oracle() -> str:
-    """Sequential replay of the seven-stage funnel: quality and
-    repetition flags come from the SAME oracle texts as their
-    standalone queries (the repetition battery nests verbatim as a
-    WITH-subquery — the two cannot drift), the dedup keepers are
-    conditional-MIN windows over the survivor set, and the
-    contamination mark reuses the _GRAM8/_H100 gram contract."""
-    from duva_spark.queries.llm_q import _FPRINT, _PASS_STRUCT, _gopher_rep_oracle
-
-    # the language-agnostic STRUCTURAL subset of the battery: the
-    # English-stopword rule is per-language in production (and zeroes a
-    # multilingual corpus), so the funnel gates on the other four rules
-    pass_gopher = _PASS_STRUCT
+def _funnel_stage_union(stage_names, agg: str = "fagg") -> str:
+    """The per-stage unpivot rows over the single aggregate row — the
+    report shape every compiled funnel shares."""
     rows = []
-    for k, stage in enumerate(_FUNNEL_STAGES, start=1):
+    for k, stage in enumerate(stage_names, start=1):
         src, out = (f"n{k - 1}" if k > 1 else "n1"), f"n{k}"
         rows.append(
             f"SELECT {k} AS stage_ord, '{stage}' AS stage,"
@@ -3161,9 +3151,25 @@ def _funnel_oracle() -> str:
             f" CASE WHEN {src} > 0 THEN ROUND({out} * 1.0 / {src}, 6)"
             f" ELSE 0.0 END AS retention,"
             f" CASE WHEN n1 > 0 THEN ROUND({out} * 1.0 / n1, 6)"
-            f" ELSE 0.0 END AS cum_retention FROM fagg"
+            f" ELSE 0.0 END AS cum_retention FROM {agg}"
         )
-    union = " UNION ALL ".join(rows)
+    return " UNION ALL ".join(rows)
+
+
+def _funnel_feature_ctes() -> str:
+    """The shared feature CTEs of every funnel oracle (quality flag,
+    repetition verdict, content hash + fingerprint + id-hash, eval-gram
+    contamination marks) — the SQL twin of ``funnel.funnel_features``,
+    shared by the canonical and alt configs so the feature semantics
+    cannot drift between pipelines. Quality and repetition flags come
+    from the SAME oracle texts as their standalone queries (the
+    repetition battery nests verbatim as a WITH-subquery)."""
+    from duva_spark.queries.llm_q import _FPRINT, _PASS_STRUCT, _gopher_rep_oracle
+
+    # the language-agnostic STRUCTURAL subset of the battery: the
+    # English-stopword rule is per-language in production (and zeroes a
+    # multilingual corpus), so the funnel gates on the other four rules
+    pass_gopher = _PASS_STRUCT
     return f"""
     WITH fq AS MATERIALIZED (
       SELECT doc_id, {pass_gopher} AS pass_gopher FROM documents
@@ -3184,7 +3190,16 @@ def _funnel_oracle() -> str:
     fe AS MATERIALIZED (SELECT DISTINCT gh FROM fg WHERE h < 10),
     fcont AS MATERIALIZED (
       SELECT DISTINCT doc_id FROM fg SEMI JOIN fe USING (gh) WHERE h >= 10
-    ),
+    ),"""
+
+
+def _funnel_oracle() -> str:
+    """Sequential replay of the seven-stage canonical funnel: the
+    shared feature CTEs, the nested-boolean chain with two
+    conditional-MIN keeper windows over the survivor set, one aggregate
+    row, the stage unpivot."""
+    union = _funnel_stage_union(_FUNNEL_STAGES)
+    return _funnel_feature_ctes() + f"""
     ff1 AS MATERIALIZED (
       SELECT fd.doc_id, fd.ch, fd.fp,
              fd.h >= 10 AS b2,
@@ -3249,6 +3264,77 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curation_funnel(docs)
+
+
+def _funnel_alt_oracle() -> str:
+    """The ALT_STAGES config replayed: same shared feature CTEs, the
+    reordered nested-boolean chain (80% holdout → exact-dedup keeper →
+    quality → decontaminate → fingerprint keeper → repetition last)."""
+    from duva_spark.llm.funnel import ALT_STAGES
+
+    names = ("ingest",) + tuple(s.name for s in ALT_STAGES)
+    union = _funnel_stage_union(names)
+    return _funnel_feature_ctes() + f"""
+    fa1 AS MATERIALIZED (
+      SELECT fd.doc_id, fd.ch, fd.fp, fq.pass_gopher, frep.pass_repetition,
+             fd.h >= 20 AS b2,
+             fcont.doc_id IS NOT NULL AS contaminated
+      FROM fd JOIN fq USING (doc_id) JOIN frep USING (doc_id)
+      LEFT JOIN fcont USING (doc_id)
+    ),
+    fa2 AS (
+      SELECT *, b2 AND doc_id = MIN(CASE WHEN b2 THEN doc_id END)
+                    OVER (PARTITION BY ch) AS b3
+      FROM fa1
+    ),
+    fa3 AS (SELECT *, b3 AND pass_gopher AS b4 FROM fa2),
+    fa4 AS (SELECT *, b4 AND NOT contaminated AS b5 FROM fa3),
+    fa5 AS (
+      SELECT *, b5 AND doc_id = MIN(CASE WHEN b5 THEN doc_id END)
+                    OVER (PARTITION BY fp) AS b6
+      FROM fa4
+    ),
+    fa6 AS MATERIALIZED (SELECT *, b6 AND pass_repetition AS b7 FROM fa5),
+    fagg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(COALESCE(SUM(CASE WHEN b2 THEN 1 END), 0) AS BIGINT) AS n2,
+             CAST(COALESCE(SUM(CASE WHEN b3 THEN 1 END), 0) AS BIGINT) AS n3,
+             CAST(COALESCE(SUM(CASE WHEN b4 THEN 1 END), 0) AS BIGINT) AS n4,
+             CAST(COALESCE(SUM(CASE WHEN b5 THEN 1 END), 0) AS BIGINT) AS n5,
+             CAST(COALESCE(SUM(CASE WHEN b6 THEN 1 END), 0) AS BIGINT) AS n6,
+             CAST(COALESCE(SUM(CASE WHEN b7 THEN 1 END), 0) AS BIGINT) AS n7
+      FROM fa6
+    )
+    SELECT * FROM ({union}) ORDER BY stage_ord
+    """
+
+
+@register(
+    "q_pipeline_funnel_alt",
+    oracle=_funnel_alt_oracle(),
+    description=(
+        "A SECOND curation pipeline expressed purely as data through "
+        "the declarative funnel compiler (llm/funnel.py compile_funnel "
+        "— predicate/keeper/probe stages over the shared feature "
+        "frame): 80% holdout, exact-dedup BEFORE the quality gates "
+        "(the cheap-first ordering that shrinks the corpus before the "
+        "expensive per-doc batteries), decontamination mid-stream, "
+        "fingerprint near-dup, repetition battery LAST. Demonstrates "
+        "the compiler generates the same one-pass nested-boolean + "
+        "conditional-MIN-keeper plan shape for ANY stage order — the "
+        "canonical q_pipeline_funnel runs through the identical "
+        "compiler (property-tested equal to the original hand-built "
+        "plan), and the oracle shares the canonical funnel's feature "
+        "CTEs verbatim so feature semantics cannot drift between "
+        "configs. Keeper semantics stay sequential: the canonical "
+        "copy is chosen among THIS pipeline's survivors."
+    ),
+)
+def q_pipeline_funnel_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.funnel import ALT_STAGES, compile_funnel, funnel_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compile_funnel(funnel_features(docs), ALT_STAGES)
 
 
 # ---------------------------------------------------------------------------

@@ -134,3 +134,45 @@ def test_funnel_keepers_choose_among_survivors(spark):
     assert out["exact_dedup"]["docs_out"] == 2
     assert out["neardup_fingerprint"]["docs_out"] == 2
     assert out["decontaminate"]["docs_out"] == 1
+
+
+def test_compiled_funnel_equals_handwritten(spark):
+    """The declarative compiler must reproduce the hand-built canonical
+    plan row-for-row on a corpus with every stage exercised (dupes,
+    near-dupes, low-quality docs, contaminated docs)."""
+    from duva_spark.llm.funnel import (
+        curation_funnel,
+        curation_funnel_handwritten,
+    )
+
+    rows = []
+    filler = " ".join(f"w{i % 13} and the of" for i in range(20))
+    for i in range(40):
+        if i % 7 == 0:
+            text = "dup dup dup " + filler          # exact dupes
+        elif i % 5 == 0:
+            text = filler + " tail extra"           # near-dup family
+        elif i % 3 == 0:
+            text = "short"                          # fails quality
+        else:
+            text = filler + f" unique{i} marker{i}"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [r.asDict() for r in curation_funnel(docs).collect()]
+    ref = [r.asDict() for r in curation_funnel_handwritten(docs).collect()]
+    assert got == ref
+
+
+def test_alt_funnel_config_compiles_and_is_monotone(spark):
+    """A different stage order/threshold config must compile into a
+    valid monotone funnel whose first stage reflects its own split."""
+    from duva_spark.llm.funnel import ALT_STAGES, compile_funnel, funnel_features
+
+    filler = " ".join(f"w{i % 13} and the of" for i in range(20))
+    docs = spark.createDataFrame(
+        [(i, filler + f" unique{i}") for i in range(30)], ["doc_id", "text"]
+    )
+    out = compile_funnel(funnel_features(docs), ALT_STAGES).collect()
+    assert [r.stage for r in out][0] == "ingest" and len(out) == 7
+    for r in out:
+        assert r.docs_out <= r.docs_in and r.dropped == r.docs_in - r.docs_out
