@@ -271,6 +271,119 @@ GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
+def _repetition_report(
+    raw: DataFrame, id_col: str, dp: int
+) -> DataFrame:
+    """Shared tail of both repetition implementations: turn the exact
+    integer counts (tc_n = top-gram char mass, dc_n = duplicate-gram
+    char coverage) into rounded fractions + the threshold conjunction.
+    Keeping the division/rounding in the SAME Column expressions for
+    both the codegen and the Arrow kernel means the two impls can be
+    swapped without touching the cross-engine rounding contract."""
+    wc = F.col("word_chars")
+
+    def frac(col):
+        return F.when(wc > 0, F.round(col / wc, dp)).otherwise(F.lit(0.0))
+
+    cols = [F.col(id_col), F.col("n_words"), F.col("word_chars")]
+    passes = []
+    for n in sorted(GOPHER_TOP_NGRAM_MAX):
+        f = frac(F.col(f"tc_{n}"))
+        cols.append(f.alias(f"top_frac_{n}"))
+        passes.append(f <= GOPHER_TOP_NGRAM_MAX[n])
+    for n in sorted(GOPHER_DUP_NGRAM_MAX):
+        f = frac(F.col(f"dc_{n}"))
+        cols.append(f.alias(f"dup_frac_{n}"))
+        passes.append(f <= GOPHER_DUP_NGRAM_MAX[n])
+    conj = passes[0]
+    for p_ in passes[1:]:
+        conj = conj & p_
+    return raw.select(*cols, conj.alias("pass_repetition"))
+
+
+def gopher_repetition_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dp: int = 6,
+) -> DataFrame:
+    """The repetition battery as an Arrow kernel (mapInPandas): one
+    python pass per document computes the EXACT INTEGER statistics
+    (top-gram char mass per n, duplicate-coverage char mass per n);
+    the fractions, rounding, and thresholds stay in the shared Column
+    tail, so the kernel and the codegen form are value-identical by
+    construction (asserted against each other in tests and under the
+    same oracle). Same shuffle story as the codegen form: a pure
+    per-row projection, embarrassingly parallel, no Exchange.
+
+    Rationale: the codegen form's higher-order-function lambdas are
+    INTERPRETED per element; dict-based counting in an Arrow batch
+    amortizes that — the r8 A/B keeps whichever measures faster (the
+    r3 money_cents precedent: measure, keep the winner, document the
+    loser)."""
+    import pandas as pd
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
+    schema = ", ".join(
+        [f"{id_col} long", "n_words long", "word_chars long"]
+        + [f"tc_{n} long" for n in top_ns]
+        + [f"dc_{n} long" for n in dup_ns]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = text.split(" ")
+                L = len(ws)
+                wlens = [len(w) for w in ws]
+                rec = [did, L, sum(wlens)]
+                for n in top_ns:
+                    if L >= n:
+                        counts: dict = {}
+                        g = [" ".join(ws[i : i + n]) for i in range(L - n + 1)]
+                        for x in g:
+                            counts[x] = counts.get(x, 0) + 1
+                        best = max(counts.values())
+                        # tie → lexicographically smallest gram (the
+                        # sorted-run rule of the codegen form)
+                        bg = min(x for x, c in counts.items() if c == best)
+                        rec.append(best * (len(bg) - (n - 1)))
+                    else:
+                        rec.append(0)
+                for n in dup_ns:
+                    if L >= n:
+                        counts = {}
+                        g = [" ".join(ws[i : i + n]) for i in range(L - n + 1)]
+                        for x in g:
+                            counts[x] = counts.get(x, 0) + 1
+                        flags = [counts[x] >= 2 for x in g]
+                        if any(flags):
+                            ng = len(g)
+                            covered = 0
+                            for j in range(L):
+                                lo = max(j - (n - 1), 0)
+                                hi = min(j, ng - 1)
+                                if any(flags[lo : hi + 1]):
+                                    covered += wlens[j]
+                            rec.append(covered)
+                        else:
+                            rec.append(0)
+                    else:
+                        rec.append(0)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_words", "word_chars"]
+                + [f"tc_{n}" for n in top_ns]
+                + [f"dc_{n}" for n in dup_ns],
+            )
+
+    raw = df.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    return _repetition_report(raw, id_col, dp)
+
+
 def gopher_repetition(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1865,3 +1865,25 @@ def test_logreg_degenerate_split_raises(spark):
     )
     with pytest.raises(ValueError, match="degenerate split"):
         logreg.logreg_train(docs, "doc_id", "y", "text", holdout_pct=0)
+
+
+def test_gopher_repetition_arrow_equals_codegen(spark):
+    """The Arrow kernel and the codegen HOF form must be value-identical
+    on adversarial docs (ties between grams, overlapping duplicate
+    runs, short docs below every n, empty-ish docs)."""
+    from duva_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b c d e f g h i j"),             # bigram reps
+            (2, "x y z " * 4 + "q r s t u v w"),            # overlapping dups
+            (3, "one two"),                                  # below n for most
+            (4, "solo"),                                     # single word
+            (5, "t t t t t t t t t t t t"),                  # degenerate runs
+            (6, "aa bb aa bb cc aa bb aa bb cc dd ee ff gg"),  # tie candidates
+        ],
+        ["doc_id", "text"],
+    )
+    a = [r.asDict() for r in textstats.gopher_repetition(docs).orderBy("doc_id").collect()]
+    b = [r.asDict() for r in textstats.gopher_repetition_arrow(docs).orderBy("doc_id").collect()]
+    assert a == b

@@ -631,14 +631,23 @@ def test_broadcast_scalar_crossjoins_never_cartesian(spark, sf_dir, qname, min_b
 def test_gopher_repetition_is_shuffle_free(spark, sf_dir):
     """The full Gopher repetition battery (top-{2,3,4}-gram fractions +
     duplicated-{5..10}-gram coverage) is a function of ONE document, so
-    it must plan as a pure scan projection: sorted-gram-array runs and
-    sliding-OR coverage as array expressions — no Exchange, no Join, no
-    Window, no Python eval anywhere."""
+    it must plan as a pure scan projection with no Exchange, no Join,
+    no Window. Since the r8 A/B the live impl is an Arrow kernel
+    (MapInPandas — batched, never the row-at-a-time BatchEvalPython);
+    the codegen HOF form keeps the same no-Exchange plan and is
+    asserted value-identical in test_llm_ops."""
     q = load_all()["q_gopher_repetition"]
     df = q.fn(spark, sf_dir)
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
-    assert "BatchEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched, not row-at-a-time
+    assert "MapInPandas" in plan
     assert df.count() > 0
+
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import textstats
+
+    cg = _plan(textstats.gopher_repetition(load_table(spark, sf_dir, "documents")))
+    assert "Exchange" not in cg and "Join" not in cg and "Window" not in cg

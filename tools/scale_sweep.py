@@ -555,6 +555,19 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("gopher_repetition", sizes_big, gopher_repetition_case))
 
+    def gopher_repetition_arrow_case(n):
+        # the r8 Arrow-kernel winner of the repetition A/B: exact
+        # integer counts per batch in mapInPandas, fractions in the
+        # shared Column tail. Same zero-shuffle story; expect linear
+        # with a much lower constant than the interpreted-HOF form.
+        from duva_spark.llm import textstats
+
+        _force(textstats.gopher_repetition_arrow(_docs(spark, n)))
+
+    cases.append(
+        ("gopher_repetition_arrow", sizes_big, gopher_repetition_arrow_case)
+    )
+
     def curation_funnel_case(n):
         # q_pipeline_funnel's operator: quality flags (scan-only) +
         # the repetition battery + two conditional-MIN keeper windows +
