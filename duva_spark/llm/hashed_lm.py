@@ -290,6 +290,31 @@ def doremi_weights(
     current α attached as a broadcast D-row frame, and the driver holds
     D floats — the kcenter/kmeans bounded-iteration contract.
     """
+    domains, baseline, excess, alphas = _doremi_trajectory(
+        df, domain_col, text_col, n_buckets, eta, smoothing, rounds
+    )
+    alpha = (
+        alphas[-1]
+        if alphas
+        else {d: 1.0 / len(domains) for d in domains}
+    )
+    return [(d, baseline[d], excess[d], alpha[d]) for d in domains]
+
+
+def _doremi_trajectory(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    n_buckets: int,
+    eta: float,
+    smoothing: float,
+    rounds: int,
+) -> tuple[list[str], dict, dict, list[dict]]:
+    """(domains, baseline, last-round excess, [α after round 1..R]):
+    the EG loop with every round's weights recorded — round-k weights
+    are a PREFIX of the round-R trajectory, so a sensitivity table
+    over several round budgets costs ONE corpus scan and R bounded
+    rounds, not one run per budget."""
     import math
 
     spark = df.sparkSession
@@ -311,6 +336,7 @@ def doremi_weights(
     d_count = len(domains)
     alpha = {d: 1.0 / d_count for d in domains}
     excess = {d: 0.0 for d in domains}
+    alphas: list[dict] = []
     for _ in range(rounds):
         a_df = spark.createDataFrame(
             [(d, alpha[d]) for d in domains], "domain string, w double"
@@ -344,7 +370,34 @@ def doremi_weights(
             )
             for d in domains
         }
-    return [(d, baseline[d], excess[d], alpha[d]) for d in domains]
+        alphas.append(alpha)
+    return domains, baseline, excess, alphas
+
+
+def doremi_weight_curve(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    eta: float = 0.5,
+    smoothing: float = 0.1,
+    snapshots: tuple[int, ...] = (2, 4, 8),
+) -> DataFrame:
+    """(rounds, domain, weight): the DoReMi round-budget sensitivity
+    table — the mixture weights after each snapshot round count. Runs
+    the EG loop ONCE to max(snapshots) (smaller budgets are prefixes
+    of the same trajectory), so the whole table costs one corpus scan
+    plus max(snapshots) bounded rounds."""
+    spark = df.sparkSession
+    domains, _, _, alphas = _doremi_trajectory(
+        df, domain_col, text_col, n_buckets, eta, smoothing, max(snapshots)
+    )
+    rows = [
+        (int(r), d, float(alphas[r - 1][d]))
+        for r in sorted(snapshots)
+        for d in domains
+    ]
+    return spark.createDataFrame(rows, "rounds long, domain string, weight double")
 
 
 def round_half_up(x: float, dp: int) -> float:

@@ -2883,16 +2883,17 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOREMI_B, _DOREMI_ETA, _DOREMI_S, _DOREMI_T = 512, 0.5, 0.1, 4
 
 
-def _doremi_oracle() -> str:
-    """Unrolled multiplicative-weights replay (the kmeans/PageRank
+def _doremi_ctes(t_rounds: int) -> list[str]:
+    """Unrolled multiplicative-weights CTE chain (the kmeans/PageRank
     oracle pattern): the corpus-sized token count happens once (cnt);
     everything after runs on the ≤ D×B-row grid. Per round t: mixture
     q{t} over buckets, per-domain mixture NLL rounded to 6 dp (the
     round-per-iteration drift truncation), excess vs the own-LM
     baseline, exp(η·E) update, normalize + uniform-smooth, round to
-    9 dp. MATERIALIZED throughout (DuckDB inlines CTEs per
-    reference)."""
-    b, eta, s, t_rounds = _DOREMI_B, _DOREMI_ETA, _DOREMI_S, _DOREMI_T
+    9 dp. MATERIALIZED throughout (DuckDB inlines CTEs per reference).
+    Shared by q_doremi_weights (4 rounds) and q_doremi_sensitivity
+    (8 rounds, snapshot union) — the trajectory replay cannot drift."""
+    b, eta, s = _DOREMI_B, _DOREMI_ETA, _DOREMI_S
     bucket = (
         "CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)"
         f" AS BIGINT) % {b}"
@@ -2938,9 +2939,14 @@ def _doremi_oracle() -> str:
             f" ROUND({1.0 - s} * u.uw / (SELECT SUM(uw) FROM u{t})"
             f" + {s} / (SELECT d FROM dc), 9) AS w FROM u{t} u)"
         )
+    return ctes
+
+
+def _doremi_oracle() -> str:
+    t_rounds = _DOREMI_T
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_doremi_ctes(t_rounds))
         + f"""
     SELECT base.domain, base.b AS baseline_nll, e{t_rounds - 1}.e AS excess,
            a{t_rounds}.w AS weight
@@ -2949,6 +2955,57 @@ def _doremi_oracle() -> str:
     JOIN a{t_rounds} ON a{t_rounds}.domain = base.domain
     ORDER BY base.domain
     """
+    )
+
+
+_DOREMI_SNAPSHOTS = (2, 4, 8)
+
+
+def _doremi_sensitivity_oracle() -> str:
+    """The round-budget sensitivity union over the SHARED trajectory
+    chain unrolled to max(snapshots): weights after rounds 2/4/8 are
+    prefixes of one replay."""
+    parts = [
+        f"SELECT CAST({r} AS BIGINT) AS rounds, domain, w AS weight FROM a{r}"
+        for r in sorted(_DOREMI_SNAPSHOTS)
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(_doremi_ctes(max(_DOREMI_SNAPSHOTS)))
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY rounds, domain"
+    )
+
+
+@register(
+    "q_doremi_sensitivity",
+    oracle=_doremi_sensitivity_oracle(),
+    description=(
+        "DoReMi round-budget sensitivity: the mixture weights after "
+        "2, 4 and 8 exponentiated-gradient rounds — does the mixture "
+        "converge on this corpus, and how much does the default "
+        "4-round budget leave on the table? Round-k weights are a "
+        "PREFIX of the round-8 trajectory, so the whole table costs "
+        "ONE corpus scan (the shared domain×bucket count) plus 8 "
+        "bounded rounds — not one run per budget — and the oracle "
+        "reuses q_doremi_weights' unrolled-CTE chain verbatim, just "
+        "extended to 8 rounds with a snapshot union (the two replays "
+        "cannot drift). Returns (rounds, domain, weight)."
+    ),
+)
+def q_doremi_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_lm.doremi_weight_curve(
+        docs,
+        "lang",
+        "text",
+        n_buckets=_DOREMI_B,
+        eta=_DOREMI_ETA,
+        smoothing=_DOREMI_S,
+        snapshots=_DOREMI_SNAPSHOTS,
     )
 
 

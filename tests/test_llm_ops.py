@@ -1483,6 +1483,35 @@ def test_doremi_upweights_worst_modeled_domain(spark):
     assert got["c"] > 1 / 3  # above uniform
 
 
+def test_doremi_weight_curve_prefix_of_trajectory(spark):
+    """The sensitivity curve runs ONE EG trajectory and snapshots it, so
+    its rounds=3 slice must equal a standalone doremi_weights(rounds=3)
+    run exactly, and each snapshot must be a distribution."""
+    from duva_spark.llm import hashed_lm
+
+    rows = [
+        ("web", "the cat sat on the mat with the hat"),
+        ("web", "dogs and cats and hats and mats galore"),
+        ("code", "def foo bar return foo bar baz qux"),
+        ("books", "once upon a time in a land far away"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    curve = {
+        (r.rounds, r.domain): r.weight
+        for r in hashed_lm.doremi_weight_curve(
+            df, "lang", "text", n_buckets=64, snapshots=(1, 3)
+        ).collect()
+    }
+    standalone = hashed_lm.doremi_weights(
+        df, "lang", "text", n_buckets=64, rounds=3
+    )
+    for d, _, _, w in standalone:
+        assert curve[(3, d)] == pytest.approx(w, abs=1e-12)
+    for snap in (1, 3):
+        ws = [v for (r, _), v in curve.items() if r == snap]
+        assert sum(ws) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_dup_sentence_spans_merges_runs(spark):
     """Constructed corpus: docs 1 and 2 share two CONSECUTIVE sentences
     (one merged run of 2) and doc 3 shares only the first of them
