@@ -125,6 +125,116 @@ def viterbi_segment(word: Column, vocab_map: Column, max_len: int) -> Column:
     return F.element_at(states, n + 1)["seg"]
 
 
+def viterbi_token_count(word: Column, vocab_map: Column, max_len: int) -> Column:
+    """Number of pieces in the word's max-likelihood segmentation — the
+    ``viterbi_segment`` fold with the DP state slimmed to
+    (score, n_pieces): the strictly-better replace rule picks the same
+    smallest-start predecessor chain, and each state has a unique chosen
+    predecessor under it, so the count equals
+    ``size(viterbi_segment(...))`` without carrying piece arrays
+    through the fold. Unsegmentable words (impossible when the vocab
+    was trained on the same corpus — every single char is a piece)
+    yield 0."""
+    n = F.length(word)
+    init = F.array(
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("np"))
+    )
+    sentinel = F.struct(F.lit(_SENTINEL).alias("s"), F.lit(0).alias("np"))
+
+    def step(acc: Column, i: Column) -> Column:
+        def cand(b: Column, j: Column) -> Column:
+            piece = word.substr(j + 1, i - j)
+            lpv = F.element_at(vocab_map, piece)
+            st = F.element_at(acc, j + 1)
+            cs = st["s"] + lpv
+            better = lpv.isNotNull() & (cs > b["s"])
+            return F.when(
+                better, F.struct(cs.alias("s"), (st["np"] + 1).alias("np"))
+            ).otherwise(b)
+
+        best = F.aggregate(
+            F.sequence(F.greatest(i - F.lit(max_len), F.lit(0)), i - 1),
+            sentinel,
+            cand,
+        )
+        return F.concat(acc, F.array(best))
+
+    states = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    final = F.element_at(states, n + 1)
+    return F.when(final["s"] > _SENTINEL / 2, final["np"]).otherwise(F.lit(0))
+
+
+def unigram_encode_counts(
+    docs: DataFrame,
+    lp: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 4,
+    word_cap: int = 16,
+) -> DataFrame:
+    """(id_col, n_words, n_char_tokens, n_unigram_tokens, compression):
+    per-document token census under the trained unigram model ``lp``
+    (piece → log-prob), the tokenizer-application dual of
+    ``unigram_train`` (the ``bpe.encode_token_counts`` contract). Words
+    longer than ``word_cap`` are excluded from the census — the same
+    cap the trainer applies, so train and encode see one vocabulary
+    universe. The whole encode is a PURE PROJECTION: the model is
+    inlined as a map literal, each word runs the slim Viterbi fold,
+    zero exchanges before the per-doc aggregate."""
+    pieces = sorted(lp)
+    vocab_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in pieces]),
+        F.array(*[F.lit(lp[p]) for p in pieces]),
+    )
+    ws = F.filter(
+        F.split(F.col(text_col), " "),
+        lambda w: (w != "") & (F.length(w) <= word_cap),
+    )
+    per_word = F.transform(
+        ws, lambda w: viterbi_token_count(w, vocab_map, max_len)
+    )
+    chars = F.transform(ws, lambda w: F.length(w))
+    n_char = F.aggregate(chars, F.lit(0), lambda acc, v: acc + v)
+    n_uni = F.aggregate(per_word, F.lit(0), lambda acc, v: acc + v)
+    return docs.select(
+        id_col,
+        F.size(ws).cast("long").alias("n_words"),
+        n_char.cast("long").alias("n_char_tokens"),
+        n_uni.cast("long").alias("n_unigram_tokens"),
+        # empty/whitespace-only doc: 0/0 is defined as 0.0 (the oracle's
+        # LEFT JOIN + CASE twin), not NULL
+        F.when(n_char > 0, F.round(n_uni * 1.0 / n_char, 6))
+        .otherwise(F.lit(0.0))
+        .alias("compression"),
+    )
+
+
+def unigram_train_encode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 4,
+    n_seed: int = 48,
+    rounds: int = 3,
+    dp: int = 6,
+    word_cap: int = 16,
+) -> DataFrame:
+    """Train the unigram LM, then encode the corpus under the FINAL
+    model (the probabilities re-estimated from the last E-step's
+    counts — one Viterbi pass beyond training, exactly the oracle
+    chain extended one round)."""
+    pieces, counts, tt, vsz = unigram_train(
+        docs, text_col, max_len, n_seed, rounds, dp, word_cap
+    )
+    lp = {
+        p: round_half_up(math.log((counts.get(p, 0) + 1) / (tt + vsz)), dp)
+        for p in pieces
+    }
+    return unigram_encode_counts(
+        docs, lp, id_col, text_col, max_len, word_cap
+    )
+
+
 def unigram_train(
     docs: DataFrame,
     text_col: str = "text",

@@ -3859,7 +3859,7 @@ def q_lr_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_L, _UNI_SEED, _UNI_R, _UNI_K, _UNI_CAP = 4, 48, 3, 20, 16
 
 
-def _unigram_oracle() -> str:
+def _unigram_ctes(rounds: int) -> list[str]:
     """Unrolled hard-EM replay, deliberately LAMBDA-FREE: DuckDB 1.x's
     list_reduce miscarries struct-typed accumulators containing lists,
     and nested lambdas inside a fold cross-contaminate rows under
@@ -3870,8 +3870,12 @@ def _unigram_oracle() -> str:
     predecessor choice is a plain CASE over the 4 candidate widths —
     widest first = smallest start, the Spark fold's tie rule. Words
     longer than _UNI_CAP chars are excluded from training on BOTH
-    engines (the documented cap that makes the unroll finite)."""
-    L, n_seed, rounds, k_out, cap = _UNI_L, _UNI_SEED, _UNI_R, _UNI_K, _UNI_CAP
+    engines (the documented cap that makes the unroll finite). Shared
+    by q_unigram_lm_train (rounds=_UNI_R) and q_unigram_encode
+    (rounds=_UNI_R+1 — encoding under the final model IS one more
+    E-step segmentation of the same trajectory, so the two replays
+    cannot drift)."""
+    L, n_seed, cap = _UNI_L, _UNI_SEED, _UNI_CAP
 
     # --- DP: one MATERIALIZED CTE per position (a lateral-alias or
     # plain-CTE chain would be INLINED by the planner — each level
@@ -3969,14 +3973,55 @@ def _unigram_oracle() -> str:
                 f" AS lp FROM v0 LEFT JOIN c{r} c ON c.piece = v0.piece,"
                 f" t{r} t, tv)"
             )
+    return ctes
+
+
+def _unigram_oracle() -> str:
+    rounds, k_out = _UNI_R, _UNI_K
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_unigram_ctes(rounds))
         + f"""
     SELECT c.piece, c.c AS cnt,
            ROUND((c.c + 1.0) / (t.t + tv.vsz), 6) AS prob
     FROM c{rounds} c, t{rounds} t, tv
     ORDER BY c.c DESC, c.piece ASC LIMIT {k_out}
+    """
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    """The trainer chain extended ONE round: w{R+1}_{cap}'s backtraced
+    piece lists ARE the per-distinct-word segmentations under the final
+    model (lp{R}); the census joins document words (same cap filter)
+    against them — per-word-fold and vocabulary-table semantics
+    provably agree (the q_bpe_encode oracle pattern)."""
+    r_enc, cap = _UNI_R + 1, _UNI_CAP
+    return (
+        "WITH "
+        + ",\n    ".join(_unigram_ctes(r_enc))
+        + f""",
+    dw AS MATERIALIZED (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND len(w) <= {cap}
+    ),
+    ag AS MATERIALIZED (
+      SELECT dw.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(dw.w)) AS BIGINT) AS n_char_tokens,
+             CAST(SUM(len(s.pieces)) AS BIGINT) AS n_unigram_tokens
+      FROM dw JOIN w{r_enc}_{cap} s ON s.w = dw.w
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ag.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(ag.n_char_tokens, 0) AS BIGINT) AS n_char_tokens,
+           CAST(COALESCE(ag.n_unigram_tokens, 0) AS BIGINT) AS n_unigram_tokens,
+           CASE WHEN COALESCE(ag.n_char_tokens, 0) > 0
+                THEN ROUND(ag.n_unigram_tokens * 1.0 / ag.n_char_tokens, 6)
+                ELSE 0.0 END AS compression
+    FROM documents d LEFT JOIN ag USING (doc_id)
     """
     )
 
@@ -4011,6 +4056,43 @@ def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return unigram.unigram_train_frame(
         docs, max_len=_UNI_L, n_seed=_UNI_SEED, rounds=_UNI_R, k_out=_UNI_K
+    )
+
+
+@register(
+    "q_unigram_encode",
+    oracle=_unigram_encode_oracle(),
+    description=(
+        "Unigram-LM tokenizer APPLICATION — the encode half of the "
+        "train/encode loop (q_unigram_lm_train trains this same "
+        "model), completing the tokenizer inventory's second family "
+        "next to q_bpe_encode: every document is segmented under the "
+        "FINAL trained piece probabilities and the per-doc token "
+        "census reported (char tokens vs unigram tokens vs the "
+        "compression ratio that prices the tokenizer). The encode is "
+        "a PURE PROJECTION: the ~80-piece model is inlined as a map "
+        "literal and each word runs a SLIM Viterbi fold whose DP "
+        "state is (score, n_pieces) instead of the piece arrays — the "
+        "strictly-better replace rule picks the same smallest-start "
+        "predecessor chain, so the count equals the full backtrace's "
+        "at a fraction of the fold cost. No UDF, no vocabulary join, "
+        "zero exchanges before the per-doc aggregate — at 100 TB this "
+        "runs at parquet-scan speed, embarrassingly parallel. Words "
+        "over 16 chars are outside the trained universe (the "
+        "trainer's cap) and excluded from the census on both engines. "
+        "The oracle extends the trainer's CTE chain one round — "
+        "encoding under the final model IS one more E-step "
+        "segmentation — and joins document words against the "
+        "backtraced per-word piece lists. Returns (doc_id, n_words, "
+        "n_char_tokens, n_unigram_tokens, compression)."
+    ),
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_train_encode(
+        docs, max_len=_UNI_L, n_seed=_UNI_SEED, rounds=_UNI_R
     )
 
 

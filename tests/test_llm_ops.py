@@ -1267,6 +1267,57 @@ def test_unigram_viterbi_prefers_longest_on_equal_scores(spark):
     assert got == ["ab"]
 
 
+def test_unigram_token_count_matches_full_backtrace(spark):
+    """The slim (score, n_pieces) fold must count exactly what the full
+    piece-array fold backtraces, including across score ties (same
+    smallest-start rule), and return 0 for unsegmentable words."""
+    from duva_spark.llm import unigram
+
+    words = ["ab", "abab", "aabba", "bbbb", "a", "abba", "xq"]
+    docs = spark.createDataFrame([(w,) for w in words], ["text"])
+    m = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in ["a", "b", "ab", "ba", "abb"]]),
+        F.array(*[F.lit(v) for v in [-1.0, -2.0, -3.0, -2.5, -4.0]]),
+    )
+    rows = docs.select(
+        "text",
+        F.size(unigram.viterbi_segment(F.col("text"), m, 4)).alias("full"),
+        unigram.viterbi_token_count(F.col("text"), m, 4).alias("slim"),
+    ).collect()
+    for r in rows:
+        if r["text"] == "xq":  # 'x'/'q' not in vocab -> unsegmentable
+            assert r["slim"] == 0 and r["full"] == 0
+        else:
+            assert r["slim"] == r["full"] > 0, r
+
+
+def test_unigram_encode_census_shape(spark):
+    """End-to-end train+encode on a tiny corpus: compression <= 1 (a
+    piece is never shorter than a char), word_cap exclusion applies,
+    and the whitespace-only doc yields the defined 0.0 row."""
+    from duva_spark.llm import unigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark streaming streaming spark"),
+            (2, "spark absurdlylongtokenxyz"),  # >16 chars: excluded
+            (3, "  "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram.unigram_train_encode(
+            docs, max_len=4, n_seed=8, rounds=2
+        ).collect()
+    }
+    assert got[1]["n_words"] == 5
+    assert 0 < got[1]["n_unigram_tokens"] <= got[1]["n_char_tokens"]
+    assert got[1]["compression"] <= 1.0
+    assert got[2]["n_words"] == 1  # the 21-char token fell to the cap
+    assert got[3]["n_words"] == 0 and got[3]["compression"] == 0.0
+
+
 def test_pq_encode_is_shuffle_free(spark):
     """PQ encoding must be m chained Arrow projections: no Join, no
     Window, no Exchange between the corpus scan and the code columns —
