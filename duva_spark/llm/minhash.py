@@ -244,6 +244,120 @@ def near_duplicates(
     )
 
 
+def band_sensitivity(
+    df: DataFrame,
+    true_pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = N_HASHES,
+    grid: tuple[tuple[int, int], ...] = ((4, 6), (8, 3), (12, 2)),
+) -> DataFrame:
+    """Banding sensitivity curve: per (n_bands, rows_per_band) grid
+    point, the LSH candidate volume and the precision/recall of its
+    verified pairs against ``true_pairs`` — the EXACT (id_a, id_b)
+    ground-truth set at the same threshold (the lossless prefix-filter
+    join), so recall needs no pooling heuristic.
+
+    One-pass shape (the rplsh_topk_grid trick, banded): the 24-hash
+    signature computes ONCE (checkpointed); every grid point's band
+    keys are md5s over SLICES of those same columns, built as one
+    struct-array explode — so the whole grid costs one signature pass
+    plus a single narrow bucket shuffle carrying sum(n_bands) rows per
+    doc, with candidates deduped per config inside it. Verification
+    joins hashed shingle sets only for surviving candidates. Never
+    all-pairs at any grid point; the ground-truth job is the separate
+    linear prefix-filter operator.
+    """
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
+    src = ensure_min_parallelism(df.select(id_col, text_col))
+    sig = with_signature(src, text_col, k, n_hashes).select(
+        id_col, "_hs", *[f"mh_{i}" for i in range(n_hashes)]
+    )
+    sig = sig.localCheckpoint()
+    entries = []
+    for nb, rows in grid:
+        for b in range(nb):
+            bh = F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                )
+            )
+            entries.append(
+                F.struct(
+                    F.lit(nb).alias("n_bands"),
+                    F.lit(rows).alias("rows_per_band"),
+                    F.lit(b).alias("band_idx"),
+                    bh.alias("band_hash"),
+                )
+            )
+    # short docs (empty shingle set) share md5('') in every band on the
+    # Spark side only (concat_ws skips nulls; the SQL mirror's NULL band
+    # keys never equi-join) — exclude them, as candidate_pairs does
+    buckets = (
+        sig.filter(F.size("_hs") > 0)
+        .select(F.col(id_col), F.explode(F.array(*entries)).alias("bk"))
+        .select(id_col, "bk.*")
+    )
+    a = buckets.select(
+        "n_bands", "rows_per_band", "band_idx", "band_hash",
+        F.col(id_col).alias("id_a"),
+    )
+    b = buckets.select(
+        "n_bands", "band_idx", "band_hash", F.col(id_col).alias("id_b")
+    )
+    cand = (
+        a.join(b, ["n_bands", "band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("n_bands", "rows_per_band", "id_a", "id_b")
+        .dropDuplicates(["n_bands", "id_a", "id_b"])
+    )
+    sh = sig.select(id_col, "_hs")
+    ver = (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+    )
+    ag = ver.groupBy("n_bands", "rows_per_band").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
+        ).alias("n_true"),
+    )
+    tot = true_pairs.agg(F.count("*").alias("n_true_total"))
+    return ag.crossJoin(tot).select(
+        "n_bands",
+        "rows_per_band",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_true_total").cast("long").alias("n_true_total"),
+        F.round(F.col("n_true") * 1.0 / F.col("n_candidates"), 6).alias(
+            "pair_precision"
+        ),
+        F.when(
+            F.col("n_true_total") > 0,
+            F.round(F.col("n_true") * 1.0 / F.col("n_true_total"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pair_recall"),
+    )
+
+
 def corpus_index(
     corpus_df: DataFrame,
     id_col: str,

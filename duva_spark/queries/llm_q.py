@@ -692,6 +692,97 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
 
 
+_MINHASH_GRID = ((4, 6), (8, 3), (12, 2))  # (n_bands, rows/band), 24 shared
+
+
+def _minhash_band_curve_oracle() -> str:
+    """One sig chain (the 24 shared hashes), every grid point's band
+    keys as md5s over slices of the same mh columns (NULL keys from
+    empty shingle sets never equi-join — the _lsh_buckets_sql rule),
+    config-tagged bucket union, shared verification, exact ground
+    truth = the q_ppjoin_exact_pairs oracle verbatim."""
+    from duva_spark.queries import REGISTRY as _REG  # registered above
+
+    branches = []
+    for nb, rows in _MINHASH_GRID:
+        for b in range(nb):
+            key = " || ',' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+            branches.append(
+                f"SELECT doc_id, {nb} AS n_bands, {rows} AS rows_per_band,"
+                f" {b} AS band_idx, md5({key}) AS band_hash FROM mh"
+            )
+    jac = (
+        "ROUND(len(list_intersect(x.hs, y.hs)) * 1.0 /"
+        " len(list_distinct(list_concat(x.hs, y.hs))), 6)"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES} AS sh FROM w),
+    sh_h AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_H60} % {_P})) AS hs FROM s),
+    mh AS (SELECT doc_id, hs, {_MH_COLS_SQL} FROM sh_h),
+    buckets AS ({" UNION ALL ".join(branches)}),
+    cand AS (
+      SELECT DISTINCT a.n_bands, a.rows_per_band,
+             a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.n_bands = b.n_bands AND a.band_idx = b.band_idx
+       AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+      SELECT c.n_bands, c.rows_per_band, {jac} AS j
+      FROM cand c
+      JOIN sh_h x ON x.doc_id = c.id_a
+      JOIN sh_h y ON y.doc_id = c.id_b
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_total
+            FROM ({_REG["q_ppjoin_exact_pairs"].oracle}) t),
+    ag AS (
+      SELECT n_bands, rows_per_band,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      FROM ver GROUP BY n_bands, rows_per_band
+    )
+    SELECT ag.n_bands, ag.rows_per_band, ag.n_candidates, ag.n_true,
+           tot.n_true_total,
+           ROUND(ag.n_true * 1.0 / ag.n_candidates, 6) AS pair_precision,
+           CASE WHEN tot.n_true_total > 0
+                THEN ROUND(ag.n_true * 1.0 / tot.n_true_total, 6)
+                ELSE 0.0 END AS pair_recall
+    FROM ag, tot
+    """
+
+
+@register(
+    "q_minhash_band_curve",
+    oracle=_minhash_band_curve_oracle(),
+    description=(
+        "MinHash banding sensitivity — the (n_bands, rows_per_band) "
+        "dial the fuzzy-dedup S-curve theory prescribes (collision "
+        "prob 1-(1-J^r)^b): candidate volume, precision and recall at "
+        "(4,6)/(8,3)/(12,2) over the SAME 24 shared hashes, measured "
+        "against the EXACT Jaccard>=0.5 pair set from the lossless "
+        "prefix-filter join (q_ppjoin_exact_pairs) — real ground "
+        "truth, no pooling heuristic. One-pass: the signature "
+        "computes once, every grid point's band keys are md5s over "
+        "slices of the same columns built as one struct-array "
+        "explode, so the grid costs ONE narrow config-tagged bucket "
+        "shuffle (sum(b)=24 rows/doc) and verification touches only "
+        "surviving candidates. At 100 TB: the q_minhash_lsh_pairs "
+        "scale shape X grid-constant fan-out; never all-pairs. "
+        "Returns (n_bands, rows_per_band, n_candidates, n_true, "
+        "n_true_total, pair_precision, pair_recall)."
+    ),
+)
+def q_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    return minhash.band_sensitivity(
+        docs, exact, "doc_id", "text", threshold=0.5, grid=_MINHASH_GRID
+    )
+
+
 # ---------------------------------------------------------------------------
 # Blocked n-gram Jaccard (exact within blocks)
 # ---------------------------------------------------------------------------

@@ -53,6 +53,42 @@ def test_near_duplicates_finds_planted_pair(docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_minhash_band_curve_candidates_nest(spark):
+    """With 24 shared hashes the grid's band structures REFINE each
+    other — a (4,6) band equality implies both covered (8,3) bands
+    collide, and any 3 consecutive positions contain an aligned 2-block
+    — so candidate sets are deterministically nested: n_candidates and
+    n_true are monotone in n_bands, and precision monotone down."""
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [(1, base), (2, base)]  # exact dup: collides at every config
+    for i in range(3, 23):
+        words = base.split()
+        words[i % 10] = f"tok{i}a"
+        words[(i + 3) % 10] = f"tok{i}b"
+        words[(i + 6) % 10] = f"tok{i}c"
+        rows.append((i, " ".join(words)))  # borderline-Jaccard cloud
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    curve = {
+        r["n_bands"]: r
+        for r in minhash.band_sensitivity(
+            docs, exact, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert set(curve) == {4, 8, 12}
+    assert curve[4]["n_candidates"] <= curve[8]["n_candidates"] <= curve[12]["n_candidates"]
+    assert curve[4]["n_true"] <= curve[8]["n_true"] <= curve[12]["n_true"]
+    tot = {r["n_true_total"] for r in curve.values()}
+    assert len(tot) == 1  # one shared exact ground truth
+    for r in curve.values():
+        assert r["n_true"] <= r["n_true_total"]
+        assert 0.0 <= r["pair_precision"] <= 1.0
+        assert 0.0 <= r["pair_recall"] <= 1.0
+    assert curve[12]["pair_recall"] >= curve[4]["pair_recall"]
+
+
 def test_simhash_close_for_near_dups(docs):
     out = {r.doc_id: r.sh for r in simhash.with_simhash(docs, out="sh").collect()}
     d_near = bin(out[1] ^ out[2]).count("1")
