@@ -43,7 +43,7 @@ baseline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from duva_spark.llm import assign, kmeans
 
@@ -451,4 +451,107 @@ def ivfpq_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc_dist"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the FAISS ScalarQuantizer QT_8bit point on
+# the compression curve (fp32 256 B/vec -> PQ 4 B -> SQ8 64 B)
+# ---------------------------------------------------------------------------
+
+
+def sq8_bounds(
+    emb: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, span) trained over the corpus — ONE global
+    aggregation, a single 2*dim-float row to the driver (the bounded-
+    collect contract; FAISS QT_8bit's train step)."""
+    row = emb.agg(
+        *[
+            F.min(F.element_at(vec_col, i + 1).cast("double")).alias(f"mn_{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.element_at(vec_col, i + 1).cast("double")).alias(f"mx_{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    mns = [float(row[f"mn_{i}"]) for i in range(dim)]
+    sps = [float(row[f"mx_{i}"]) - float(row[f"mn_{i}"]) for i in range(dim)]
+    return mns, sps
+
+
+def sq8_decode_expr(
+    vec: Column, mns: list[float], sps: list[float]
+) -> Column:
+    """quantize-then-dequantize as ONE pure projection: per element,
+    code = clamp(floor(round6((x - mn) * 255 / span) + 0.5), 0, 255)
+    (6-dp pre-round absorbs cross-engine scaling drift; floor(t + .5)
+    is the explicit half-up both engines replay; floor cast to double —
+    Spark floor returns long, DuckDB double), decoded = mn + code *
+    span / 255. Constant dimensions (span 0) decode to mn. The bounds
+    ride inline as a literal struct array — no join, no shuffle."""
+    blit = F.array(
+        *[
+            F.struct(F.lit(mn).alias("mn"), F.lit(sp).alias("sp"))
+            for mn, sp in zip(mns, sps)
+        ]
+    )
+
+    def dec(x: Column, b: Column) -> Column:
+        t = F.round((x.cast("double") - b["mn"]) * 255.0 / b["sp"], 6)
+        code = F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.floor(t + 0.5).cast("double")),
+        )
+        return F.when(
+            b["sp"] > 0, b["mn"] + code * b["sp"] / 255.0
+        ).otherwise(b["mn"])
+
+    return F.zip_with(vec, blit, dec)
+
+
+def sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    mns: list[float],
+    sps: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, l2_dist, rank): asymmetric exact-query /
+    decoded-corpus L2 top-k (the ScalarQuantizer analogue of ADC).
+    Plan = the q_embed_l2_topk shape with the dequantize folded into
+    the scan projection: broadcast probe attach, zero corpus shuffle
+    before the per-query rank window."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_decode_expr(F.col(vec_col), mns, sps).alias("dv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "qv", "dv", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.sqrt(d2), dp).alias("l2_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )

@@ -3439,6 +3439,97 @@ def q_embed_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_oracle() -> str:
+    """SQ8 replay: per-dim (min, span) bounds CTE, quantize-dequantize
+    as a list_transform (the explicit floor(round6 + 0.5) half-up both
+    engines share; floor stays DOUBLE on DuckDB, hence the Spark-side
+    cast), exact-query/decoded-corpus L2 ranking, recall vs the
+    verified exact-L2 oracle."""
+    from duva_spark.queries import REGISTRY as _REG  # registered above
+
+    dim = _PQ_DIM
+    dec = (
+        "CASE WHEN sps[i] > 0 THEN mns[i]"
+        " + least(255.0, greatest(0.0,"
+        " floor(ROUND((CAST(e.embedding[i] AS DOUBLE) - mns[i])"
+        " * 255.0 / sps[i], 6) + 0.5))) * sps[i] / 255.0"
+        " ELSE mns[i] END"
+    )
+    l2 = (
+        f"sqrt(list_aggregate(list_transform(range(1, {dim + 1}),"
+        " i -> (CAST(qv[i] AS DOUBLE) - cv[i])"
+        " * (CAST(qv[i] AS DOUBLE) - cv[i])), 'sum'))"
+    )
+    return f"""
+    WITH bounds AS MATERIALIZED (
+      SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+             MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+      FROM embeddings, range(1, {dim + 1}) t(i) GROUP BY i
+    ),
+    ba AS (SELECT list(mn ORDER BY i) AS mns,
+                  list(mx - mn ORDER BY i) AS sps FROM bounds),
+    dec AS MATERIALIZED (
+      SELECT e.vec_id,
+             list_transform(range(1, {dim + 1}), i -> {dec}) AS cv
+      FROM embeddings e, ba
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 5),
+    s AS (
+      SELECT query_id, d.vec_id AS neighbor_id, ROUND({l2}, 6) AS l2_dist
+      FROM dec d CROSS JOIN q WHERE d.vec_id <> query_id
+    ),
+    sq AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY l2_dist, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    ),
+    bf AS ({_REG["q_embed_l2_topk"].oracle})
+    SELECT bf.query_id,
+           CAST(COUNT(sq.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(sq.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN sq
+      ON bf.query_id = sq.query_id AND bf.neighbor_id = sq.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@register(
+    "q_embed_sq8_recall",
+    oracle=_sq8_oracle(),
+    description=(
+        "Scalar-quantization recall audit (FAISS ScalarQuantizer "
+        "QT_8bit): per-dimension (min, span) bounds trained in ONE "
+        "global aggregation (a 128-float driver row), every vector "
+        "quantized to 64 one-byte codes and dequantized back inside "
+        "the scan projection (the bounds ride as a literal struct "
+        "array — no join), then exact-query/decoded-corpus L2 top-5 "
+        "measured against the verified exact-L2 baseline. Completes "
+        "the compression curve the ANN inventory prices: fp32 256 "
+        "B/vec (exact) / SQ8 64 B (this; near-lossless) / PQ 4 B "
+        "(q_embed_pq_recall; lossy) — the three FAISS storage tiers. "
+        "At 100 TB the corpus never shuffles: train is one agg, "
+        "encode+decode+score is a projection with a broadcast probe "
+        "attach, rank is the per-query window."
+    ),
+)
+def q_embed_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mns, sps = pq.sq8_bounds(emb, dim=_PQ_DIM)
+    sqt = pq.sq8_topk(
+        emb, emb.filter(F.col("vec_id") < 5), mns, sps, k=5
+    ).select(F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2"))
+    bf = q_embed_l2_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    j = bf.join(sqt, (bf.query_id == sqt.q2) & (bf.neighbor_id == sqt.n2), "left")
+    return j.groupBy("query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # RP-LSH recall curve (the tables x bits dial, one-pass like the IVF grid)
 # ---------------------------------------------------------------------------

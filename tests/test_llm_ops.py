@@ -1354,6 +1354,34 @@ def test_unigram_encode_census_shape(spark):
     assert got[3]["n_words"] == 0 and got[3]["compression"] == 0.0
 
 
+def test_sq8_decode_error_bounded_by_half_step(spark):
+    """Quantize-dequantize error is at most half a quantization step
+    (span/255/2, plus the 6-dp pre-round slack) per element; constant
+    dimensions (span 0) decode exactly to their value."""
+    from duva_spark.llm import pq
+
+    rows = [
+        (0, [0.0, -1.0, 7.5]),
+        (1, [10.0, 1.0, 7.5]),
+        (2, [3.3, 0.25, 7.5]),
+        (3, [7.77, -0.6, 7.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mns, sps = pq.sq8_bounds(emb, dim=3)
+    assert mns == [0.0, -1.0, 7.5] and sps[2] == 0.0
+    dec = {
+        r["vec_id"]: r["dv"]
+        for r in emb.select(
+            "vec_id", pq.sq8_decode_expr(F.col("embedding"), mns, sps).alias("dv")
+        ).collect()
+    }
+    for vid, vec in rows:
+        for j, x in enumerate(vec):
+            step = sps[j] / 255.0
+            tol = step / 2 + 1e-4 if sps[j] > 0 else 1e-12
+            assert abs(dec[vid][j] - x) <= tol, (vid, j, dec[vid][j], x)
+
+
 def test_pq_encode_is_shuffle_free(spark):
     """PQ encoding must be m chained Arrow projections: no Join, no
     Window, no Exchange between the corpus scan and the code columns —
