@@ -4359,6 +4359,147 @@ def q_lr_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evals.auc_frame(scored.filter(F.col("h") < _LR_HOLD))
 
 
+_LR_THRESHOLDS = (0.2, 0.35, 0.5, 0.65, 0.8)
+
+
+def _lr_threshold_oracle() -> str:
+    """Operating-point sweep under the shared chain's final scoring
+    pass: ONE aggregate row carries (tp, predicted-pos) per threshold
+    plus the positive total, unpivoted by a branch union — all counts
+    exact; each ratio is a single division (F1 in the 2tp/(2tp+fp+fn)
+    form, one exact-integer ratio instead of a float composition)."""
+    T, hold = _LR_ROUNDS - 1, _LR_HOLD
+    ctes = _lr_ctes()
+    ctes.append(f"hold AS (SELECT p, y FROM p{T} WHERE h < {hold})")
+    cols = []
+    for i, t in enumerate(_LR_THRESHOLDS):
+        cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN p >= {t} AND y THEN 1 ELSE 0 END),"
+            f" 0) AS BIGINT) AS tp_{i}"
+        )
+        cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN p >= {t} THEN 1 ELSE 0 END),"
+            f" 0) AS BIGINT) AS pp_{i}"
+        )
+    cols.append(
+        "CAST(COALESCE(SUM(CASE WHEN y THEN 1 ELSE 0 END), 0) AS BIGINT)"
+        " AS npos"
+    )
+    ctes.append("ag AS (SELECT " + ", ".join(cols) + " FROM hold)")
+    branches = " UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, pp_{i} AS n_pred_pos,"
+        f" tp_{i} AS tp, npos AS n_pos FROM ag"
+        for i, t in enumerate(_LR_THRESHOLDS)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT threshold, n_pred_pos, tp, n_pos,
+           CASE WHEN n_pred_pos > 0
+                THEN ROUND(tp * 1.0 / n_pred_pos, 6) ELSE 0.0 END AS prec,
+           CASE WHEN n_pos > 0
+                THEN ROUND(tp * 1.0 / n_pos, 6) ELSE 0.0 END AS rec,
+           CASE WHEN 2 * tp + (n_pred_pos - tp) + (n_pos - tp) > 0
+                THEN ROUND(2 * tp * 1.0
+                           / (2 * tp + (n_pred_pos - tp) + (n_pos - tp)), 6)
+                ELSE 0.0 END AS f1
+    FROM ({branches})
+    """
+    )
+
+
+@register(
+    "q_lr_threshold_curve",
+    oracle=_lr_threshold_oracle(),
+    description=(
+        "Operating-point (threshold) sweep for the distilled LR "
+        "quality classifier — the third leg of the evaluation stool "
+        "next to AUC (ranking) and calibration (probability meaning): "
+        "a production filter keeps docs with p >= t, so the choice of "
+        "t IS the quality/volume trade, and this table prices it — "
+        "holdout precision, recall and F1 at five thresholds. ONE "
+        "aggregation over the holdout computes every threshold's "
+        "exact (tp, predicted-pos) counts as conditional sums; the "
+        "five report rows unpivot from that single row (the funnel "
+        "report pattern) — nothing corpus-sized moves more than once, "
+        "and adding thresholds costs zero extra passes. F1 uses the "
+        "2tp/(2tp+fp+fn) identity: one exact-integer division instead "
+        "of composing two rounded floats. Reuses the SHARED unrolled-"
+        "GD oracle chain (the training replay cannot drift). Returns "
+        "(threshold, n_pred_pos, tp, n_pos, prec, rec, f1)."
+    ),
+)
+def q_lr_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+    )
+    scored = logreg.logreg_score(
+        lab, "doc_id", "y", "text", w, n_buckets=_LR_B
+    ).filter(F.col("h") < _LR_HOLD)
+    aggs = []
+    for i, t in enumerate(_LR_THRESHOLDS):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when((F.col("p") >= t) & F.col("y"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias(f"tp_{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("p") >= t, 1).otherwise(0)), F.lit(0)
+            ).alias(f"pp_{i}")
+        )
+    aggs.append(
+        F.coalesce(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)), F.lit(0)
+        ).alias("npos")
+    )
+    row = scored.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"pp_{i}").cast("long").alias("n_pred_pos"),
+            F.col(f"tp_{i}").cast("long").alias("tp"),
+            F.col("npos").cast("long").alias("n_pos"),
+        )
+        for i, t in enumerate(_LR_THRESHOLDS)
+    ]
+    ex = row.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+    fp = F.col("n_pred_pos") - F.col("tp")
+    fn = F.col("n_pos") - F.col("tp")
+    denom = 2 * F.col("tp") + fp + fn
+    return ex.select(
+        "threshold",
+        "n_pred_pos",
+        "tp",
+        "n_pos",
+        F.when(
+            F.col("n_pred_pos") > 0,
+            F.round(F.col("tp") * 1.0 / F.col("n_pred_pos"), 6),
+        ).otherwise(F.lit(0.0)).alias("prec"),
+        F.when(
+            F.col("n_pos") > 0, F.round(F.col("tp") * 1.0 / F.col("n_pos"), 6)
+        ).otherwise(F.lit(0.0)).alias("rec"),
+        F.when(
+            denom > 0, F.round(2 * F.col("tp") * 1.0 / denom, 6)
+        ).otherwise(F.lit(0.0)).alias("f1"),
+    )
+
+
 _NB_CAL_B = 256
 
 
