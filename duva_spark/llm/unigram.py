@@ -209,6 +209,26 @@ def unigram_encode_counts(
     )
 
 
+def unigram_trained_lp(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    n_seed: int = 48,
+    rounds: int = 3,
+    dp: int = 6,
+    word_cap: int = 16,
+) -> dict[str, float]:
+    """Train and return the FINAL model (piece → log-prob re-estimated
+    from the last E-step's counts) — what an encode pass applies."""
+    pieces, counts, tt, vsz = unigram_train(
+        docs, text_col, max_len, n_seed, rounds, dp, word_cap
+    )
+    return {
+        p: round_half_up(math.log((counts.get(p, 0) + 1) / (tt + vsz)), dp)
+        for p in pieces
+    }
+
+
 def unigram_train_encode(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -223,13 +243,9 @@ def unigram_train_encode(
     model (the probabilities re-estimated from the last E-step's
     counts — one Viterbi pass beyond training, exactly the oracle
     chain extended one round)."""
-    pieces, counts, tt, vsz = unigram_train(
+    lp = unigram_trained_lp(
         docs, text_col, max_len, n_seed, rounds, dp, word_cap
     )
-    lp = {
-        p: round_half_up(math.log((counts.get(p, 0) + 1) / (tt + vsz)), dp)
-        for p in pieces
-    }
     return unigram_encode_counts(
         docs, lp, id_col, text_col, max_len, word_cap
     )

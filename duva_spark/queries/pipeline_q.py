@@ -3188,6 +3188,126 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_token_counts(docs, rules, "doc_id", "text")
 
 
+def _fertility_oracle() -> str:
+    """BOTH trained tokenizers' chains in one WITH (no CTE-name
+    overlap: BPE = sq_/p_/best_/pos_/tk_, unigram = words/sc/v0/
+    m{r}/d{r}_/w{r}_/c{r}), restricted to the unigram trainer's
+    16-char word universe so the head-to-head is apples-to-apples;
+    per-language sums join each word against its fully-merged BPE
+    sequence (sq_9) and its final-model Viterbi pieces (the
+    one-round-extended chain, the q_unigram_encode pattern)."""
+    from duva_spark.queries.llm_q import _UNI_CAP, _UNI_R, _unigram_ctes
+
+    r_enc, cap = _UNI_R + 1, _UNI_CAP
+    return (
+        "WITH "
+        + _bpe_oracle(8, through_final_seqs=True)
+        + ",\n    "
+        + ",\n    ".join(_unigram_ctes(r_enc))
+        + f""",
+    dwl AS MATERIALIZED (
+      SELECT lang, w
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' AND len(w) <= {cap}
+    ),
+    ag AS (
+      SELECT dwl.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(dwl.w)) AS BIGINT) AS n_chars,
+             CAST(SUM(len(b.syms)) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(len(u.pieces)) AS BIGINT) AS n_unigram_tokens
+      FROM dwl
+      JOIN sq_9 b ON b.w = dwl.w
+      JOIN w{r_enc}_{cap} u ON u.w = dwl.w
+      GROUP BY dwl.lang
+    )
+    SELECT lang, n_words, n_chars, n_bpe_tokens, n_unigram_tokens,
+           ROUND(n_bpe_tokens * 1.0 / n_words, 6) AS bpe_fertility,
+           ROUND(n_unigram_tokens * 1.0 / n_words, 6) AS unigram_fertility
+    FROM ag
+    """
+    )
+
+
+@register(
+    "q_tokenizer_fertility_trained",
+    oracle=_fertility_oracle(),
+    description=(
+        "Per-language fertility (tokens per word) for BOTH TRAINED "
+        "tokenizer families head-to-head — the real-vocabulary upgrade "
+        "q_tokenizer_fertility's fixed-rate proxy promises: the metric "
+        "picks a tokenizer for a multilingual corpus (high fertility "
+        "on a language = that language pays more sequence length per "
+        "word, trains slower and truncates sooner; the XLM-R/NLLB "
+        "tokenizer-audit step). Both models train as usual (8 BPE "
+        "merges; 3 unigram hard-EM rounds), then ONE scan projection "
+        "encodes every word both ways (nested greedy folds + the slim "
+        "Viterbi fold, vocab and merges inlined as literals — no UDF, "
+        "no join) and a language groupBy sums exact token counts; "
+        "restricted to the unigram trainer's 16-char word universe so "
+        "the comparison is apples-to-apples. The oracle nests BOTH "
+        "verified training chains in one WITH (they share no CTE "
+        "names) — the head-to-head provably scores the same two "
+        "models the train queries verify. Returns (lang, n_words, "
+        "n_chars, n_bpe_tokens, n_unigram_tokens, bpe_fertility, "
+        "unigram_fertility)."
+    ),
+)
+def q_tokenizer_fertility_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bpe, unigram
+    from duva_spark.queries.llm_q import _UNI_CAP, _UNI_L, _UNI_R, _UNI_SEED
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe.bpe_train(docs, "text", n_merges=8)
+    lp = unigram.unigram_trained_lp(
+        docs, "text", max_len=_UNI_L, n_seed=_UNI_SEED, rounds=_UNI_R,
+        word_cap=_UNI_CAP,
+    )
+    pieces = sorted(lp)
+    vocab_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in pieces]),
+        F.array(*[F.lit(lp[p]) for p in pieces]),
+    )
+    ws = F.filter(
+        F.split(F.col("text"), " "),
+        lambda w: (w != "") & (F.length(w) <= _UNI_CAP),
+    )
+    per_bpe = F.transform(ws, lambda w: F.size(bpe.encode_word(w, rules)))
+    per_uni = F.transform(
+        ws, lambda w: unigram.viterbi_token_count(w, vocab_map, _UNI_L)
+    )
+    chars = F.transform(ws, lambda w: F.length(w))
+    zero = F.lit(0)
+    per_doc = docs.select(
+        "lang",
+        F.size(ws).alias("nw"),
+        F.aggregate(chars, zero, lambda a, v: a + v).alias("nc"),
+        F.aggregate(per_bpe, zero, lambda a, v: a + v).alias("nb"),
+        F.aggregate(per_uni, zero, lambda a, v: a + v).alias("nu"),
+    )
+    ag = per_doc.groupBy("lang").agg(
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("nb").cast("long").alias("n_bpe_tokens"),
+        F.sum("nu").cast("long").alias("n_unigram_tokens"),
+    # a language whose every word falls to the cap has no dwl rows in
+    # the oracle — drop it here too rather than emit a 0/NULL row
+    ).filter(F.col("n_words") > 0)
+    return ag.select(
+        "lang",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        "n_unigram_tokens",
+        F.round(F.col("n_bpe_tokens") * 1.0 / F.col("n_words"), 6).alias(
+            "bpe_fertility"
+        ),
+        F.round(F.col("n_unigram_tokens") * 1.0 / F.col("n_words"), 6).alias(
+            "unigram_fertility"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation retention funnel (the composition flagship)
 # ---------------------------------------------------------------------------

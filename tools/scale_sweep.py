@@ -592,6 +592,71 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("logreg_distill", sizes_big, logreg_case))
 
+    def unigram_case(n):
+        # q_unigram_lm_train + q_unigram_encode: one word-frequency
+        # groupBy, then (rounds+1) Viterbi passes — rounds over the
+        # Zipf-bounded DISTINCT-word table, the final encode over word
+        # occurrences as a pure interpreted-fold projection. Expect
+        # sublinear: the trainer's rounds are vocab-bounded; the
+        # encode leg is linear scan CPU.
+        from duva_spark.llm import unigram
+
+        _force(unigram.unigram_train_encode(_docs(spark, n)))
+
+    cases.append(("unigram_train_encode", sizes_small, unigram_case))
+
+    def sq8_case(n):
+        # q_embed_sq8_recall's operator: one 128-col bounds aggregation,
+        # then dequantize folded into the scan projection + broadcast
+        # probe attach + per-query rank window. Expect linear.
+        from duva_spark.llm import pq
+
+        emb = _embeddings(spark, n)
+        mns, sps = pq.sq8_bounds(emb, dim=64)
+        _force(
+            pq.sq8_topk(emb, emb.filter(F.col("vec_id") < 5), mns, sps, k=5)
+        )
+
+    cases.append(("sq8_topk", sizes_small, sq8_case))
+
+    def band_curve_case(n):
+        # q_minhash_band_curve: one signature pass, one config-tagged
+        # band shuffle (24 narrow rows/doc), candidate verify, plus the
+        # exact prefix-filter ground-truth job as the query runs it.
+        from duva_spark.llm import minhash as mh
+        from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+        docs = _docs(spark, n)
+        exact = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+        _force(mh.band_sensitivity(docs, exact, "doc_id", "text"))
+
+    cases.append(("minhash_band_curve", sizes_small, band_curve_case))
+
+    def ivfpq_residual_case(n):
+        # q_embed_ivfpq_residual_recall's operator: coarse centroids,
+        # residual table (one Arrow projection + broadcast join,
+        # checkpointed), subspace Lloyd on residuals, nprobe=2 probing
+        # with per-bucket ADC. Zero corpus shuffle beyond the trainer's
+        # bounded rounds.
+        from duva_spark.llm import pq, similarity
+
+        emb = _embeddings(spark, n).withColumn(
+            "label", F.pmod(F.col("vec_id"), 8)
+        )
+        cent = similarity.label_centroids(emb)
+        rows = cent.select(
+            F.col("label").cast("int").alias("bucket"),
+            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        ).collect()
+        _force(
+            pq.ivfpq_residual_topk(
+                emb, emb.filter(F.col("vec_id") < 5), rows,
+                k=5, nprobe=2, dim=64, m=4, ksub=8, iters=1,
+            )
+        )
+
+    cases.append(("ivfpq_residual", sizes_small, ivfpq_residual_case))
+
     results = {}
     for name, sizes, fn in cases:
         if only and name not in only:
