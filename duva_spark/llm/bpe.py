@@ -119,10 +119,12 @@ def bpe_train(
     the persisted word-frequency table."""
     vocab = word_vocab(docs, text_col)
     # lazy localCheckpoint per round: the next round's argmax job both
-    # materializes AND truncates lineage at this generation, so an
-    # executor loss never replays prior merge rounds and superseded
-    # generations are reclaimed by GC (persist() only cached — an
-    # eviction replayed the whole chain; r7 ADVICE item)
+    # materializes AND truncates lineage at this generation, so a
+    # cache-pressure eviction never replays prior merge rounds
+    # (persist() only cached — an eviction replayed the whole chain;
+    # r7 ADVICE item). The trade: checkpointed blocks are NOT
+    # recomputable after executor loss — acceptable for a bounded
+    # driver loop whose job simply re-runs
     seqs = vocab.select(
         "w",
         "cnt",

@@ -388,6 +388,9 @@ def doremi_weight_curve(
     the EG loop ONCE to max(snapshots) (smaller budgets are prefixes
     of the same trajectory), so the whole table costs one corpus scan
     plus max(snapshots) bounded rounds."""
+    if not snapshots or any(s < 1 for s in snapshots):
+        # alphas[s-1] would silently wrap (snapshot 0 -> final round)
+        raise ValueError(f"snapshots must all be >= 1, got {snapshots}")
     spark = df.sparkSession
     domains, _, _, alphas = _doremi_trajectory(
         df, domain_col, text_col, n_buckets, eta, smoothing, max(snapshots)

@@ -110,6 +110,16 @@ def _score(feat: DataFrame, weights: dict[int, float]) -> DataFrame:
     )
 
 
+def features(
+    df: DataFrame, id_col: str, label_col: str, text_col: str, n_buckets: int = 256
+) -> DataFrame:
+    """Public feature builder — build (and checkpoint) ONCE when a
+    caller both trains and scores, then pass via ``features=``: the
+    feature pass is the only corpus-sized job, and rebuilding it per
+    call doubles the dominant cost of every evaluation query."""
+    return _features(df, id_col, label_col, text_col, n_buckets)
+
+
 def logreg_score(
     df: DataFrame,
     id_col: str,
@@ -117,9 +127,16 @@ def logreg_score(
     text_col: str,
     weights: dict[int, float],
     n_buckets: int = 256,
+    features: DataFrame | None = None,
 ) -> DataFrame:
-    """Score ``df`` under a trained weight dict: (_id, h, y, z, p)."""
-    return _score(_features(df, id_col, label_col, text_col, n_buckets), weights)
+    """Score ``df`` under a trained weight dict: (_id, h, y, z, p).
+    Pass a prebuilt ``features`` frame to skip the corpus feature pass."""
+    feat = (
+        features
+        if features is not None
+        else _features(df, id_col, label_col, text_col, n_buckets)
+    )
+    return _score(feat, weights)
 
 
 def logreg_train(
@@ -131,6 +148,7 @@ def logreg_train(
     eta: float = 4.0,
     rounds: int = 6,
     holdout_pct: int = 30,
+    features: DataFrame | None = None,
 ) -> tuple[list[tuple[int, float, float]], dict[int, float]]:
     """Returns ([(round, train_loss, holdout_acc)], final weights).
 
@@ -138,7 +156,11 @@ def logreg_train(
     (round 0 = zero-weight baseline), each from one scoring pass; the
     per-round collects are bounded at ``n_buckets + 2`` gradient rows.
     """
-    feat = _features(df, id_col, label_col, text_col, n_buckets).localCheckpoint()
+    feat = (
+        features
+        if features is not None
+        else _features(df, id_col, label_col, text_col, n_buckets).localCheckpoint()
+    )
     split = feat.filter(F.col("bucket") == -1).agg(
         F.sum(F.when(F.col("h") >= holdout_pct, 1).otherwise(0)).alias("tr"),
         F.sum(F.when(F.col("h") < holdout_pct, 1).otherwise(0)).alias("ho"),

@@ -301,18 +301,23 @@ def band_sensitivity(
         .select(F.col(id_col), F.explode(F.array(*entries)).alias("bk"))
         .select(id_col, "bk.*")
     )
+    # the full (n_bands, rows_per_band) pair keys the config: a grid
+    # could legitimately repeat n_bands at different row counts (e.g.
+    # (8,3) vs (8,2) over 24 hashes), and collapsing on n_bands alone
+    # would undercount one of them
     a = buckets.select(
         "n_bands", "rows_per_band", "band_idx", "band_hash",
         F.col(id_col).alias("id_a"),
     )
     b = buckets.select(
-        "n_bands", "band_idx", "band_hash", F.col(id_col).alias("id_b")
+        "n_bands", "rows_per_band", "band_idx", "band_hash",
+        F.col(id_col).alias("id_b"),
     )
     cand = (
-        a.join(b, ["n_bands", "band_idx", "band_hash"])
+        a.join(b, ["n_bands", "rows_per_band", "band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("n_bands", "rows_per_band", "id_a", "id_b")
-        .dropDuplicates(["n_bands", "id_a", "id_b"])
+        .dropDuplicates(["n_bands", "rows_per_band", "id_a", "id_b"])
     )
     sh = sig.select(id_col, "_hs")
     ver = (
@@ -339,19 +344,31 @@ def band_sensitivity(
             F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
         ).alias("n_true"),
     )
+    # a maximally selective config with ZERO candidates must still
+    # appear as a zero row, not vanish from the curve — left-join the
+    # aggregate onto the literal grid (the oracle mirrors this)
+    spark = df.sparkSession
+    grid_df = spark.createDataFrame(
+        list(grid), "n_bands int, rows_per_band int"
+    )
     tot = true_pairs.agg(F.count("*").alias("n_true_total"))
-    return ag.crossJoin(tot).select(
+    joined = grid_df.join(ag, ["n_bands", "rows_per_band"], "left").crossJoin(
+        tot
+    )
+    n_cand = F.coalesce(F.col("n_candidates"), F.lit(0))
+    n_true = F.coalesce(F.col("n_true"), F.lit(0))
+    return joined.select(
         "n_bands",
         "rows_per_band",
-        F.col("n_candidates").cast("long").alias("n_candidates"),
-        F.col("n_true").cast("long").alias("n_true"),
+        n_cand.cast("long").alias("n_candidates"),
+        n_true.cast("long").alias("n_true"),
         F.col("n_true_total").cast("long").alias("n_true_total"),
-        F.round(F.col("n_true") * 1.0 / F.col("n_candidates"), 6).alias(
-            "pair_precision"
-        ),
+        F.when(n_cand > 0, F.round(n_true * 1.0 / n_cand, 6))
+        .otherwise(F.lit(0.0))
+        .alias("pair_precision"),
         F.when(
             F.col("n_true_total") > 0,
-            F.round(F.col("n_true") * 1.0 / F.col("n_true_total"), 6),
+            F.round(n_true * 1.0 / F.col("n_true_total"), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("pair_recall"),

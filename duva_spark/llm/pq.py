@@ -476,6 +476,11 @@ def sq8_bounds(
             for i in range(dim)
         ],
     ).collect()[0]
+    if row["mn_0"] is None:
+        # an empty corpus yields an all-NULL bounds row — fail loudly
+        # rather than as float(None) deep in the comprehension (the
+        # logreg degenerate-split contract)
+        raise ValueError("sq8_bounds: empty embeddings input, no bounds")
     mns = [float(row[f"mn_{i}"]) for i in range(dim)]
     sps = [float(row[f"mx_{i}"]) - float(row[f"mn_{i}"]) for i in range(dim)]
     return mns, sps

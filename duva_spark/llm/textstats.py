@@ -325,8 +325,9 @@ def gopher_repetition_arrow(
 
     top_ns = sorted(GOPHER_TOP_NGRAM_MAX)
     dup_ns = sorted(GOPHER_DUP_NGRAM_MAX)
+    id_dt = df.schema[id_col].dataType.simpleString()
     schema = ", ".join(
-        [f"{id_col} long", "n_words long", "word_chars long"]
+        [f"{id_col} {id_dt}", "n_words long", "word_chars long"]
         + [f"tc_{n} long" for n in top_ns]
         + [f"dc_{n} long" for n in dup_ns]
     )
@@ -335,6 +336,14 @@ def gopher_repetition_arrow(
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    # NULL text: the codegen form's split(NULL) yields
+                    # NULL n_words/word_chars and 0.0 fractions after
+                    # the report's guard — emit the same, don't crash
+                    rows.append(
+                        [did, None, None] + [0] * (len(top_ns) + len(dup_ns))
+                    )
+                    continue
                 ws = text.split(" ")
                 L = len(ws)
                 wlens = [len(w) for w in ws]
@@ -501,20 +510,16 @@ def gopher_repetition(
         )
         return F.when((L >= n) & (F.size(dups) > 0), covered).otherwise(F.lit(0))
 
-    def frac(raw):
-        return F.when(wc > 0, F.round(raw / wc, dp)).otherwise(F.lit(0.0))
-
-    cols = [F.col(id_col), L.cast("long").alias("n_words"), wc.cast("long").alias("word_chars")]
-    passes = []
+    # integer counts only — the fractions, rounding and thresholds live
+    # in _repetition_report, SHARED with the Arrow kernel so the two
+    # implementations cannot drift (they are swapped by measured A/B)
+    cols = [
+        F.col(id_col),
+        L.cast("long").alias("n_words"),
+        wc.cast("long").alias("word_chars"),
+    ]
     for n in top_ns:
-        f = frac(top_chars(n))
-        cols.append(f.alias(f"top_frac_{n}"))
-        passes.append(f <= GOPHER_TOP_NGRAM_MAX[n])
+        cols.append(top_chars(n).cast("long").alias(f"tc_{n}"))
     for n in dup_ns:
-        f = frac(dup_chars(n))
-        cols.append(f.alias(f"dup_frac_{n}"))
-        passes.append(f <= GOPHER_DUP_NGRAM_MAX[n])
-    conj = passes[0]
-    for p_ in passes[1:]:
-        conj = conj & p_
-    return base.select(*cols, conj.alias("pass_repetition"))
+        cols.append(dup_chars(n).cast("long").alias(f"dc_{n}"))
+    return _repetition_report(base.select(*cols), id_col, dp)

@@ -721,11 +721,14 @@ def _minhash_band_curve_oracle() -> str:
     sh_h AS (SELECT doc_id, list_distinct(list_transform(sh, s -> {_H60} % {_P})) AS hs FROM s),
     mh AS (SELECT doc_id, hs, {_MH_COLS_SQL} FROM sh_h),
     buckets AS ({" UNION ALL ".join(branches)}),
+    grid AS (SELECT * FROM (VALUES {", ".join(f"({nb}, {r})" for nb, r in _MINHASH_GRID)})
+             g(n_bands, rows_per_band)),
     cand AS (
       SELECT DISTINCT a.n_bands, a.rows_per_band,
              a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a JOIN buckets b
-        ON a.n_bands = b.n_bands AND a.band_idx = b.band_idx
+        ON a.n_bands = b.n_bands AND a.rows_per_band = b.rows_per_band
+       AND a.band_idx = b.band_idx
        AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     ),
     ver AS (
@@ -742,13 +745,17 @@ def _minhash_band_curve_oracle() -> str:
              CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
       FROM ver GROUP BY n_bands, rows_per_band
     )
-    SELECT ag.n_bands, ag.rows_per_band, ag.n_candidates, ag.n_true,
+    SELECT g.n_bands, g.rows_per_band,
+           CAST(COALESCE(ag.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(ag.n_true, 0) AS BIGINT) AS n_true,
            tot.n_true_total,
-           ROUND(ag.n_true * 1.0 / ag.n_candidates, 6) AS pair_precision,
+           CASE WHEN COALESCE(ag.n_candidates, 0) > 0
+                THEN ROUND(ag.n_true * 1.0 / ag.n_candidates, 6)
+                ELSE 0.0 END AS pair_precision,
            CASE WHEN tot.n_true_total > 0
-                THEN ROUND(ag.n_true * 1.0 / tot.n_true_total, 6)
+                THEN ROUND(COALESCE(ag.n_true, 0) * 1.0 / tot.n_true_total, 6)
                 ELSE 0.0 END AS pair_recall
-    FROM ag, tot
+    FROM grid g LEFT JOIN ag USING (n_bands, rows_per_band), tot
     """
 
 
@@ -4351,11 +4358,15 @@ def q_lr_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
     )
-    scored = logreg.logreg_score(lab, "doc_id", "y", "text", w, n_buckets=_LR_B)
+    scored = logreg.logreg_score(
+        lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
+    )
     return evals.auc_frame(scored.filter(F.col("h") < _LR_HOLD))
 
 
@@ -4443,12 +4454,14 @@ def q_lr_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
     )
     scored = logreg.logreg_score(
-        lab, "doc_id", "y", "text", w, n_buckets=_LR_B
+        lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
     ).filter(F.col("h") < _LR_HOLD)
     aggs = []
     for i, t in enumerate(_LR_THRESHOLDS):
@@ -4610,12 +4623,14 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
     )
     lr_scored = logreg.logreg_score(
-        lab, "doc_id", "y", "text", w, n_buckets=_LR_B
+        lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
     ).filter(F.col("h") < _LR_HOLD)
     lr_cal = evals.calibration_bins(lr_scored, "lr")
 

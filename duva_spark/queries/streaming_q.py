@@ -419,11 +419,22 @@ def q_stream_true_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     # reads the sink lazily, so the dir cannot be removed on exit). The
     # PID component keeps two CONCURRENT runs over the same sf_dir from
     # clobbering each other's sink/checkpoint mid-stream (r7 ADVICE).
-    td = os.path.join(
-        tempfile.gettempdir(),
-        f"duva_incr_dedup_{os.getpid()}_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    # reclaim siblings left by FINISHED processes (each PID leaks one
+    # dir otherwise — the per-invocation-leak bug the deterministic
+    # path fixed, reintroduced per-process by the PID component)
+    import glob
+
+    for stale in glob.glob(os.path.join(tmp, f"duva_incr_dedup_*_{suffix}")):
+        try:
+            pid = int(os.path.basename(stale).split("_")[3])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, IndexError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # live process owned by someone else
+    td = os.path.join(tmp, f"duva_incr_dedup_{os.getpid()}_{suffix}")
     shutil.rmtree(td, ignore_errors=True)
     sink, ckpt = os.path.join(td, "matches"), os.path.join(td, "ckpt")
 
