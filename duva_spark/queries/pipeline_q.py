@@ -3618,3 +3618,169 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (the KenLM / CCNet production smoothing)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@register(
+    "q_kneser_ney_nll",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws,
+             {_H60_DOCID} % 100 < 70 AS is_train
+      FROM documents
+    ),
+    uni_tr AS (SELECT unnest(ws) AS w FROM split WHERE is_train),
+    ucnt AS (SELECT w, COUNT(*) AS cnt FROM uni_tr GROUP BY w),
+    vtot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ucnt),
+    bi_tr AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+      FROM split WHERE is_train
+    ),
+    bcnt AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS bc
+             FROM bi_tr GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(bc) AS DOUBLE) AS cc,
+                   CAST(COUNT(*) AS DOUBLE) AS n1p
+            FROM bcnt GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS rc FROM bcnt GROUP BY w2),
+    btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM bcnt),
+    ho0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                     i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+      FROM split WHERE NOT is_train
+    ),
+    ho AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM ho0),
+    scored AS (
+      SELECT h.doc_id,
+             -ln(
+               CASE WHEN ctx.cc IS NULL THEN
+                 (COALESCE(cont.rc, 0) + 1) / (btot.bt + vtot.v)
+               ELSE
+                 (CASE WHEN bc.bc IS NULL THEN 0.0
+                       ELSE (bc.bc - {_KN_D}) / ctx.cc END)
+                 + ({_KN_D} * ctx.n1p / ctx.cc)
+                   * ((COALESCE(cont.rc, 0) + 1) / (btot.bt + vtot.v))
+               END
+             ) AS nll,
+             CASE WHEN bc.bc IS NULL THEN 1 ELSE 0 END AS unseen_bi,
+             CASE WHEN ctx.cc IS NULL THEN 1 ELSE 0 END AS unseen_ctx
+      FROM ho h
+      LEFT JOIN bcnt bc ON bc.w1 = h.w1 AND bc.w2 = h.w2
+      LEFT JOIN ctx ON ctx.w1 = h.w1
+      LEFT JOIN cont ON cont.w2 = h.w2
+      CROSS JOIN btot CROSS JOIN vtot
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll,
+             CAST(SUM(unseen_bi) AS DOUBLE) AS ub,
+             CAST(SUM(unseen_ctx) AS DOUBLE) AS uc,
+             CAST(COUNT(*) AS DOUBLE) AS nt
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(SUM(p.ub) / SUM(p.nt), 6) AS unseen_bigram_rate,
+           ROUND(SUM(p.uc) / SUM(p.nt), 6) AS unseen_ctx_rate
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    description=(
+        "Interpolated Kneser-Ney bigram LM held-out scoring (Kneser & "
+        "Ney 1995; Chen & Goodman 1998 eq. 4.25) — the smoothing KenLM "
+        "ships and CCNet's perplexity filter actually runs, completing "
+        "the LM-filter family next to the fixed-lambda interpolation "
+        "(q_bigram_perplexity) and Stupid Backoff (q_stupid_backoff_"
+        "nll): absolute discount D=0.75 off every seen bigram, the "
+        "freed mass re-spent on the CONTINUATION unigram P_cont(w) = "
+        "types-preceding-w / bigram-types (how many contexts a word "
+        "completes, not how often it occurs — the 'San Francisco' "
+        "correction: 'Francisco' is frequent but predictable, so KN "
+        "scores it low in novel contexts). Trains on the deterministic "
+        "70% hash split; unseen held-out contexts fall back to P_cont "
+        "alone, and unseen continuation words take an add-one floor "
+        "over (bigram-types + vocab) — the same documented finite-NLL "
+        "deviation the Stupid-Backoff query makes (exact KN leaves "
+        "both undefined). 100 TB shape identical to its siblings: "
+        "Zipf-bounded count tables (bcnt and its two marginals), "
+        "hash-key joins broadcastable after a frequency cut, two "
+        "aggregations, zero driver-side model state. Reports per-"
+        "language held-out NLL plus the unseen-bigram and unseen-"
+        "context rates (the coverage split KN reacts to first)."
+    ),
+)
+def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
+    )
+    bigrams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train = split.filter("is_train")
+    ucnt = train.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cnt")
+    )
+    vtot = ucnt.agg(F.count("*").cast("double").alias("v"))
+    bcnt = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    ctx = bcnt.groupBy("w1").agg(
+        F.sum("bc").cast("double").alias("cc"),
+        F.count("*").cast("double").alias("n1p"),
+    )
+    cont = bcnt.groupBy(F.col("w2")).agg(F.count("*").cast("double").alias("rc"))
+    btot = bcnt.agg(F.count("*").cast("double").alias("bt"))
+    ho = bigrams(split.filter(~F.col("is_train")))
+    d = F.lit(_KN_D)
+    pcont = (F.coalesce(F.col("rc"), F.lit(0)) + 1) / (F.col("bt") + F.col("v"))
+    p = F.when(F.col("cc").isNull(), pcont).otherwise(
+        F.when(F.col("bc").isNull(), F.lit(0.0)).otherwise(
+            (F.col("bc") - d) / F.col("cc")
+        )
+        + (d * F.col("n1p") / F.col("cc")) * pcont
+    )
+    scored = (
+        ho.join(bcnt, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "doc_id",
+            (-F.log(p)).alias("nll"),
+            F.when(F.col("bc").isNull(), 1).otherwise(0).alias("unseen_bi"),
+            F.when(F.col("cc").isNull(), 1).otherwise(0).alias("unseen_ctx"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.sum("unseen_bi").cast("double").alias("ub"),
+        F.sum("unseen_ctx").cast("double").alias("uc"),
+        F.count("*").cast("double").alias("nt"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            F.round(F.sum("ub") / F.sum("nt"), 6).alias("unseen_bigram_rate"),
+            F.round(F.sum("uc") / F.sum("nt"), 6).alias("unseen_ctx_rate"),
+        )
+    )
