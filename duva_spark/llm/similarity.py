@@ -563,3 +563,120 @@ def rplsh_topk_grid(
             "n_tables", "n_bits", "query_id", "neighbor_id", "cosine_sim", "rank"
         )
     )
+
+
+def probe_masks(n_bits: int, max_radius: int) -> list[tuple[int, int]]:
+    """(xor_mask, radius) for every Hamming ball shell up to
+    ``max_radius``: radius 0 is the exact bucket, radius 1 the n_bits
+    single-bit flips, radius 2 the C(n_bits, 2) double flips. Complete
+    shells make the probe set order-free — Lv et al.'s query-directed
+    probing sequence (flip the least-confident bit first) only matters
+    when a budget truncates MID-shell, so probing whole shells sidesteps
+    the margin bookkeeping while keeping the recall curve exact."""
+    masks = [(0, 0)]
+    if max_radius >= 1:
+        masks += [(1 << i, 1) for i in range(n_bits)]
+    if max_radius >= 2:
+        masks += [
+            ((1 << i) | (1 << j), 2)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    if max_radius >= 3:
+        raise ValueError("probe_masks supports radius <= 2 (shells grow as C(b,r))")
+    return masks
+
+
+def rplsh_multiprobe_cands(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int = 64,
+    n_bits: int = 6,
+    n_tables: int = 2,
+    max_radius: int = 2,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe RP-LSH candidates (Lv et al. 2007): instead of
+    paying memory for more OR'd tables, each query also probes the
+    NEIGHBORING buckets of its code — the buckets one (and two) bit
+    flips away, which near-misses of the sign test land in. The
+    recall/memory trade inverts the table dial: radius 0 at T tables is
+    plain LSH; radius 1 adds n_bits probes per table for free corpus
+    cost (probes multiply only the broadcast QUERY side; the corpus is
+    still coded once and never shuffles).
+
+    Returns one row per (radius_level, query_id, neighbor_id) with the
+    exact verified cosine and the per-level rank — a candidate appears
+    at every level >= the smallest shell that reaches it, so level
+    recall is monotone by construction. Candidate volume is the frame's
+    per-(level, query) row count.
+    """
+    masks = probe_masks(n_bits, max_radius)
+
+    def codes(c):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_code(c, dim, n_bits, seed + t).alias("code"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(codes(F.col(vec_col))).alias("bk"),
+    ).select("neighbor_id", "c_vec", "bk.tbl", F.col("bk.code").alias("c_code"))
+    mask_df = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("mask"), F.lit(r).alias("radius"))
+                for m, r in masks
+            ]
+        )
+    ).alias("mk")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(codes(F.col(vec_col))).alias("bk"),
+        )
+        .select("query_id", "q_vec", "bk.tbl", F.col("bk.code").alias("q_code"))
+        .select("query_id", "q_vec", "tbl", "q_code", mask_df)
+        .select(
+            "query_id",
+            "q_vec",
+            "tbl",
+            F.col("q_code").bitwiseXOR(F.col("mk.mask")).alias("probe"),
+            F.col("mk.radius").alias("radius"),
+        )
+    )
+    pairs = (
+        c.join(F.broadcast(q), (c.tbl == q.tbl) & (c.c_code == q.probe))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.min("radius").alias("min_r"),
+            F.first("q_vec").alias("q_vec"),
+            F.first("c_vec").alias("c_vec"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "min_r",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    spark = corpus.sparkSession
+    lvl = spark.createDataFrame([(r,) for r in range(max_radius + 1)], "radius int")
+    cand = pairs.crossJoin(F.broadcast(lvl)).filter(F.col("min_r") <= F.col("radius"))
+    w = W.partitionBy("radius", "query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return cand.select(
+        "radius", "query_id", "neighbor_id", "cosine_sim"
+    ).withColumn("rank", F.row_number().over(w).cast("long"))

@@ -3649,6 +3649,127 @@ def q_rplsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe LSH (probes-for-tables: the memory-side dial, Lv et al. 2007)
+# ---------------------------------------------------------------------------
+
+_MP_BITS, _MP_TABLES, _MP_RADIUS = 6, 2, 2
+
+
+def _multiprobe_oracle() -> str:
+    """Mirror of rplsh_multiprobe_cands: corpus coded once at
+    (_MP_TABLES, _MP_BITS), query probes = code XOR every Hamming-ball
+    mask up to radius 2, per-pair MIN shell radius, per-level candidate
+    census + exact-cosine top-5 recall vs the verified brute-force
+    oracle. A query with zero candidates at a level still reports
+    (n_cand 0, recall 0) via the COALESCE'd left join."""
+    masks = similarity.probe_masks(_MP_BITS, _MP_RADIUS)
+    mask_rows = ", ".join(f"({m}, {r})" for m, r in masks)
+    lvl_rows = ", ".join(f"({r})" for r in range(_MP_RADIUS + 1))
+    return f"""
+    WITH pc AS ({_rplsh_buckets_sql(_MP_BITS, _MP_TABLES)}),
+    mk AS (SELECT * FROM (VALUES {mask_rows}) t(mask, radius)),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, tbl,
+                 xor(bucket, mask) AS probe, radius
+          FROM pc CROSS JOIN mk WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, tbl, bucket FROM pc),
+    pairs AS (
+      SELECT query_id, neighbor_id, MIN(radius) AS min_r,
+             ANY_VALUE(qv) AS qv, ANY_VALUE(cv) AS cv
+      FROM c JOIN q ON c.tbl = q.tbl AND c.bucket = q.probe
+      WHERE neighbor_id <> query_id
+      GROUP BY query_id, neighbor_id
+    ),
+    sims AS (SELECT query_id, neighbor_id, min_r,
+                    ROUND({_COS_QC}, 6) AS cosine_sim FROM pairs),
+    lvl AS (SELECT * FROM (VALUES {lvl_rows}) t(radius)),
+    cand AS (SELECT l.radius, s.query_id, s.neighbor_id, s.cosine_sim
+             FROM sims s CROSS JOIN lvl l WHERE s.min_r <= l.radius),
+    ncand AS (SELECT radius, query_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+              FROM cand GROUP BY radius, query_id),
+    top AS (
+      SELECT radius, query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY radius, query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM cand QUALIFY rank <= 5
+    ),
+    bf AS ({{_BF}}),
+    bfl AS (SELECT l.radius, bf.query_id, bf.neighbor_id
+            FROM bf CROSS JOIN lvl l)
+    SELECT bfl.radius, bfl.query_id,
+           COALESCE(ANY_VALUE(nc.n_cand), 0) AS n_cand,
+           CAST(COUNT(top.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(top.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bfl
+    LEFT JOIN top ON bfl.radius = top.radius AND bfl.query_id = top.query_id
+                 AND bfl.neighbor_id = top.neighbor_id
+    LEFT JOIN ncand nc ON bfl.radius = nc.radius AND bfl.query_id = nc.query_id
+    GROUP BY bfl.radius, bfl.query_id
+    """.replace("{_BF}", _REG["q_embed_cosine_topk"].oracle)
+
+
+@register(
+    "q_rplsh_multiprobe_recall",
+    oracle=_multiprobe_oracle(),
+    description=(
+        "Multi-probe LSH (Lv et al. 2007): recall@5 and candidate "
+        "volume when each query probes its exact bucket PLUS the "
+        "neighboring buckets 1 and 2 bit-flips away, at only 2 hash "
+        "tables — the memory-side inversion of the tables dial "
+        "(q_rplsh_recall_curve buys recall with MORE tables, i.e. "
+        "more index memory; multi-probe buys it with MORE PROBES at "
+        "query time, the production choice when the index must stay "
+        "small). Probes complete whole Hamming shells, so the curve "
+        "is exact without Lv's margin-ranked probe sequence (that "
+        "ordering only matters when a budget truncates mid-shell — "
+        "documented deviation). Corpus cost is UNCHANGED by the probe "
+        "count: coded once, never shuffled; masks multiply only the "
+        "broadcast query side (22 probes/table at radius 2). Monotone "
+        "by construction: each level's candidates nest the previous "
+        "shell's. Returns (radius, query_id, n_cand, n_hits, "
+        "recall_at_5)."
+    ),
+)
+def q_rplsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = similarity.rplsh_multiprobe_cands(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        dim=64,
+        n_bits=_MP_BITS,
+        n_tables=_MP_TABLES,
+        max_radius=_MP_RADIUS,
+    ).localCheckpoint()
+    ncand = cand.groupBy("radius", "query_id").agg(
+        F.count("*").cast("long").alias("n_cand")
+    )
+    top = cand.filter(F.col("rank") <= 5).select(
+        F.col("radius").alias("r2"),
+        F.col("query_id").alias("q2"),
+        F.col("neighbor_id").alias("n2"),
+    )
+    bf = q_embed_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lvl = spark.createDataFrame([(r,) for r in range(_MP_RADIUS + 1)], "radius int")
+    bfl = bf.crossJoin(F.broadcast(lvl))
+    j = bfl.join(
+        top,
+        (bfl.radius == top.r2)
+        & (bfl.query_id == top.q2)
+        & (bfl.neighbor_id == top.n2),
+        "left",
+    ).groupBy("radius", "query_id").agg(
+        F.count("n2").alias("n_hits"),
+        F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+    )
+    return j.join(ncand, ["radius", "query_id"], "left").select(
+        "radius",
+        "query_id",
+        F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+        "n_hits",
+        "recall_at_5",
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ: the composed FAISS-style index (bucket cut x memory cut)
 # ---------------------------------------------------------------------------
 

@@ -2153,3 +2153,41 @@ def test_kneser_ney_discount_conserves_mass(spark, sf_dir):
         for w2 in cont
     )
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_shells_nest_and_recall_monotone(spark, sf_dir):
+    """Each radius level's candidate set must contain every smaller
+    level's (whole Hamming shells nest by construction), so per-query
+    n_cand and recall are non-decreasing in the radius; radius-2
+    candidates at 2 tables must also beat plain radius-0 LSH recall on
+    aggregate (the probes-for-tables pitch)."""
+    from duva_spark.queries import load_all
+
+    rows = load_all()["q_rplsh_multiprobe_recall"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.radius] = (r.n_cand, r.recall_at_5)
+    assert by_q and all(set(v) == {0, 1, 2} for v in by_q.values())
+    for q, v in by_q.items():
+        assert v[0][0] <= v[1][0] <= v[2][0], q
+        assert v[0][1] <= v[1][1] <= v[2][1], q
+    mean0 = sum(v[0][1] for v in by_q.values()) / len(by_q)
+    mean2 = sum(v[2][1] for v in by_q.values()) / len(by_q)
+    assert mean2 > mean0
+
+
+def test_probe_masks_complete_shells():
+    from duva_spark.llm.similarity import probe_masks
+
+    masks = probe_masks(6, 2)
+    assert len(masks) == 1 + 6 + 15
+    for m, r in masks:
+        assert bin(m).count("1") == r
+    assert len({m for m, _ in masks}) == len(masks)
+    with pytest.raises(ValueError):
+        probe_masks(6, 3)
