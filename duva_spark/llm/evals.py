@@ -94,3 +94,44 @@ def calibration_bins(
             F.avg(F.when(F.col(y_col), 1.0).otherwise(0.0)), 6
         ).alias("frac_pos"),
     ).select(F.lit(model_name).alias("model"), "bin", "n", "mean_p", "frac_pos")
+
+
+def auc_by_group(
+    scored: DataFrame,
+    group_col: str,
+    p_col: str = "p",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group tie-averaged Mann-Whitney AUC — the cross-validation
+    generalization of ``auc_frame``: group by (group, score) bounds the
+    table at groups x 10^6 rows, the prefix-sum window partitions by
+    group, and each group's rank sum stays exact decimal. One row
+    (group, n_pos, n_neg, auc) per group; NULL auc when a class is
+    empty within the group."""
+    g = scored.groupBy(F.col(group_col).alias("grp"), F.col(p_col).alias("p")).agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col(y_col), 1).otherwise(0)).alias("mp"),
+    )
+    o = g.withColumn(
+        "off",
+        F.sum("m").over(Window.partitionBy("grp").orderBy("p")) - F.col("m"),
+    )
+    s = o.groupBy("grp").agg(
+        F.sum(
+            F.col("mp").cast(DEC)
+            * (2 * F.col("off") + F.col("m") + 1).cast(DEC)
+        ).alias("s2"),
+        F.sum("mp").cast(DEC).alias("np"),
+        F.sum(F.col("m") - F.col("mp")).cast(DEC).alias("nn"),
+    )
+    auc = F.round(
+        (F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+        / (2 * F.col("np") * F.col("nn")).cast("double"),
+        6,
+    )
+    return s.select(
+        F.col("grp").alias(group_col),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.when((F.col("np") > 0) & (F.col("nn") > 0), auc).alias("auc"),
+    )

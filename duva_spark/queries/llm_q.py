@@ -4634,6 +4634,113 @@ def q_lr_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LR_CV_FOLDS = 3
+
+
+def _lr_auc_cv_oracle() -> str:
+    """Fold-wise AUC under the shared chain's final scoring pass: the
+    holdout splits into _LR_CV_FOLDS deterministic folds (h % folds —
+    h is already the doc-id hash), the grouped-by-score rank statistic
+    runs per fold (window PARTITIONed by fold), and a summary row
+    carries the across-fold mean and spread of the 6-dp fold AUCs."""
+    T, hold, k = _LR_ROUNDS - 1, _LR_HOLD, _LR_CV_FOLDS
+    ctes = _lr_ctes()
+    ctes.append(
+        f"hold AS (SELECT h % {k} AS fold, p, y FROM p{T} WHERE h < {hold})"
+    )
+    ctes.append(
+        "gsc AS (SELECT fold, p, COUNT(*) AS m,"
+        " SUM(CASE WHEN y THEN 1 ELSE 0 END) AS mp FROM hold GROUP BY fold, p)"
+    )
+    ctes.append(
+        "osc AS (SELECT fold, p, m, mp,"
+        " SUM(m) OVER (PARTITION BY fold ORDER BY p) - m AS offs FROM gsc)"
+    )
+    ctes.append(
+        "ssc AS (SELECT fold, SUM(CAST(mp AS HUGEINT)"
+        " * (2 * CAST(offs AS HUGEINT) + m + 1)) AS s2,"
+        " CAST(SUM(mp) AS HUGEINT) AS np,"
+        " CAST(SUM(m - mp) AS HUGEINT) AS nn FROM osc GROUP BY fold)"
+    )
+    ctes.append(
+        """folds AS (
+      SELECT CAST(fold AS BIGINT) AS fold, CAST(np AS BIGINT) AS n_pos,
+             CAST(nn AS BIGINT) AS n_neg,
+             CASE WHEN np > 0 AND nn > 0 THEN
+               ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                     / CAST(2 * np * nn AS DOUBLE), 6)
+             END AS auc
+      FROM ssc
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT fold, n_pos, n_neg, auc FROM folds
+    UNION ALL
+    SELECT -1 AS fold, CAST(SUM(n_pos) AS BIGINT), CAST(SUM(n_neg) AS BIGINT),
+           ROUND(AVG(auc), 6)
+    FROM folds
+    """
+    )
+
+
+@register(
+    "q_lr_auc_cv",
+    oracle=_lr_auc_cv_oracle(),
+    description=(
+        "Fold-wise cross-validated ranking AUC for the distilled LR "
+        "quality classifier — the variance estimate the single-holdout "
+        "AUC (q_lr_quality_auc) cannot give: a classifier gating "
+        "terabytes of training data needs to know whether its AUC is "
+        "0.93 +/- 0.005 or 0.93 +/- 0.08 before its threshold is "
+        "trusted. The holdout splits into 3 deterministic hash folds "
+        "(h % 3 on the already-computed doc-id hash — no extra pass), "
+        "and the grouped-by-score Mann-Whitney machinery generalizes "
+        "by one partition key: group by (fold, score) bounds the table "
+        "at folds x 10^6 rows, the prefix-sum window partitions by "
+        "fold, rank sums stay exact decimal(38,0)/HUGEINT per fold. "
+        "Reuses the SHARED unrolled-GD oracle chain (the training "
+        "replay cannot drift). Returns one (fold, n_pos, n_neg, auc) "
+        "row per fold plus a fold=-1 summary row carrying the pooled "
+        "counts and the across-fold mean AUC."
+    ),
+)
+def q_lr_auc_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import evals, logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
+    )
+    scored = (
+        logreg.logreg_score(lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat)
+        .filter(F.col("h") < _LR_HOLD)
+        .withColumn("fold", (F.col("h") % _LR_CV_FOLDS).cast("long"))
+    )
+    folds = evals.auc_by_group(scored, "fold").localCheckpoint()
+    summary = folds.agg(
+        F.lit(-1).cast("long").alias("fold"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.round(F.avg("auc"), 6).alias("auc"),
+    )
+    return folds.unionByName(summary)
+
+
 _NB_CAL_B = 256
 
 

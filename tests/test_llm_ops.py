@@ -2191,3 +2191,44 @@ def test_probe_masks_complete_shells():
     assert len({m for m, _ in masks}) == len(masks)
     with pytest.raises(ValueError):
         probe_masks(6, 3)
+
+
+# ---------------------------------------------------------------------------
+# Fold-wise CV AUC (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_auc_by_group_matches_auc_frame_per_group(spark):
+    """auc_by_group restricted to one group must equal auc_frame on
+    that group's rows — the generalization cannot drift from the
+    verified single-frame statistic."""
+    from duva_spark.llm import evals
+
+    rows = [
+        (g, round(0.05 * i + 0.1 * g, 6), (i * 7 + g) % 3 == 0)
+        for g in range(3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp int, p double, y boolean")
+    grouped = {
+        r.grp: (r.n_pos, r.n_neg, r.auc)
+        for r in evals.auc_by_group(df, "grp").collect()
+    }
+    for g in range(3):
+        single = evals.auc_frame(df.filter(F.col("grp") == g)).collect()[0]
+        assert grouped[g] == (single.n_pos, single.n_neg, single.auc), g
+
+
+def test_lr_auc_cv_summary_row(spark, sf_dir):
+    from duva_spark.queries import load_all
+
+    rows = load_all()["q_lr_auc_cv"].fn(spark, sf_dir).collect()
+    folds = [r for r in rows if r.fold >= 0]
+    summ = [r for r in rows if r.fold == -1]
+    assert len(summ) == 1 and len(folds) == 3
+    assert summ[0].n_pos == sum(r.n_pos for r in folds)
+    assert summ[0].n_neg == sum(r.n_neg for r in folds)
+    aucs = [r.auc for r in folds if r.auc is not None]
+    assert aucs and summ[0].auc == pytest.approx(sum(aucs) / len(aucs), abs=1e-6)
+    # each fold AUC must be a meaningful ranking signal on this corpus
+    assert all(a > 0.6 for a in aucs)
