@@ -135,3 +135,65 @@ def auc_by_group(
         F.col("nn").cast("long").alias("n_neg"),
         F.when((F.col("np") > 0) & (F.col("nn") > 0), auc).alias("auc"),
     )
+
+
+def spearman_pairs(df: DataFrame, sig_cols: list[str]) -> DataFrame:
+    """Spearman rank correlation for every pair of signal columns —
+    the signal-redundancy audit a quality pipeline runs before paying
+    for another filter (two signals at rho ~ 0.95 gate the same docs).
+
+    Grouped-by-value-first, like the AUC rank statistic: each signal is
+    expected 6-dp-rounded, so the per-signal value table is bounded and
+    the tie-averaged rank comes from a prefix-sum window over VALUE
+    GROUPS, never corpus rows. DOUBLED average ranks (2*min_rank +
+    ties - 1) keep every rank an exact integer; the doubling cancels in
+    the correlation. All five sums accumulate in decimal(38,0); the
+    final rho is one double expression over exact operands, rounded to
+    6 dp. Returns (sig_a, sig_b, n, rho) for the C(k,2) ordered-by-name
+    pairs."""
+    ranked = df
+    for c in sig_cols:
+        g = df.groupBy(F.col(c).alias("v")).agg(F.count("*").alias("m"))
+        o = g.withColumn(
+            "mr", F.sum("m").over(Window.orderBy("v")) - F.col("m") + 1
+        ).select(
+            F.col("v").alias(c),
+            (2 * F.col("mr") + F.col("m") - 1).cast(DEC).alias(f"_r_{c}"),
+        )
+        ranked = ranked.join(F.broadcast(o), c)
+    outs = []
+    for i, a in enumerate(sig_cols):
+        for b in sig_cols[i + 1 :]:
+            ra, rb = F.col(f"_r_{a}"), F.col(f"_r_{b}")
+            s = ranked.agg(
+                F.count("*").cast(DEC).alias("n"),
+                F.sum(ra).alias("sx"),
+                F.sum(rb).alias("sy"),
+                F.sum(ra * rb).alias("sxy"),
+                F.sum(ra * ra).alias("sxx"),
+                F.sum(rb * rb).alias("syy"),
+            )
+            num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+            outs.append(
+                s.select(
+                    F.lit(a).alias("sig_a"),
+                    F.lit(b).alias("sig_b"),
+                    F.col("n").cast("long").alias("n"),
+                    F.when(
+                        (vx > 0) & (vy > 0),
+                        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+                    ).alias("rho"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

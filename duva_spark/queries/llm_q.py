@@ -4887,3 +4887,96 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb_scored = nbp.join(lab.select("doc_id", "y"), "doc_id")
     nb_cal = evals.calibration_bins(nb_scored, "nb")
     return lr_cal.unionByName(nb_cal)
+
+
+# ---------------------------------------------------------------------------
+# Quality-signal redundancy audit (exact-integer Spearman)
+# ---------------------------------------------------------------------------
+
+_SPEAR_SIGS = ("n_words", "mean_word_len", "uniq_ratio")
+
+
+def _spearman_oracle() -> str:
+    """Mirror of evals.spearman_pairs over the three scan signals:
+    per-signal grouped-value rank maps (doubled average ranks as exact
+    HUGEINTs), one joined rank frame, one exact-sum aggregate per
+    pair."""
+    sig = """sig AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             ROUND((length(text) - (len(ws) - 1)) * 1.0 / len(ws), 6)
+               AS mean_word_len,
+             ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS uniq_ratio
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    )"""
+    ctes = [sig]
+    for c in _SPEAR_SIGS:
+        ctes.append(
+            f"""r_{c} AS (
+      SELECT v AS {c}, CAST(2 * mr + m - 1 AS HUGEINT) AS r_{c}
+      FROM (SELECT v, m, SUM(m) OVER (ORDER BY v) - m + 1 AS mr
+            FROM (SELECT {c} AS v, COUNT(*) AS m FROM sig GROUP BY 1)))"""
+        )
+    joins = " ".join(f"JOIN r_{c} USING ({c})" for c in _SPEAR_SIGS)
+    ctes.append(
+        "j AS (SELECT "
+        + ", ".join(f"r_{c}" for c in _SPEAR_SIGS)
+        + f" FROM sig {joins})"
+    )
+    pairs = []
+    for i, a in enumerate(_SPEAR_SIGS):
+        for b in _SPEAR_SIGS[i + 1 :]:
+            pairs.append(
+                f"""SELECT '{a}' AS sig_a, '{b}' AS sig_b,
+        CAST(n AS BIGINT) AS n,
+        CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+              AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+          ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        END AS rho
+      FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(r_{a}) AS sx, SUM(r_{b}) AS sy,
+                   SUM(r_{a} * r_{b}) AS sxy,
+                   SUM(r_{a} * r_{a}) AS sxx,
+                   SUM(r_{b} * r_{b}) AS syy FROM j)"""
+            )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(pairs)
+    )
+
+
+@register(
+    "q_quality_signal_spearman",
+    oracle=_spearman_oracle(),
+    description=(
+        "Signal-redundancy audit: Spearman rank correlation between "
+        "every pair of per-doc quality signals (word count, mean word "
+        "length, unique-word ratio) — the check a curation pipeline "
+        "runs before paying for another filter, since two signals at "
+        "|rho| ~ 0.95 gate the same documents and the weaker one is "
+        "dead weight (conversely |rho| ~ 0 means a new signal adds "
+        "real coverage). Spearman, not Pearson, because gating is a "
+        "RANK decision (keep top-X%%), so only order agreement "
+        "matters and outliers must not dominate. Exact at any scale: "
+        "signals are 6-dp-rounded so each rank map is a bounded "
+        "grouped-value table (the AUC trick applied to correlation), "
+        "tie-averaged ranks are DOUBLED to stay integers, and all "
+        "five correlation sums accumulate in decimal(38,0)/HUGEINT — "
+        "the lone division happens once on exact operands. One corpus "
+        "scan + three broadcast rank-map joins + one aggregate per "
+        "pair; no global sort ever touches corpus rows."
+    ),
+)
+def q_quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import evals
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    sig = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round((F.length("text") - (n - 1)) * 1.0 / n, 6).alias("mean_word_len"),
+        F.round(F.size(F.array_distinct(ws)) * 1.0 / n, 6).alias("uniq_ratio"),
+    )
+    return evals.spearman_pairs(sig, list(_SPEAR_SIGS))

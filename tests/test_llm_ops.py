@@ -2232,3 +2232,62 @@ def test_lr_auc_cv_summary_row(spark, sf_dir):
     assert aucs and summ[0].auc == pytest.approx(sum(aucs) / len(aucs), abs=1e-6)
     # each fold AUC must be a meaningful ranking signal on this corpus
     assert all(a > 0.6 for a in aucs)
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer Spearman (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """spearman_pairs must reproduce the classic tie-averaged Spearman
+    (Pearson on average ranks) computed by a pure-python reference,
+    including heavy ties."""
+    from duva_spark.llm import evals
+
+    rows = [
+        (i, float(i % 7), round((i * 3) % 11 + 0.5 * (i % 2), 6), float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a double, b double, c double")
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for t in range(i, j + 1):
+                ranks[order[t]] = r
+            i = j + 1
+        return ranks
+
+    def rho(x, y):
+        rx, ry = avg_ranks(x), avg_ranks(y)
+        n = len(x)
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        return num / (vx**0.5 * vy**0.5)
+
+    got = {
+        (r.sig_a, r.sig_b): r.rho
+        for r in evals.spearman_pairs(df, ["a", "b", "c"]).collect()
+    }
+    cols = {"a": [r[1] for r in rows], "b": [r[2] for r in rows], "c": [r[3] for r in rows]}
+    for (a, b), v in got.items():
+        assert v == pytest.approx(rho(cols[a], cols[b]), abs=1e-6), (a, b)
+
+
+def test_spearman_constant_signal_null_rho(spark):
+    from duva_spark.llm import evals
+
+    df = spark.createDataFrame(
+        [(i, 1.0, float(i)) for i in range(10)], "doc_id long, a double, b double"
+    )
+    row = evals.spearman_pairs(df, ["a", "b"]).collect()[0]
+    assert row.rho is None  # zero variance -> undefined, not a crash
