@@ -4980,3 +4980,108 @@ def q_quality_signal_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct(ws)) * 1.0 / n, 6).alias("uniq_ratio"),
     )
     return evals.spearman_pairs(sig, list(_SPEAR_SIGS))
+
+
+# ---------------------------------------------------------------------------
+# Domain-divergence matrix (hashed-LM KL / cross-entropy between sources)
+# ---------------------------------------------------------------------------
+
+_DIV_B = 512
+
+
+def _domain_divergence_oracle() -> str:
+    b = _DIV_B
+    return f"""
+    WITH tok AS (
+      SELECT source,
+             CAST('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15)
+                  AS BIGINT) % {b} AS bucket
+      FROM documents
+    ),
+    cnt AS (SELECT source, bucket, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM cnt GROUP BY source),
+    grid AS (
+      SELECT ns.source, g.bucket, ns.n,
+             (COALESCE(cnt.c, 0) + 1.0) / (ns.n + {b}) AS p
+      FROM ns CROSS JOIN (SELECT unnest(range({b})) AS bucket) g
+      LEFT JOIN cnt ON cnt.source = ns.source AND cnt.bucket = g.bucket
+    ),
+    terms AS (
+      SELECT a.source AS src_a, c.source AS src_b,
+             CAST(FLOOR(a.p * ln(a.p / c.p) * 1e9 + 0.5) AS HUGEINT) AS kl9,
+             CAST(FLOOR(-a.p * ln(c.p) * 1e9 + 0.5) AS HUGEINT) AS ce9
+      FROM grid a JOIN grid c USING (bucket)
+    )
+    SELECT src_a, src_b,
+           ROUND(CAST(SUM(kl9) AS DOUBLE) / 1e9, 6) AS kl_nats,
+           ROUND(CAST(SUM(ce9) AS DOUBLE) / 1e9, 6) AS cross_entropy_nats
+    FROM terms GROUP BY src_a, src_b
+    """
+
+
+@register(
+    "q_domain_divergence",
+    oracle=_domain_divergence_oracle(),
+    description=(
+        "Domain-divergence matrix: pairwise KL and cross-entropy "
+        "between every source's hashed-unigram LM — the data-mixing "
+        "diagnostic that tells a DoReMi/temperature-sampling run WHICH "
+        "domains are near-duplicates in distribution (low symmetric "
+        "KL: merging their mixture weights changes nothing) and which "
+        "are genuine coverage (high KL both ways); the diagonal of the "
+        "cross-entropy column is each domain's own entropy, so "
+        "off-diagonal minus diagonal reads directly as the extra "
+        "nats/token a model pays transferring between the two. Same "
+        "Laplace-smoothed 512-bucket feature-hash LM as the DSIR/NB "
+        "family, DENSIFIED so unseen buckets carry their floor mass. "
+        "100 TB shape: ONE corpus scan into the S x 512 count table; "
+        "everything after is bounded-table work (the bucket-keyed "
+        "self-join makes S^2 x 512 tiny rows, never touching the "
+        "corpus). Determinism: every per-bucket float term is rounded "
+        "half-up to an exact 1e-9 integer grid BEFORE summation (the "
+        "money_cents trick), so summation ORDER cannot move the "
+        "result — decimal(38,0)/HUGEINT accumulation, one division at "
+        "the end."
+    ),
+)
+def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    b = _DIV_B
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).select("source", hashed_lm.bucket_of(F.col("w"), b).alias("bucket"))
+    cnt = tok.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    bdf = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+    grid = (
+        ns.crossJoin(F.broadcast(bdf))
+        .join(cnt, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + b)).alias("p"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("src_a"), "bucket", F.col("p").alias("pa")
+    )
+    c = grid.select(
+        F.col("source").alias("src_b"), "bucket", F.col("p").alias("pb")
+    )
+    dec = "decimal(38,0)"
+    terms = a.join(c, "bucket").select(
+        "src_a",
+        "src_b",
+        F.floor(F.col("pa") * F.log(F.col("pa") / F.col("pb")) * 1e9 + 0.5)
+        .cast(dec)
+        .alias("kl9"),
+        F.floor(-F.col("pa") * F.log(F.col("pb")) * 1e9 + 0.5)
+        .cast(dec)
+        .alias("ce9"),
+    )
+    return terms.groupBy("src_a", "src_b").agg(
+        F.round(F.sum("kl9").cast("double") / 1e9, 6).alias("kl_nats"),
+        F.round(F.sum("ce9").cast("double") / 1e9, 6).alias("cross_entropy_nats"),
+    )

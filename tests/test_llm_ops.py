@@ -2291,3 +2291,29 @@ def test_spearman_constant_signal_null_rho(spark):
     )
     row = evals.spearman_pairs(df, ["a", "b"]).collect()[0]
     assert row.rho is None  # zero variance -> undefined, not a crash
+
+
+# ---------------------------------------------------------------------------
+# Domain-divergence matrix (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_divergence_information_inequalities(spark, sf_dir):
+    """Gibbs' inequality end-to-end: KL(a||b) >= 0 with equality only
+    on the diagonal; cross-entropy(a,b) >= entropy(a) (= the diagonal
+    CE); and the matrix is complete over the source universe."""
+    from duva_spark.queries import load_all
+
+    rows = load_all()["q_domain_divergence"].fn(spark, sf_dir).collect()
+    sources = {r.src_a for r in rows}
+    assert len(rows) == len(sources) ** 2
+    kl = {(r.src_a, r.src_b): r.kl_nats for r in rows}
+    ce = {(r.src_a, r.src_b): r.cross_entropy_nats for r in rows}
+    for (a, b), v in kl.items():
+        if a == b:
+            assert abs(v) <= 1e-6, (a, b)
+        else:
+            assert v > 0, (a, b)
+        # CE(a,b) = H(a) + KL(a||b), so the identity must hold exactly
+        # on the 1e-6 grid
+        assert ce[(a, b)] == pytest.approx(ce[(a, a)] + v, abs=5e-6), (a, b)
