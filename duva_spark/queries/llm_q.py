@@ -5085,3 +5085,138 @@ def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("kl9").cast("double") / 1e9, 6).alias("kl_nats"),
         F.round(F.sum("ce9").cast("double") / 1e9, 6).alias("cross_entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-radius sensitivity (the simhash analogue of the band curve)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_MAX_R = 3
+
+
+def _simhash_radius_oracle() -> str:
+    """Candidates once at the pigeonhole-max radius (4 chunks cover
+    hamming <= 3), exact-Jaccard truth once (the ppjoin oracle scoped
+    to the same doc universe), then every radius level reads from ONE
+    tagged aggregate row (the funnel-report unpivot)."""
+    truth = f"""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT doc_id, list_distinct(list_transform({{_SH}}, s -> {{_H}} % {_P})) AS hs
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id <= 300)) a
+      JOIN (SELECT doc_id, list_distinct(list_transform({{_SH}}, s -> {{_H}} % {_P})) AS hs
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents WHERE doc_id <= 300)) b
+        ON a.doc_id < b.doc_id
+      WHERE len(a.hs) > 0 AND len(b.hs) > 0
+        AND ROUND(len(list_intersect(a.hs, b.hs)) * 1.0 /
+                  len(list_distinct(list_concat(a.hs, b.hs))), 6) >= 0.5
+    """.replace("{_SH}", _SHINGLES).replace("{_H}", _H60)
+    sums = []
+    for r in range(_SIMHASH_MAX_R + 1):
+        sums.append(
+            f"CAST(COALESCE(SUM(CASE WHEN hamming <= {r} THEN 1 ELSE 0 END),"
+            f" 0) AS BIGINT) AS nc_{r}"
+        )
+        sums.append(
+            f"CAST(COALESCE(SUM(CASE WHEN hamming <= {r} AND ist = 1"
+            f" THEN 1 ELSE 0 END), 0) AS BIGINT) AS nt_{r}"
+        )
+    branches = " UNION ALL ".join(
+        f"SELECT {r} AS max_hamming, nc_{r} AS n_candidates, nt_{r} AS n_true,"
+        f" n_true_total FROM ag CROSS JOIN tt"
+        for r in range(_SIMHASH_MAX_R + 1)
+    )
+    return f"""
+    WITH cand AS ({_simhash_pairs_sql(16, 4, _SIMHASH_MAX_R)}),
+    truth AS ({truth}),
+    tag AS (
+      SELECT c.hamming, CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS ist
+      FROM cand c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ),
+    ag AS (SELECT {', '.join(sums)} FROM tag),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_total FROM truth)
+    SELECT max_hamming, n_candidates, n_true, n_true_total,
+           CASE WHEN n_candidates > 0
+                THEN ROUND(n_true * 1.0 / n_candidates, 6) ELSE 0.0 END
+             AS pair_precision,
+           CASE WHEN n_true_total > 0
+                THEN ROUND(n_true * 1.0 / n_true_total, 6) ELSE 0.0 END
+             AS pair_recall
+    FROM ({branches})
+    """
+
+
+@register(
+    "q_simhash_radius_curve",
+    oracle=_simhash_radius_oracle(),
+    description=(
+        "SimHash hamming-radius sensitivity: candidate volume, "
+        "precision and recall at radius 0..3 against the EXACT "
+        "Jaccard>=0.5 pair set from the lossless prefix-filter join — "
+        "the simhash family's answer to q_minhash_band_curve, so both "
+        "fuzzy-dedup signatures document their quality dials against "
+        "the same kind of real ground truth (no pooled heuristic). "
+        "Candidates generate ONCE at the pigeonhole maximum (4 chunks "
+        "of a 16-bit signature guarantee any pair within hamming 3 "
+        "shares a chunk), each level is then a conditional sum over "
+        "the SAME tagged pair frame, and all four report rows unpivot "
+        "from one aggregate row (the funnel-report pattern) — the "
+        "radius dial costs zero extra joins. 16-bit codes keep the "
+        "O(n^2)-free oracle tractable (doc_id <= 300, as "
+        "q_simhash_near_dup documents); the library default is "
+        "32/64-bit. Returns (max_hamming, n_candidates, n_true, "
+        "n_true_total, pair_precision, pair_recall)."
+    ),
+)
+def q_simhash_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    cand = simhash.near_duplicate_pairs(
+        docs, "doc_id", "text", n_bits=16, n_chunks=4, max_hamming=_SIMHASH_MAX_R
+    )
+    truth = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("ist")
+    )
+    tag = cand.join(truth.select("id_a", "id_b", "ist"), ["id_a", "id_b"], "left")
+    aggs = []
+    for r in range(_SIMHASH_MAX_R + 1):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("hamming") <= r, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias(f"nc_{r}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("hamming") <= r) & (F.col("ist") == 1), 1).otherwise(0)
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"nt_{r}")
+        )
+    ag = tag.agg(*aggs)
+    tt = truth.agg(F.count("*").cast("long").alias("n_true_total"))
+    one = ag.crossJoin(F.broadcast(tt))
+    outs = []
+    for r in range(_SIMHASH_MAX_R + 1):
+        outs.append(
+            one.select(
+                F.lit(r).alias("max_hamming"),
+                F.col(f"nc_{r}").alias("n_candidates"),
+                F.col(f"nt_{r}").alias("n_true"),
+                "n_true_total",
+                F.when(
+                    F.col(f"nc_{r}") > 0,
+                    F.round(F.col(f"nt_{r}") * 1.0 / F.col(f"nc_{r}"), 6),
+                ).otherwise(F.lit(0.0)).alias("pair_precision"),
+                F.when(
+                    F.col("n_true_total") > 0,
+                    F.round(F.col(f"nt_{r}") * 1.0 / F.col("n_true_total"), 6),
+                ).otherwise(F.lit(0.0)).alias("pair_recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2317,3 +2317,21 @@ def test_domain_divergence_information_inequalities(spark, sf_dir):
         # CE(a,b) = H(a) + KL(a||b), so the identity must hold exactly
         # on the 1e-6 grid
         assert ce[(a, b)] == pytest.approx(ce[(a, a)] + v, abs=5e-6), (a, b)
+
+
+def test_simhash_radius_curve_monotone(spark, sf_dir):
+    """Radius levels nest: candidates and true hits are non-decreasing
+    in the radius, recall is monotone, and every level reads the same
+    ground-truth total."""
+    from duva_spark.queries import load_all
+
+    rows = sorted(
+        load_all()["q_simhash_radius_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.max_hamming,
+    )
+    assert [r.max_hamming for r in rows] == [0, 1, 2, 3]
+    assert len({r.n_true_total for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates <= b.n_candidates
+        assert a.n_true <= b.n_true
+        assert a.pair_recall <= b.pair_recall
