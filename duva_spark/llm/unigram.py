@@ -338,3 +338,71 @@ def unigram_train_frame(
         (p, int(c), round_half_up((c + 1) / (tt + vsz), dp)) for p, c in top
     ]
     return spark.createDataFrame(rows, "piece string, cnt long, prob double")
+
+
+def unigram_prune_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_len: int = 4,
+    n_seed: int = 48,
+    rounds: int = 3,
+    dp: int = 6,
+    word_cap: int = 16,
+    prune_permille: int = 1,
+) -> DataFrame:
+    """Count-based vocabulary prune — the prune DIRECTION of Kudo
+    2018 §3.2 (SentencePiece iterates train→prune until the target
+    vocab size), with the documented simplification that pieces are
+    dropped by final-model USAGE (Viterbi-count share of token mass
+    < prune_permille/1000) instead of Kudo's per-piece likelihood
+    loss: usage is already exact and cross-engine-replayable, while
+    the loss rule needs a second forward pass per candidate.
+    Single-char pieces are never pruned (every word must stay
+    segmentable — the SentencePiece invariant).
+
+    Returns the before/after audit: (variant, vocab_size,
+    total_tokens, tokens_per_word) for 'full' (segmentation under the
+    final trained model) and 'pruned' (survivor model renormalized
+    from the same final counts, one more slim-fold segmentation).
+    Driver state stays <= V floats; the corpus is scanned once by the
+    trainer, the prune itself is pure driver arithmetic on the final
+    count table, and the pruned pass is one vocab-bounded job."""
+    spark = docs.sparkSession
+    # rounds+1: the extra round segments under the FINAL model, so the
+    # 'full' row prices what an encode pass actually produces
+    pieces, counts_full, tt_full, vsz = unigram_train(
+        docs, text_col, max_len, n_seed, rounds + 1, dp, word_cap
+    )
+    surv = [
+        p
+        for p in pieces
+        if len(p) == 1
+        or counts_full.get(p, 0) * 1000 >= tt_full * prune_permille
+    ]
+    t_mass = sum(counts_full.get(p, 0) for p in surv)
+    v_p = len(surv)
+    lp_p = {
+        p: round_half_up(
+            math.log((counts_full.get(p, 0) + 1) / (t_mass + v_p)), dp
+        )
+        for p in surv
+    }
+    vocab_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in sorted(lp_p)]),
+        F.array(*[F.lit(lp_p[p]) for p in sorted(lp_p)]),
+    )
+    words = word_vocab(docs, text_col).filter(F.length("w") <= word_cap)
+    tot = words.select(
+        F.sum(
+            F.col("cnt") * viterbi_token_count(F.col("w"), vocab_map, max_len)
+        ).alias("t"),
+        F.sum("cnt").alias("wocc"),
+    ).collect()[0]
+    t_pruned, wocc = int(tot["t"]), int(tot["wocc"])
+    rows = [
+        ("full", vsz, tt_full, round_half_up(tt_full * 1.0 / wocc, dp)),
+        ("pruned", v_p, t_pruned, round_half_up(t_pruned * 1.0 / wocc, dp)),
+    ]
+    return spark.createDataFrame(
+        rows, "variant string, vocab_size long, total_tokens long, tokens_per_word double"
+    )

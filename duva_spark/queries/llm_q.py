@@ -4239,43 +4239,50 @@ def _unigram_ctes(rounds: int) -> list[str]:
         "lp0 AS MATERIALIZED (SELECT piece,"
         " ROUND(ln((c + 1.0) / (t + vsz)), 6) AS lp FROM v0, tv)",
     ]
-    for r in range(1, rounds + 1):
-        ctes.append(
-            f"m{r} AS (SELECT map(list(piece ORDER BY piece),"
-            f" list(lp ORDER BY piece)) AS m FROM lp{r - 1})"
-        )
-        ctes.append(
-            f"d{r}_0 AS MATERIALIZED (SELECT w, cnt, m FROM words, m{r})"
-        )
+    def emit_round(tag: str, lp_src: str) -> list[str]:
+        """One full E-step block (map literal, DP unroll, backtrace,
+        piece recount, total) under the log-prob CTE ``lp_src``, with
+        every CTE name keyed by ``tag`` — shared by the training
+        trajectory (tag = round number) and the prune replay (tag='P',
+        reading the pruned model)."""
+        out = [
+            f"m{tag} AS (SELECT map(list(piece ORDER BY piece),"
+            f" list(lp ORDER BY piece)) AS m FROM {lp_src})",
+            f"d{tag}_0 AS MATERIALIZED (SELECT w, cnt, m FROM words, m{tag})",
+        ]
         for i in range(1, cap + 1):
-            ctes.append(
-                f"d{r}_{i} AS MATERIALIZED (SELECT *, {dp_expr(i)}"
-                f" FROM d{r}_{i - 1})"
+            out.append(
+                f"d{tag}_{i} AS MATERIALIZED (SELECT *, {dp_expr(i)}"
+                f" FROM d{tag}_{i - 1})"
             )
-        ctes.append(
-            f"w{r}_0 AS MATERIALIZED (SELECT w, cnt, m,"
+        out.append(
+            f"w{tag}_0 AS MATERIALIZED (SELECT w, cnt, m,"
             f" {best_list} AS best,"
             f" CAST([] AS VARCHAR[]) AS pieces, CAST(len(w) AS INT) AS pos"
-            f" FROM d{r}_{cap})"
+            f" FROM d{tag}_{cap})"
         )
         for k in range(1, cap + 1):
-            ctes.append(
-                f"w{r}_{k} AS MATERIALIZED (SELECT w, cnt, m, best,"
+            out.append(
+                f"w{tag}_{k} AS MATERIALIZED (SELECT w, cnt, m, best,"
                 f" CASE WHEN pos > 0 THEN"
                 f" list_append(pieces, substr(w, pos - ds + 1, ds))"
                 f" ELSE pieces END AS pieces,"
                 f" CASE WHEN pos > 0 THEN pos - ds ELSE 0 END AS pos"
                 f" FROM (SELECT w, cnt, m, best, pieces, pos, {dstar} AS ds"
-                f" FROM w{r}_{k - 1}))"
+                f" FROM w{tag}_{k - 1}))"
             )
-        ctes.append(
-            f"c{r} AS MATERIALIZED (SELECT piece,"
+        out.append(
+            f"c{tag} AS MATERIALIZED (SELECT piece,"
             f" CAST(SUM(cnt) AS BIGINT) AS c FROM (SELECT cnt,"
-            f" unnest(pieces) AS piece FROM w{r}_{cap}) GROUP BY piece)"
+            f" unnest(pieces) AS piece FROM w{tag}_{cap}) GROUP BY piece)"
         )
-        ctes.append(
-            f"t{r} AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c{r})"
+        out.append(
+            f"t{tag} AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c{tag})"
         )
+        return out
+
+    for r in range(1, rounds + 1):
+        ctes.extend(emit_round(str(r), f"lp{r - 1}"))
         if r < rounds:
             ctes.append(
                 f"lp{r} AS MATERIALIZED (SELECT v0.piece,"
@@ -4283,6 +4290,7 @@ def _unigram_ctes(rounds: int) -> list[str]:
                 f" AS lp FROM v0 LEFT JOIN c{r} c ON c.piece = v0.piece,"
                 f" t{r} t, tv)"
             )
+    _unigram_ctes.emit_round = emit_round  # exposed for the prune oracle
     return ctes
 
 
@@ -5220,3 +5228,87 @@ def q_simhash_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unigram vocab prune (the Kudo train->prune direction, usage-based)
+# ---------------------------------------------------------------------------
+
+_UNI_PRUNE_PM = 1  # prune multi-char pieces below 0.1% of token mass
+
+
+def _unigram_prune_oracle() -> str:
+    """The trainer chain extended one round (the final-model
+    segmentation c{R+1} = the 'full' row), then the prune replay:
+    survivor vocab by exact integer mass compare, renormalized lpP,
+    ONE more emit_round under it (tag 'P') = the 'pruned' row."""
+    r1 = _UNI_R + 1
+    ctes = _unigram_ctes(r1)
+    emit = _unigram_ctes.emit_round
+    ctes.append(
+        f"vp AS MATERIALIZED (SELECT v0.piece, COALESCE(c.c, 0) AS c"
+        f" FROM v0 LEFT JOIN c{r1} c ON c.piece = v0.piece"
+        f" WHERE len(v0.piece) = 1 OR COALESCE(c.c, 0) * 1000 >="
+        f" (SELECT t FROM t{r1}) * {_UNI_PRUNE_PM})"
+    )
+    ctes.append(
+        "tvp AS (SELECT CAST(SUM(c) AS BIGINT) AS t,"
+        " CAST(COUNT(*) AS BIGINT) AS vsz FROM vp)"
+    )
+    ctes.append(
+        "lpP AS MATERIALIZED (SELECT piece,"
+        " ROUND(ln((c + 1.0) / (t + vsz)), 6) AS lp FROM vp, tvp)"
+    )
+    ctes.extend(emit("P", "lpP"))
+    ctes.append("wocc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS w FROM words)")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT 'full' AS variant, tv.vsz AS vocab_size, t{r1}.t AS total_tokens,
+           ROUND(t{r1}.t * 1.0 / wocc.w, 6) AS tokens_per_word
+    FROM tv, t{r1}, wocc
+    UNION ALL
+    SELECT 'pruned', tvp.vsz, tP.t, ROUND(tP.t * 1.0 / wocc.w, 6)
+    FROM tvp, tP, wocc
+    """
+    )
+
+
+@register(
+    "q_unigram_prune",
+    oracle=_unigram_prune_oracle(),
+    description=(
+        "Unigram-LM vocabulary prune — the prune direction of the "
+        "Kudo 2018 / SentencePiece train->prune loop the r7 trainer "
+        "left open: multi-char pieces whose FINAL-model Viterbi usage "
+        "falls below 0.1% of token mass are dropped (usage-based "
+        "rather than Kudo's per-piece likelihood loss — documented "
+        "simplification: usage is exact-integer and replayable; "
+        "single-char pieces are never pruned so every word stays "
+        "segmentable), survivor probabilities renormalize from the "
+        "same final counts, and ONE more segmentation pass prices "
+        "what the smaller vocab costs in fertility. Returns the "
+        "before/after audit (variant, vocab_size, total_tokens, "
+        "tokens_per_word) — the vocab-size/compression trade a "
+        "tokenizer budget decision reads. The prune itself is driver "
+        "arithmetic on the bounded count table (exact integer mass "
+        "compare, no float threshold); the pruned pass is one "
+        "vocab-bounded slim-fold job; the corpus never re-scans. "
+        "Oracle: the shared unrolled hard-EM chain extended one "
+        "round, then the prune replay and one more emitted E-step "
+        "under the pruned model (tag P) — one trajectory, no drift."
+    ),
+)
+def q_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram.unigram_prune_report(
+        docs,
+        "text",
+        max_len=_UNI_L,
+        n_seed=_UNI_SEED,
+        rounds=_UNI_R,
+        word_cap=_UNI_CAP,
+        prune_permille=_UNI_PRUNE_PM,
+    )

@@ -2335,3 +2335,44 @@ def test_simhash_radius_curve_monotone(spark, sf_dir):
         assert a.n_candidates <= b.n_candidates
         assert a.n_true <= b.n_true
         assert a.pair_recall <= b.pair_recall
+
+
+# ---------------------------------------------------------------------------
+# Unigram vocab prune (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_prune_report_invariants(spark, sf_dir):
+    from duva_spark.queries import load_all
+
+    rows = {
+        r.variant: r for r in load_all()["q_unigram_prune"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"full", "pruned"}
+    f, p = rows["full"], rows["pruned"]
+    assert p.vocab_size < f.vocab_size  # the seed over-allocates; prune must bite
+    # dropping pieces can never make segmentations shorter: Viterbi under
+    # the pruned model re-spends the same words over fewer choices
+    assert p.total_tokens >= f.total_tokens
+    assert p.tokens_per_word >= f.tokens_per_word
+    assert f.total_tokens > 0 and p.total_tokens > 0
+
+
+def test_unigram_prune_threshold_zero_is_identity(spark):
+    """With prune_permille=0 every piece survives (0.1%-of-mass floor
+    drops to zero), so the pruned row must reproduce the full row's
+    token totals exactly."""
+    from duva_spark.llm import unigram
+
+    docs = spark.createDataFrame(
+        [(i, "spark table query engine data " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.variant: r
+        for r in unigram.unigram_prune_report(
+            docs, n_seed=8, prune_permille=0
+        ).collect()
+    }
+    assert rows["pruned"].vocab_size == rows["full"].vocab_size
+    assert rows["pruned"].total_tokens == rows["full"].total_tokens
