@@ -657,6 +657,131 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("ivfpq_residual", sizes_small, ivfpq_residual_case))
 
+    def kneser_ney_case(n):
+        # q_kneser_ney_nll's operator: the stupid_backoff count-table
+        # shape plus two extra Zipf-bounded marginals of bcnt (context
+        # type counts, continuation counts) — expect the same ~5x/10x
+        # class as its siblings.
+        from duva_spark.llm import hashed_lm
+
+        docs = _docs(spark, n)
+        h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+        split = docs.select(
+            "doc_id", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
+        )
+        bigrams = lambda df: df.select(  # noqa: E731
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+        train = split.filter("is_train")
+        ucnt = train.select(F.explode("ws").alias("w")).groupBy("w").agg(
+            F.count("*").alias("cnt")
+        )
+        vtot = ucnt.agg(F.count("*").cast("double").alias("v"))
+        bcnt = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+        ctx = bcnt.groupBy("w1").agg(
+            F.sum("bc").cast("double").alias("cc"),
+            F.count("*").cast("double").alias("n1p"),
+        )
+        cont = bcnt.groupBy("w2").agg(F.count("*").cast("double").alias("rc"))
+        btot = bcnt.agg(F.count("*").cast("double").alias("bt"))
+        ho = bigrams(split.filter(~F.col("is_train")))
+        pcont = (F.coalesce(F.col("rc"), F.lit(0)) + 1) / (F.col("bt") + F.col("v"))
+        p = F.when(F.col("cc").isNull(), pcont).otherwise(
+            F.when(F.col("bc").isNull(), F.lit(0.0)).otherwise(
+                (F.col("bc") - 0.75) / F.col("cc")
+            )
+            + (0.75 * F.col("n1p") / F.col("cc")) * pcont
+        )
+        scored = (
+            ho.join(bcnt, ["w1", "w2"], "left")
+            .join(ctx, "w1", "left")
+            .join(cont, "w2", "left")
+            .crossJoin(F.broadcast(btot))
+            .crossJoin(F.broadcast(vtot))
+            .select("doc_id", (-F.log(p)).alias("nll"))
+        )
+        _force(scored.groupBy("doc_id").agg(F.avg("nll").alias("avg_nll")))
+
+    cases.append(("kneser_ney", sizes_big, kneser_ney_case))
+
+    def domain_divergence_case(n):
+        # q_domain_divergence's operator: ONE corpus token scan into the
+        # S×512 count table; the dense grid + bucket-keyed self-join +
+        # exact-decimal term sums are bounded (S²×512 rows) and corpus-
+        # independent — expect the scan's ~linear ratio.
+        from duva_spark.llm import hashed_lm
+
+        b = 512
+        docs = _docs(spark, n).withColumn(
+            "source", (F.col("doc_id") % 6).cast("string")
+        )
+        tok = docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        ).select("source", hashed_lm.bucket_of(F.col("w"), b).alias("bucket"))
+        cnt = tok.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+        ns = cnt.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+        bdf = spark.range(b).select(F.col("id").cast("int").alias("bucket"))
+        grid = (
+            ns.crossJoin(F.broadcast(bdf))
+            .join(cnt, ["source", "bucket"], "left")
+            .select(
+                "source", "bucket",
+                ((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + b)).alias("p"),
+            )
+        )
+        a = grid.select(F.col("source").alias("src_a"), "bucket", F.col("p").alias("pa"))
+        c2 = grid.select(F.col("source").alias("src_b"), "bucket", F.col("p").alias("pb"))
+        terms = a.join(c2, "bucket").select(
+            "src_a", "src_b",
+            F.floor(F.col("pa") * F.log(F.col("pa") / F.col("pb")) * 1e9 + 0.5)
+            .cast("decimal(38,0)").alias("kl9"),
+        )
+        _force(terms.groupBy("src_a", "src_b").agg(F.sum("kl9").alias("kl")))
+
+    cases.append(("domain_divergence", sizes_big, domain_divergence_case))
+
+    def spearman_case(n):
+        # q_quality_signal_spearman's operator: one scan for the three
+        # 6-dp signals, three grouped-value rank maps (bounded tables),
+        # three broadcast joins back, exact-decimal sums per pair.
+        from duva_spark.llm import evals
+
+        docs = _docs(spark, n)
+        ws = F.split("text", " ")
+        nw = F.size(ws)
+        sig = docs.select(
+            "doc_id",
+            nw.cast("long").alias("n_words"),
+            F.round((F.length("text") - (nw - 1)) * 1.0 / nw, 6).alias("mean_word_len"),
+            F.round(F.size(F.array_distinct(ws)) * 1.0 / nw, 6).alias("uniq_ratio"),
+        )
+        _force(evals.spearman_pairs(sig, ["n_words", "mean_word_len", "uniq_ratio"]))
+
+    cases.append(("spearman_signals", sizes_big, spearman_case))
+
+    def multiprobe_case(n):
+        # q_rplsh_multiprobe_recall's operator: corpus coded once at
+        # (2 tables, 6 bits), probes multiply only the broadcast query
+        # side (22/table at radius 2) — expect the rplsh class (~linear
+        # scan + candidate-bounded verify).
+        from duva_spark.llm import similarity
+
+        emb = _embeddings(spark, n)
+        _force(
+            similarity.rplsh_multiprobe_cands(
+                emb, emb.filter(F.col("vec_id") < 5),
+                dim=64, n_bits=6, n_tables=2, max_radius=2,
+            )
+        )
+
+    cases.append(("rplsh_multiprobe", sizes_small, multiprobe_case))
+
     results = {}
     for name, sizes, fn in cases:
         if only and name not in only:
