@@ -3629,6 +3629,7 @@ _KN_D = 0.75
 
 @register(
     "q_kneser_ney_nll",
+    headline=True,
     oracle=f"""
     WITH split AS (
       SELECT doc_id, lang, string_split(text, ' ') AS ws,
