@@ -2376,3 +2376,49 @@ def test_unigram_prune_threshold_zero_is_identity(spark):
     }
     assert rows["pruned"].vocab_size == rows["full"].vocab_size
     assert rows["pruned"].total_tokens == rows["full"].total_tokens
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup + Platt scaling (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_soft_dedup_weights_bounds(spark, sf_dir):
+    """Effective chars are bounded by raw chars (weights <= 1), equal
+    exactly when a source has no duplicate members, and the per-source
+    doc totals match the raw table."""
+    from duva_spark.queries import load_all
+
+    rows = load_all()["q_soft_dedup_weights"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {
+        r.source: (r.n, r.chars)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    assert {r.source for r in rows} == set(totals)
+    for r in rows:
+        assert (r.n_docs, r.raw_chars) == totals[r.source]
+        assert r.effective_chars <= r.raw_chars + 1e-6
+        assert 0 < r.effective_ratio <= 1.0
+        if r.n_dup_members == 0:
+            assert r.effective_chars == pytest.approx(r.raw_chars, abs=1e-6)
+        else:
+            assert r.effective_chars < r.raw_chars
+
+
+def test_platt_scaling_improves_calibration(spark, sf_dir):
+    """At the (1, 0) init the model IS the raw NB (round 0 equals the
+    round=-1 raw row up to q-rounding), and descent must strictly
+    improve the CALIBRATION loss by the final round; the test loss —
+    never touched by the fit — must improve too on this corpus."""
+    from duva_spark.queries import load_all
+
+    rows = {r.round: r for r in load_all()["q_platt_scaling"].fn(spark, sf_dir).collect()}
+    raw, first = rows[-1], rows[0]
+    last = rows[max(k for k in rows if k >= 0)]
+    assert first.a == 1.0 and first.b == 0.0
+    assert first.calib_loss == pytest.approx(raw.calib_loss, abs=1e-5)
+    assert last.calib_loss < raw.calib_loss
+    assert last.test_loss < raw.test_loss
