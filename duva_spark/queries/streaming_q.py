@@ -467,3 +467,155 @@ _REG["q_stream_true_incremental_dedup"] = _dc.replace(
     _REG["q_stream_true_incremental_dedup"],
     oracle=_REG["q_incremental_dedup"].oracle,
 )
+
+
+# ---------------------------------------------------------------------------
+# TRUE streaming model-in-the-loop quality filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_true_quality_filter",
+    oracle=None,  # bound below from llm_q's shared GD chain
+    description=(
+        "TRUE streaming quality filter with a trained model in the "
+        "loop — the online half of the FineWeb/DCLM recipe: the LR "
+        "quality classifier trains OFFLINE on the static corpus (the "
+        "shared bounded-GD chain, identical constants to "
+        "q_lr_quality_distill), then documents arrive as a REAL "
+        "readStream file source and every micro-batch is featurized, "
+        "scored under the broadcast weights, thresholded at p >= 0.5, "
+        "and the keepers upsert into an idempotent doc_id-keyed sink "
+        "(exactly-once, the incremental-dedup recipe). "
+        "Trigger.AvailableNow runs to completion and the sink is read "
+        "back for a per-source census: kept volume, keep rate vs the "
+        "static totals, and the mean kept probability accumulated on "
+        "the exact 1e-6 grid (money_cents). Scoring is stateless per "
+        "batch — model state is 258 broadcast floats, no stream-side "
+        "aggregation state at all — so the operator scales with "
+        "arrival rate, not corpus size. Equals the batch chain's "
+        "final scoring pass value-for-value (the oracle reuses the "
+        "shared unrolled-GD CTEs verbatim)."
+    ),
+)
+def q_stream_true_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from duva_spark.llm import logreg, textstats
+    from duva_spark.queries.llm_q import _LR_B, _LR_ETA, _LR_HOLD, _LR_ROUNDS
+    from duva_spark.sinks import merge_upsert
+    from duva_spark.streaming.jobs import read_documents_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    for stale in glob.glob(os.path.join(tmp, f"duva_qfilter_*_{suffix}")):
+        try:
+            pid = int(os.path.basename(stale).split("_")[2])
+            os.kill(pid, 0)
+        except (ValueError, IndexError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass
+    td = os.path.join(tmp, f"duva_qfilter_{os.getpid()}_{suffix}")
+    shutil.rmtree(td, ignore_errors=True)
+    sink, ckpt = os.path.join(td, "kept"), os.path.join(td, "ckpt")
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        blab = bdf.select("doc_id", "source", "text", F.lit(False).alias("y"))
+        scored = logreg.logreg_score(blab, "doc_id", "y", "text", w, n_buckets=_LR_B)
+        kept = (
+            scored.filter(F.col("p") >= 0.5)
+            .select(F.col("_id").alias("doc_id"), "p")
+            .join(blab.select("doc_id", "source"), "doc_id")
+        )
+        merge_upsert(bdf.sparkSession, kept, sink, "doc_id")
+
+    q = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .queryName("q_true_quality_filter")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(sink)
+    dec = "decimal(38,0)"
+    ks = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.floor(F.col("p") * 1e6 + 0.5).cast(dec)).cast("double")
+            / (F.count("*").cast("double") * 1e6),
+            6,
+        ).alias("mean_p_kept"),
+    )
+    tot = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+    return tot.join(ks, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.round(
+            F.coalesce(F.col("n_kept"), F.lit(0)) * 1.0 / F.col("n_total"), 6
+        ).alias("keep_rate"),
+        "mean_p_kept",
+    )
+
+
+def _quality_stream_oracle() -> str:
+    """The shared unrolled-GD chain's final scoring pass, thresholded
+    and censused per source — the batch twin the streaming filter must
+    equal value-for-value."""
+    from duva_spark.queries.llm_q import _LR_ROUNDS, _lr_ctes
+
+    t = _LR_ROUNDS - 1
+    ctes = _lr_ctes()
+    ctes.append(f"kept AS (SELECT doc_id, p FROM p{t} WHERE p >= 0.5)")
+    ctes.append(
+        "tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total"
+        " FROM documents GROUP BY source)"
+    )
+    ctes.append(
+        "ks AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,"
+        " ROUND(CAST(SUM(CAST(FLOOR(k.p * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)"
+        " / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_p_kept"
+        " FROM kept k JOIN documents d USING (doc_id) GROUP BY d.source)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT tot.source, tot.n_total, COALESCE(ks.n_kept, 0) AS n_kept,
+           ROUND(COALESCE(ks.n_kept, 0) * 1.0 / tot.n_total, 6) AS keep_rate,
+           ks.mean_p_kept
+    FROM tot LEFT JOIN ks USING (source)
+    """
+    )
+
+
+_REG["q_stream_true_quality_filter"] = _dc.replace(
+    _REG["q_stream_true_quality_filter"], oracle=_quality_stream_oracle()
+)

@@ -417,3 +417,53 @@ def test_incremental_dedup_stream_crash_restore(spark, tmp_path):
     )
     assert got == want  # no dupes from the replayed epoch, no gaps
     assert {t[0] for t in got} == {1, 3}  # only the near-dup arrivals match
+
+
+def test_stream_quality_filter_matches_batch_scoring(spark, sf_dir):
+    """The streaming model-in-the-loop filter must equal a direct batch
+    scoring pass of the SAME trained weights: same keepers per source,
+    same keep rates — the stream adds delivery, not semantics."""
+    from pyspark.sql import functions as F
+
+    from duva_spark.llm import logreg, textstats
+    from duva_spark.queries import load_all
+    from duva_spark.queries.llm_q import _LR_B, _LR_ETA, _LR_HOLD, _LR_ROUNDS
+
+    got = {
+        r.source: (r.n_total, r.n_kept, r.keep_rate)
+        for r in load_all()["q_stream_true_quality_filter"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
+    )
+    batch = (
+        logreg.logreg_score(lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat)
+        .filter(F.col("p") >= 0.5)
+        .select(F.col("_id").alias("doc_id"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    want_kept = {r.source: r.n_kept for r in batch.collect()}
+    totals = {r.source: r.c for r in docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert set(got) == set(totals)
+    for src, (n_total, n_kept, rate) in got.items():
+        assert n_total == totals[src]
+        assert n_kept == want_kept.get(src, 0), src
+        assert 0 <= rate <= 1
+    # the filter must actually filter on this corpus, not pass everything
+    assert sum(k for _, k, _ in got.values()) < sum(totals.values())
