@@ -5593,3 +5593,70 @@ def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round long, a double, b double, calib_loss double, test_loss double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination (near-dup eval overlap, not just exact n-grams)
+# ---------------------------------------------------------------------------
+
+_EVAL_SPLIT = "CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 7"
+_DECON_T = 0.7
+
+
+@register(
+    "q_fuzzy_decontamination",
+    oracle=f"""
+    WITH p AS ({{pairs}}),
+    x AS (
+      SELECT CASE WHEN {_EVAL_SPLIT.format(id="id_a")} THEN id_b ELSE id_a END
+               AS train_id
+      FROM p
+      WHERE ({_EVAL_SPLIT.format(id="id_a")}) <> ({_EVAL_SPLIT.format(id="id_b")})
+    ),
+    c AS (SELECT DISTINCT train_id FROM x),
+    tr AS (SELECT doc_id, source FROM documents
+           WHERE NOT ({_EVAL_SPLIT.format(id="doc_id")}))
+    SELECT tr.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(c.train_id) AS BIGINT) AS n_contaminated,
+           ROUND(COUNT(c.train_id) * 1.0 / COUNT(*), 6) AS contamination_rate
+    FROM tr LEFT JOIN c ON c.train_id = tr.doc_id
+    GROUP BY tr.source
+    """.replace("{pairs}", _lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, _DECON_T)),
+    description=(
+        "FUZZY decontamination: training documents flagged for NEAR-"
+        "duplicate overlap with the held-out benchmark slice (5% md5 "
+        "split plays the eval set) at shingle-Jaccard >= 0.7 — the "
+        "upgrade over exact n-gram matching (q_ngram_contamination) "
+        "that production reports actually run, since light paraphrase "
+        "or whitespace drift defeats exact grams but not MinHash. The "
+        "eval set is the side that gets INDEXED (it is tiny by "
+        "construction); training docs' band signatures probe that "
+        "index — never train x train, never all-pairs — so at 100 TB "
+        "the cost is one training-corpus signature scan against a "
+        "broadcast-sized benchmark band table. Returns the per-source "
+        "contamination census (n_train, n_contaminated, rate): the "
+        "table that decides whether a source is quarantined or just "
+        "scrubbed. Oracle recomputes all-pairs LSH at the same "
+        "threshold and keeps exactly the cross-split pairs — same set "
+        "by construction (the q_incremental_dedup precedent)."
+    ),
+)
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = minhash.md5_hash60(F.col("doc_id").cast("string"))
+    is_eval = (h % 20) == 7
+    pairs = minhash.incremental_pairs(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text",
+        threshold=_DECON_T,
+    )
+    flagged = pairs.select(F.col("new_id").alias("train_id")).distinct()
+    tr = docs.filter(~is_eval).select("doc_id", "source")
+    j = tr.join(flagged, tr.doc_id == flagged.train_id, "left")
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.count("train_id").cast("long").alias("n_contaminated"),
+        F.round(F.count("train_id") * 1.0 / F.count("*"), 6).alias(
+            "contamination_rate"
+        ),
+    )

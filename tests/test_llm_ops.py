@@ -2422,3 +2422,35 @@ def test_platt_scaling_improves_calibration(spark, sf_dir):
     assert first.calib_loss == pytest.approx(raw.calib_loss, abs=1e-5)
     assert last.calib_loss < raw.calib_loss
     assert last.test_loss < raw.test_loss
+
+
+def test_fuzzy_decontamination_flags_planted_near_dup(spark):
+    """A training doc that lightly paraphrases an eval doc (way past
+    exact-gram matching but J >= 0.7 on shingles) must be flagged;
+    unrelated docs must not. Eval membership: md5-hash60 % 20 == 7."""
+    import hashlib
+
+    from duva_spark.llm import minhash as mh
+    from pyspark.sql import functions as F
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 20
+
+    eval_id = next(i for i in range(1000) if h(i) == 7)
+    ids = [i for i in range(1000) if h(i) != 7][:2]
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " extra"  # shares almost every 3-shingle
+    far = "completely different words about spark tables and shuffles here"
+    docs = spark.createDataFrame(
+        [(eval_id, base, "s"), (ids[0], near, "s"), (ids[1], far, "s")],
+        "doc_id long, text string, source string",
+    )
+    hcol = mh.md5_hash60(F.col("doc_id").cast("string"))
+    pairs = mh.incremental_pairs(
+        docs.filter(~((hcol % 20) == 7)),
+        docs.filter((hcol % 20) == 7),
+        "doc_id", "text", threshold=0.7,
+    ).collect()
+    flagged = {r.new_id for r in pairs}
+    assert ids[0] in flagged
+    assert ids[1] not in flagged
