@@ -3785,3 +3785,118 @@ def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("uc") / F.sum("nt"), 6).alias("unseen_ctx_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) resharding stability vs modulo sharding
+# ---------------------------------------------------------------------------
+
+_RDV_S = 16  # shards before; resharding adds one
+
+
+def _rdv_oracle() -> str:
+    s0, s1 = _RDV_S, _RDV_S + 1
+    h = (
+        "CAST('0x' || substr(md5(CAST(s AS VARCHAR) || ':' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    hh = (
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH grid AS (
+      SELECT doc_id, CAST(s AS INT) AS s, {h} AS hw
+      FROM documents, range({s1}) t(s)
+    ),
+    rdv AS (
+      SELECT doc_id,
+             MAX(CASE WHEN rn0 = 1 AND s < {s0} THEN s END) AS r0,
+             MAX(CASE WHEN rn1 = 1 THEN s END) AS r1
+      FROM (SELECT doc_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY CASE WHEN s < {s0} THEN hw END
+                                        DESC NULLS LAST, s DESC) AS rn0,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY hw DESC, s DESC) AS rn1
+            FROM grid)
+      GROUP BY doc_id
+    ),
+    moved AS (
+      SELECT d.doc_id,
+             CASE WHEN ({hh} % {s0}) <> ({hh} % {s1}) THEN 1 ELSE 0 END AS mod_moved,
+             CASE WHEN r.r0 <> r.r1 THEN 1 ELSE 0 END AS rdv_moved
+      FROM documents d JOIN rdv r USING (doc_id)
+    ),
+    ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(mod_moved) AS BIGINT) AS m_mod,
+                  CAST(SUM(rdv_moved) AS BIGINT) AS m_rdv
+           FROM moved)
+    SELECT 'modulo' AS scheme, n_docs, m_mod AS n_moved,
+           ROUND(m_mod * 1.0 / n_docs, 6) AS moved_fraction FROM ag
+    UNION ALL
+    SELECT 'rendezvous', n_docs, m_rdv,
+           ROUND(m_rdv * 1.0 / n_docs, 6) FROM ag
+    """
+
+
+@register(
+    "q_rendezvous_resharding",
+    oracle=_rdv_oracle(),
+    description=(
+        "Rendezvous (highest-random-weight) sharding vs modulo under "
+        "a reshard from 16 to 17 shards — the stability property that "
+        "decides whether growing a training-data layout invalidates "
+        "its caches/checkpoints: modulo reassigns ~16/17 of all "
+        "documents (every residue shifts), while HRW provably moves "
+        "only the ~1/17 whose new shard WINS the weight race "
+        "(Thaler & Ravishankar 1996; the scheme behind consistent "
+        "cache and object-store placement). The HRW winner is a pure "
+        "scan projection — greatest() over 17 md5-derived "
+        "(weight, shard) structs, no explode, no shuffle, and adding "
+        "a shard re-hashes NOTHING (weights for existing shards are "
+        "unchanged — the monotonicity that makes the proof work). "
+        "Returns the two-row census (scheme, n_docs, n_moved, "
+        "moved_fraction); expected fractions ~0.94 vs ~0.059. The "
+        "oracle replays the weight race as a per-doc rank window over "
+        "an unnested (doc, shard) grid."
+    ),
+)
+def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import minhash
+
+    s0, s1 = _RDV_S, _RDV_S + 1
+    docs = load_table(spark, sf_dir, "documents")
+
+    def weight(s: int):
+        return minhash.md5_hash60(
+            F.concat(F.lit(f"{s}:"), F.col("doc_id").cast("string"))
+        )
+
+    def rdv_shard(n: int):
+        return F.greatest(
+            *[F.struct(weight(s).alias("hw"), F.lit(s).alias("s")) for s in range(n)]
+        )["s"]
+
+    hh = minhash.md5_hash60(F.col("doc_id").cast("string"))
+    moved = docs.select(
+        F.when(hh % s0 != hh % s1, 1).otherwise(0).alias("mod_moved"),
+        F.when(rdv_shard(s0) != rdv_shard(s1), 1).otherwise(0).alias("rdv_moved"),
+    )
+    ag = moved.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("mod_moved").cast("long").alias("m_mod"),
+        F.sum("rdv_moved").cast("long").alias("m_rdv"),
+    )
+    a = ag.select(
+        F.lit("modulo").alias("scheme"),
+        "n_docs",
+        F.col("m_mod").alias("n_moved"),
+        F.round(F.col("m_mod") * 1.0 / F.col("n_docs"), 6).alias("moved_fraction"),
+    )
+    b = ag.select(
+        F.lit("rendezvous").alias("scheme"),
+        "n_docs",
+        F.col("m_rdv").alias("n_moved"),
+        F.round(F.col("m_rdv") * 1.0 / F.col("n_docs"), 6).alias("moved_fraction"),
+    )
+    return a.unionByName(b)

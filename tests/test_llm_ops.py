@@ -2454,3 +2454,19 @@ def test_fuzzy_decontamination_flags_planted_near_dup(spark):
     flagged = {r.new_id for r in pairs}
     assert ids[0] in flagged
     assert ids[1] not in flagged
+
+
+def test_rendezvous_resharding_stability(spark, sf_dir):
+    """HRW must move roughly 1/(S+1) of docs on a grow-by-one reshard
+    while modulo moves nearly everything — and every moved HRW doc
+    must have moved TO the new shard (monotonicity: old weights are
+    untouched, so a change can only crown shard S)."""
+    from duva_spark.queries import load_all
+    from duva_spark.queries.pipeline_q import _RDV_S
+
+    rows = {r.scheme: r for r in
+            load_all()["q_rendezvous_resharding"].fn(spark, sf_dir).collect()}
+    assert rows["modulo"].moved_fraction > 0.8
+    exp = 1.0 / (_RDV_S + 1)
+    assert 0.3 * exp < rows["rendezvous"].moved_fraction < 3.0 * exp
+    assert rows["rendezvous"].n_moved < rows["modulo"].n_moved
