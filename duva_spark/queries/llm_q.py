@@ -4045,61 +4045,85 @@ def q_embed_ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame
 _LR_B, _LR_ETA, _LR_ROUNDS, _LR_HOLD = 256, 4.0, 6, 30
 
 
-def _lr_ctes() -> list[str]:
+def _lr_ctes(
+    prefix: str = "", train_hi: int | None = None, include_base: bool = True
+) -> list[str]:
     """The shared unrolled gradient-descent CTE chain: the feature CTE
     mirrors _features (tf buckets + bias at -1 + scaled length at -2),
     then per round a 6-dp-rounded margin/probability pass, a metrics
     row, a mean-gradient CTE, and the 9-dp weight update. Shared by
     q_lr_quality_distill, q_lr_quality_auc and q_classifier_calibration
     so the training replay cannot drift — the last p{t} CTE is the
-    final-weight scoring pass the evaluation oracles read."""
+    final-weight scoring pass the evaluation oracles read.
+
+    ``prefix``/``train_hi`` parametrize the data-size learning curve
+    (q_lr_data_curve): the train split narrows to h in [hold, train_hi)
+    and every round CTE name carries the prefix, while lab/tf/feat/w0
+    stay shared (emit them once via ``include_base``). Defaults
+    reproduce the canonical chain byte-for-byte."""
     b, eta, t_rounds, hold = _LR_B, _LR_ETA, _LR_ROUNDS, _LR_HOLD
+    p = prefix
+    trainp = f"h >= {hold}" if train_hi is None else f"h >= {hold} AND h < {train_hi}"
+    trainpf = (
+        f"f.h >= {hold}"
+        if train_hi is None
+        else f"f.h >= {hold} AND f.h < {train_hi}"
+    )
     h = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
-    ctes = [
-        f"lab AS MATERIALIZED (SELECT doc_id, {_PASS_STRUCT} AS y,"
-        f" {h} AS h, {_WS} AS ws FROM documents)",
-        f"tf AS MATERIALIZED (SELECT doc_id, h, y, bucket,"
-        f" COUNT(*) * 1.0 / ANY_VALUE(n) AS x FROM ("
-        f"SELECT doc_id, h, y, len(ws) AS n,"
-        f" CAST('0x' || substr(md5(unnest(ws)), 1, 15) AS BIGINT) % {b} AS bucket"
-        f" FROM lab) GROUP BY doc_id, h, y, bucket)",
-        "feat AS MATERIALIZED (SELECT * FROM tf"
-        " UNION ALL SELECT doc_id, h, y, -1, 1.0 FROM lab"
-        " UNION ALL SELECT doc_id, h, y, -2, len(ws) / 100.0 FROM lab)",
-        f"ntr AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM lab WHERE h >= {hold})",
-        f"w0 AS MATERIALIZED (SELECT unnest(range(-2, {b})) AS bucket, 0.0 AS w)",
-    ]
+    ctes: list[str] = []
+    if include_base:
+        ctes += [
+            f"lab AS MATERIALIZED (SELECT doc_id, {_PASS_STRUCT} AS y,"
+            f" {h} AS h, {_WS} AS ws FROM documents)",
+            f"tf AS MATERIALIZED (SELECT doc_id, h, y, bucket,"
+            f" COUNT(*) * 1.0 / ANY_VALUE(n) AS x FROM ("
+            f"SELECT doc_id, h, y, len(ws) AS n,"
+            f" CAST('0x' || substr(md5(unnest(ws)), 1, 15) AS BIGINT) % {b} AS bucket"
+            f" FROM lab) GROUP BY doc_id, h, y, bucket)",
+            "feat AS MATERIALIZED (SELECT * FROM tf"
+            " UNION ALL SELECT doc_id, h, y, -1, 1.0 FROM lab"
+            " UNION ALL SELECT doc_id, h, y, -2, len(ws) / 100.0 FROM lab)",
+            f"w0 AS MATERIALIZED (SELECT unnest(range(-2, {b})) AS bucket, 0.0 AS w)",
+        ]
+    ctes.insert(
+        len(ctes) - 1 if include_base else len(ctes),
+        f"ntr{p} AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM lab WHERE {trainp})",
+    )
+
+    def wn(t: int) -> str:
+        return "w0" if t == 0 else f"w{p}{t}"
+
     for t in range(t_rounds):
         ctes.append(
-            f"z{t} AS MATERIALIZED (SELECT f.doc_id, ANY_VALUE(f.h) AS h,"
+            f"z{p}{t} AS MATERIALIZED (SELECT f.doc_id, ANY_VALUE(f.h) AS h,"
             f" ANY_VALUE(f.y) AS y, ROUND(SUM(w.w * f.x), 6) AS z"
-            f" FROM feat f JOIN w{t} w USING (bucket) GROUP BY f.doc_id)"
+            f" FROM feat f JOIN {wn(t)} w USING (bucket) GROUP BY f.doc_id)"
         )
         ctes.append(
-            f"p{t} AS MATERIALIZED (SELECT *, LEAST(GREATEST("
-            f"ROUND(1.0 / (1.0 + exp(-z)), 6), 1e-6), 1 - 1e-6) AS p FROM z{t})"
+            f"p{p}{t} AS MATERIALIZED (SELECT *, LEAST(GREATEST("
+            f"ROUND(1.0 / (1.0 + exp(-z)), 6), 1e-6), 1 - 1e-6) AS p FROM z{p}{t})"
         )
         ctes.append(
-            f"m{t} AS (SELECT CAST({t} AS BIGINT) AS round,"
-            f" ROUND(-AVG(CASE WHEN h >= {hold} THEN"
+            f"m{p}{t} AS (SELECT CAST({t} AS BIGINT) AS round,"
+            f" ROUND(-AVG(CASE WHEN {trainp} THEN"
             f" CASE WHEN y THEN ln(p) ELSE ln(1 - p) END END), 6) AS train_loss,"
             f" ROUND(AVG(CASE WHEN h < {hold} THEN"
             f" CASE WHEN (z > 0) = y THEN 1.0 ELSE 0.0 END END), 6) AS holdout_acc"
-            f" FROM p{t})"
+            f" FROM p{p}{t})"
         )
         if t == t_rounds - 1:
             break
         ctes.append(
-            f"g{t} AS MATERIALIZED (SELECT f.bucket,"
+            f"g{p}{t} AS MATERIALIZED (SELECT f.bucket,"
             f" ROUND(SUM((p.p - CASE WHEN f.y THEN 1.0 ELSE 0.0 END) * f.x)"
-            f" / (SELECT n FROM ntr), 6) AS g"
-            f" FROM feat f JOIN p{t} p ON p.doc_id = f.doc_id"
-            f" WHERE f.h >= {hold} GROUP BY f.bucket)"
+            f" / (SELECT n FROM ntr{p}), 6) AS g"
+            f" FROM feat f JOIN p{p}{t} p ON p.doc_id = f.doc_id"
+            f" WHERE {trainpf} GROUP BY f.bucket)"
         )
         ctes.append(
-            f"w{t + 1} AS MATERIALIZED (SELECT w.bucket,"
+            f"w{p}{t + 1} AS MATERIALIZED (SELECT w.bucket,"
             f" ROUND(w.w - {eta} * COALESCE(g.g, 0), 9) AS w"
-            f" FROM w{t} w LEFT JOIN g{t} g USING (bucket))"
+            f" FROM {wn(t)} w LEFT JOIN g{p}{t} g USING (bucket))"
         )
     return ctes
 
@@ -5659,4 +5683,107 @@ def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("train_id") * 1.0 / F.count("*"), 6).alias(
             "contamination_rate"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-size learning curve for the distilled quality classifier
+# ---------------------------------------------------------------------------
+
+# (train_frac, h upper bound): train window h in [30, hi); holdout fixed h<30
+_LR_CURVE = ((0.2, 44), (0.5, 65), (1.0, 100))
+
+
+def _lr_data_curve_oracle() -> str:
+    """Three windowed GD chains over ONE shared feature table (base
+    CTEs emitted once), each reporting its final-round holdout accuracy
+    and ranking AUC — the labeled-data budget curve."""
+    T, hold = _LR_ROUNDS - 1, _LR_HOLD
+    ctes = []
+    selects = []
+    for i, (frac, hi) in enumerate(_LR_CURVE):
+        p = f"s{i}_"
+        ctes += _lr_ctes(prefix=p, train_hi=hi, include_base=(i == 0))
+        ctes.append(f"hold{p} AS (SELECT p, y FROM p{p}{T} WHERE h < {hold})")
+        ctes.append(
+            f"gsc{p} AS (SELECT p, COUNT(*) AS m,"
+            f" SUM(CASE WHEN y THEN 1 ELSE 0 END) AS mp FROM hold{p} GROUP BY p)"
+        )
+        ctes.append(
+            f"osc{p} AS (SELECT p, m, mp,"
+            f" SUM(m) OVER (ORDER BY p) - m AS offs FROM gsc{p})"
+        )
+        ctes.append(
+            f"ssc{p} AS (SELECT SUM(CAST(mp AS HUGEINT)"
+            f" * (2 * CAST(offs AS HUGEINT) + m + 1)) AS s2,"
+            f" CAST(SUM(mp) AS HUGEINT) AS np,"
+            f" CAST(SUM(m - mp) AS HUGEINT) AS nn FROM osc{p})"
+        )
+        selects.append(
+            f"""SELECT CAST({frac} AS DOUBLE) AS train_frac,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lab
+         WHERE h >= {hold} AND h < {hi}) AS n_train,
+        (SELECT holdout_acc FROM m{p}{T}) AS holdout_acc,
+        (SELECT CASE WHEN np > 0 AND nn > 0 THEN
+           ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                 / CAST(2 * np * nn AS DOUBLE), 6) END FROM ssc{p}) AS auc"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + " UNION ALL ".join(selects)
+
+
+@register(
+    "q_lr_data_curve",
+    oracle=_lr_data_curve_oracle(),
+    description=(
+        "Labeled-data budget curve for the distilled LR quality "
+        "classifier — the question a distillation pipeline asks before "
+        "paying for more LLM-judge labels: does the filter's ranking "
+        "quality saturate at 20% of the labels, or is it still "
+        "climbing at 100%? Three GD chains train on nested hash "
+        "windows of the train split (h in [30,44)/[30,65)/[30,100) = "
+        "20/50/100% of the labeled mass) against the SAME untouched "
+        "holdout, reporting final-round accuracy and grouped-by-score "
+        "Mann-Whitney AUC per budget. ONE corpus feature pass feeds "
+        "all three chains (the shared-base parametrization of the "
+        "canonical unrolled-GD oracle — byte-identical to the six "
+        "other consumers at the default window, so the replay still "
+        "cannot drift); each extra budget point costs only bounded "
+        "per-round aggregations, never a new corpus scan. Returns "
+        "(train_frac, n_train, holdout_acc, auc)."
+    ),
+)
+def q_lr_data_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import evals, logreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    from duva_spark.llm import hashed_lm
+
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    out = []
+    for frac, hi in _LR_CURVE:
+        sub = feat.filter(F.col("h") < hi)
+        curve, wts = logreg.logreg_train(
+            lab, "doc_id", "y", "text",
+            n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS,
+            holdout_pct=_LR_HOLD, features=sub,
+        )
+        n_train = lab.filter((h100 >= _LR_HOLD) & (h100 < hi)).count()
+        scored = logreg.logreg_score(
+            lab, "doc_id", "y", "text", wts, n_buckets=_LR_B, features=sub
+        ).filter(F.col("h") < _LR_HOLD)
+        auc = evals.auc_frame(scored).collect()[0]["auc"]
+        out.append((float(frac), n_train, float(curve[-1][2]), auc))
+    return spark.createDataFrame(
+        out, "train_frac double, n_train long, holdout_acc double, auc double"
     )

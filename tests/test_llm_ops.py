@@ -2470,3 +2470,17 @@ def test_rendezvous_resharding_stability(spark, sf_dir):
     exp = 1.0 / (_RDV_S + 1)
     assert 0.3 * exp < rows["rendezvous"].moved_fraction < 3.0 * exp
     assert rows["rendezvous"].n_moved < rows["modulo"].n_moved
+
+
+def test_lr_data_curve_invariants(spark, sf_dir):
+    from duva_spark.queries import load_all
+
+    rows = sorted(
+        load_all()["q_lr_data_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.train_frac,
+    )
+    assert [r.train_frac for r in rows] == [0.2, 0.5, 1.0]
+    assert rows[0].n_train < rows[1].n_train < rows[2].n_train
+    for r in rows:
+        assert r.auc is not None and r.auc > 0.6
+        assert 0.5 < r.holdout_acc <= 1.0
