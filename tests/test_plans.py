@@ -612,6 +612,13 @@ _BNLJ_SITES = [
     ("q_feature_hash_collisions", 2),
     # the 1-row (N, V) unigram-total attach
     ("q_stupid_backoff_nll", 1),
+    # r8 scalar attaches: KN's (bigram-types, vocab) totals; the domain
+    # matrix's dense-bucket-grid broadcast; the radius curve's
+    # one-agg-row x truth-total unpivot; the multiprobe level fan-out
+    ("q_kneser_ney_nll", 2),
+    ("q_domain_divergence", 1),
+    ("q_simhash_radius_curve", 2),
+    ("q_rplsh_multiprobe_recall", 1),
 ]
 
 
