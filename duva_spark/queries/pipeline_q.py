@@ -3900,3 +3900,221 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m_rdv") * 1.0 / F.col("n_docs"), 6).alias("moved_fraction"),
     )
     return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Recursive interpolated Kneser-Ney TRIGRAM LM (the full Chen-Goodman shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kneser_ney_trigram",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws,
+             {_H60_DOCID} % 100 < 70 AS is_train
+      FROM documents
+    ),
+    uni_tr AS (SELECT unnest(ws) AS w FROM split WHERE is_train),
+    ucnt AS (SELECT w, COUNT(*) AS cnt FROM uni_tr GROUP BY w),
+    vtot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ucnt),
+    bi_tr AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+      FROM split WHERE is_train
+    ),
+    bcnt AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS bc
+             FROM bi_tr GROUP BY 1, 2),
+    cont AS (SELECT w2 AS w3, CAST(COUNT(*) AS DOUBLE) AS rc FROM bcnt GROUP BY w2),
+    n1p2 AS (SELECT w1 AS w2, CAST(COUNT(*) AS DOUBLE) AS fw FROM bcnt GROUP BY w1),
+    btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM bcnt),
+    tri_tr AS (
+      SELECT unnest(list_transform(range(1, len(ws) - 1),
+                    i -> {{'w1': ws[i], 'w2': ws[i + 1], 'w3': ws[i + 2]}})) AS t
+      FROM split WHERE is_train AND len(ws) >= 3
+    ),
+    t3cnt AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, COUNT(*) AS c3
+              FROM tri_tr GROUP BY 1, 2, 3),
+    ctx12 AS (SELECT w1, w2, CAST(SUM(c3) AS DOUBLE) AS cc12,
+                     CAST(COUNT(*) AS DOUBLE) AS n1p12
+              FROM t3cnt GROUP BY w1, w2),
+    mid AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS m2 FROM t3cnt GROUP BY w2),
+    c23 AS (SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS c23t
+            FROM t3cnt GROUP BY w2, w3),
+    ho0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                     i -> {{'w1': ws[i], 'w2': ws[i + 1], 'w3': ws[i + 2]}})) AS t
+      FROM split WHERE NOT is_train AND len(ws) >= 3
+    ),
+    ho AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM ho0),
+    scored AS (
+      SELECT h.doc_id,
+             -ln(
+               CASE WHEN ctx12.cc12 IS NULL THEN
+                 CASE WHEN mid.m2 IS NULL THEN
+                   (COALESCE(cont.rc, 0) + 1) / (btot.bt + vtot.v)
+                 ELSE
+                   (CASE WHEN c23.c23t IS NULL THEN 0.0
+                         ELSE (c23.c23t - 0.75) / mid.m2 END)
+                   + (0.75 * n1p2.fw / mid.m2)
+                     * ((COALESCE(cont.rc, 0) + 1) / (btot.bt + vtot.v))
+                 END
+               ELSE
+                 (CASE WHEN t3.c3 IS NULL THEN 0.0
+                       ELSE (t3.c3 - 0.75) / ctx12.cc12 END)
+                 + (0.75 * ctx12.n1p12 / ctx12.cc12)
+                   * (CASE WHEN mid.m2 IS NULL THEN
+                        (COALESCE(cont.rc, 0) + 1) / (btot.bt + vtot.v)
+                      ELSE
+                        (CASE WHEN c23.c23t IS NULL THEN 0.0
+                              ELSE (c23.c23t - 0.75) / mid.m2 END)
+                        + (0.75 * n1p2.fw / mid.m2)
+                          * ((COALESCE(cont.rc, 0) + 1) / (btot.bt + vtot.v))
+                      END)
+               END
+             ) AS nll,
+             CASE WHEN t3.c3 IS NULL THEN 1 ELSE 0 END AS unseen_tri,
+             CASE WHEN ctx12.cc12 IS NULL THEN 1 ELSE 0 END AS unseen_ctx
+      FROM ho h
+      LEFT JOIN t3cnt t3 ON t3.w1 = h.w1 AND t3.w2 = h.w2 AND t3.w3 = h.w3
+      LEFT JOIN ctx12 ON ctx12.w1 = h.w1 AND ctx12.w2 = h.w2
+      LEFT JOIN mid ON mid.w2 = h.w2
+      LEFT JOIN c23 ON c23.w2 = h.w2 AND c23.w3 = h.w3
+      LEFT JOIN n1p2 ON n1p2.w2 = h.w2
+      LEFT JOIN cont ON cont.w3 = h.w3
+      CROSS JOIN btot CROSS JOIN vtot
+    ),
+    per_doc AS (
+      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll,
+             CAST(SUM(unseen_tri) AS DOUBLE) AS ut,
+             CAST(SUM(unseen_ctx) AS DOUBLE) AS uc,
+             CAST(COUNT(*) AS DOUBLE) AS nt
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(SUM(p.ut) / SUM(p.nt), 6) AS unseen_trigram_rate,
+           ROUND(SUM(p.uc) / SUM(p.nt), 6) AS unseen_ctx_rate
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    description=(
+        "RECURSIVE interpolated Kneser-Ney trigram LM (Chen & Goodman "
+        "1998 eq. 4.28 at order 3) — the full KenLM production shape "
+        "the bigram query (q_kneser_ney_nll) introduces one level of: "
+        "the trigram level discounts actual counts and re-spends the "
+        "mass on the BIGRAM-level KN distribution, which itself is "
+        "built from CONTINUATION type counts (N1+(.w2w3) over "
+        "N1+(.w2.)) and recurses into the continuation unigram with "
+        "the same add-one floor as the bigram query (the documented "
+        "finite-NLL deviation). Fallback chain for unseen contexts: "
+        "trigram-context miss -> bigram-KN level -> continuation "
+        "unigram. All SIX model tables (trigram counts + its two "
+        "marginals, the type-count table N1+(.w2w3), forward bigram "
+        "types, continuation counts) are Zipf-bounded marginals of "
+        "the same two count tables — hash-key joins broadcastable "
+        "after a frequency cut, two aggregations, zero driver state; "
+        "the 100 TB shape is unchanged from the bigram sibling, plus "
+        "one wider explode. Reports per-language held-out NLL and the "
+        "unseen-trigram / unseen-trigram-context rates (the trigram "
+        "level saturates coverage far sooner — visibly higher unseen "
+        "rates than the bigram query on the same split)."
+    ),
+)
+def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    d = F.lit(0.75)
+    docs = load_table(spark, sf_dir, "documents")
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
+    )
+    bigrams = lambda df: df.select(  # noqa: E731
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    trigrams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3)) "
+                "ELSE array() END"
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w1", "t.w2", "t.w3")
+    train = split.filter("is_train")
+    ucnt = train.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").alias("cnt")
+    )
+    vtot = ucnt.agg(F.count("*").cast("double").alias("v"))
+    bcnt = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    cont = bcnt.groupBy(F.col("w2").alias("w3")).agg(
+        F.count("*").cast("double").alias("rc")
+    )
+    n1p2 = bcnt.groupBy(F.col("w1").alias("w2")).agg(
+        F.count("*").cast("double").alias("fw")
+    )
+    btot = bcnt.agg(F.count("*").cast("double").alias("bt"))
+    t3cnt = trigrams(train).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    ctx12 = t3cnt.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("double").alias("cc12"),
+        F.count("*").cast("double").alias("n1p12"),
+    )
+    mid = t3cnt.groupBy("w2").agg(F.count("*").cast("double").alias("m2"))
+    c23 = t3cnt.groupBy("w2", "w3").agg(F.count("*").cast("double").alias("c23t"))
+    ho = trigrams(split.filter(~F.col("is_train")))
+    pcont = (F.coalesce(F.col("rc"), F.lit(0)) + 1) / (F.col("bt") + F.col("v"))
+    pkn2 = F.when(F.col("m2").isNull(), pcont).otherwise(
+        F.when(F.col("c23t").isNull(), F.lit(0.0)).otherwise(
+            (F.col("c23t") - d) / F.col("m2")
+        )
+        + (d * F.col("fw") / F.col("m2")) * pcont
+    )
+    p = F.when(F.col("cc12").isNull(), pkn2).otherwise(
+        F.when(F.col("c3").isNull(), F.lit(0.0)).otherwise(
+            (F.col("c3") - d) / F.col("cc12")
+        )
+        + (d * F.col("n1p12") / F.col("cc12")) * pkn2
+    )
+    scored = (
+        ho.join(t3cnt, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(mid, "w2", "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(n1p2, "w2", "left")
+        .join(cont, "w3", "left")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "doc_id",
+            (-F.log(p)).alias("nll"),
+            F.when(F.col("c3").isNull(), 1).otherwise(0).alias("unseen_tri"),
+            F.when(F.col("cc12").isNull(), 1).otherwise(0).alias("unseen_ctx"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.sum("unseen_tri").cast("double").alias("ut"),
+        F.sum("unseen_ctx").cast("double").alias("uc"),
+        F.count("*").cast("double").alias("nt"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            F.round(F.sum("ut") / F.sum("nt"), 6).alias("unseen_trigram_rate"),
+            F.round(F.sum("uc") / F.sum("nt"), 6).alias("unseen_ctx_rate"),
+        )
+    )

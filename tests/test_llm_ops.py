@@ -2484,3 +2484,102 @@ def test_lr_data_curve_invariants(spark, sf_dir):
     for r in rows:
         assert r.auc is not None and r.auc > 0.6
         assert 0.5 < r.holdout_acc <= 1.0
+
+
+def _kn3_python_reference(docs, d_disc=0.75):
+    """Pure-python replay of q_kneser_ney_trigram: recursive
+    interpolated KN at order 3 with the same fallback chain and
+    add-one continuation floor."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    def h100(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    bcnt, t3 = Counter(), Counter()
+    for doc_id, lang, text in docs:
+        if h100(doc_id) < 70:
+            ws = text.split(" ")
+            bcnt.update(zip(ws, ws[1:]))
+            t3.update(zip(ws, ws[1:], ws[2:]))
+    ucnt = Counter()
+    for doc_id, lang, text in docs:
+        if h100(doc_id) < 70:
+            ucnt.update(text.split(" "))
+    cont, n1p2 = Counter(), Counter()
+    for (w1, w2), c in bcnt.items():
+        cont[w2] += 1
+        n1p2[w1] += 1
+    cc12, n1p12, mid, c23 = Counter(), Counter(), Counter(), Counter()
+    for (w1, w2, w3), c in t3.items():
+        cc12[(w1, w2)] += c
+        n1p12[(w1, w2)] += 1
+        mid[w2] += 1
+        c23[(w2, w3)] += 1
+    bt, v = float(len(bcnt)), float(len(ucnt))
+    per_lang = defaultdict(list)
+    for doc_id, lang, text in docs:
+        if h100(doc_id) < 70:
+            continue
+        ws = text.split(" ")
+        if len(ws) < 3:
+            continue
+        nlls = []
+        for tri in zip(ws, ws[1:], ws[2:]):
+            w1, w2, w3 = tri
+            pc = (cont.get(w3, 0) + 1) / (bt + v)
+            if w2 not in mid:
+                pk2 = pc
+            else:
+                first = (
+                    (c23[(w2, w3)] - d_disc) / mid[w2]
+                    if (w2, w3) in c23
+                    else 0.0
+                )
+                pk2 = first + (d_disc * n1p2[w2] / mid[w2]) * pc
+            if (w1, w2) not in cc12:
+                p = pk2
+            else:
+                first = (t3[tri] - d_disc) / cc12[(w1, w2)] if tri in t3 else 0.0
+                p = first + (d_disc * n1p12[(w1, w2)] / cc12[(w1, w2)]) * pk2
+            nlls.append(-math.log(p))
+        per_lang[lang].append(round(sum(nlls) / len(nlls), 6))
+    return {
+        lang: (len(vs), round(sum(vs) / len(vs), 6)) for lang, vs in per_lang.items()
+    }
+
+
+def test_kneser_ney_trigram_matches_python_reference(spark, sf_dir):
+    from duva_spark.queries import load_all
+
+    got = {
+        r.lang: (r.n_docs, r.mean_doc_nll)
+        for r in load_all()["q_kneser_ney_trigram"].fn(spark, sf_dir).collect()
+    }
+    docs = [
+        (r.doc_id, r.lang, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    ]
+    want = _kn3_python_reference(docs)
+    assert set(got) == set(want)
+    for lang in got:
+        assert got[lang][0] == want[lang][0], lang
+        assert got[lang][1] == pytest.approx(want[lang][1], abs=2e-6), lang
+
+
+def test_kn_trigram_sparser_than_bigram(spark, sf_dir):
+    """Trigram coverage saturates sooner: the unseen-trigram rate must
+    exceed the bigram query's unseen-bigram rate on the same split."""
+    from duva_spark.queries import load_all
+
+    reg = load_all()
+    tri = {r.lang: r.unseen_trigram_rate
+           for r in reg["q_kneser_ney_trigram"].fn(spark, sf_dir).collect()}
+    bi = {r.lang: r.unseen_bigram_rate
+          for r in reg["q_kneser_ney_nll"].fn(spark, sf_dir).collect()}
+    common = set(tri) & set(bi)
+    assert common
+    assert sum(tri[x] for x in common) > sum(bi[x] for x in common)
