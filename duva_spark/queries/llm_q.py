@@ -4193,6 +4193,147 @@ def q_lr_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_L, _UNI_SEED, _UNI_R, _UNI_K, _UNI_CAP = 4, 48, 3, 20, 16
 
 
+def _uni_dp_expr(i: int) -> str:
+    """DP column b{i} (best score of the prefix w[1..i]): the unrolled
+    Viterbi step — candidates reach back only max_len=_UNI_L positions.
+    One MATERIALIZED CTE per position (a lateral-alias or plain-CTE
+    chain would be INLINED by the planner — each level duplicates the
+    previous expression ~4×, exploding the plan exponentially;
+    materialization makes every step a vocab-bounded table)."""
+    cands = []
+    for d in range(1, min(_UNI_L, i) + 1):
+        prev = "CAST(0 AS DOUBLE)" if i - d == 0 else f"b{i - d}"
+        cands.append(
+            f"{prev} + element_at(m, substr(w, {i - d + 1}, {d}))[1]"
+        )
+    return (
+        f"CASE WHEN {i} <= len(w) THEN"
+        f" list_aggregate([{', '.join(cands)}], 'max')"
+        f" ELSE NULL END AS b{i}"
+    )
+
+
+def _uni_best_list() -> str:
+    return (
+        "[CAST(0 AS DOUBLE), "
+        + ", ".join(f"b{i}" for i in range(1, _UNI_CAP + 1))
+        + "]"
+    )
+
+
+def _uni_dstar() -> str:
+    """Backtrace step width: widest matching candidate = smallest
+    start, the Spark fold's tie rule."""
+
+    def lkd(d: int) -> str:
+        return f"element_at(m, substr(w, pos - {d} + 1, {d}))[1]"
+
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN pos >= {d} AND {lkd(d)} IS NOT NULL"
+            f" AND best[pos - {d} + 1] + {lkd(d)} = best[pos + 1] THEN {d}"
+            for d in range(_UNI_L, 1, -1)
+        )
+        + " ELSE 1 END"
+    )
+
+
+def _unigram_emit_round(tag: str, lp_src: str, words_src: str = "words") -> list[str]:
+    """One full E-step block (map literal, DP unroll, backtrace, piece
+    recount, total) under the log-prob CTE ``lp_src``, with every CTE
+    name keyed by ``tag`` — shared by the training trajectory (tag =
+    round number), the prune replay (tag='P'), and the vocab-size curve
+    (tag='{vtag}{round}'). Module-level with explicit parameters
+    (ADVICE r8: the previous function-attribute closure export rebound
+    per call and silently paired a reordered caller with the wrong
+    round parameters)."""
+    cap = _UNI_CAP
+    out = [
+        f"m{tag} AS (SELECT map(list(piece ORDER BY piece),"
+        f" list(lp ORDER BY piece)) AS m FROM {lp_src})",
+        f"d{tag}_0 AS MATERIALIZED (SELECT w, cnt, m FROM {words_src}, m{tag})",
+    ]
+    for i in range(1, cap + 1):
+        out.append(
+            f"d{tag}_{i} AS MATERIALIZED (SELECT *, {_uni_dp_expr(i)}"
+            f" FROM d{tag}_{i - 1})"
+        )
+    out.append(
+        f"w{tag}_0 AS MATERIALIZED (SELECT w, cnt, m,"
+        f" {_uni_best_list()} AS best,"
+        f" CAST([] AS VARCHAR[]) AS pieces, CAST(len(w) AS INT) AS pos"
+        f" FROM d{tag}_{cap})"
+    )
+    for k in range(1, cap + 1):
+        out.append(
+            f"w{tag}_{k} AS MATERIALIZED (SELECT w, cnt, m, best,"
+            f" CASE WHEN pos > 0 THEN"
+            f" list_append(pieces, substr(w, pos - ds + 1, ds))"
+            f" ELSE pieces END AS pieces,"
+            f" CASE WHEN pos > 0 THEN pos - ds ELSE 0 END AS pos"
+            f" FROM (SELECT w, cnt, m, best, pieces, pos, {_uni_dstar()} AS ds"
+            f" FROM w{tag}_{k - 1}))"
+        )
+    out.append(
+        f"c{tag} AS MATERIALIZED (SELECT piece,"
+        f" CAST(SUM(cnt) AS BIGINT) AS c FROM (SELECT cnt,"
+        f" unnest(pieces) AS piece FROM w{tag}_{cap}) GROUP BY piece)"
+    )
+    out.append(
+        f"t{tag} AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c{tag})"
+    )
+    return out
+
+
+def _unigram_base_ctes() -> list[str]:
+    """The corpus-derived tables every unigram-oracle chain shares:
+    capped word frequencies and weighted substring counts."""
+    L, cap = _UNI_L, _UNI_CAP
+    return [
+        f"words AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt"
+        f" FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        f" WHERE w <> '' AND len(w) <= {cap} GROUP BY w)",
+        f"sc AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c"
+        f" FROM (SELECT cnt, substr(w, CAST(st AS INT), CAST(ln AS INT)) AS piece"
+        f" FROM words, range(1, {cap + 1}) t(st), range(1, {L + 1}) u(ln)"
+        f" WHERE st <= len(w) AND ln <= least({L}, len(w) - st + 1))"
+        f" GROUP BY piece)",
+    ]
+
+
+def _unigram_seed_ctes(n_seed: int, vtag: str = "") -> list[str]:
+    """Seed vocab (all single chars + top n_seed multis), its totals,
+    and the round-0 log-probs — CTE names suffixed by ``vtag`` so
+    several seed sizes can share one chain (the vocab-size curve)."""
+    return [
+        f"v0{vtag} AS MATERIALIZED (SELECT piece, c FROM sc WHERE len(piece) = 1"
+        f" UNION ALL SELECT piece, c FROM (SELECT piece, c FROM sc"
+        f" WHERE len(piece) >= 2 ORDER BY c DESC, piece ASC LIMIT {n_seed}))",
+        f"tv{vtag} AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS t,"
+        f" CAST(COUNT(*) AS BIGINT) AS vsz FROM v0{vtag})",
+        f"lp{vtag}0 AS MATERIALIZED (SELECT piece,"
+        f" ROUND(ln((c + 1.0) / (t + vsz)), 6) AS lp FROM v0{vtag}, tv{vtag})",
+    ]
+
+
+def _unigram_round_chain(rounds: int, vtag: str = "") -> list[str]:
+    """``rounds`` chained E-steps + M-step reprices under seed tag
+    ``vtag`` (round CTE tags become '{vtag}{r}')."""
+    ctes: list[str] = []
+    for r in range(1, rounds + 1):
+        ctes.extend(_unigram_emit_round(f"{vtag}{r}", f"lp{vtag}{r - 1}"))
+        if r < rounds:
+            ctes.append(
+                f"lp{vtag}{r} AS MATERIALIZED (SELECT v0{vtag}.piece,"
+                f" ROUND(ln((COALESCE(c.c, 0) + 1.0) / (t.t + tv{vtag}.vsz)), 6)"
+                f" AS lp FROM v0{vtag} LEFT JOIN c{vtag}{r} c"
+                f" ON c.piece = v0{vtag}.piece,"
+                f" t{vtag}{r} t, tv{vtag})"
+            )
+    return ctes
+
+
 def _unigram_ctes(rounds: int) -> list[str]:
     """Unrolled hard-EM replay, deliberately LAMBDA-FREE: DuckDB 1.x's
     list_reduce miscarries struct-typed accumulators containing lists,
@@ -4209,113 +4350,11 @@ def _unigram_ctes(rounds: int) -> list[str]:
     (rounds=_UNI_R+1 — encoding under the final model IS one more
     E-step segmentation of the same trajectory, so the two replays
     cannot drift)."""
-    L, n_seed, cap = _UNI_L, _UNI_SEED, _UNI_CAP
-
-    # --- DP: one MATERIALIZED CTE per position (a lateral-alias or
-    # plain-CTE chain would be INLINED by the planner — each level
-    # duplicates the previous expression ~4×, exploding the plan
-    # exponentially; materialization makes every step a 31-row table)
-    def dp_expr(i: int) -> str:
-        cands = []
-        for d in range(1, min(L, i) + 1):
-            prev = "CAST(0 AS DOUBLE)" if i - d == 0 else f"b{i - d}"
-            cands.append(
-                f"{prev} + element_at(m, substr(w, {i - d + 1}, {d}))[1]"
-            )
-        return (
-            f"CASE WHEN {i} <= len(w) THEN"
-            f" list_aggregate([{', '.join(cands)}], 'max')"
-            f" ELSE NULL END AS b{i}"
-        )
-
-    best_list = "[CAST(0 AS DOUBLE), " + ", ".join(
-        f"b{i}" for i in range(1, cap + 1)
-    ) + "]"
-
-    # --- walk step: widest matching candidate = smallest start
-    def lkd(d: int) -> str:
-        return f"element_at(m, substr(w, pos - {d} + 1, {d}))[1]"
-
-    dstar = (
-        "CASE "
-        + " ".join(
-            f"WHEN pos >= {d} AND {lkd(d)} IS NOT NULL"
-            f" AND best[pos - {d} + 1] + {lkd(d)} = best[pos + 1] THEN {d}"
-            for d in range(L, 1, -1)
-        )
-        + " ELSE 1 END"
+    return (
+        _unigram_base_ctes()
+        + _unigram_seed_ctes(_UNI_SEED)
+        + _unigram_round_chain(rounds)
     )
-
-    ctes = [
-        f"words AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt"
-        f" FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
-        f" WHERE w <> '' AND len(w) <= {cap} GROUP BY w)",
-        f"sc AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c"
-        f" FROM (SELECT cnt, substr(w, CAST(st AS INT), CAST(ln AS INT)) AS piece"
-        f" FROM words, range(1, {cap + 1}) t(st), range(1, {L + 1}) u(ln)"
-        f" WHERE st <= len(w) AND ln <= least({L}, len(w) - st + 1))"
-        f" GROUP BY piece)",
-        f"v0 AS MATERIALIZED (SELECT piece, c FROM sc WHERE len(piece) = 1"
-        f" UNION ALL SELECT piece, c FROM (SELECT piece, c FROM sc"
-        f" WHERE len(piece) >= 2 ORDER BY c DESC, piece ASC LIMIT {n_seed}))",
-        "tv AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS t,"
-        " CAST(COUNT(*) AS BIGINT) AS vsz FROM v0)",
-        "lp0 AS MATERIALIZED (SELECT piece,"
-        " ROUND(ln((c + 1.0) / (t + vsz)), 6) AS lp FROM v0, tv)",
-    ]
-    def emit_round(tag: str, lp_src: str) -> list[str]:
-        """One full E-step block (map literal, DP unroll, backtrace,
-        piece recount, total) under the log-prob CTE ``lp_src``, with
-        every CTE name keyed by ``tag`` — shared by the training
-        trajectory (tag = round number) and the prune replay (tag='P',
-        reading the pruned model)."""
-        out = [
-            f"m{tag} AS (SELECT map(list(piece ORDER BY piece),"
-            f" list(lp ORDER BY piece)) AS m FROM {lp_src})",
-            f"d{tag}_0 AS MATERIALIZED (SELECT w, cnt, m FROM words, m{tag})",
-        ]
-        for i in range(1, cap + 1):
-            out.append(
-                f"d{tag}_{i} AS MATERIALIZED (SELECT *, {dp_expr(i)}"
-                f" FROM d{tag}_{i - 1})"
-            )
-        out.append(
-            f"w{tag}_0 AS MATERIALIZED (SELECT w, cnt, m,"
-            f" {best_list} AS best,"
-            f" CAST([] AS VARCHAR[]) AS pieces, CAST(len(w) AS INT) AS pos"
-            f" FROM d{tag}_{cap})"
-        )
-        for k in range(1, cap + 1):
-            out.append(
-                f"w{tag}_{k} AS MATERIALIZED (SELECT w, cnt, m, best,"
-                f" CASE WHEN pos > 0 THEN"
-                f" list_append(pieces, substr(w, pos - ds + 1, ds))"
-                f" ELSE pieces END AS pieces,"
-                f" CASE WHEN pos > 0 THEN pos - ds ELSE 0 END AS pos"
-                f" FROM (SELECT w, cnt, m, best, pieces, pos, {dstar} AS ds"
-                f" FROM w{tag}_{k - 1}))"
-            )
-        out.append(
-            f"c{tag} AS MATERIALIZED (SELECT piece,"
-            f" CAST(SUM(cnt) AS BIGINT) AS c FROM (SELECT cnt,"
-            f" unnest(pieces) AS piece FROM w{tag}_{cap}) GROUP BY piece)"
-        )
-        out.append(
-            f"t{tag} AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c{tag})"
-        )
-        return out
-
-    for r in range(1, rounds + 1):
-        ctes.extend(emit_round(str(r), f"lp{r - 1}"))
-        if r < rounds:
-            ctes.append(
-                f"lp{r} AS MATERIALIZED (SELECT v0.piece,"
-                f" ROUND(ln((COALESCE(c.c, 0) + 1.0) / (t.t + tv.vsz)), 6)"
-                f" AS lp FROM v0 LEFT JOIN c{r} c ON c.piece = v0.piece,"
-                f" t{r} t, tv)"
-            )
-    _unigram_ctes.emit_round = emit_round  # exposed for the prune oracle
-    return ctes
 
 
 def _unigram_oracle() -> str:
@@ -5278,7 +5317,6 @@ def _unigram_prune_oracle() -> str:
     ONE more emit_round under it (tag 'P') = the 'pruned' row."""
     r1 = _UNI_R + 1
     ctes = _unigram_ctes(r1)
-    emit = _unigram_ctes.emit_round
     ctes.append(
         f"vp AS MATERIALIZED (SELECT v0.piece, COALESCE(c.c, 0) AS c"
         f" FROM v0 LEFT JOIN c{r1} c ON c.piece = v0.piece"
@@ -5293,7 +5331,7 @@ def _unigram_prune_oracle() -> str:
         "lpP AS MATERIALIZED (SELECT piece,"
         " ROUND(ln((c + 1.0) / (t + vsz)), 6) AS lp FROM vp, tvp)"
     )
-    ctes.extend(emit("P", "lpP"))
+    ctes.extend(_unigram_emit_round("P", "lpP"))
     ctes.append("wocc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS w FROM words)")
     return (
         "WITH " + ",\n    ".join(ctes)

@@ -3926,7 +3926,6 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcnt AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS bc
              FROM bi_tr GROUP BY 1, 2),
     cont AS (SELECT w2 AS w3, CAST(COUNT(*) AS DOUBLE) AS rc FROM bcnt GROUP BY w2),
-    n1p2 AS (SELECT w1 AS w2, CAST(COUNT(*) AS DOUBLE) AS fw FROM bcnt GROUP BY w1),
     btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM bcnt),
     tri_tr AS (
       SELECT unnest(list_transform(range(1, len(ws) - 1),
@@ -3941,6 +3940,7 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS m2 FROM t3cnt GROUP BY w2),
     c23 AS (SELECT w2, w3, CAST(COUNT(*) AS DOUBLE) AS c23t
             FROM t3cnt GROUP BY w2, w3),
+    n1p2 AS (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS fw FROM c23 GROUP BY w2),
     ho0 AS (
       SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
                      i -> {{'w1': ws[i], 'w2': ws[i + 1], 'w3': ws[i + 2]}})) AS t
@@ -4010,9 +4010,14 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the same add-one floor as the bigram query (the documented "
         "finite-NLL deviation). Fallback chain for unseen contexts: "
         "trigram-context miss -> bigram-KN level -> continuation "
-        "unigram. All SIX model tables (trigram counts + its two "
-        "marginals, the type-count table N1+(.w2w3), forward bigram "
-        "types, continuation counts) are Zipf-bounded marginals of "
+        "unigram. The bigram-level interpolation weight is D·N1+(w2*) "
+        "with N1+(w2*) = |{w3 : N1+(.w2w3) > 0}| derived from the "
+        "trigram middle table — exactly the discounted mass the level "
+        "frees, so each level renormalizes (Chen-Goodman eq. 4.25 "
+        "proper; r9 fix of the r8 bcnt-derived weight). All SIX model "
+        "tables (trigram counts + its two marginals, the type-count "
+        "table N1+(.w2w3), its w2 marginal, continuation counts) are "
+        "Zipf-bounded marginals of "
         "the same two count tables — hash-key joins broadcastable "
         "after a frequency cut, two aggregations, zero driver state; "
         "the 100 TB shape is unchanged from the bigram sibling, plus "
@@ -4061,9 +4066,6 @@ def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = bcnt.groupBy(F.col("w2").alias("w3")).agg(
         F.count("*").cast("double").alias("rc")
     )
-    n1p2 = bcnt.groupBy(F.col("w1").alias("w2")).agg(
-        F.count("*").cast("double").alias("fw")
-    )
     btot = bcnt.agg(F.count("*").cast("double").alias("bt"))
     t3cnt = trigrams(train).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
     ctx12 = t3cnt.groupBy("w1", "w2").agg(
@@ -4072,6 +4074,13 @@ def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mid = t3cnt.groupBy("w2").agg(F.count("*").cast("double").alias("m2"))
     c23 = t3cnt.groupBy("w2", "w3").agg(F.count("*").cast("double").alias("c23t"))
+    # bigram-level interpolation weight fw = |{w3 : N1+(.w2w3) > 0}| —
+    # derived from the trigram MIDDLE table (c23), not from forward
+    # bigram types: D·fw is exactly the discounted mass the level
+    # frees, so the level renormalizes (ADVICE r8 — the previous
+    # bcnt-derived fw counted bigram types occurring only doc-initially
+    # or in 2-word docs and inflated the weight)
+    n1p2 = c23.groupBy("w2").agg(F.count("*").cast("double").alias("fw"))
     ho = trigrams(split.filter(~F.col("is_train")))
     pcont = (F.coalesce(F.col("rc"), F.lit(0)) + 1) / (F.col("bt") + F.col("v"))
     pkn2 = F.when(F.col("m2").isNull(), pcont).otherwise(

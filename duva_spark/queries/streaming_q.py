@@ -564,7 +564,14 @@ def q_stream_true_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    kept = spark.read.parquet(sink)
+    # Degenerate-input guard (ADVICE r8): if no batch ever kept a
+    # document the sink holds no schema-bearing part file and the read
+    # raises 'unable to infer schema' — fall back to an empty frame so
+    # the census reports all-zero keeps instead of crashing.
+    try:
+        kept = spark.read.parquet(sink)
+    except Exception:
+        kept = spark.createDataFrame([], "doc_id long, p double, source string")
     dec = "decimal(38,0)"
     ks = kept.groupBy("source").agg(
         F.count("*").cast("long").alias("n_kept"),

@@ -263,12 +263,15 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         split = docs.select(
             "doc_id", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
         )
+        # same size(ws) >= 2 guard as the registered query (ADVICE r8)
         bigrams = lambda df: df.select(  # noqa: E731
             "doc_id",
             F.explode(
                 F.expr(
+                    "CASE WHEN size(ws) >= 2 THEN "
                     "transform(sequence(0, size(ws) - 2),"
-                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
+                    "ELSE array() END"
                 )
             ).alias("b"),
         ).select("doc_id", "b.w1", "b.w2")
@@ -669,12 +672,18 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         split = docs.select(
             "doc_id", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
         )
+        # same size(ws) >= 2 guard as q_kneser_ney_nll (ADVICE r8 — the
+        # unguarded form yields a descending sequence + null-word rows
+        # on 1-word docs; _docs emits 30-word docs, but the sweep must
+        # benchmark the operator's real expression)
         bigrams = lambda df: df.select(  # noqa: E731
             "doc_id",
             F.explode(
                 F.expr(
+                    "CASE WHEN size(ws) >= 2 THEN "
                     "transform(sequence(0, size(ws) - 2),"
-                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+                    " i -> struct(ws[i] AS w1, ws[i + 1] AS w2)) "
+                    "ELSE array() END"
                 )
             ).alias("b"),
         ).select("doc_id", "b.w1", "b.w2")
@@ -727,12 +736,15 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         split = docs.select(
             "doc_id", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
         )
+        # size(ws) >= 3 guard copied from q_kneser_ney_trigram (ADVICE r8)
         tri = lambda df: df.select(  # noqa: E731
             "doc_id",
             F.explode(
                 F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN "
                     "transform(sequence(0, size(ws) - 3),"
-                    " i -> struct(ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3))"
+                    " i -> struct(ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3)) "
+                    "ELSE array() END"
                 )
             ).alias("t"),
         ).select("doc_id", "t.w1", "t.w2", "t.w3")
@@ -741,8 +753,10 @@ def sweep(spark, sizes_small, sizes_big, only=None):
             train.select(
                 F.explode(
                     F.expr(
+                        "CASE WHEN size(ws) >= 2 THEN "
                         "transform(sequence(0, size(ws) - 2),"
-                        " i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+                        " i -> struct(ws[i] AS w1, ws[i+1] AS w2)) "
+                        "ELSE array() END"
                     )
                 ).alias("b")
             )
