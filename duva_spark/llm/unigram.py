@@ -20,12 +20,23 @@ Spark-first shape (the bpe_train contract):
   table, cut by a TakeOrderedAndProject (top ``n_seed`` multi-char
   pieces by count, ties to the lexicographically smallest) plus ALL
   single characters — guaranteeing every word stays segmentable.
-- Per round: the ≤(n_seed + alphabet) piece log-probs are inlined as a
-  MAP LITERAL in the segmentation expression (no join, no shuffle —
-  the bpe literal-inlining trick, generalized from a pair to a map);
-  the Viterbi DP is a pure fold (``F.aggregate``) per word; the E-step
-  count is one vocab-bounded shuffle; driver state is V floats — the
-  kcenter/kmeans/doremi bounded-iteration contract.
+- Per round: the ≤(n_seed + alphabet) piece log-probs ride to the
+  executors (map literal in the fold form, pandas-UDF closure in the
+  Arrow form); the E-step count is one vocab-bounded shuffle; driver
+  state is V floats — the kcenter/kmeans/doremi bounded-iteration
+  contract.
+
+Execution paths (``impl=``): the Viterbi DP exists twice, value-
+identical by construction and asserted against each other in tests —
+'fold' (a pure ``F.aggregate`` Column fold: no UDF, no join, no
+shuffle, but INTERPRETED per element — higher-order-function lambdas
+fall out of codegen) and 'arrow' (mapInPandas kernels with the same
+IEEE-double additions in the same order, plus a per-task word→count
+memo on the encode leg). The r9 A/B at sf0.1 measured the full
+train+encode chain at 28.6 s (fold) vs 2.1 s (arrow) min-of-2 — the
+same ~15× the Gopher-repetition A/B found for the same construct
+(``textstats.gopher_repetition_arrow``) — so 'arrow' is the default
+and the fold is kept for the A/B reproduction and plan-shape tests.
 
 Determinism spec (both engines replay it exactly):
 
@@ -164,6 +175,158 @@ def viterbi_token_count(word: Column, vocab_map: Column, max_len: int) -> Column
     return F.when(final["s"] > _SENTINEL / 2, final["np"]).otherwise(F.lit(0))
 
 
+def _viterbi_count_py(word: str, lp: dict[str, float], max_len: int) -> int:
+    """Python replica of the ``viterbi_token_count`` fold — EXACTLY the
+    same IEEE-double additions in the same left-to-right order and the
+    same strictly-better / smallest-start rule, so the two
+    implementations are value-identical by construction (asserted
+    against each other in tests and under the same oracle). Sentinel
+    extensions never win: lp values are negative and ``-1e18 + lp``
+    rounds back to -1e18 in double, which is not strictly greater than
+    the -1e18 candidate floor — the same absorption the Column fold
+    relies on."""
+    n = len(word)
+    s = [0.0] + [_SENTINEL] * n
+    np_ = [0] * (n + 1)
+    for i in range(1, n + 1):
+        bs, bn = _SENTINEL, 0
+        for j in range(max(0, i - max_len), i):
+            lpv = lp.get(word[j:i])
+            if lpv is not None:
+                cs = s[j] + lpv
+                if cs > bs:
+                    bs, bn = cs, np_[j] + 1
+        s[i], np_[i] = bs, bn
+    return np_[n] if s[n] > _SENTINEL / 2 else 0
+
+
+def _viterbi_seg_py(word: str, lp: dict[str, float], max_len: int) -> list[str]:
+    """Python replica of the ``viterbi_segment`` fold (same contract as
+    ``_viterbi_count_py``, carrying the chosen-predecessor chain
+    instead of the count)."""
+    n = len(word)
+    s = [0.0] + [_SENTINEL] * n
+    back: list[tuple[int, str] | None] = [None] * (n + 1)
+    for i in range(1, n + 1):
+        bs, bj = _SENTINEL, None
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lpv = lp.get(piece)
+            if lpv is not None:
+                cs = s[j] + lpv
+                if cs > bs:
+                    bs, bj = cs, (j, piece)
+        s[i] = bs
+        back[i] = bj
+    if back[n] is None:
+        return []
+    out: list[str] = []
+    i = n
+    while i > 0 and back[i] is not None:
+        j, piece = back[i]
+        out.append(piece)
+        i = j
+    out.reverse()
+    return out
+
+
+def estep_counts_arrow(
+    words: DataFrame, lp: dict[str, float], max_len: int
+) -> DataFrame:
+    """(piece, c): one E-step recount over the word-frequency table as
+    an Arrow kernel — each batch segments its distinct words in Python
+    (dict lookups amortized across the batch) and emits PARTIAL piece
+    counts, so the groupBy that follows shuffles ≤ vocab × partitions
+    rows instead of the exploded piece stream. Value-identical to the
+    ``viterbi_segment`` fold + explode + groupBy (the segmentation is
+    the same DP; the sum is exact integers)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for w, cnt in zip(pdf["w"], pdf["cnt"]):
+                for piece in _viterbi_seg_py(w, lp, max_len):
+                    counts[piece] = counts.get(piece, 0) + int(cnt)
+            yield pd.DataFrame(
+                {"piece": list(counts.keys()), "c": list(counts.values())}
+            )
+
+    partial = words.select("w", "cnt").mapInPandas(kernel, "piece string, c long")
+    return partial.groupBy("piece").agg(F.sum("c").alias("c"))
+
+
+def unigram_encode_counts_arrow(
+    docs: DataFrame,
+    lp: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 4,
+    word_cap: int = 16,
+) -> DataFrame:
+    """The ``unigram_encode_counts`` census as an Arrow kernel
+    (mapInPandas): one Python pass per document computes the EXACT
+    INTEGER statistics (word/char/token counts) with a per-task
+    word→token-count memo (Zipf makes most words repeats, so the DP
+    runs once per distinct word per task, not once per occurrence);
+    the division and rounding stay in the SAME Column tail as the fold
+    form, so kernel and codegen are value-identical by construction.
+
+    Rationale: the fold form's higher-order-function lambdas are
+    INTERPRETED per element — the same construct the Gopher-repetition
+    A/B measured at 15× slower than an Arrow kernel
+    (``textstats.gopher_repetition_arrow``); this is the measured
+    winner of the r9 A/B (the loser is kept as
+    ``unigram_encode_counts`` for the plan-shape tests and the A/B
+    reproduction). Same shuffle story: a pure per-row projection,
+    embarrassingly parallel, no Exchange before the per-doc stats."""
+    import pandas as pd
+
+    id_dt = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_dt}, n_words long, n_char_tokens long, n_unigram_tokens long"
+
+    def kernel(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    # NULL text: split(NULL) nulls the whole census in
+                    # the fold form — emit the same
+                    rows.append([did, None, None, None])
+                    continue
+                ws = [
+                    w for w in text.split(" ") if w != "" and len(w) <= word_cap
+                ]
+                n_char = sum(len(w) for w in ws)
+                n_uni = 0
+                for w in ws:
+                    c = memo.get(w)
+                    if c is None:
+                        c = _viterbi_count_py(w, lp, max_len)
+                        memo[w] = c
+                    n_uni += c
+                rows.append([did, len(ws), n_char, n_uni])
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_words", "n_char_tokens", "n_unigram_tokens"],
+            )
+
+    raw = docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+    return raw.select(
+        id_col,
+        "n_words",
+        "n_char_tokens",
+        "n_unigram_tokens",
+        F.when(
+            F.col("n_char_tokens") > 0,
+            F.round(F.col("n_unigram_tokens") * 1.0 / F.col("n_char_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("compression"),
+    )
+
+
 def unigram_encode_counts(
     docs: DataFrame,
     lp: dict[str, float],
@@ -217,11 +380,12 @@ def unigram_trained_lp(
     rounds: int = 3,
     dp: int = 6,
     word_cap: int = 16,
+    impl: str = "arrow",
 ) -> dict[str, float]:
     """Train and return the FINAL model (piece → log-prob re-estimated
     from the last E-step's counts) — what an encode pass applies."""
     pieces, counts, tt, vsz = unigram_train(
-        docs, text_col, max_len, n_seed, rounds, dp, word_cap
+        docs, text_col, max_len, n_seed, rounds, dp, word_cap, impl=impl
     )
     return {
         p: round_half_up(math.log((counts.get(p, 0) + 1) / (tt + vsz)), dp)
@@ -238,17 +402,21 @@ def unigram_train_encode(
     rounds: int = 3,
     dp: int = 6,
     word_cap: int = 16,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Train the unigram LM, then encode the corpus under the FINAL
     model (the probabilities re-estimated from the last E-step's
     counts — one Viterbi pass beyond training, exactly the oracle
-    chain extended one round)."""
+    chain extended one round). ``impl`` picks the Viterbi execution
+    path for BOTH phases: 'arrow' (mapInPandas kernels — the measured
+    r9 A/B winner) or 'fold' (the interpreted ``F.aggregate`` Column
+    form, kept for the A/B reproduction); the two are value-identical
+    by construction."""
     lp = unigram_trained_lp(
-        docs, text_col, max_len, n_seed, rounds, dp, word_cap
+        docs, text_col, max_len, n_seed, rounds, dp, word_cap, impl=impl
     )
-    return unigram_encode_counts(
-        docs, lp, id_col, text_col, max_len, word_cap
-    )
+    enc = unigram_encode_counts_arrow if impl == "arrow" else unigram_encode_counts
+    return enc(docs, lp, id_col, text_col, max_len, word_cap)
 
 
 def unigram_train(
@@ -259,6 +427,7 @@ def unigram_train(
     rounds: int = 3,
     dp: int = 6,
     word_cap: int = 16,
+    impl: str = "arrow",
 ) -> tuple[list[str], dict[str, int], int, int]:
     """Train the unigram LM; returns (vocab pieces, final E-step counts,
     final total piece count T, vocab size V).
@@ -295,17 +464,20 @@ def unigram_train(
     counts: dict[str, int] = {}
     tt = 0
     for _ in range(rounds):
-        vocab_map = F.map_from_arrays(
-            F.array(*[F.lit(p) for p in pieces]),
-            F.array(*[F.lit(lp[p]) for p in pieces]),
-        )
-        seg = viterbi_segment(F.col("w"), vocab_map, max_len)
-        rows = (
-            words.select("cnt", F.explode(seg).alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("cnt").alias("c"))
-            .collect()
-        )
+        if impl == "arrow":
+            rows = estep_counts_arrow(words, lp, max_len).collect()
+        else:
+            vocab_map = F.map_from_arrays(
+                F.array(*[F.lit(p) for p in pieces]),
+                F.array(*[F.lit(lp[p]) for p in pieces]),
+            )
+            seg = viterbi_segment(F.col("w"), vocab_map, max_len)
+            rows = (
+                words.select("cnt", F.explode(seg).alias("piece"))
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("c"))
+                .collect()
+            )
         counts = {r["piece"]: int(r["c"]) for r in rows}
         tt = sum(counts.values())
         lp = {
@@ -324,6 +496,7 @@ def unigram_train_frame(
     k_out: int = 20,
     dp: int = 6,
     word_cap: int = 16,
+    impl: str = "arrow",
 ) -> DataFrame:
     """The trained vocabulary's top ``k_out`` pieces as a DataFrame
     (piece, cnt, prob) — cnt the final Viterbi-count, prob the smoothed
@@ -331,7 +504,7 @@ def unigram_train_frame(
     built from the bounded driver loop (the kcenter_frame pattern)."""
     spark = docs.sparkSession
     _, counts, tt, vsz = unigram_train(
-        docs, text_col, max_len, n_seed, rounds, dp, word_cap
+        docs, text_col, max_len, n_seed, rounds, dp, word_cap, impl=impl
     )
     top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
     rows = [
@@ -349,6 +522,7 @@ def unigram_prune_report(
     dp: int = 6,
     word_cap: int = 16,
     prune_permille: int = 1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Count-based vocabulary prune — the prune DIRECTION of Kudo
     2018 §3.2 (SentencePiece iterates train→prune until the target
@@ -371,7 +545,7 @@ def unigram_prune_report(
     # rounds+1: the extra round segments under the FINAL model, so the
     # 'full' row prices what an encode pass actually produces
     pieces, counts_full, tt_full, vsz = unigram_train(
-        docs, text_col, max_len, n_seed, rounds + 1, dp, word_cap
+        docs, text_col, max_len, n_seed, rounds + 1, dp, word_cap, impl=impl
     )
     surv = [
         p
@@ -387,17 +561,39 @@ def unigram_prune_report(
         )
         for p in surv
     }
-    vocab_map = F.map_from_arrays(
-        F.array(*[F.lit(p) for p in sorted(lp_p)]),
-        F.array(*[F.lit(lp_p[p]) for p in sorted(lp_p)]),
-    )
     words = word_vocab(docs, text_col).filter(F.length("w") <= word_cap)
-    tot = words.select(
-        F.sum(
-            F.col("cnt") * viterbi_token_count(F.col("w"), vocab_map, max_len)
-        ).alias("t"),
-        F.sum("cnt").alias("wocc"),
-    ).collect()[0]
+    if impl == "arrow":
+        import pandas as pd
+
+        def kernel(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "cnt": pdf["cnt"],
+                        "tc": [
+                            _viterbi_count_py(w, lp_p, max_len) for w in pdf["w"]
+                        ],
+                    }
+                )
+
+        per_word = words.select("w", "cnt").mapInPandas(
+            kernel, "cnt long, tc long"
+        )
+        tot = per_word.select(
+            F.sum(F.col("cnt") * F.col("tc")).alias("t"),
+            F.sum("cnt").alias("wocc"),
+        ).collect()[0]
+    else:
+        vocab_map = F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(lp_p)]),
+            F.array(*[F.lit(lp_p[p]) for p in sorted(lp_p)]),
+        )
+        tot = words.select(
+            F.sum(
+                F.col("cnt") * viterbi_token_count(F.col("w"), vocab_map, max_len)
+            ).alias("t"),
+            F.sum("cnt").alias("wocc"),
+        ).collect()[0]
     t_pruned, wocc = int(tot["t"]), int(tot["wocc"])
     rows = [
         ("full", vsz, tt_full, round_half_up(tt_full * 1.0 / wocc, dp)),

@@ -4417,9 +4417,11 @@ def _unigram_encode_oracle() -> str:
         "candidate vocabulary from weighted substring counts (top-48 "
         "multi-char pieces + every single character, so words always "
         "segment), then 3 EM rounds — Viterbi-segment every DISTINCT "
-        "word under the current 6-dp Laplace log-probs (a pure "
-        "F.aggregate fold with the piece→log-prob table inlined as a "
-        "MAP LITERAL — the bpe literal-inlining trick generalized), "
+        "word under the current 6-dp Laplace log-probs (an Arrow "
+        "mapInPandas kernel emitting PARTIAL piece counts per batch — "
+        "the r9 A/B winner over the interpreted F.aggregate fold, "
+        "28.6 s vs 2.1 s for the full chain at sf0.1; the fold form "
+        "ships as impl='fold', value-identical and test-pinned), "
         "recount pieces, re-estimate. The corpus is scanned once (the "
         "word-frequency groupBy); every round is one vocab-bounded "
         "count shuffle and a ≤(48+alphabet)-row driver collect — the "
@@ -4451,14 +4453,15 @@ def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FINAL trained piece probabilities and the per-doc token "
         "census reported (char tokens vs unigram tokens vs the "
         "compression ratio that prices the tokenizer). The encode is "
-        "a PURE PROJECTION: the ~80-piece model is inlined as a map "
-        "literal and each word runs a SLIM Viterbi fold whose DP "
-        "state is (score, n_pieces) instead of the piece arrays — the "
-        "strictly-better replace rule picks the same smallest-start "
-        "predecessor chain, so the count equals the full backtrace's "
-        "at a fraction of the fold cost. No UDF, no vocabulary join, "
-        "zero exchanges before the per-doc aggregate — at 100 TB this "
-        "runs at parquet-scan speed, embarrassingly parallel. Words "
+        "a pure per-row pass: an Arrow mapInPandas kernel runs the "
+        "slim (score, n_pieces) Viterbi DP with a per-task word→count "
+        "memo (Zipf makes most words repeats — the DP runs once per "
+        "distinct word per task), the division/rounding staying in a "
+        "shared Column tail; the interpreted-fold form ships as "
+        "impl='fold', value-identical by construction and test-pinned "
+        "(r9 A/B: 28.6 s fold vs 2.1 s arrow for the full chain at "
+        "sf0.1). No vocabulary join, no shuffle before the per-doc "
+        "aggregate — at 100 TB this runs embarrassingly parallel. Words "
         "over 16 chars are outside the trained universe (the "
         "trainer's cap) and excluded from the census on both engines. "
         "The oracle extends the trainer's CTE chain one round — "
@@ -5825,3 +5828,148 @@ def q_lr_data_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "train_frac double, n_train long, holdout_acc double, auc double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer for the IVF family (FAISS's actual construction)
+# ---------------------------------------------------------------------------
+
+_IVF_TR_K, _IVF_TR_NPROBE = 10, 2  # nlist matches the label cardinality
+
+
+def _ivf_trained_oracle() -> str:
+    """The sampled-Lloyd chain (shared _kmeans_ctes, k = |labels| so the
+    two variants compare at equal nlist) extended with the full-corpus
+    assignment + centroid update lloyd(train_df=) performs, then the
+    IVF probe replay of q_embed_ivf_topk over the TRAINED centroids;
+    both variants' recall joins against the verified brute-force
+    oracle text."""
+    k, iters, dim, dp = _IVF_TR_K, _KM_ITERS, _KM_DIM, _KM_DP
+    km = _kmeans_ctes(k, iters, dim, dp, train_pred=_KM_TRAIN_PRED)
+    dims = ", ".join(f"ROUND(AVG(e[{i + 1}]), {dp})" for i in range(dim))
+    cos9 = (
+        f"ROUND({_DOT.format(a='e.embedding', b='c.centroid')} /"
+        f" ({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.centroid')}), 9)"
+    )
+    return f"""
+    WITH {km},
+    df_f AS (SELECT p.vec_id, p.e, c.cluster,
+                    list_aggregate(list_transform(range(1, {dim + 1}),
+                      i -> (p.e[i] - c.cen[i]) * (p.e[i] - c.cen[i])), 'sum') AS dist
+             FROM p CROSS JOIN c{iters - 1} c),
+    af AS (SELECT vec_id, e, cluster FROM df_f
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) = 1),
+    cf AS (SELECT cluster AS bucket, [{dims}] AS centroid
+           FROM af GROUP BY cluster),
+    assigned2 AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, bucket
+      FROM (SELECT e.vec_id, e.embedding, c.bucket,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos9} DESC, c.bucket) AS rn
+            FROM embeddings e CROSS JOIN cf c)
+      WHERE rn = 1
+    ),
+    qprobe2 AS (
+      SELECT query_id, qv, bucket
+      FROM (SELECT e.vec_id AS query_id, e.embedding AS qv, c.bucket,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos9} DESC, c.bucket) AS rn
+            FROM embeddings e CROSS JOIN cf c
+            WHERE e.vec_id < 5)
+      WHERE rn <= {_IVF_TR_NPROBE}
+    ),
+    s2 AS (SELECT query_id, neighbor_id, ROUND({_COS_QC}, 6) AS cosine_sim
+           FROM assigned2 JOIN qprobe2 USING (bucket)
+           WHERE neighbor_id <> query_id),
+    ivft AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+             FROM s2 QUALIFY rank <= 5),
+    ivfl AS ({_REG["q_embed_ivf_topk"].oracle}),
+    bf AS ({_REG["q_embed_cosine_topk"].oracle})
+    SELECT 'label' AS variant, bf.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(l.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN ivfl l
+      ON bf.query_id = l.query_id AND bf.neighbor_id = l.neighbor_id
+    GROUP BY bf.query_id
+    UNION ALL
+    SELECT 'trained', bf.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(t.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf LEFT JOIN ivft t
+      ON bf.query_id = t.query_id AND bf.neighbor_id = t.neighbor_id
+    GROUP BY bf.query_id
+    """
+
+
+@register(
+    "q_embed_ivf_trained_recall",
+    oracle=_ivf_trained_oracle(),
+    description=(
+        "IVF with a TRAINED coarse quantizer — FAISS's actual "
+        "IndexIVF construction (k-means on a sample trains nlist "
+        "centroids; a real 100 TB corpus has no label column), closing "
+        "the fidelity gap the r8 verdict named: every prior IVF-family "
+        "index derived its buckets from label_centroids. The audited "
+        "Lloyd operator (shuffle-free Arrow assignment, sampled "
+        "training rounds on the deterministic md5 20% sample, one "
+        "full-corpus assignment + update at the end — iters*f+1 "
+        "passes) trains k=10 centroids (= the label cardinality, so "
+        "the comparison runs at EQUAL nlist/nprobe), which feed the "
+        "same ivf_topk probe path as q_embed_ivf_topk. Reports "
+        "per-query recall@5 of BOTH bucket sources against the "
+        "verified brute-force oracle: (variant, query_id, n_hits, "
+        "recall_at_5) — the trained rows are the production path, the "
+        "label rows the baseline it must match or beat. The oracle "
+        "replays the sampled-Lloyd fixpoint through the shared "
+        "_kmeans_ctes chain plus the full-corpus update, then the IVF "
+        "probe verbatim; component oracle texts are reused so the "
+        "eval is pinned to already-verified semantics."
+    ),
+)
+def q_embed_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    train = emb.filter(
+        minhash.md5_hash60(F.col("vec_id").cast("string")) % 5 < 1
+    )
+    cen, _ = kmeans.lloyd(
+        emb, k=_IVF_TR_K, iters=_KM_ITERS, dim=_KM_DIM, dp=_KM_DP,
+        train_df=train,
+    )
+    cent_t = cen.select("cluster", F.col("cen").alias("centroid"))
+    ivf_t = similarity.ivf_topk(
+        emb, queries, cent_t, k=5, nprobe=_IVF_TR_NPROBE, label_col="cluster"
+    )
+    cent_l = similarity.label_centroids(emb)
+    ivf_l = similarity.ivf_topk(
+        emb, queries, cent_l, k=5, nprobe=_IVF_TR_NPROBE
+    )
+
+    def recall(appx: DataFrame, variant: str) -> DataFrame:
+        a2 = appx.select(
+            F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+        )
+        j = bf.join(a2, (bf.query_id == a2.q2) & (bf.neighbor_id == a2.n2), "left")
+        return (
+            j.groupBy("query_id")
+            .agg(
+                F.count("n2").alias("n_hits"),
+                F.round(F.count("n2") / 5.0, 4).alias("recall_at_5"),
+            )
+            .select(
+                F.lit(variant).alias("variant"),
+                "query_id",
+                "n_hits",
+                "recall_at_5",
+            )
+        )
+
+    return recall(ivf_l, "label").unionByName(recall(ivf_t, "trained"))

@@ -1354,6 +1354,39 @@ def test_unigram_encode_census_shape(spark):
     assert got[3]["n_words"] == 0 and got[3]["compression"] == 0.0
 
 
+def test_unigram_arrow_and_fold_paths_are_value_identical(spark):
+    """The Arrow kernels (the r9 A/B winner and default) must equal the
+    interpreted-fold Column form row-for-row across train, encode and
+    prune on a corpus with competing segmentations — the same
+    kernel-vs-codegen pinning contract as the Gopher repetition A/B."""
+    from duva_spark.llm import unigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana banana aaa"),
+            (2, "ban and band banana aaa aaaa"),
+            (3, "a an band bandana nab nab"),
+            (4, "bananabandanabananaband nab"),  # >16-char word: capped
+            (5, "  "),
+        ],
+        ["doc_id", "text"],
+    )
+    for maker in (
+        lambda impl: unigram.unigram_train_frame(
+            docs, max_len=4, n_seed=8, rounds=3, impl=impl
+        ),
+        lambda impl: unigram.unigram_train_encode(
+            docs, max_len=4, n_seed=8, rounds=2, impl=impl
+        ),
+        lambda impl: unigram.unigram_prune_report(
+            docs, max_len=4, n_seed=8, rounds=1, prune_permille=30, impl=impl
+        ),
+    ):
+        a = sorted(map(tuple, maker("arrow").collect()))
+        f = sorted(map(tuple, maker("fold").collect()))
+        assert a == f
+
+
 def test_sq8_decode_error_bounded_by_half_step(spark):
     """Quantize-dequantize error is at most half a quantization step
     (span/255/2, plus the 6-dp pre-round slack) per element; constant

@@ -360,6 +360,31 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("ivf_assign", sizes_small, ivf_assign_case))
 
+    def ivf_trained_case(n):
+        """q_embed_ivf_trained_recall's index-build path: Lloyd rounds
+        on a deterministic 20% hash sample (k=64 lists, dim=64) + ONE
+        full-corpus assignment/update, then the nprobe=2 probe of 20
+        query vectors against the trained buckets. The corpus-sized
+        work is iters·0.2+1 shuffle-free Arrow assignment passes plus
+        one k-row update shuffle per round — expect the kmeans/ivf
+        family's ~1× per 10×."""
+        from duva_spark.llm import kmeans, minhash, similarity as sim
+
+        emb = _embeddings(spark, n)
+        train = emb.filter(
+            minhash.md5_hash60(F.col("vec_id").cast("string")) % 5 < 1
+        )
+        cen, _ = kmeans.lloyd(emb, k=64, iters=3, dim=64, train_df=train)
+        cent = cen.select("cluster", F.col("cen").alias("centroid"))
+        _force(
+            sim.ivf_topk(
+                emb, emb.filter(F.col("vec_id") < 20), cent,
+                k=5, nprobe=2, label_col="cluster",
+            )
+        )
+
+    cases.append(("ivf_trained", sizes_small, ivf_trained_case))
+
     def semdedup_pairs(n):
         """The capped SemDeDup within-cluster pair stage under HOT
         skew (r4 verdict item 5). Cluster count scales with n
@@ -599,14 +624,24 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         # q_unigram_lm_train + q_unigram_encode: one word-frequency
         # groupBy, then (rounds+1) Viterbi passes — rounds over the
         # Zipf-bounded DISTINCT-word table, the final encode over word
-        # occurrences as a pure interpreted-fold projection. Expect
-        # sublinear: the trainer's rounds are vocab-bounded; the
-        # encode leg is linear scan CPU.
+        # occurrences. Default = the Arrow kernels (r9 A/B winner:
+        # 28.6 s fold vs 2.1 s arrow at sf0.1), which is why this case
+        # now sweeps at sizes_big where the fold form could not.
         from duva_spark.llm import unigram
 
         _force(unigram.unigram_train_encode(_docs(spark, n)))
 
-    cases.append(("unigram_train_encode", sizes_small, unigram_case))
+    cases.append(("unigram_train_encode", sizes_big, unigram_case))
+
+    def unigram_fold_case(n):
+        # The interpreted F.aggregate fold form, kept for the A/B
+        # record (the gopher_repetition precedent: measure, keep the
+        # winner, keep the loser measurable).
+        from duva_spark.llm import unigram
+
+        _force(unigram.unigram_train_encode(_docs(spark, n), impl="fold"))
+
+    cases.append(("unigram_train_encode_fold", sizes_small, unigram_fold_case))
 
     def sq8_case(n):
         # q_embed_sq8_recall's operator: one 128-col bounds aggregation,
