@@ -226,6 +226,35 @@ def nb_predict(scored: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def nb_langid(
+    df: DataFrame,
+    labeled: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id_col, lang_pred): the PRODUCTION language-ID path — the
+    count-trained multinomial NB (train IS two aggregations, model
+    tables broadcast-sized) when a labeled slice exists, the stopword-
+    marker heuristic (``textstats.predicted_lang``) as the fallback
+    when it does not. Closes COVERAGE known-gap #2 (the heuristic was
+    the only path) without a new dependency: the NB measurably beats
+    the heuristic on the labeled corpus (q_nb_langid_confusion is the
+    head-to-head), and retraining is one corpus scan at any scale."""
+    if labeled is None or labeled.isEmpty():
+        from duva_spark.llm import textstats
+
+        return df.select(
+            id_col, textstats.predicted_lang(F.col(text_col)).alias("lang_pred")
+        )
+    lik, stats = nb_train(labeled, lang_col, text_col, n_buckets)
+    scored = nb_score(df, id_col, text_col, lik, stats, n_buckets)
+    return nb_predict(scored, id_col).select(
+        id_col, F.col("pred_label").alias("lang_pred")
+    )
+
+
 def domain_bucket_counts(
     df: DataFrame,
     domain_col: str,

@@ -5973,3 +5973,163 @@ def q_embed_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recall(ivf_l, "label").unionByName(recall(ivf_t, "trained"))
+
+
+# ---------------------------------------------------------------------------
+# Compression Pareto: recall@5 vs bytes/vector across the storage tiers
+# ---------------------------------------------------------------------------
+
+# bytes of vector payload per storage tier (dim=64): fp32 = 4·dim;
+# SQ8 = 1·dim; PQ = m one-byte codes; the IVF-PQ tiers add an int32
+# coarse-list id (FAISS counts code_size = m and keeps the list id in
+# the inverted-list structure — we charge it to the vector, the
+# conservative accounting).
+_PARETO_BYTES = {
+    "fp32": 4 * _PQ_DIM,
+    "sq8": _PQ_DIM,
+    "pq": _PQ_M,
+    "ivfpq": _PQ_M + 4,
+    "ivfpq_residual": _PQ_M + 4,
+}
+
+
+def _pareto_oracle() -> str:
+    """Each tier's verified recall oracle reused verbatim; the mean
+    recomputes from the EXACT integer hit counts (sum over queries /
+    (5·n_queries)) so no float AVG crosses a rounding boundary."""
+    tiers = {
+        "sq8": "q_embed_sq8_recall",
+        "pq": "q_embed_pq_recall",
+        "ivfpq": "q_embed_ivfpq_recall",
+        "ivfpq_residual": "q_embed_ivfpq_residual_recall",
+    }
+    ctes = ",\n    ".join(
+        f"t_{v} AS ({_REG[q].oracle})" for v, q in tiers.items()
+    )
+    selects = [
+        f"SELECT 'fp32' AS variant, {_PARETO_BYTES['fp32']} AS bytes_per_vector,"
+        f" ROUND(1.0, 4) AS mean_recall_at_5"
+    ]
+    for v in tiers:
+        selects.append(
+            f"SELECT '{v}', {_PARETO_BYTES[v]},"
+            f" ROUND(SUM(n_hits) * 1.0 / (COUNT(*) * 5), 4) FROM t_{v}"
+        )
+    return "WITH " + ctes + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "q_embed_compression_pareto",
+    oracle=_pareto_oracle(),
+    description=(
+        "The embedding-compression decision table a platform team "
+        "publishes: recall@5 (macro over the probe set, recomputed "
+        "from exact integer hit counts) against bytes/vector for the "
+        "five verified storage tiers — fp32 exact (256 B, recall 1 by "
+        "definition), SQ8 scalar quantization (64 B), PQ ADC (4 B), "
+        "IVF-PQ (4 B + int32 coarse id, nprobe-bounded scan), and "
+        "residual IVF-PQ (same bytes, PQ on the residual — the FAISS "
+        "IndexIVFPQ default). One Pareto row per tier: (variant, "
+        "bytes_per_vector, mean_recall_at_5). Composes the four "
+        "verified recall queries — each tier's oracle text is reused "
+        "verbatim, so this summary is pinned to already-verified "
+        "semantics; the Spark side re-runs the component plans and "
+        "aggregates their driver-size result sets (probes × k rows), "
+        "adding zero new corpus work beyond the components themselves."
+    ),
+)
+def q_embed_compression_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = {
+        "sq8": q_embed_sq8_recall,
+        "pq": q_embed_pq_recall,
+        "ivfpq": q_embed_ivfpq_recall,
+        "ivfpq_residual": q_embed_ivfpq_residual_recall,
+    }
+    out = spark.range(1).select(
+        F.lit("fp32").alias("variant"),
+        F.lit(_PARETO_BYTES["fp32"]).alias("bytes_per_vector"),
+        F.round(F.lit(1.0), 4).alias("mean_recall_at_5"),
+    )
+    for v, fn in comps.items():
+        out = out.unionByName(
+            fn(spark, sf_dir).agg(
+                F.lit(v).alias("variant"),
+                F.lit(_PARETO_BYTES[v]).alias("bytes_per_vector"),
+                F.round(
+                    F.sum("n_hits") * 1.0 / (F.count("*") * 5), 4
+                ).alias("mean_recall_at_5"),
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocab-size dial: fertility vs n_seed for the unigram trainer
+# ---------------------------------------------------------------------------
+
+_UNI_SEEDS = (24, 48, 96)
+
+
+def _unigram_vocab_curve_oracle() -> str:
+    """Three seed sizes through the SAME substring-count table (words/
+    sc are shared CTEs — the seed cut is the only difference), each
+    chain extended one round so fertility prices the FINAL model's
+    segmentation (the prune oracle's 'full'-row rule). CTE names are
+    disambiguated by the seed tag via the module-level helpers the r9
+    emit_round hoist introduced."""
+    r1 = _UNI_R + 1
+    ctes = _unigram_base_ctes()
+    sel = []
+    for ns in _UNI_SEEDS:
+        vtag = f"s{ns}_"
+        ctes += _unigram_seed_ctes(ns, vtag)
+        ctes += _unigram_round_chain(r1, vtag)
+        sel.append(
+            f"SELECT {ns} AS n_seed, tv{vtag}.vsz AS vocab_size,"
+            f" t{vtag}{r1}.t AS total_tokens,"
+            f" ROUND(t{vtag}{r1}.t * 1.0 / wocc.w, 6) AS tokens_per_word"
+            f" FROM tv{vtag}, t{vtag}{r1}, wocc"
+        )
+    ctes.append("wocc AS (SELECT CAST(SUM(cnt) AS BIGINT) AS w FROM words)")
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@register(
+    "q_unigram_vocab_curve",
+    oracle=_unigram_vocab_curve_oracle(),
+    description=(
+        "Tokenizer vocab-size dial — the sizing decision a platform "
+        "team makes before training: the unigram trainer run at "
+        "n_seed ∈ {24, 48, 96} from ONE shared substring-count pass "
+        "(the corpus is scanned once for word frequencies and once "
+        "for seed counts; each variant's EM rounds then touch only "
+        "the vocab-bounded distinct-word table through the Arrow "
+        "Viterbi kernel), each priced by final-model fertility "
+        "(total tokens / word occurrences — the 'full'-row rule of "
+        "q_unigram_prune, one extra E-step beyond training). Returns "
+        "(n_seed, vocab_size, total_tokens, tokens_per_word): bigger "
+        "seed vocabularies buy lower fertility at more embedding "
+        "rows, and the curve's knee is the budget answer. Oracle: "
+        "three unrolled hard-EM chains over the SHARED words/sc CTEs, "
+        "seed-tagged via the module-level emit_round helpers."
+    ),
+)
+def q_unigram_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import unigram
+    from duva_spark.llm.bpe import word_vocab
+    from duva_spark.llm.hashed_lm import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = word_vocab(docs, "text").filter(F.length("w") <= _UNI_CAP)
+    wocc = int(words.agg(F.sum("cnt").alias("w")).collect()[0]["w"])
+    rows = []
+    for ns in _UNI_SEEDS:
+        _, _, tt, vsz = unigram.unigram_train(
+            docs, "text", max_len=_UNI_L, n_seed=ns, rounds=_UNI_R + 1,
+            word_cap=_UNI_CAP,
+        )
+        rows.append((ns, vsz, int(tt), round_half_up(tt * 1.0 / wocc, 6)))
+    return spark.createDataFrame(
+        rows,
+        "n_seed int, vocab_size long, total_tokens long, tokens_per_word double",
+    )

@@ -3907,9 +3907,15 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "q_kneser_ney_trigram",
-    oracle=f"""
+def _kn3_oracle(min_count: int = 1) -> str:
+    """The recursive order-3 KN replay, parameterized by the trigram
+    count floor: ``min_count=1`` is the full model, ``min_count=2`` the
+    KenLM-style singleton-pruned variant (every trigram-level marginal
+    derives from the PRUNED table, so the level still renormalizes over
+    the surviving types; dropped trigrams re-route through the same
+    unseen-trigram / unseen-context backoff chain)."""
+    prune = f"\n              HAVING COUNT(*) >= {min_count}" if min_count > 1 else ""
+    return f"""
     WITH split AS (
       SELECT doc_id, lang, string_split(text, ' ') AS ws,
              {_H60_DOCID} % 100 < 70 AS is_train
@@ -3933,7 +3939,7 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM split WHERE is_train AND len(ws) >= 3
     ),
     t3cnt AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, COUNT(*) AS c3
-              FROM tri_tr GROUP BY 1, 2, 3),
+              FROM tri_tr GROUP BY 1, 2, 3{prune}),
     ctx12 AS (SELECT w1, w2, CAST(SUM(c3) AS DOUBLE) AS cc12,
                      CAST(COUNT(*) AS DOUBLE) AS n1p12
               FROM t3cnt GROUP BY w1, w2),
@@ -3998,7 +4004,12 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(p.uc) / SUM(p.nt), 6) AS unseen_ctx_rate
     FROM per_doc p JOIN documents d USING (doc_id)
     GROUP BY d.lang
-    """,
+    """
+
+
+@register(
+    "q_kneser_ney_trigram",
+    oracle=_kn3_oracle(),
     description=(
         "RECURSIVE interpolated Kneser-Ney trigram LM (Chen & Goodman "
         "1998 eq. 4.28 at order 3) — the full KenLM production shape "
@@ -4028,6 +4039,10 @@ def q_rendezvous_resharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kn3_frame(spark, sf_dir, min_count=1)
+
+
+def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
     from duva_spark.llm import hashed_lm
 
     d = F.lit(0.75)
@@ -4068,6 +4083,13 @@ def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     btot = bcnt.agg(F.count("*").cast("double").alias("bt"))
     t3cnt = trigrams(train).groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    if min_count > 1:
+        # KenLM-style count pruning: drop sub-floor trigram types BEFORE
+        # any marginal is taken, so every trigram-level table (and the
+        # scoring joins) shrinks together and the level renormalizes
+        # over the survivors; pruned trigrams re-route through the
+        # existing unseen-trigram / unseen-context backoff chain.
+        t3cnt = t3cnt.filter(F.col("c3") >= min_count)
     ctx12 = t3cnt.groupBy("w1", "w2").agg(
         F.sum("c3").cast("double").alias("cc12"),
         F.count("*").cast("double").alias("n1p12"),
@@ -4126,4 +4148,131 @@ def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("ut") / F.sum("nt"), 6).alias("unseen_trigram_rate"),
             F.round(F.sum("uc") / F.sum("nt"), 6).alias("unseen_ctx_rate"),
         )
+    )
+
+
+@register(
+    "q_kneser_ney_trigram_pruned",
+    oracle=_kn3_oracle(min_count=2),
+    description=(
+        "Singleton-pruned recursive KN trigram LM — the count-table "
+        "pruning KenLM actually ships (its default prune drops "
+        "singleton n-grams at the higher orders): trigram types with "
+        "count 1 are dropped BEFORE any marginal is taken, so all four "
+        "trigram-level model tables (counts, context marginal, the "
+        "N1+(.w2w3) type table and its w2 marginal) shrink together "
+        "and the level renormalizes over the survivors; the pruned "
+        "mass re-routes through the existing unseen-trigram / "
+        "unseen-context interpolation chain into the bigram-KN level "
+        "(documented deviation from KenLM's adjusted-count "
+        "redistribution: the interpolation weight absorbs the freed "
+        "mass structurally, no count rewrite needed). This is the r8 "
+        "verdict's scale fix for the trigram family: singletons are "
+        "the bulk of the trigram TYPE table on any corpus (uniform- "
+        "random synthetic vocab AND Zipf text), so the held-out "
+        "scoring joins stop carrying a table that grows like the "
+        "corpus — the sweep lands the pruned variant in the bigram's "
+        "ratio class (SCALE.md r9 row) where the full trigram ran "
+        "9.6x/10x. Same output shape as q_kneser_ney_trigram; the "
+        "visibly higher unseen_trigram_rate IS the pruning, the "
+        "near-identical NLL is why KenLM defaults to it."
+    ),
+)
+def q_kneser_ney_trigram_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kn3_frame(spark, sf_dir, min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# Native language-ID: NB vs stopword heuristic, head-to-head on one split
+# ---------------------------------------------------------------------------
+
+from duva_spark.queries import REGISTRY as _REG2  # noqa: E402 — q_nb_lang_classifier registered above
+
+
+@register(
+    "q_nb_langid_confusion",
+    oracle=f"""
+    WITH nbc AS ({_REG2["q_nb_lang_classifier"].oracle}),
+    hx AS (SELECT lang, {_LANG_PRED} AS p FROM documents
+           WHERE NOT ({_H60_DOCID} % 100 < 70)),
+    hrows AS (SELECT 'heuristic' AS method, lang,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN p = lang THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_correct
+              FROM hx GROUP BY lang),
+    nrows AS (SELECT 'nb' AS method, true_lang AS lang,
+                     CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN pred_lang = true_lang THEN n_docs
+                              ELSE 0 END) AS BIGINT) AS n_correct
+              FROM nbc GROUP BY true_lang),
+    u AS (SELECT * FROM hrows UNION ALL SELECT * FROM nrows),
+    tot AS (SELECT method, '_all' AS lang,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_correct) AS BIGINT) AS n_correct
+            FROM u GROUP BY method)
+    SELECT method, lang, n_docs, n_correct,
+           ROUND(n_correct * 1.0 / n_docs, 6) AS accuracy
+    FROM (SELECT * FROM u UNION ALL SELECT * FROM tot)
+    """,
+    description=(
+        "Native language-ID head-to-head — the measurement that closes "
+        "COVERAGE known-gap #2 (language-ID was a stopword heuristic; "
+        "the production upgrade is a trained classifier, and the "
+        "in-engine count-trained NB IS trained infrastructure): both "
+        "predictors run on the SAME deterministic 30% held-out slice "
+        "(the q_nb_lang_classifier split), reported per language plus "
+        "the '_all' totals as (method, lang, n_docs, n_correct, "
+        "accuracy). The NB rows reuse the verified "
+        "q_nb_lang_classifier oracle text verbatim, so this eval is "
+        "pinned to already-verified semantics; the engine's production "
+        "path is hashed_lm.nb_langid (NB when a labeled slice exists, "
+        "the heuristic kept as the documented fallback). Data caveat, "
+        "stated so the numbers read honestly: the synthetic corpus "
+        "draws every language's text from ONE shared vocabulary, so "
+        "no text-level language signal exists — both predictors "
+        "degenerate toward the majority class and the comparison "
+        "measures the priors (NB learns the class skew the heuristic "
+        "cannot, hence NB's higher _all accuracy); on real multilingual "
+        "text the NB's per-language token likelihoods dominate instead. "
+        "Cost shape: "
+        "the heuristic is a scan projection; the NB is two training "
+        "aggregations + a broadcast-model scoring join — both retrain/"
+        "re-run per corpus at any scale."
+    ),
+)
+def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = docs.withColumn("is_train", h100 < 70)
+    train = split.filter("is_train")
+    test = split.filter(~F.col("is_train"))
+    nbp = hashed_lm.nb_langid(test, train, "doc_id", "text")
+    nb_cells = nbp.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.lit("nb").alias("method"),
+        "lang",
+        (F.col("lang_pred") == F.col("lang")).alias("ok"),
+    )
+    heur_cells = test.select(
+        F.lit("heuristic").alias("method"),
+        "lang",
+        (textstats.predicted_lang(F.col("text")) == F.col("lang")).alias("ok"),
+    )
+    cells = nb_cells.unionByName(heur_cells)
+    per_lang = cells.groupBy("method", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_correct"),
+    )
+    tot = per_lang.groupBy("method").agg(
+        F.lit("_all").alias("lang"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_correct").cast("long").alias("n_correct"),
+    )
+    return per_lang.unionByName(tot).select(
+        "method",
+        "lang",
+        "n_docs",
+        "n_correct",
+        F.round(F.col("n_correct") * 1.0 / F.col("n_docs"), 6).alias("accuracy"),
     )

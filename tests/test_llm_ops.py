@@ -2616,3 +2616,98 @@ def test_kn_trigram_sparser_than_bigram(spark, sf_dir):
     common = set(tri) & set(bi)
     assert common
     assert sum(tri[x] for x in common) > sum(bi[x] for x in common)
+
+
+def test_trained_ivf_recall_matches_or_beats_label_buckets(spark, sf_dir):
+    """The k-means-trained coarse quantizer (FAISS's construction) must
+    match or beat the label-derived buckets on macro recall@5 at equal
+    nlist/nprobe — the r9 fidelity upgrade's acceptance bar."""
+    from duva_spark.queries.llm_q import q_embed_ivf_trained_recall
+
+    rows = q_embed_ivf_trained_recall(spark, sf_dir).collect()
+    hits = {"label": 0, "trained": 0}
+    for r in rows:
+        hits[r["variant"]] += r["n_hits"]
+    assert hits["trained"] >= hits["label"], hits
+
+
+def test_pruned_kn_trigram_prunes_and_stays_finite(spark, sf_dir):
+    """Singleton pruning must RAISE the unseen-trigram rate (the pruned
+    mass is visible) while every per-language NLL stays finite (the
+    mass re-routes through the backoff chain, never to log(0))."""
+    from duva_spark.queries.pipeline_q import (
+        q_kneser_ney_trigram,
+        q_kneser_ney_trigram_pruned,
+    )
+
+    full = {r["lang"]: r for r in q_kneser_ney_trigram(spark, sf_dir).collect()}
+    pruned = {
+        r["lang"]: r for r in q_kneser_ney_trigram_pruned(spark, sf_dir).collect()
+    }
+    assert set(full) == set(pruned)
+    import math
+
+    for lang, p in pruned.items():
+        assert math.isfinite(p["mean_doc_nll"]), lang
+        assert p["unseen_trigram_rate"] >= full[lang]["unseen_trigram_rate"], lang
+
+
+def test_nb_langid_production_path_and_fallback(spark):
+    """hashed_lm.nb_langid routes through the trained NB when a labeled
+    slice exists and falls back to the stopword heuristic when it does
+    not; overall accuracy of the NB path must match or beat the
+    heuristic on the labeled corpus (the known-gap-#2 closure bar)."""
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import hashed_lm, textstats
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    train = docs.filter(h100 < 70)
+    test = docs.filter(~(h100 < 70))
+    nbp = hashed_lm.nb_langid(test, train, "doc_id", "text")
+    nb_ok = (
+        nbp.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang_pred") == F.col("lang"))
+        .count()
+    )
+    heur_ok = test.filter(
+        textstats.predicted_lang(F.col("text")) == F.col("lang")
+    ).count()
+    assert nb_ok >= heur_ok, (nb_ok, heur_ok)
+    # fallback: no labeled slice → the heuristic's predictions verbatim
+    fb = hashed_lm.nb_langid(test, train.limit(0), "doc_id", "text")
+    heur = test.select(
+        "doc_id", textstats.predicted_lang(F.col("text")).alias("lang_pred")
+    )
+    assert fb.subtract(heur).count() == 0 and heur.subtract(fb).count() == 0
+
+
+def test_unigram_vocab_curve_is_monotone(spark, sf_dir):
+    """Bigger seed vocabularies must never cost MORE tokens per word
+    (nested seed sets: every smaller vocab's segmentation remains
+    available to the larger one at equal-or-better likelihood)."""
+    from duva_spark.queries.llm_q import q_unigram_vocab_curve
+
+    rows = sorted(
+        q_unigram_vocab_curve(spark, sf_dir).collect(),
+        key=lambda r: r["n_seed"],
+    )
+    assert [r["n_seed"] for r in rows] == [24, 48, 96]
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab_size"] >= a["vocab_size"]
+        assert b["tokens_per_word"] <= a["tokens_per_word"], (a, b)
+
+
+def test_compression_pareto_tiers_are_ordered(spark, sf_dir):
+    """The Pareto table must carry all five tiers with the documented
+    byte costs; fp32 is exact by definition and no lossy tier may
+    exceed it."""
+    from duva_spark.queries.llm_q import q_embed_compression_pareto
+
+    rows = {r["variant"]: r for r in q_embed_compression_pareto(spark, sf_dir).collect()}
+    assert set(rows) == {"fp32", "sq8", "pq", "ivfpq", "ivfpq_residual"}
+    assert rows["fp32"]["mean_recall_at_5"] == 1.0
+    assert rows["fp32"]["bytes_per_vector"] == 256
+    assert rows["sq8"]["bytes_per_vector"] == 64
+    for v in ("sq8", "pq", "ivfpq", "ivfpq_residual"):
+        assert rows[v]["mean_recall_at_5"] <= 1.0

@@ -200,6 +200,62 @@ def test_no_headline_query_has_toxic_plan_nodes(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
+import re as _re
+
+# windowspecdefinition whose FIRST argument is already a sort order (or
+# the frame itself) has an EMPTY partition spec: the window plans
+# Exchange SinglePartition + a one-task sort — the textbook scale
+# killer unless the windowed table is bounded by construction.
+_UNPARTITIONED_WSPEC = _re.compile(
+    r"windowspecdefinition\((?:[^,()]+ (?:ASC|DESC) NULLS|specifiedwindowframe)"
+)
+
+# Documented-bound exemptions (r8 verdict "wrong" #1, adjudicated in
+# duva_spark/llm/evals.py's module docstring): every query here windows
+# a table bounded BY CONSTRUCTION regardless of corpus size —
+# 6-dp-rounded score/value groups (≤ 10^6+1 rows), enum-sized grids, or
+# ≤ k driver-built rows — where a single-task sort costs milliseconds
+# and the distributed prefix-sum re-base would add a localCheckpoint +
+# two jobs per call. Growing this set requires the same bounded-table
+# argument in the query's description.
+_UNPARTITIONED_WINDOW_OK: set[str] = {
+    # 6-dp-rounded score groups, ≤ 10^6+1 rows at any corpus size
+    # (the documented-bound adjudication in llm/evals.py's docstring)
+    "q_lr_quality_auc",
+    "q_quality_signal_spearman",
+    # windows over enum-sized grids: 9 leading digits / contingency
+    # cells / drift buckets — bounded by the statistic's definition
+    "q_benford_digit_test",
+    "q_chi2_independence",
+    "q_psi_drift",
+    # cumulative window over the ≤ n_buckets vocabulary-growth table
+    "q_heaps_law",
+    # rank fusion over the two top-k result lists (k rows each)
+    "q_rrf_hybrid_search",
+}
+
+
+def test_unpartitioned_windows_are_bounded_exemptions(spark, sf_dir):
+    """Registry-wide ban (r8 verdict item 7): no registered query may
+    plan a WindowExec with an empty partition spec unless it is on the
+    documented-bound exemption list. Streaming queries execute eagerly
+    and are covered by their own tests."""
+    for name, q in load_all().items():
+        if name.startswith("q_stream"):
+            continue
+        plan = _plan(q.fn(spark, sf_dir))
+        if _UNPARTITIONED_WSPEC.search(plan):
+            assert name in _UNPARTITIONED_WINDOW_OK, (
+                f"{name} plans an unpartitioned window and is not on the "
+                "documented-bound exemption list"
+            )
+        else:
+            assert name not in _UNPARTITIONED_WINDOW_OK, (
+                f"{name} is exempted but no longer plans an unpartitioned "
+                "window — remove it from the list"
+            )
+
+
 def test_join_strategy_hints_are_honored(spark, sf_dir):
     """The engine exposes physical join-strategy control: broadcast,
     shuffle-hash, and sort-merge hints each surface as their operator.

@@ -827,6 +827,80 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("kneser_ney_trigram", sizes_big, kneser_ney_trigram_case))
 
+    def kneser_ney_trigram_pruned_case(n):
+        # q_kneser_ney_trigram_pruned: identical chain with the KenLM
+        # singleton prune (c3 >= 2) applied before any marginal — the
+        # held-out joins stop carrying the corpus-growing singleton
+        # tail, which is the r8 verdict's fix for the 9.6x/10x row.
+        from duva_spark.llm import hashed_lm
+
+        docs = _docs(spark, n)
+        h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+        split = docs.select(
+            "doc_id", F.split("text", " ").alias("ws"), (h100 < 70).alias("is_train")
+        )
+        tri = lambda df: df.select(  # noqa: E731
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN "
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> struct(ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3)) "
+                    "ELSE array() END"
+                )
+            ).alias("t"),
+        ).select("doc_id", "t.w1", "t.w2", "t.w3")
+        train = split.filter("is_train")
+        bcnt = (
+            train.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(ws) >= 2 THEN "
+                        "transform(sequence(0, size(ws) - 2),"
+                        " i -> struct(ws[i] AS w1, ws[i+1] AS w2)) "
+                        "ELSE array() END"
+                    )
+                ).alias("b")
+            )
+            .select("b.w1", "b.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("bc"))
+        )
+        cont = bcnt.groupBy(F.col("w2").alias("w3")).agg(
+            F.count("*").cast("double").alias("rc")
+        )
+        t3cnt = (
+            tri(train)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count("*").alias("c3"))
+            .filter(F.col("c3") >= 2)
+        )
+        ctx12 = t3cnt.groupBy("w1", "w2").agg(
+            F.sum("c3").cast("double").alias("cc12"),
+            F.count("*").cast("double").alias("n1p12"),
+        )
+        c23 = t3cnt.groupBy("w2", "w3").agg(F.count("*").cast("double").alias("c23t"))
+        ho = tri(split.filter(~F.col("is_train")))
+        scored = (
+            ho.join(t3cnt, ["w1", "w2", "w3"], "left")
+            .join(ctx12, ["w1", "w2"], "left")
+            .join(c23, ["w2", "w3"], "left")
+            .join(cont, "w3", "left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce((F.col("c3") - 0.75) / F.col("cc12"), F.lit(0.0))
+                    + F.coalesce(F.col("c23t"), F.lit(0.0))
+                    + F.coalesce(F.col("rc"), F.lit(0.0))
+                ).alias("x"),
+            )
+        )
+        _force(scored.groupBy("doc_id").agg(F.avg("x")))
+
+    cases.append(
+        ("kneser_ney_trigram_pruned", sizes_big, kneser_ney_trigram_pruned_case)
+    )
+
     def domain_divergence_case(n):
         # q_domain_divergence's operator: ONE corpus token scan into the
         # S×512 count table; the dense grid + bucket-keyed self-join +
