@@ -109,9 +109,23 @@ def _dup_span_intervals(
         # probe side so the marker join never shuffles the gram stream
         dup = F.broadcast(marked_grams.select("gh").distinct())
     else:
+        # doc-frequency from gram_keys, NOT from pg: word_shingles
+        # dedups per doc INSIDE the array projection (array_distinct —
+        # no shuffle), so the count's input is already one row per
+        # (doc, gram) and goes straight into the map-side-combined
+        # groupBy — the same shape dup_span_counts always used. The
+        # previous form deduped the POSITIONAL stream with a full
+        # (id, gh) exchange — the single largest shuffle in the plan
+        # (~23 rows/doc with positions; the r6 sweep's 12×/10× spill
+        # row). Trade: one extra text scan (pure codegen, pushdown-
+        # prunable to the text column on a real columnar source) for
+        # the elimination of that shuffle. r9 controlled A/B at 10M
+        # synthetic docs, alternating forms, min-of-2 warm: old 280.3 s
+        # vs new 214.7 s (1.3×) — and the synthetic input is GENERATED
+        # per scan, so this still OVERCHARGES the extra scan relative
+        # to a column-pruned parquet source.
         dup = (
-            pg.select(id_col, "gh")
-            .distinct()
+            gram_keys(df, id_col, text_col, k)
             .groupBy("gh")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") >= min_df)
