@@ -292,7 +292,8 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nt) AS BIGINT)  AS total_tokens,
-           ROUND(AVG(q), 6)         AS avg_quality
+           ROUND(CAST(SUM(CAST(FLOOR(q * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / (COUNT(*) * 1e6), 6) AS avg_quality
     FROM keep
     GROUP BY source
     """,
@@ -300,7 +301,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "The composite corpus-prep pipeline end-to-end: quality filter → "
         "language filter → exact dedup (min-id keeper among survivors) → "
         "per-source token budget. Filters run at scan speed before the "
-        "single dedup shuffle; the final agg is map-side combined."
+        "single dedup shuffle; the final agg is map-side combined. "
+        "avg_quality accumulates the 6-dp per-doc scores as EXACT scaled "
+        "integers (the money_cents/calibration trick): a float AVG's "
+        "partial-sum order varies with shuffle fetch order, and a value "
+        "on a 5e-7 rounding boundary flipped its last digit between two "
+        "otherwise-identical r9 runs — exact accumulation makes the "
+        "result order-independent on both engines."
     ),
 )
 def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,10 +317,15 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (textstats.quality_score(t) >= 0.5) & (textstats.predicted_lang(t) == "en")
     )
     kept = dedup.dedup_exact(filtered, ["text"], "doc_id")
+    q_scaled = F.floor(textstats.quality_score(t) * 1e6 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(textstats.token_count_ws(t)).cast("long").alias("total_tokens"),
-        F.round(F.avg(textstats.quality_score(t)), 6).alias("avg_quality"),
+        F.round(
+            F.sum(q_scaled).cast("double") / (F.count("*").cast("double") * 1e6), 6
+        ).alias("avg_quality"),
     )
 
 
