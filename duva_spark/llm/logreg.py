@@ -44,6 +44,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duva_spark.queries import exact_avg
+
 from duva_spark.llm.hashed_lm import bucket_of, round_half_up
 from duva_spark.llm.minhash import md5_hash60
 
@@ -179,14 +181,14 @@ def logreg_train(
     for t in range(rounds):
         scored = _score(feat, w).localCheckpoint()
         m = scored.agg(
-            F.round(
-                -F.avg(
-                    F.when(
-                        F.col("h") >= holdout_pct,
-                        F.when(F.col("y"), F.log("p")).otherwise(F.log(1.0 - F.col("p"))),
-                    )
+            exact_avg(
+                F.when(
+                    F.col("h") >= holdout_pct,
+                    F.when(F.col("y"), F.log("p")).otherwise(F.log(1.0 - F.col("p"))),
                 ),
+                9,
                 6,
+                negate=True,
             ).alias("train_loss"),
             F.round(
                 F.avg(

@@ -34,6 +34,43 @@ def money_cents(col: Column, scale: int = 100) -> Column:
     return F.floor(col * scale + F.lit(0.5))
 
 
+def exact_avg(
+    col: Column, dp_in: int, dp_out: int | None = None, negate: bool = False
+) -> Column:
+    """Order-independent AVG of a float column, rounded to ``dp_out``.
+
+    ``ROUND(AVG(float), k)`` is shuffle-fetch-order-dependent: double
+    partial sums associate differently run to run, and a mean sitting on
+    a ``0.5·10^-k`` rounding boundary flips its last digit between
+    otherwise-identical runs (observed once in nine rounds, on
+    avg_quality). Fix: grid each term at ``dp_in`` decimals via
+    ``floor(x·10^dp_in + 0.5)``, accumulate as exact decimal(38,0)
+    integers (sum order is irrelevant for integers), and divide the one
+    exact sum by the non-null count. When the input is *already* on the
+    ``dp_in`` grid (a ``F.round(x, dp_in)`` upstream), this recovers the
+    exact grid integer and the result is value-identical to the float
+    AVG except in the boundary case this exists to remove; for raw float
+    terms it perturbs the mean by ≤ 0.5·10^-dp_in per term, invisible at
+    ``dp_out < dp_in`` and applied identically on both engines.
+
+    Null semantics match AVG: nulls drop out of both sum and count.
+    """
+    scale = float(10**dp_in)
+    scaled = F.floor(col * F.lit(scale) + F.lit(0.5)).cast("decimal(38,0)")
+    avg = F.sum(scaled).cast("double") / (F.count(col).cast("double") * scale)
+    return F.round(-avg if negate else avg, dp_in if dp_out is None else dp_out)
+
+
+def exact_avg_sql(expr: str, dp_in: int, dp_out: int | None = None) -> str:
+    """DuckDB twin of :func:`exact_avg` — same gridding, same exact
+    HUGEINT accumulation, same divide — so oracle and engine compute the
+    identical deterministic rational before the final ROUND."""
+    return (
+        f"ROUND(CAST(SUM(CAST(FLOOR(({expr}) * 1e{dp_in} + 0.5) AS HUGEINT)) AS DOUBLE)"
+        f" / (COUNT({expr}) * 1e{dp_in}), {dp_in if dp_out is None else dp_out})"
+    )
+
+
 @dataclass(frozen=True)
 class Query:
     name: str

@@ -9,16 +9,29 @@ the full pipeline, not a toy subset.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
 from duva_spark.llm import blocked, dedup, minhash, multimodal, similarity, simhash, textstats
-from duva_spark.queries import register
+from duva_spark.queries import exact_avg, register
 
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
+
+
+def _exact_std(col: Column) -> Column:
+    """Order-independent population stddev rounded to 6 dp: both moments
+    accumulate as exact gridded integers (x at 1e-9, x^2 at 1e-12) so the
+    result is a deterministic function of the data on both engines — the
+    same hazard/remedy as :func:`duva_spark.queries.exact_avg`."""
+    sxx = F.sum(F.floor(col * col * F.lit(1e12) + F.lit(0.5)).cast("decimal(38,0)"))
+    sx = F.sum(F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)"))
+    n = F.count(col).cast("double")
+    ex2 = sxx.cast("double") / (n * F.lit(1e12))
+    ex = sx.cast("double") / (n * F.lit(1e9))
+    return F.round(F.sqrt(F.greatest(ex2 - ex * ex, F.lit(0.0))), 6)
 
 
 @register(
@@ -115,7 +128,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           ROUND(AVG({_QUALITY}), 6) AS avg_quality,
+           ROUND(CAST(SUM(CAST(FLOOR(({_QUALITY}) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT({_QUALITY}) * 1e6), 6) AS avg_quality,
            ROUND(AVG({_NTOK}), 4)    AS avg_tokens,
            COUNT(CASE WHEN {_LANG_PRED} = 'en' THEN 1 END) AS n_pred_en
     FROM documents
@@ -128,7 +141,7 @@ def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(textstats.quality_score(t)), 6).alias("avg_quality"),
+        exact_avg(textstats.quality_score(t), 6).alias("avg_quality"),
         F.round(F.avg(textstats.token_count_ws(t)), 4).alias("avg_tokens"),
         F.count(F.when(textstats.predicted_lang(t) == "en", 1)).alias("n_pred_en"),
     )
@@ -1896,7 +1909,7 @@ _CLF_W = _clf_weights(64)
     SELECT label,
            COUNT(*) AS n,
            CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
-           ROUND(AVG(1.0 / (1.0 + exp(-logit))), 6) AS avg_score
+           ROUND(CAST(SUM(CAST(FLOOR((1.0 / (1.0 + exp(-logit))) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(1.0 / (1.0 + exp(-logit))) * 1e9), 6) AS avg_score
     FROM z
     GROUP BY label
     """,
@@ -1925,7 +1938,7 @@ def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("logit") > 0, 1).otherwise(0)).cast("long").alias("n_positive"),
-            F.round(F.avg(score), 6).alias("avg_score"),
+            exact_avg(score, 9, 6).alias("avg_score"),
         )
     )
 
@@ -1940,8 +1953,11 @@ def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pos,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(val), 6) AS mean,
-           ROUND(STDDEV_POP(val), 6) AS std,
+           ROUND(CAST(SUM(CAST(FLOOR((val) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(val) * 1e9), 6) AS mean,
+           ROUND(SQRT(GREATEST(
+             CAST(SUM(CAST(FLOOR(val * val * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(val) * 1e12)
+             - POWER(CAST(SUM(CAST(FLOOR(val * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(val) * 1e9), 2),
+             0)), 6) AS std,
            ROUND(MIN(val), 6) AS min_val,
            ROUND(MAX(val), 6) AS max_val
     FROM e
@@ -1964,8 +1980,8 @@ def q_embedding_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.groupBy("pos").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("val"), 6).alias("mean"),
-        F.round(F.stddev_pop("val"), 6).alias("std"),
+        exact_avg(F.col("val"), 9, 6).alias("mean"),
+        _exact_std(F.col("val")).alias("std"),
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
@@ -2659,7 +2675,10 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(embedding[j] AS DOUBLE) AS xj
                FROM embeddings, range(1, 65) t1(i), range(1, 65) t2(j))
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           ROUND(AVG(xi * xj) - AVG(xi) * AVG(xj), 6) + 0.0 AS cov
+           ROUND(CAST(SUM(CAST(FLOOR(xi * xj * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1e12)
+                 - (CAST(SUM(CAST(FLOOR(xi * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1e9))
+                 * (CAST(SUM(CAST(FLOOR(xj * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1e9)),
+                 6) + 0.0 AS cov
     FROM x GROUP BY i, j
     """,
     description=(
@@ -2683,15 +2702,28 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        gram = np.zeros((64, 64))
-        sums = np.zeros(64)
+        # Gridded-integer moments (products at 1e-12, dims at 1e-9):
+        # int64 partial sums are exact under ANY accumulation order, so
+        # the covariance is a deterministic function of the data — a
+        # float Gram's partial-sum order varies with Arrow batch
+        # boundaries and shuffle fetch order, and with 4,096 cells each
+        # rounding to 6 dp a boundary flip is a when-not-if (the
+        # avg_quality lesson). Per-term floor(x*scale + 0.5) is the
+        # identical IEEE expression the oracle's FLOOR computes.
+        gram = np.zeros((64, 64), dtype=np.int64)
+        sums = np.zeros(64, dtype=np.int64)
         n = 0
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            gram += m.T @ m
-            sums += m.sum(axis=0)
+            # chunk the per-row outer products so the rij tensor stays
+            # ~16 MB while every term is gridded BEFORE summation
+            for k in range(0, len(m), 512):
+                c = m[k : k + 512]
+                rij = np.einsum("ri,rj->rij", c, c)
+                gram += np.floor(rij * 1e12 + 0.5).astype(np.int64).sum(axis=0)
+            sums += np.floor(m * 1e9 + 0.5).astype(np.int64).sum(axis=0)
             n += len(m)
         if n == 0:
             return
@@ -2708,19 +2740,17 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     p = emb.select("embedding").mapInPandas(
-        partials, "i int, j int, s_ij double, s_i double, s_j double, n long"
+        partials, "i int, j int, s_ij long, s_i long, s_j long, n long"
     )
+    dec = "decimal(38,0)"
+    n = F.sum(F.col("n").cast(dec)).cast("double")
+    e_ij = F.sum(F.col("s_ij").cast(dec)).cast("double") / (n * F.lit(1e12))
+    e_i = F.sum(F.col("s_i").cast(dec)).cast("double") / (n * F.lit(1e9))
+    e_j = F.sum(F.col("s_j").cast(dec)).cast("double") / (n * F.lit(1e9))
     return p.groupBy("i", "j").agg(
         # + 0.0 kills IEEE negative zero on BOTH engines (DuckDB ROUND
         # yields -0.0 for tiny negatives — the FIXTURES.md gotcha)
-        (
-            F.round(
-                F.sum("s_ij") / F.sum("n")
-                - (F.sum("s_i") / F.sum("n")) * (F.sum("s_j") / F.sum("n")),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("cov")
+        (F.round(e_ij - e_i * e_j, 6) + F.lit(0.0)).alias("cov")
     )
 
 
@@ -2736,7 +2766,8 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  END AS vq
           FROM x JOIN mm USING (i))
     SELECT CAST(i AS INT) AS dim,
-           ROUND(AVG((v - vq) * (v - vq)), 9) AS mse,
+           ROUND(CAST(SUM(CAST(FLOOR((v - vq) * (v - vq) * 1e15 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / (COUNT(*) * 1e15), 9) AS mse,
            ROUND(MAX(ABS(v - vq)), 6) AS max_abs_err
     FROM q GROUP BY i
     """,
@@ -2771,7 +2802,8 @@ def q_embed_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mse_expr = "array(" + ",".join(
-        f"avg(pow(CAST(embedding[{i}] AS DOUBLE) - ({vq(i)}), 2))" for i in range(64)
+        f"round(CAST(sum(CAST(floor(pow(CAST(embedding[{i}] AS DOUBLE) - ({vq(i)}), 2) * 1e15 + 0.5d) AS decimal(38,0))) AS double) / (count(1) * 1e15), 9)"
+        for i in range(64)
     ) + ")"
     mx_expr = "array(" + ",".join(
         f"max(abs(CAST(embedding[{i}] AS DOUBLE) - ({vq(i)})))" for i in range(64)
@@ -4105,8 +4137,9 @@ def _lr_ctes(
         )
         ctes.append(
             f"m{p}{t} AS (SELECT CAST({t} AS BIGINT) AS round,"
-            f" ROUND(-AVG(CASE WHEN {trainp} THEN"
-            f" CASE WHEN y THEN ln(p) ELSE ln(1 - p) END END), 6) AS train_loss,"
+            f" ROUND(-(CAST(SUM(CAST(FLOOR((CASE WHEN {trainp} THEN"
+            f" CASE WHEN y THEN ln(p) ELSE ln(1 - p) END END) * 1e9 + 0.5) AS HUGEINT))"
+            f" AS DOUBLE) / (COUNT(CASE WHEN {trainp} THEN 1 END) * 1e9)), 6) AS train_loss,"
             f" ROUND(AVG(CASE WHEN h < {hold} THEN"
             f" CASE WHEN (z > 0) = y THEN 1.0 ELSE 0.0 END END), 6) AS holdout_acc"
             f" FROM p{p}{t})"
@@ -4754,7 +4787,7 @@ def _lr_auc_cv_oracle() -> str:
     SELECT fold, n_pos, n_neg, auc FROM folds
     UNION ALL
     SELECT -1 AS fold, CAST(SUM(n_pos) AS BIGINT), CAST(SUM(n_neg) AS BIGINT),
-           ROUND(AVG(auc), 6)
+           ROUND(CAST(SUM(CAST(FLOOR((auc) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(auc) * 1e6), 6)
     FROM folds
     """
     )
@@ -4811,7 +4844,7 @@ def q_lr_auc_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("fold"),
         F.sum("n_pos").cast("long").alias("n_pos"),
         F.sum("n_neg").cast("long").alias("n_neg"),
-        F.round(F.avg("auc"), 6).alias("auc"),
+        exact_avg(F.col("auc"), 6).alias("auc"),
     )
     return folds.unionByName(summary)
 
@@ -5495,8 +5528,9 @@ def _platt_oracle() -> str:
     )
     ctes.append("pa0 AS (SELECT 1.0 AS a, 0.0 AS b)")
     loss = (
-        "ROUND(-AVG(CASE WHEN {mask} THEN"
-        " CASE WHEN y1 = 1.0 THEN ln({q}) ELSE ln(1 - {q}) END END), 6)"
+        "ROUND(-(CAST(SUM(CAST(FLOOR((CASE WHEN {mask} THEN"
+        " CASE WHEN y1 = 1.0 THEN ln({q}) ELSE ln(1 - {q}) END END) * 1e9 + 0.5)"
+        " AS HUGEINT)) AS DOUBLE) / (COUNT(CASE WHEN {mask} THEN 1 END) * 1e9)), 6)"
     )
     for t in range(rounds):
         ctes.append(
@@ -5516,8 +5550,8 @@ def _platt_oracle() -> str:
             break
         ctes.append(
             f"pg{t} AS (SELECT"
-            f" ROUND(AVG(CASE WHEN is_cal THEN (q - y1) * z END), 6) AS ga,"
-            f" ROUND(AVG(CASE WHEN is_cal THEN q - y1 END), 6) AS gb"
+            f" ROUND(CAST(SUM(CAST(FLOOR((CASE WHEN is_cal THEN (q - y1) * z END) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(CASE WHEN is_cal THEN 1 END) * 1e9), 6) AS ga,"
+            f" ROUND(CAST(SUM(CAST(FLOOR((CASE WHEN is_cal THEN q - y1 END) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(CASE WHEN is_cal THEN 1 END) * 1e9), 6) AS gb"
             f" FROM qz{t})"
         )
         ctes.append(
@@ -5606,29 +5640,14 @@ def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.least(F.greatest(col, F.lit(1e-6)), F.lit(1 - 1e-6))
 
     def losses(q_col):
+        ll = F.when(F.col("y1") == 1.0, F.log(q_col)).otherwise(F.log(1 - q_col))
         return [
-            F.round(
-                -F.avg(
-                    F.when(
-                        F.col("is_cal"),
-                        F.when(F.col("y1") == 1.0, F.log(q_col)).otherwise(
-                            F.log(1 - q_col)
-                        ),
-                    )
-                ),
-                6,
-            ).alias("calib_loss"),
-            F.round(
-                -F.avg(
-                    F.when(
-                        ~F.col("is_cal"),
-                        F.when(F.col("y1") == 1.0, F.log(q_col)).otherwise(
-                            F.log(1 - q_col)
-                        ),
-                    )
-                ),
-                6,
-            ).alias("test_loss"),
+            exact_avg(F.when(F.col("is_cal"), ll), 9, 6, negate=True).alias(
+                "calib_loss"
+            ),
+            exact_avg(F.when(~F.col("is_cal"), ll), 9, 6, negate=True).alias(
+                "test_loss"
+            ),
         ]
 
     raw_q = clamp(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6))
@@ -5644,10 +5663,8 @@ def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         m = pl0.agg(
             *losses(q),
-            F.round(
-                F.avg(F.when(F.col("is_cal"), (q - F.col("y1")) * F.col("z"))), 6
-            ).alias("ga"),
-            F.round(F.avg(F.when(F.col("is_cal"), q - F.col("y1"))), 6).alias("gb"),
+            exact_avg(F.when(F.col("is_cal"), (q - F.col("y1")) * F.col("z")), 9, 6).alias("ga"),
+            exact_avg(F.when(F.col("is_cal"), q - F.col("y1")), 9, 6).alias("gb"),
         ).collect()[0]
         rows.append(
             (t, round_half_up(a, 9), round_half_up(b, 9),

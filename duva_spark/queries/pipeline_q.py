@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
 from duva_spark.llm import dedup, minhash, textstats
-from duva_spark.queries import register
+from duva_spark.queries import exact_avg, register
 from duva_spark.queries.llm_q import _LANG_PRED, _NTOK, _QUALITY, _sql_in_list
 
 # ---------------------------------------------------------------------------
@@ -198,7 +198,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT CAST(FLOOR({_NTOK} / 20) * 20 AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG({_QUALITY}), 6) AS avg_quality
+           ROUND(CAST(SUM(CAST(FLOOR(({_QUALITY}) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT({_QUALITY}) * 1e6), 6) AS avg_quality
     FROM documents
     GROUP BY 1
     """,
@@ -214,7 +214,7 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.floor(textstats.token_count_ws(t) / 20) * 20).cast("long")
     return docs.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(textstats.quality_score(t)), 6).alias("avg_quality"),
+        exact_avg(textstats.quality_score(t), 6).alias("avg_quality"),
     )
 
 
@@ -520,7 +520,7 @@ def q_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q.source AS source,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
            CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
-           ROUND(AVG(quality), 6) AS avg_kept_quality
+           ROUND(CAST(SUM(CAST(FLOOR((quality) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(quality) * 1e6), 6) AS avg_kept_quality
     FROM q JOIN thr ON q.source = thr.source
     WHERE q.quality >= q25
     GROUP BY q.source
@@ -554,7 +554,7 @@ def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_kept"),
             F.sum("n_tok").cast("long").alias("kept_tokens"),
-            F.round(F.avg("quality"), 6).alias("avg_kept_quality"),
+            exact_avg(F.col("quality"), 6).alias("avg_kept_quality"),
         )
     )
 
@@ -758,7 +758,7 @@ def _doc_nll_census(per_doc: DataFrame, docs: DataFrame) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            exact_avg(F.col("avg_nll"), 6).alias("mean_doc_nll"),
             F.round(F.min("avg_nll"), 6).alias("best_doc_nll"),
             F.round(F.max("avg_nll"), 6).alias("worst_doc_nll"),
         )
@@ -776,12 +776,12 @@ def _doc_nll_census(per_doc: DataFrame, docs: DataFrame) -> DataFrame:
       FROM tok t JOIN vocab v USING (word) CROSS JOIN tot
     ),
     per_doc AS (
-      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll, COUNT(*) AS n_tok
+      SELECT doc_id, ROUND(CAST(SUM(CAST(FLOOR((nll) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(nll) * 1e9), 6) AS avg_nll, COUNT(*) AS n_tok
       FROM scored GROUP BY doc_id
     )
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(CAST(SUM(CAST(FLOOR((p.avg_nll) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(p.avg_nll) * 1e6), 6) AS mean_doc_nll,
            ROUND(MIN(p.avg_nll), 6) AS best_doc_nll,
            ROUND(MAX(p.avg_nll), 6) AS worst_doc_nll
     FROM per_doc p JOIN documents d USING (doc_id)
@@ -809,7 +809,7 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
     )
-    per_doc = scored.groupBy("doc_id").agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    per_doc = scored.groupBy("doc_id").agg(exact_avg(F.col("nll"), 9, 6).alias("avg_nll"))
     return _doc_nll_census(per_doc, docs)
 
 
@@ -881,12 +881,12 @@ def q_epoch_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN utot
     ),
     per_doc AS (
-      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll
+      SELECT doc_id, ROUND(CAST(SUM(CAST(FLOOR((nll) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(nll) * 1e9), 6) AS avg_nll
       FROM scored GROUP BY doc_id
     )
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(CAST(SUM(CAST(FLOOR((p.avg_nll) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(p.avg_nll) * 1e6), 6) AS mean_doc_nll,
            ROUND(MIN(p.avg_nll), 6) AS best_doc_nll,
            ROUND(MAX(p.avg_nll), 6) AS worst_doc_nll
     FROM per_doc p JOIN documents d USING (doc_id)
@@ -940,7 +940,7 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    per_doc = scored.groupBy("doc_id").agg(exact_avg(F.col("nll"), 9, 6).alias("avg_nll"))
     return _doc_nll_census(per_doc, docs)
 
 
@@ -955,7 +955,7 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok t JOIN vocab v USING (word) CROSS JOIN tot
     ),
     per_doc AS (
-      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll
+      SELECT doc_id, ROUND(CAST(SUM(CAST(FLOOR((nll) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(nll) * 1e9), 6) AS avg_nll
       FROM scored GROUP BY doc_id
     ),
     thr AS (SELECT ROUND(quantile_cont(avg_nll, 1.0/3), 6) AS lo,
@@ -965,7 +965,7 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN avg_nll <= hi THEN 'middle'
                 ELSE 'tail' END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(avg_nll), 6) AS mean_nll
+           ROUND(CAST(SUM(CAST(FLOOR((avg_nll) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(avg_nll) * 1e6), 6) AS mean_nll
     FROM per_doc CROSS JOIN thr
     GROUP BY 1
     """,
@@ -994,7 +994,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("doc_id", (-F.log(F.col("cnt") / F.col("n"))).alias("nll"))
         .groupBy("doc_id")
-        .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+        .agg(exact_avg(F.col("nll"), 9, 6).alias("avg_nll"))
         # consumed twice (threshold fit + bucketing scan) — materialize
         # the per-doc scores once instead of re-running the token
         # pipeline; blocks free with the result (the repo's standard
@@ -1018,7 +1018,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+            exact_avg(F.col("avg_nll"), 6).alias("mean_nll"),
         )
     )
 
@@ -2678,13 +2678,13 @@ def q_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN utot
     ),
     per_doc AS (
-      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll,
+      SELECT doc_id, ROUND(CAST(SUM(CAST(FLOOR((nll) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(nll) * 1e9), 6) AS avg_nll,
              CAST(SUM(backed) AS DOUBLE) AS bk, CAST(COUNT(*) AS DOUBLE) AS nt
       FROM scored GROUP BY doc_id
     )
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(CAST(SUM(CAST(FLOOR((p.avg_nll) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(p.avg_nll) * 1e6), 6) AS mean_doc_nll,
            ROUND(SUM(p.bk) / SUM(p.nt), 6) AS backoff_rate
     FROM per_doc p JOIN documents d USING (doc_id)
     GROUP BY d.lang
@@ -2757,7 +2757,7 @@ def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        exact_avg(F.col("nll"), 9, 6).alias("avg_nll"),
         F.sum("backed").cast("double").alias("bk"),
         F.count("*").cast("double").alias("nt"),
     )
@@ -2766,7 +2766,7 @@ def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            exact_avg(F.col("avg_nll"), 6).alias("mean_doc_nll"),
             F.round(F.sum("bk") / F.sum("nt"), 6).alias("backoff_rate"),
         )
     )
@@ -3690,7 +3690,7 @@ _KN_D = 0.75
       CROSS JOIN btot CROSS JOIN vtot
     ),
     per_doc AS (
-      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll,
+      SELECT doc_id, ROUND(CAST(SUM(CAST(FLOOR((nll) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(nll) * 1e9), 6) AS avg_nll,
              CAST(SUM(unseen_bi) AS DOUBLE) AS ub,
              CAST(SUM(unseen_ctx) AS DOUBLE) AS uc,
              CAST(COUNT(*) AS DOUBLE) AS nt
@@ -3698,7 +3698,7 @@ _KN_D = 0.75
     )
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(CAST(SUM(CAST(FLOOR((p.avg_nll) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(p.avg_nll) * 1e6), 6) AS mean_doc_nll,
            ROUND(SUM(p.ub) / SUM(p.nt), 6) AS unseen_bigram_rate,
            ROUND(SUM(p.uc) / SUM(p.nt), 6) AS unseen_ctx_rate
     FROM per_doc p JOIN documents d USING (doc_id)
@@ -3782,7 +3782,7 @@ def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        exact_avg(F.col("nll"), 9, 6).alias("avg_nll"),
         F.sum("unseen_bi").cast("double").alias("ub"),
         F.sum("unseen_ctx").cast("double").alias("uc"),
         F.count("*").cast("double").alias("nt"),
@@ -3792,7 +3792,7 @@ def q_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            exact_avg(F.col("avg_nll"), 6).alias("mean_doc_nll"),
             F.round(F.sum("ub") / F.sum("nt"), 6).alias("unseen_bigram_rate"),
             F.round(F.sum("uc") / F.sum("nt"), 6).alias("unseen_ctx_rate"),
         )
@@ -4003,7 +4003,7 @@ def _kn3_oracle(min_count: int = 1) -> str:
       CROSS JOIN btot CROSS JOIN vtot
     ),
     per_doc AS (
-      SELECT doc_id, ROUND(AVG(nll), 6) AS avg_nll,
+      SELECT doc_id, ROUND(CAST(SUM(CAST(FLOOR((nll) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(nll) * 1e9), 6) AS avg_nll,
              CAST(SUM(unseen_tri) AS DOUBLE) AS ut,
              CAST(SUM(unseen_ctx) AS DOUBLE) AS uc,
              CAST(COUNT(*) AS DOUBLE) AS nt
@@ -4011,7 +4011,7 @@ def _kn3_oracle(min_count: int = 1) -> str:
     )
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(p.avg_nll), 6) AS mean_doc_nll,
+           ROUND(CAST(SUM(CAST(FLOOR((p.avg_nll) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(p.avg_nll) * 1e6), 6) AS mean_doc_nll,
            ROUND(SUM(p.ut) / SUM(p.nt), 6) AS unseen_trigram_rate,
            ROUND(SUM(p.uc) / SUM(p.nt), 6) AS unseen_ctx_rate
     FROM per_doc p JOIN documents d USING (doc_id)
@@ -4146,7 +4146,7 @@ def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
         )
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        exact_avg(F.col("nll"), 9, 6).alias("avg_nll"),
         F.sum("unseen_tri").cast("double").alias("ut"),
         F.sum("unseen_ctx").cast("double").alias("uc"),
         F.count("*").cast("double").alias("nt"),
@@ -4156,7 +4156,7 @@ def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("avg_nll"), 6).alias("mean_doc_nll"),
+            exact_avg(F.col("avg_nll"), 6).alias("mean_doc_nll"),
             F.round(F.sum("ut") / F.sum("nt"), 6).alias("unseen_trigram_rate"),
             F.round(F.sum("uc") / F.sum("nt"), 6).alias("unseen_ctx_rate"),
         )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
 from duva_spark.operators.quantile import quantile_cont_row
-from duva_spark.queries import money_cents, register
+from duva_spark.queries import exact_avg, money_cents, register
 
 # ---------------------------------------------------------------------------
 # Aggregation spine
@@ -52,7 +52,7 @@ from duva_spark.queries import money_cents, register
            ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 4)      AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -87,7 +87,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(c_ch) / 1000000.0, 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.sum(c_ep) / 100.0 / F.count("*"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(money_cents(F.col("l_discount"))) / 100.0 / F.count("*"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -372,7 +372,7 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_range",
     oracle="""
-    SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+    SELECT band, COUNT(*) AS n_parts, ROUND(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price
     FROM part
     JOIN (VALUES ('low', 900.0, 940.0), ('mid', 940.0, 970.0), ('high', 970.0, 1000.0))
          bands(band, lo, hi)
@@ -392,7 +392,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.join(F.broadcast(bands), (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi))
         .groupBy("band")
-        .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+        .agg(F.count("*").alias("n_parts"), F.round(F.sum(money_cents(F.col("p_retailprice"))) / 100.0 / F.count("*"), 4).alias("avg_price"))
     )
 
 
@@ -670,8 +670,8 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 6) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) AS mean_winsor,
+           ROUND(CAST(SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(value) * 1e6), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(FLOOR((LEAST(GREATEST(value, lo), hi)) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(LEAST(GREATEST(value, lo), hi)) * 1e6), 6) AS mean_winsor,
            CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
            CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
            ROUND(MAX(hi), 6) AS p95
@@ -699,8 +699,8 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(b))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("mean_raw"),
-            F.round(F.avg(clamped), 6).alias("mean_winsor"),
+            exact_avg(F.col("value"), 6).alias("mean_raw"),
+            exact_avg(clamped, 6).alias("mean_winsor"),
             F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
             .cast("long")
             .alias("n_clip_lo"),
@@ -2214,8 +2214,11 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_moving_avg",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS ma5
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 / (COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 100.0), 4) AS ma5
     FROM orders
     WHERE o_custkey <= 200
     """,
@@ -2225,7 +2228,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-4, 0)
     return orders.select(
-        "o_orderkey", "o_custkey", F.round(F.avg("o_totalprice").over(w), 4).alias("ma5")
+        "o_orderkey", "o_custkey", F.round(F.sum(money_cents(F.col("o_totalprice"))).over(w) / (F.count("*").over(w) * 100.0), 4).alias("ma5")
     )
 
 

@@ -714,3 +714,21 @@ def test_gopher_repetition_is_shuffle_free(spark, sf_dir):
 
     cg = _plan(textstats.gopher_repetition(load_table(spark, sf_dir, "documents")))
     assert "Exchange" not in cg and "Join" not in cg and "Window" not in cg
+
+
+def test_round_avg_sites_are_audited():
+    """Every remaining ROUND-of-AVG site in the package carries an
+    explicit order-independence classification in
+    tools/round_avg_audit.py (fail-closed: new unaudited sites AND
+    stale entries both fail). Sites already converted to exact
+    scaled-integer accumulation (duva_spark.queries.exact_avg) are
+    excluded by construction — they no longer match the hazard
+    pattern."""
+    import importlib.util
+    import pathlib
+
+    tool = pathlib.Path(__file__).resolve().parent.parent / "tools" / "round_avg_audit.py"
+    spec = importlib.util.spec_from_file_location("round_avg_audit", tool)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main() == 0
