@@ -49,6 +49,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def symbolize(word: Column, alphabet: str = "char") -> Column:
+    """A word's initial symbol sequence.
+
+    - ``char``: unicode characters (the Sennrich setup).
+    - ``byte``: UTF-8 bytes as 2-char uppercase-hex symbols (the GPT-2
+      byte-fallback alphabet: a closed 256-symbol universe, so NO word
+      is ever OOV and multi-byte codepoints merge back together from
+      their byte pieces). Hex pairs rather than the GPT-2
+      bytes→unicode remap: the bijection is what matters (tokens stay
+      losslessly decodable via unhex), and hex compares identically
+      under both engines' binary collation — no printable-remap table
+      to keep in sync.
+    """
+    if alphabet == "char":
+        return F.filter(F.split(word, ""), lambda c: c != "")
+    if alphabet == "byte":
+        return F.regexp_extract_all(F.hex(F.encode(word, "UTF-8")), F.lit("(..)"), 1)
+    raise ValueError(f"unknown alphabet {alphabet!r}")
+
+
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, cnt): whitespace-word frequency table — the trainer's input
     and the ONLY corpus-sized computation in BPE training."""
@@ -110,6 +130,7 @@ def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    alphabet: str = "char",
 ) -> list[tuple[int, str, str, str, int]]:
     """Train ``n_merges`` BPE merge rules; returns
     [(merge_round, left_sym, right_sym, merged, pair_count)].
@@ -126,9 +147,7 @@ def bpe_train(
     # recomputable after executor loss — acceptable for a bounded
     # driver loop whose job simply re-runs
     seqs = vocab.select(
-        "w",
-        "cnt",
-        F.expr("filter(split(w, ''), c -> c <> '')").alias("syms"),
+        "w", "cnt", symbolize(F.col("w"), alphabet).alias("syms")
     ).localCheckpoint(eager=False)
     rules: list[tuple[int, str, str, str, int]] = []
     for r in range(1, n_merges + 1):
@@ -152,6 +171,7 @@ def bpe_train_frame(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    alphabet: str = "char",
 ) -> DataFrame:
     """The trained merge table as a DataFrame (n_merges rows, built from
     the driver-side winners — bounded by n_merges, the kcenter_frame
@@ -159,7 +179,7 @@ def bpe_train_frame(
     spark = docs.sparkSession
     rows = [
         (int(r), a, b, m, int(n))
-        for r, a, b, m, n in bpe_train(docs, text_col, n_merges)
+        for r, a, b, m, n in bpe_train(docs, text_col, n_merges, alphabet)
     ]
     return spark.createDataFrame(
         rows,
@@ -168,13 +188,17 @@ def bpe_train_frame(
     )
 
 
-def encode_word(word: Column, rules: list[tuple[int, str, str, str, int]]) -> Column:
+def encode_word(
+    word: Column,
+    rules: list[tuple[int, str, str, str, int]],
+    alphabet: str = "char",
+) -> Column:
     """A word's BPE symbol sequence after applying the trained merge
     rules IN TRAINING ORDER: char split, then one greedy fold per rule
     with the pair inlined as literals — a single codegen expression, no
     UDF, no lookup table, no shuffle. (The tokenizer-application dual
     of bpe_train: train once, encode as a pure projection.)"""
-    syms = F.filter(F.split(word, ""), lambda c: c != "")
+    syms = symbolize(word, alphabet)
     for _, a, b, _, _ in rules:
         syms = greedy_merge(syms, a, b)
     return syms
@@ -185,14 +209,18 @@ def encode_token_counts(
     rules: list[tuple[int, str, str, str, int]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    alphabet: str = "char",
 ) -> DataFrame:
     """(id_col, n_words, n_char_tokens, n_bpe_tokens, compression):
     per-document token census under the trained merges. The whole
     encode folds into the scan projection — per-word nested greedy
     folds in codegen, zero exchanges before the per-doc aggregate."""
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    per_word = F.transform(ws, lambda w: F.size(encode_word(w, rules)))
-    chars = F.transform(ws, lambda w: F.length(w))
+    per_word = F.transform(ws, lambda w: F.size(encode_word(w, rules, alphabet)))
+    chars = F.transform(
+        ws,
+        (lambda w: F.octet_length(w)) if alphabet == "byte" else (lambda w: F.length(w)),
+    )
     n_char = F.aggregate(chars, F.lit(0), lambda acc, v: acc + v)
     n_bpe = F.aggregate(per_word, F.lit(0), lambda acc, v: acc + v)
     return docs.select(

@@ -2777,7 +2777,9 @@ def q_stupid_backoff_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_oracle(n_merges: int, through_final_seqs: bool = False) -> str:
+def _bpe_oracle(
+    n_merges: int, through_final_seqs: bool = False, alphabet: str = "char"
+) -> str:
     """Unrolled chained-CTE replay of the BPE trainer (the kmeans/
     PageRank oracle pattern): round r counts adjacent pairs over sq_r,
     best_r is the (count DESC, a, b) argmax, sq_{r+1} applies the merge
@@ -2786,10 +2788,17 @@ def _bpe_oracle(n_merges: int, through_final_seqs: bool = False) -> str:
     exist when a=b), odd chain offsets taken, absorbed positions (one
     past a taken merge) dropped, sequences reassembled in position
     order."""
+    syms0 = (
+        "list_transform(range(1, length(w) + 1), i -> w[i])"
+        if alphabet == "char"
+        # GPT-2 byte-fallback universe: UTF-8 bytes as 2-char uppercase
+        # hex symbols (llm/bpe.symbolize's oracle twin)
+        else "regexp_extract_all(hex(encode(w)), '..')"
+    )
     ctes = [
-        """sq_1 AS MATERIALIZED (
+        f"""sq_1 AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
-             list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+             {syms0} AS syms
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> ''
       GROUP BY w
@@ -4288,4 +4297,91 @@ def q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_correct",
         F.round(F.col("n_correct") * 1.0 / F.col("n_docs"), 6).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2-style byte-fallback alphabet)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bpe_byte_train_merges",
+    oracle=_bpe_oracle(8, alphabet="byte"),
+    description=(
+        "BYTE-level BPE training (the GPT-2/tiktoken construction, "
+        "Radford et al. 2019): words decompose into their UTF-8 bytes "
+        "— a closed 256-symbol base alphabet, so no word is ever OOV "
+        "and multi-byte codepoints merge back together from byte "
+        "pieces — then the exact same 8-round trainer runs (pair-count "
+        "shuffle, TakeOrderedAndProject argmax, codegen greedy-merge "
+        "fold; llm/bpe.py with alphabet='byte'). Symbols are 2-char "
+        "uppercase-hex byte strings rather than GPT-2's printable "
+        "bytes-to-unicode remap: the bijection is what matters (tokens "
+        "stay losslessly decodable via unhex) and hex compares "
+        "identically under both engines' binary collation. Note the "
+        "synthetic corpus is pure ASCII, so the learned merges "
+        "correspond 1:1 to the char-level trainer's — the byte path's "
+        "value (and its tests) is the multi-byte fallback behavior. "
+        "Same 100 TB shape as q_bpe_train_merges: ONE corpus scan, "
+        "then vocab-bounded rounds."
+    ),
+)
+def q_bpe_byte_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.bpe_train_frame(docs, "text", n_merges=8, alphabet="byte")
+
+
+@register(
+    "q_bpe_byte_encode",
+    oracle=(
+        "WITH "
+        + _bpe_oracle(8, through_final_seqs=True, alphabet="byte")
+        + """,
+    dw AS MATERIALIZED (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    ag AS MATERIALIZED (
+      SELECT dw.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(octet_length(encode(dw.w))) AS BIGINT) AS n_byte_tokens,
+             CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN sq_9 s ON s.w = dw.w
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ag.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(ag.n_byte_tokens, 0) AS BIGINT) AS n_byte_tokens,
+           CAST(COALESCE(ag.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN COALESCE(ag.n_byte_tokens, 0) > 0
+                THEN ROUND(ag.n_bpe_tokens * 1.0 / ag.n_byte_tokens, 6)
+                ELSE 0.0 END AS compression
+    FROM documents d LEFT JOIN ag USING (doc_id)
+    """
+    ),
+    description=(
+        "Byte-level BPE tokenizer APPLICATION: every document "
+        "re-tokenized under the 8 trained byte merges, reporting the "
+        "per-doc census (raw UTF-8 bytes vs BPE tokens vs compression "
+        "— bytes-per-token is the actual capacity unit an LLM budget "
+        "is priced in). Pure projection like q_bpe_encode: per-word "
+        "nested greedy folds with hex-pair literals inlined in "
+        "codegen, zero exchanges before the per-doc aggregate."
+    ),
+)
+def q_bpe_byte_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe.bpe_train(docs, "text", n_merges=8, alphabet="byte")
+    return bpe.encode_token_counts(docs, rules, "doc_id", "text", alphabet="byte").select(
+        "doc_id",
+        "n_words",
+        F.col("n_char_tokens").alias("n_byte_tokens"),
+        "n_bpe_tokens",
+        "compression",
     )

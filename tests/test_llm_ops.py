@@ -1194,6 +1194,54 @@ def test_bpe_train_on_constructed_corpus(spark):
     assert [r[3] for r in rules] == ["lo", "low", "er"]
 
 
+def test_byte_bpe_multibyte_fallback(spark):
+    """The byte alphabet's reason to exist: a multi-byte codepoint
+    decomposes into hex byte symbols (no OOV possible) and its bytes
+    merge back together once frequent enough. 'é' is C3 A9; a corpus
+    dominated by 'éé' must learn (C3, A9) first — a merge the char
+    alphabet can never express — and the merged token must unhex back
+    to the original codepoint. Also pins Spark↔DuckDB symbolization
+    parity (uppercase hex, pairwise split)."""
+    from duva_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(i, "\u00e9\u00e9 \u00e9\u00e9 ab") for i in range(3)],
+        "doc_id long, text string",
+    )
+    rules = bpe.bpe_train(docs, "text", n_merges=2, alphabet="byte")
+    assert (rules[0][1], rules[0][2]) == ("C3", "A9")
+    assert bytes.fromhex(rules[0][3]).decode("utf-8") == "\u00e9"
+    # round 2: the two merged é-tokens pair up within 'éé'
+    assert (rules[1][1], rules[1][2]) == ("C3A9", "C3A9")
+    assert bytes.fromhex(rules[1][3]).decode("utf-8") == "\u00e9\u00e9"
+
+    # byte census: n_char_tokens counts BYTES (octet_length), and the
+    # encode under the two rules collapses 'éé' to ONE token
+    census = {
+        r.doc_id: r
+        for r in bpe.encode_token_counts(
+            docs, rules, "doc_id", "text", alphabet="byte"
+        ).collect()
+    }
+    r0 = census[0]
+    assert r0.n_words == 3
+    assert r0.n_char_tokens == 4 + 4 + 2  # utf-8 bytes
+    assert r0.n_bpe_tokens == 1 + 1 + 2  # [éé] [éé] [a b]
+
+    # Spark symbolize == DuckDB's oracle expression on the same word
+    import duckdb
+
+    got = (
+        spark.range(1)
+        .select(bpe.symbolize(F.lit("h\u00e9llo"), "byte").alias("s"))
+        .collect()[0]["s"]
+    )
+    want = duckdb.sql(
+        "SELECT regexp_extract_all(hex(encode('h\u00e9llo')), '..')"
+    ).fetchone()[0]
+    assert got == want == ["68", "C3", "A9", "6C", "6C", "6F"]
+
+
 def _unigram_python_reference(texts, max_len, n_seed, rounds):
     """Pure-python replay of the unigram_train spec: weighted substring
     seed vocab (singles + top-n_seed multis, count-desc piece-asc),
