@@ -216,3 +216,49 @@ def spearman_pairs(df: DataFrame, sig_cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def calibration_summary(
+    scored: DataFrame,
+    model_name: str,
+    p_col: str = "p",
+    y_col: str = "y",
+    bins: int = 10,
+) -> DataFrame:
+    """One row (model, n, ece, mce, brier): the scalar calibration
+    scorecard on top of :func:`calibration_bins`.
+
+    - ECE (expected calibration error, Naeini et al. 2015): the
+      bin-weighted mean |mean_p − frac_pos|. Both bin stats are
+      6-dp-gridded, so each bin's gap recovers as an exact scaled
+      integer and the 10-term weighted sum is order-independent.
+    - MCE: the max bin gap (max of grid values — order-free).
+    - Brier score (mean squared error of the probability): p is
+      6-dp-gridded and y is 0/1, so (p − y)² sits on the 1e-12 grid
+      and accumulates exactly.
+
+    All three are corpus-bounded: ECE/MCE reduce the ≤``bins``-row
+    reliability table; Brier is one map-side-combined aggregation.
+    """
+    cal = calibration_bins(scored, model_name, p_col, y_col, bins)
+    gap = F.abs(F.col("mean_p") - F.col("frac_pos"))
+    gap_scaled = F.floor(gap * 1e6 + F.lit(0.5)).cast(DEC)
+    summary = cal.groupBy("model").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("n").cast(DEC) * gap_scaled).cast("double")
+            / (F.sum("n").cast("double") * 1e6),
+            6,
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+    y1 = F.when(F.col(y_col), 1.0).otherwise(0.0)
+    sq = (F.col(p_col) - y1) * (F.col(p_col) - y1)
+    brier = scored.agg(
+        F.round(
+            F.sum(F.floor(sq * 1e12 + F.lit(0.5)).cast(DEC)).cast("double")
+            / (F.count("*").cast("double") * 1e12),
+            6,
+        ).alias("brier")
+    )
+    return summary.crossJoin(F.broadcast(brier))

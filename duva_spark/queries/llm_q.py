@@ -575,21 +575,24 @@ _MH_COLS_SQL = ",\n           ".join(
 )
 
 
-def _closure_cc_sql(pairs_sql: str) -> str:
+def _closure_cc_sql(pairs_sql: str, tag: str = "", with_prefix: bool = True) -> str:
     """Shared WITH RECURSIVE prefix closing an (id_a, id_b) pair set into
-    ``cc(id, comp)`` via min-label reachability — the single SQL mirror
-    of ``components.connected_components`` used by every cluster-shaped
-    oracle (callers append their own CTEs/SELECT after it)."""
-    return f"""WITH RECURSIVE
-      e AS (SELECT id_a, id_b FROM ({pairs_sql}) p),
-      und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
-      nodes AS (SELECT DISTINCT a AS id FROM und),
-      r AS (
-        SELECT id, id AS reach FROM nodes
+    ``cc{tag}(id, comp)`` via min-label reachability — the single SQL
+    mirror of ``components.connected_components`` used by every
+    cluster-shaped oracle (callers append their own CTEs/SELECT after
+    it). ``tag`` namespaces the CTEs so one query can close two pair
+    sets; ``with_prefix=False`` omits the leading WITH RECURSIVE for
+    the second chain."""
+    head = "WITH RECURSIVE\n      " if with_prefix else ""
+    return f"""{head}e{tag} AS (SELECT id_a, id_b FROM ({pairs_sql}) p),
+      und{tag} AS (SELECT id_a AS a, id_b AS b FROM e{tag} UNION SELECT id_b, id_a FROM e{tag}),
+      nodes{tag} AS (SELECT DISTINCT a AS id FROM und{tag}),
+      r{tag} AS (
+        SELECT id, id AS reach FROM nodes{tag}
         UNION
-        SELECT r.id, u.b FROM r JOIN und u ON u.a = r.reach
+        SELECT r{tag}.id, u.b FROM r{tag} JOIN und{tag} u ON u.a = r{tag}.reach
       ),
-      cc AS (SELECT id, MIN(reach) AS comp FROM r GROUP BY id)"""
+      cc{tag} AS (SELECT id, MIN(reach) AS comp FROM r{tag} GROUP BY id)"""
 
 
 _CLOSURE_LSH = _closure_cc_sql(
@@ -5007,6 +5010,129 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lr_cal.unionByName(nb_cal)
 
 
+def _calibration_ece_oracle() -> str:
+    """Scalar calibration scorecard: the same LR + NB reliability
+    tables as _calibration_oracle folded to one row per model — ECE
+    (bin-weighted mean gap, exact 1e-6-scaled integers), MCE (max bin
+    gap) and the Brier score (per-doc (p − y)² on the exact 1e-12
+    grid, since p is 6-dp-rounded and y is 0/1)."""
+    T, hold = _LR_ROUNDS - 1, _LR_HOLD
+    ctes = _lr_ctes() + _nb_cal_ctes()
+    cal = f"""cal AS (
+      SELECT 'lr' AS model, LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(FLOOR(p * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_p,
+             ROUND(AVG(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+      FROM p{T} WHERE h < {hold} GROUP BY bin
+      UNION ALL
+      SELECT 'nb' AS model, LEAST(CAST(FLOOR(p.p * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(FLOOR(p.p * 1000000 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_p,
+             ROUND(AVG(CASE WHEN l.y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+      FROM nbp p JOIN lab l ON l.doc_id = p.doc_id GROUP BY bin
+    )"""
+    br = f"""br AS (
+      SELECT 'lr' AS model,
+             ROUND(CAST(SUM(CAST(FLOOR((p - CASE WHEN y THEN 1.0 ELSE 0.0 END)
+                                       * (p - CASE WHEN y THEN 1.0 ELSE 0.0 END)
+                                       * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / (COUNT(*) * 1e12), 6) AS brier
+      FROM p{T} WHERE h < {hold}
+      UNION ALL
+      SELECT 'nb' AS model,
+             ROUND(CAST(SUM(CAST(FLOOR((p.p - CASE WHEN l.y THEN 1.0 ELSE 0.0 END)
+                                       * (p.p - CASE WHEN l.y THEN 1.0 ELSE 0.0 END)
+                                       * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / (COUNT(*) * 1e12), 6) AS brier
+      FROM nbp p JOIN lab l ON l.doc_id = p.doc_id
+    )"""
+    return (
+        "WITH " + ",\n    ".join(ctes + [cal, br])
+        + """
+    SELECT c.model AS model,
+           CAST(SUM(c.n) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(c.n AS HUGEINT)
+                          * CAST(FLOOR(ABS(c.mean_p - c.frac_pos) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / (SUM(c.n) * 1e6), 6) AS ece,
+           ROUND(MAX(ABS(c.mean_p - c.frac_pos)), 6) AS mce,
+           ANY_VALUE(b.brier) AS brier
+    FROM cal c JOIN br b USING (model)
+    GROUP BY c.model
+    """
+    )
+
+
+@register(
+    "q_calibration_ece",
+    oracle=_calibration_ece_oracle(),
+    description=(
+        "Scalar calibration scorecard for both trained quality "
+        "classifiers — ECE (Naeini et al. 2015: bin-weighted mean "
+        "|confidence − accuracy| over the 10-decile reliability "
+        "table), MCE (the worst bin), and the Brier score (mean "
+        "squared probability error) — the one-row-per-model summary a "
+        "platform publishes next to AUC when the pipeline THRESHOLDS "
+        "on probabilities. Reuses the verified LR GD chain and NB "
+        "posterior (q_classifier_calibration's scoring) unchanged; "
+        "ECE/MCE reduce the ≤10-row bin table and Brier is one "
+        "map-side-combined aggregate, all in exact scaled integers "
+        "(p is 6-dp-gridded, y is 0/1, so (p−y)² sits on the 1e-12 "
+        "grid) — order-independent on both engines, nothing "
+        "corpus-sized moves."
+    ),
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import evals, hashed_lm, logreg
+    from duva_spark.llm.logreg import P_CLAMP
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
+    )
+    lr_scored = logreg.logreg_score(
+        lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
+    ).filter(F.col("h") < _LR_HOLD)
+
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    train = lab.filter(h100 >= _LR_HOLD)
+    test = lab.filter(h100 < _LR_HOLD)
+    lik, stats = hashed_lm.nb_train(train, "y", "text", n_buckets=_NB_CAL_B)
+    sc = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=_NB_CAL_B)
+    tt = sc.filter(F.col("label")).select("doc_id", F.col("score").alias("st"))
+    ff = sc.filter(~F.col("label")).select("doc_id", F.col("score").alias("sf"))
+    nbp = tt.join(ff, "doc_id").select(
+        "doc_id",
+        F.least(
+            F.greatest(
+                F.round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("sf") - F.col("st"))), 6
+                ),
+                F.lit(P_CLAMP),
+            ),
+            F.lit(1.0 - P_CLAMP),
+        ).alias("p"),
+    )
+    nb_scored = nbp.join(lab.select("doc_id", "y"), "doc_id")
+    return evals.calibration_summary(lr_scored, "lr").unionByName(
+        evals.calibration_summary(nb_scored, "nb")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality-signal redundancy audit (exact-integer Spearman)
 # ---------------------------------------------------------------------------
@@ -6151,4 +6277,140 @@ def q_unigram_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "n_seed int, vocab_size long, total_tokens long, tokens_per_word double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clustering agreement: LSH dedup clusters vs exact-Jaccard truth
+# ---------------------------------------------------------------------------
+
+
+def _cluster_agreement_oracle() -> str:
+    """Two recursive closures in one WITH (namespaced CTEs): the LSH
+    near-dup graph and the exact prefix-filter truth both close into
+    components; singletons label as their own doc_id; the contingency
+    table yields exact co-clustered-pair counts and the ARI falls out
+    of one double expression over exact integers."""
+    from duva_spark.queries import REGISTRY as _REG  # registered above
+
+    lsh = _lsh_pairs_sql(minhash.N_HASHES, minhash.N_BANDS, 0.5)
+    exact = _REG["q_ppjoin_exact_pairs"].oracle
+    return f"""
+    {_closure_cc_sql(lsh, tag="_l")},
+      {_closure_cc_sql(exact, tag="_x", with_prefix=False)},
+      lab AS (
+        SELECT d.doc_id,
+               COALESCE(cl.comp, d.doc_id) AS ca,
+               COALESCE(cx.comp, d.doc_id) AS cb
+        FROM documents d
+        LEFT JOIN cc_l cl ON cl.id = d.doc_id
+        LEFT JOIN cc_x cx ON cx.id = d.doc_id
+      ),
+      cont AS (SELECT ca, cb, COUNT(*) AS nij FROM lab GROUP BY ca, cb),
+      arow AS (SELECT ca, COUNT(*) AS ai FROM lab GROUP BY ca),
+      brow AS (SELECT cb, COUNT(*) AS bj FROM lab GROUP BY cb),
+      sums AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lab) AS n,
+        (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) FROM cont) AS s_both,
+        (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) FROM arow) AS s_a,
+        (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) FROM brow) AS s_b,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM arow) AS k_a,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM brow) AS k_b)
+    SELECT n AS n_docs,
+           k_a AS clusters_lsh, k_b AS clusters_exact,
+           s_a AS pairs_lsh, s_b AS pairs_exact, s_both AS pairs_both,
+           CASE WHEN s_a > 0 THEN ROUND(s_both * 1.0 / s_a, 6) ELSE 0.0 END
+             AS pair_precision,
+           CASE WHEN s_b > 0 THEN ROUND(s_both * 1.0 / s_b, 6) ELSE 0.0 END
+             AS pair_recall,
+           CASE WHEN (CAST(s_a AS DOUBLE) + s_b) / 2.0
+                     - CAST(s_a AS DOUBLE) * s_b / ((CAST(n AS DOUBLE) * (n - 1)) / 2.0) > 0
+                THEN ROUND((s_both - CAST(s_a AS DOUBLE) * s_b
+                            / ((CAST(n AS DOUBLE) * (n - 1)) / 2.0))
+                           / ((CAST(s_a AS DOUBLE) + s_b) / 2.0
+                              - CAST(s_a AS DOUBLE) * s_b
+                              / ((CAST(n AS DOUBLE) * (n - 1)) / 2.0)), 6)
+                ELSE 0.0 END AS ari
+    FROM sums
+    """
+
+
+@register(
+    "q_dedup_cluster_agreement",
+    oracle=_cluster_agreement_oracle(),
+    description=(
+        "Clustering-level audit of the fuzzy-dedup pipeline: the "
+        "MinHash-LSH near-dup graph's connected components versus the "
+        "components of the EXACT prefix-filter truth at the same "
+        "Jaccard-0.5 threshold — pair-counting precision/recall of "
+        "co-clustered pairs (does banding recall whole CLUSTERS, not "
+        "just pairs? a missed bridge edge splits a cluster even when "
+        "most pairs survive) and the Adjusted Rand Index (Hubert & "
+        "Arabie 1985; chance-corrected, so the singleton-dominated "
+        "corpus can't inflate it the way raw Rand's true negatives "
+        "do). All counts are exact integers off one (comp_lsh, "
+        "comp_exact) contingency table — one groupBy of n doc rows; "
+        "the ARI is a single double expression over exact operands, "
+        "deterministic on both engines. At 100 TB both edge sets are "
+        "the verified linear operators (banded LSH and prefix-filter) "
+        "and components is the audited O(diameter) label-propagation "
+        "loop — nothing here adds a new scale shape."
+    ),
+)
+def q_dedup_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm.components import connected_components
+    from duva_spark.llm.ppjoin import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    exact = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    cc_l = connected_components(lsh.select("id_a", "id_b"))
+    cc_x = connected_components(exact.select("id_a", "id_b"))
+    lab = (
+        docs.select("doc_id")
+        .join(cc_l.withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "ca"), "doc_id", "left")
+        .join(cc_x.withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "cb"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ca", "doc_id").alias("ca"),
+            F.coalesce("cb", "doc_id").alias("cb"),
+        )
+    )
+    cont = lab.groupBy("ca", "cb").agg(F.count("*").alias("nij"))
+    pairs2 = lambda c: F.sum(F.expr(f"({c} * ({c} - 1)) DIV 2"))  # noqa: E731
+    s_both = cont.agg(pairs2("nij").cast("long").alias("s_both"))
+    arow = lab.groupBy("ca").agg(F.count("*").alias("ai"))
+    brow = lab.groupBy("cb").agg(F.count("*").alias("bj"))
+    s_a = arow.agg(
+        pairs2("ai").cast("long").alias("s_a"), F.count("*").cast("long").alias("k_a")
+    )
+    s_b = brow.agg(
+        pairs2("bj").cast("long").alias("s_b"), F.count("*").cast("long").alias("k_b")
+    )
+    n_df = lab.agg(F.count("*").cast("long").alias("n"))
+    row = (
+        n_df.crossJoin(F.broadcast(s_both))
+        .crossJoin(F.broadcast(s_a))
+        .crossJoin(F.broadcast(s_b))
+    )
+    n, sa, sb, sboth = (F.col(c).cast("double") for c in ("n", "s_a", "s_b", "s_both"))
+    c2 = n * (n - 1) / F.lit(2.0)
+    exp = sa * sb / c2
+    denom = (sa + sb) / F.lit(2.0) - exp
+    return row.select(
+        F.col("n").alias("n_docs"),
+        F.col("k_a").alias("clusters_lsh"),
+        F.col("k_b").alias("clusters_exact"),
+        F.col("s_a").alias("pairs_lsh"),
+        F.col("s_b").alias("pairs_exact"),
+        F.col("s_both").alias("pairs_both"),
+        F.when(F.col("s_a") > 0, F.round(F.col("s_both") * 1.0 / F.col("s_a"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("pair_precision"),
+        F.when(F.col("s_b") > 0, F.round(F.col("s_both") * 1.0 / F.col("s_b"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("pair_recall"),
+        F.when(denom > 0, F.round((sboth - exp) / denom, 6))
+        .otherwise(F.lit(0.0))
+        .alias("ari"),
     )
