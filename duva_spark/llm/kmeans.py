@@ -94,8 +94,14 @@ def update_centroids(
     array-of-averages is ONE parsed expression — building it from dim
     Column objects costs ~6 py4j round-trips per dimension (~0.8 s of
     driver time per round at dim=64, measured)."""
+    # exact 1e-9 term grid + decimal accumulation: the mean is a
+    # deterministic function of the members under ANY summation order
+    # (round_avg_audit's centroid remedy — a float AVG on a dp-grid
+    # boundary would diverge the whole fixpoint)
     cen_expr = "array(" + ",".join(
-        f"round(avg(CAST({vec_col}[{i}] AS DOUBLE)), {dp})" for i in range(dim)
+        f"round(CAST(sum(CAST(floor(CAST({vec_col}[{i}] AS DOUBLE) * 1e9 + 0.5d)"
+        f" AS decimal(38,0))) AS double) / (count(1) * 1e9), {dp})"
+        for i in range(dim)
     ) + ")"
     return assigned.groupBy("cluster").agg(F.expr(cen_expr).alias("cen"))
 

@@ -124,7 +124,16 @@ def label_centroids(
     shuffles over (label × dim) rows — independent of corpus width.
     """
     exploded = corpus.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
-    means = exploded.groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    # exact 1e-9 term grid (round_avg_audit's centroid remedy): the
+    # unrounded mean is a deterministic rational of exact integers, so
+    # both engines and every rerun produce the identical double
+    v = F.col("v").cast("double")
+    means = exploded.groupBy(label_col, "pos").agg(
+        (
+            F.sum(F.floor(v * 1e9 + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+            / (F.count("*") * 1e9)
+        ).alias("m")
+    )
     return (
         means.groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))

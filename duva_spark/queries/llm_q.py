@@ -916,7 +916,7 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
       SELECT label AS bucket,
              list(avgv ORDER BY i) AS centroid
-      FROM (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS avgv
+      FROM (SELECT label, i, CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1e9) AS avgv
             FROM embeddings, range(1, 65) t(i)
             GROUP BY label, i)
       GROUP BY label
@@ -1643,7 +1643,8 @@ def _kmeans_ctes(k: int, iters: int, dim: int, dp: int, train_pred: str | None =
             f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
             f" ORDER BY dist, cluster) = 1)"
         )
-        dims = ", ".join(f"ROUND(AVG(e[{i + 1}]), {dp})" for i in range(dim))
+        dims = ", ".join(f"ROUND(CAST(SUM(CAST(FLOOR(e[{i + 1}] * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE)"
+            f" / (COUNT(*) * 1e9), {dp})" for i in range(dim))
         ctes.append(f"c{it + 1} AS (SELECT cluster, [{dims}] AS cen FROM a{it} GROUP BY cluster)")
     return ",\n".join(ctes)
 
@@ -2125,7 +2126,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
       SELECT label AS bucket,
              list(avgv ORDER BY i) AS centroid
-      FROM (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS avgv
+      FROM (SELECT label, i, CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1e9) AS avgv
             FROM embeddings, range(1, 65) t(i)
             GROUP BY label, i)
       GROUP BY label
@@ -2437,8 +2438,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT i,
-             AVG(CAST(embedding[i] AS DOUBLE)) AS mu,
-             stddev_pop(CAST(embedding[i] AS DOUBLE)) AS sigma
+             CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / (COUNT(*) * 1e9) AS mu,
+             SQRT(GREATEST(
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / (COUNT(*) * 1e12)
+               - POWER(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE)
+                       / (COUNT(*) * 1e9), 2),
+               0)) AS sigma
       FROM embeddings, range(1, 65) t(i)
       GROUP BY i
     ),
@@ -2469,7 +2476,30 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.posexplode("embedding").alias("pos", "x"))
         .select("pos", F.col("x").cast("double").alias("x"))
         .groupBy("pos")
-        .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma"))
+        .agg(
+            # exact-moment mu/sigma (x at 1e-9, x^2 at 1e-12): identical
+            # explicit formula on both engines, order-independent — a
+            # builtin stddev_pop pairs a streaming algorithm against
+            # DuckDB's and leaves the last ulp to summation order
+            (
+                F.sum(F.floor(F.col("x") * 1e9 + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+                / (F.count("*") * 1e9)
+            ).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.sum(
+                        F.floor(F.col("x") * F.col("x") * 1e12 + F.lit(0.5)).cast("decimal(38,0)")
+                    ).cast("double")
+                    / (F.count("*") * 1e12)
+                    - F.pow(
+                        F.sum(F.floor(F.col("x") * 1e9 + F.lit(0.5)).cast("decimal(38,0)")).cast("double")
+                        / (F.count("*") * 1e9),
+                        2,
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
     )
     one = stats.agg(
         F.transform(
@@ -2495,7 +2525,7 @@ def q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
       SELECT label,
              list(avgv ORDER BY i) AS centroid
-      FROM (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS avgv
+      FROM (SELECT label, i, CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1e9) AS avgv
             FROM embeddings, range(1, 65) t(i)
             GROUP BY label, i)
       GROUP BY label
@@ -3353,7 +3383,8 @@ def _pq_train_chains(base: str, elem: str) -> list[list[str]]:
                 f" FROM s{s}d{it} QUALIFY ROW_NUMBER() OVER"
                 f" (PARTITION BY vec_id ORDER BY dist, cluster) = 1)"
             )
-            dims = ", ".join(f"ROUND(AVG(e[{i + 1}]), {dp})" for i in range(dsub))
+            dims = ", ".join(f"ROUND(CAST(SUM(CAST(FLOOR(e[{i + 1}] * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE)"
+            f" / (COUNT(*) * 1e9), {dp})" for i in range(dsub))
             ctes.append(
                 f"s{s}c{it + 1} AS MATERIALIZED (SELECT cluster, [{dims}] AS cen"
                 f" FROM s{s}a{it} GROUP BY cluster)"
@@ -3828,7 +3859,7 @@ def _ivfpq_oracle() -> str:
     ctes.append(
         f"cent AS MATERIALIZED (SELECT bucket, list(avgv ORDER BY i) AS centroid"
         f" FROM (SELECT label AS bucket, i,"
-        f" AVG(CAST(embedding[i] AS DOUBLE)) AS avgv"
+        f" CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / (COUNT(*) * 1e9) AS avgv"
         f" FROM embeddings, range(1, {dim + 1}) t(i) GROUP BY label, i)"
         f" GROUP BY bucket)"
     )
@@ -3947,7 +3978,8 @@ def _ivfpq_residual_oracle() -> str:
     ctes = [
         f"cent AS MATERIALIZED (SELECT bucket, list(avgv ORDER BY i) AS centroid"
         f" FROM (SELECT label AS bucket, i,"
-        f" ROUND(AVG(CAST(embedding[i] AS DOUBLE)), {dp}) AS avgv"
+        f" ROUND(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS HUGEINT))"
+        f" AS DOUBLE) / (COUNT(*) * 1e9), {dp}) AS avgv"
         f" FROM embeddings, range(1, {dim + 1}) t(i) GROUP BY label, i)"
         f" GROUP BY bucket)",
         f"assigned AS MATERIALIZED (SELECT vec_id, bucket FROM ("
@@ -5990,7 +6022,8 @@ def _ivf_trained_oracle() -> str:
     oracle text."""
     k, iters, dim, dp = _IVF_TR_K, _KM_ITERS, _KM_DIM, _KM_DP
     km = _kmeans_ctes(k, iters, dim, dp, train_pred=_KM_TRAIN_PRED)
-    dims = ", ".join(f"ROUND(AVG(e[{i + 1}]), {dp})" for i in range(dim))
+    dims = ", ".join(f"ROUND(CAST(SUM(CAST(FLOOR(e[{i + 1}] * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE)"
+            f" / (COUNT(*) * 1e9), {dp})" for i in range(dim))
     cos9 = (
         f"ROUND({_DOT.format(a='e.embedding', b='c.centroid')} /"
         f" ({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.centroid')}), 9)"

@@ -104,17 +104,11 @@ AUDIT: list[tuple[str, str, str, str]] = [
      "q_agg_moments pins Spark's one-pass skewness builtin to a two-pass oracle"),
     ("queries/relational.py", "ROUND(AVG(POWER(x-mu,4))", "builtin-under-test",
      "q_agg_moments pins Spark's one-pass kurtosis builtin to a two-pass oracle"),
-    # --- residual-risk (planned remedies) ------------------------------
-    ("llm/kmeans.py", "round(avg(CAST({vec_col}[{i}] AS DOUBLE))", "residual-risk",
-     "k-means centroid dims: float means snapped to a dp grid each round on both "
-     "engines; a boundary flip would diverge the whole fixpoint. Remedy (next "
-     "round): grid per-term at 1e-9 inside the update agg on both engines — "
-     "touches every centroid consumer (IVF/semdedup/kcenter), so it ships with "
-     "its own full re-verification."),
-    ("queries/llm_q.py", "ROUND(AVG(e[{i + 1}]), {dp})", "residual-risk",
-     "label_centroids / PQ-codebook oracle twin of the kmeans.py site"),
-    ("queries/llm_q.py", "ROUND(AVG(CAST(embedding[i] AS DOUBLE)), {dp}) AS avgv", "residual-risk",
-     "per-dim corpus mean feeding SQ8 bounds — same centroid-family remedy"),
+    # --- residual-risk --------------------------------------------------
+    # (the k-means / label-centroid / PQ-codebook family was converted
+    # to exact 1e-9-grid accumulation in-round — no entries remain; the
+    # adjacent ROUND(SUM(float)) GD-gradient class stays documented in
+    # the module docstring)
     ("llm/evals.py", 'F.avg(F.when(F.col(y_col), 1.0).otherwise(0.0)), 6', "indicator-0/1",
      "calibration-bin label fraction"),
     ("llm/logreg.py", 'F.round(                 F.avg(', "indicator-0/1",
