@@ -98,7 +98,19 @@ def _score(feat: DataFrame, weights: dict[int, float]) -> DataFrame:
     return (
         feat.join(F.broadcast(w_df), "bucket")
         .groupBy("_id", "h", "y")
-        .agg(F.round(F.sum(F.col("w") * F.col("x")), 6).alias("z"))
+        .agg(
+            # exact 1e-9 term grid: the margin is order-independent
+            # (round_avg_audit's last adjacent class — raw w*x terms)
+            F.round(
+                F.sum(
+                    F.floor(F.col("w") * F.col("x") * 1e9 + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1e9,
+                6,
+            ).alias("z")
+        )
         .withColumn(
             "p",
             F.least(
@@ -209,7 +221,14 @@ def logreg_train(
             .groupBy("bucket")
             .agg(
                 F.round(
-                    F.sum((F.col("p") - F.col("y1")) * F.col("x")) / F.lit(float(n_train)),
+                    F.sum(
+                        F.floor(
+                            (F.col("p") - F.col("y1")) * F.col("x") * 1e9
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1e9
+                    / F.lit(float(n_train)),
                     6,
                 ).alias("g")
             )

@@ -4163,7 +4163,9 @@ def _lr_ctes(
     for t in range(t_rounds):
         ctes.append(
             f"z{p}{t} AS MATERIALIZED (SELECT f.doc_id, ANY_VALUE(f.h) AS h,"
-            f" ANY_VALUE(f.y) AS y, ROUND(SUM(w.w * f.x), 6) AS z"
+            f" ANY_VALUE(f.y) AS y,"
+            f" ROUND(CAST(SUM(CAST(FLOOR(w.w * f.x * 1e9 + 0.5) AS HUGEINT))"
+            f" AS DOUBLE) / 1e9, 6) AS z"
             f" FROM feat f JOIN {wn(t)} w USING (bucket) GROUP BY f.doc_id)"
         )
         ctes.append(
@@ -4183,7 +4185,8 @@ def _lr_ctes(
             break
         ctes.append(
             f"g{p}{t} AS MATERIALIZED (SELECT f.bucket,"
-            f" ROUND(SUM((p.p - CASE WHEN f.y THEN 1.0 ELSE 0.0 END) * f.x)"
+            f" ROUND(CAST(SUM(CAST(FLOOR((p.p - CASE WHEN f.y THEN 1.0 ELSE 0.0 END)"
+            f" * f.x * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e9"
             f" / (SELECT n FROM ntr{p}), 6) AS g"
             f" FROM feat f JOIN p{p}{t} p ON p.doc_id = f.doc_id"
             f" WHERE {trainpf} GROUP BY f.bucket)"

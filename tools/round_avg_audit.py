@@ -36,11 +36,19 @@ matches any site, is an error — run this tool (or the pytest wrapper
 ``tests/test_plans.py::test_round_avg_sites_are_audited``) after adding
 queries.
 
-Adjacent classes NOT covered site-by-site here (future work, same
-remedy applies): ROUND(SUM(<float>)) (GD gradient sums inside the LR
-distill oracle chains), ROUND(STDDEV/CORR/COVAR(<float>)) builtins, and
-un-rounded float aggregates compared via the driver's exact repr hash
-(none exist: queries must round on both sides per tools/check_oracle).
+Adjacent classes, status:
+- ROUND(SUM(<float>)) GD sums (the LR margin z and gradient g) — CONVERTED
+  in-round to exact 1e-9-grid accumulation on both engines (llm/logreg.py
+  + the shared LR oracle CTE generator), alongside the centroid family,
+  the embedding covariance Gram, and the exact-moment mu/sigma/stddev
+  replacements. Zero raw float-sum order dependence remains in any
+  value-gated aggregate.
+- ROUND(STDDEV/CORR(<float>)) builtins elsewhere in the registry are
+  builtin-under-test surfaces (q_agg_stats/q_agg_correlation pin Spark's
+  builtins against DuckDB's) — same acceptance rationale as
+  skewness/kurtosis below.
+- Un-rounded float aggregates compared via the driver's exact repr hash:
+  none exist (queries must round on both sides per tools/check_oracle).
 """
 
 from __future__ import annotations
