@@ -860,9 +860,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price,
            ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running_total,
            ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -878,7 +878,7 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
-        F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
+        F.round(F.sum(money_cents(F.col("o_totalprice"))).over(wr) / 100.0, 2).alias("running_total"),
         F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
     )
 
@@ -1196,10 +1196,10 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_map",
     oracle="""
     SELECT event_type,
-           ROUND(SUM(value * CASE event_type
+           ROUND(SUM(CAST(ROUND(value * CASE event_type
                  WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
                  WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
-                 ELSE 0.0 END), 4) AS weighted_value
+                 ELSE 0.0 END * 1000) AS BIGINT)) / 1000.0, 4) AS weighted_value
     FROM events
     GROUP BY event_type
     """,
@@ -1215,7 +1215,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0.0))
     return ev.groupBy("event_type").agg(
-        F.round(F.sum(F.col("value") * w), 4).alias("weighted_value")
+        F.round(F.sum(money_cents(F.col("value") * w, 1000)) / 1000.0, 4).alias("weighted_value")
     )
 
 
@@ -2950,14 +2950,14 @@ def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_events,
              CAST(floor(epoch(MAX(ts))) AS BIGINT)
                - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s,
-             SUM(value) AS sess_value
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sess_cents
       FROM s GROUP BY user_id, session_seq
     )
     SELECT user_id,
            COUNT(*) AS n_sessions,
            ROUND(AVG(n_events), 4) AS avg_events,
            CAST(MAX(duration_s) AS BIGINT) AS max_duration_s,
-           ROUND(SUM(sess_value), 4) AS total_value
+           ROUND(SUM(sess_cents) / 100.0, 4) AS total_value
     FROM per_session
     GROUP BY user_id
     """,
@@ -2986,13 +2986,13 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         (F.max(sec) - F.min(sec)).alias("duration_s"),
-        F.sum("value").alias("sess_value"),
+        F.sum(money_cents(F.col("value"))).alias("sess_cents"),
     )
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.round(F.avg("n_events"), 4).alias("avg_events"),
         F.max("duration_s").alias("max_duration_s"),
-        F.round(F.sum("sess_value"), 4).alias("total_value"),
+        F.round(F.sum("sess_cents") / 100.0, 4).alias("total_value"),
     )
 
 
@@ -3273,8 +3273,9 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_numeric,
            CAST(COUNT(*) FILTER (WHERE TRY_CAST(event_id AS INTEGER) IS NOT NULL)
                 AS BIGINT) AS n_int_ids,
-           ROUND(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) % 97 = 0 THEN NULL
-                          ELSE value / (CAST(floor(epoch(ts)) AS BIGINT) % 97) END), 4)
+           ROUND(CAST(SUM(CAST(FLOOR((CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) % 97 = 0 THEN NULL
+                          ELSE value / (CAST(floor(epoch(ts)) AS BIGINT) % 97) END)
+                               * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6, 4)
              AS safe_ratio_sum
     FROM events
     GROUP BY event_type
@@ -3296,7 +3297,15 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(k_num).alias("n_numeric"),
         F.count(F.when(id_int.isNotNull(), 1)).alias("n_int_ids"),
-        F.round(F.sum(F.try_divide(F.col("value"), denom)), 4).alias("safe_ratio_sum"),
+        F.round(
+            F.sum(
+                F.floor(F.try_divide(F.col("value"), denom) * 1e6 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 1e6,
+            4,
+        ).alias("safe_ratio_sum"),
     )
 
 
@@ -4048,7 +4057,8 @@ def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx AS (SELECT MAX(s) AS smax FROM e)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value * exp(-ln(2) * (smax - s) / 86400.0)), 4)
+           ROUND(CAST(SUM(CAST(FLOOR(value * exp(-ln(2) * (smax - s) / 86400.0)
+                               * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6, 4)
              AS decayed_value
     FROM e CROSS JOIN mx
     GROUP BY event_type
@@ -4076,13 +4086,18 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_events"),
             F.round(
                 F.sum(
-                    F.col("value")
-                    * F.exp(
-                        -F.lit(float(__import__("math").log(2.0)))
-                        * (F.col("smax") - F.col("s"))
-                        / F.lit(86400.0)
-                    )
-                ),
+                    F.floor(
+                        F.col("value")
+                        * F.exp(
+                            -F.lit(float(__import__("math").log(2.0)))
+                            * (F.col("smax") - F.col("s"))
+                            / F.lit(86400.0)
+                        )
+                        * 1e6
+                        + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e6,
                 4,
             ).alias("decayed_value"),
         )
@@ -4260,7 +4275,8 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.event_type,
            CAST(t.n AS BIGINT) AS n_events,
            CAST(t.na AS BIGINT) AS n_active_hours,
-           ROUND(SUM((c.o - t.n / 24) * (c.o - t.n / 24) / (t.n / 24))
+           ROUND(CAST(SUM(CAST(FLOOR((c.o - t.n / 24) * (c.o - t.n / 24) / (t.n / 24)
+                               * 1e9 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e9
                  + (24 - t.na) * (t.n / 24), 6) AS chi2,
            CAST(MIN(CASE WHEN c.o = t.mo THEN c.hr END) AS BIGINT)
              AS peak_hour
@@ -4296,7 +4312,14 @@ def q_hourly_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("event_type", "n", "na", "mo")
         .agg(
-            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("_chi_active"),
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("o") - e) * (F.col("o") - e) / e * 1e9 + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e9
+            ).alias("_chi_active"),
             F.min(F.when(F.col("o") == F.col("mo"), F.col("hr"))).alias("_peak"),
         )
         .select(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from duva_spark.catalog import load_table
-from duva_spark.queries import register
+from duva_spark.queries import money_cents, register
 from duva_spark.streaming import windows
 
 _EPOCH = "CAST(floor(epoch({x})) AS BIGINT)"
@@ -25,7 +25,7 @@ _EPOCH = "CAST(floor(epoch({x})) AS BIGINT)"
     SELECT {_EPOCH.format(x="time_bucket(INTERVAL '1 day', ts)")} AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -72,7 +72,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            {_EPOCH.format(x="MIN(ts)")} AS session_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -89,7 +89,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {_EPOCH.format(x="time_bucket(INTERVAL '1 day', ts)")} AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -130,7 +130,7 @@ def q_stream_true_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            {_EPOCH.format(x="MIN(ts)")} AS session_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -240,7 +240,7 @@ def q_stream_true_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -281,7 +281,7 @@ def q_stream_true_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {_EPOCH.format(x="time_bucket(INTERVAL '1 day', ts)")} AS window_start,
            c.c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           ROUND(SUM(e.value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1, 2
@@ -310,7 +310,7 @@ def q_stream_true_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream.join(F.broadcast(dim), "user_id")
     agg = (
         enriched.groupBy(F.window("ts", "1 day"), "segment")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(money_cents(F.col("value"))) / 100.0, 4).alias("total_value"))
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_start"),
             "segment",
@@ -326,7 +326,7 @@ def q_stream_true_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -363,7 +363,7 @@ def q_stream_true_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sunk = run_available_now(ded, "q_true_dedup", output_mode="append")
     return sunk.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(money_cents(F.col("value"))) / 100.0, 4).alias("total_value"),
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duva_spark.queries import money_cents
+
 
 def tumbling_window_agg(
     events: DataFrame,
@@ -27,7 +29,7 @@ def tumbling_window_agg(
     as epoch seconds for cross-engine comparability."""
     return (
         events.groupBy(F.window(ts_col, window).alias("w"), key)
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(money_cents(F.col("value"))) / 100.0, 4).alias("total_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             key,
@@ -63,7 +65,7 @@ def session_agg(
     inactivity. Emits (key, session_start epoch, n_events, total_value)."""
     return (
         events.groupBy(F.session_window(ts_col, gap).alias("w"), key)
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(money_cents(F.col("value"))) / 100.0, 4).alias("total_value"))
         .select(
             key,
             F.unix_timestamp(F.col("w.start")).alias("session_start"),

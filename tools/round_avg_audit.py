@@ -37,12 +37,16 @@ matches any site, is an error — run this tool (or the pytest wrapper
 queries.
 
 Adjacent classes, status:
-- ROUND(SUM(<float>)) GD sums (the LR margin z and gradient g) — CONVERTED
-  in-round to exact 1e-9-grid accumulation on both engines (llm/logreg.py
-  + the shared LR oracle CTE generator), alongside the centroid family,
-  the embedding covariance Gram, and the exact-moment mu/sigma/stddev
-  replacements. Zero raw float-sum order dependence remains in any
-  value-gated aggregate.
+- ROUND(SUM(...)) — now audited HERE with the same fail-closed contract
+  (second section below): sites carrying an exactness marker in-line
+  (scaled-integer CAST(ROUND(x*10^k)), exact DECIMAL(18,6) accumulation,
+  FLOOR-grid + HUGEINT/decimal(38,0), money_cents) are exempt by
+  construction; every other site needs an int-summand /
+  pre-scaled-integer / indicator classification. The GD sums (LR margin
+  z and gradient g), the streaming/window money sums, decayed
+  engagement, chi2, try_divide ratios, weighted event values, and
+  sessionized totals were all CONVERTED in-round. Zero raw float-sum
+  order dependence remains in any value-gated aggregate.
 - ROUND(STDDEV/CORR(<float>)) builtins elsewhere in the registry are
   builtin-under-test surfaces (q_agg_stats/q_agg_correlation pin Spark's
   builtins against DuckDB's) — same acceptance rationale as
@@ -124,6 +128,45 @@ AUDIT: list[tuple[str, str, str, str]] = [
 ]
 
 
+# ROUND(SUM(...)) residue entries: sites with NO in-line exactness marker.
+# All must be integer-valued summands (exact double sums under any order
+# below 2^53) or pre-scaled integer columns produced by an upstream
+# exact-grid projection.
+AUDIT_SUM: list[tuple[str, str, str, str]] = [
+    ("queries/llm_q.py", "ROUND(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)", "indicator-0/1",
+     "duplicate-group indicator"),
+    ("queries/llm_q.py", 'F.sum("kl9")', "pre-scaled-int",
+     "1e-9-grid KL terms, gridded upstream"),
+    ("queries/llm_q.py", 'F.sum("ce9")', "pre-scaled-int",
+     "1e-9-grid cross-entropy terms, gridded upstream"),
+    ("queries/llm_q.py", 'F.sum("eff6")', "pre-scaled-int",
+     "1e-6-grid effective-char terms, gridded upstream"),
+    ("queries/llm_q.py", "ROUND(SUM(n_hits)", "int-summand", "recall hit counts"),
+    ("queries/pipeline_q.py", "SUM(n_sub)", "int-summand", "subword counts"),
+    ("queries/pipeline_q.py", 'F.sum("n_sub")', "int-summand", "subword counts"),
+    ("queries/pipeline_q.py", 'F.sum("toks")', "int-summand", "token counts"),
+    ("queries/pipeline_q.py", "SUM(p.bk)", "int-summand", "backoff flags summed as ints"),
+    ("queries/pipeline_q.py", 'F.sum("bk")', "int-summand", "backoff flags summed as ints"),
+    ("queries/pipeline_q.py", "unseen_bigram_rate", "int-summand", "unseen-event counts / token counts"),
+    ("queries/pipeline_q.py", "unseen_ctx_rate", "int-summand", "unseen-event counts / token counts"),
+    ("queries/pipeline_q.py", "unseen_trigram_rate", "int-summand", "unseen-event counts / token counts"),
+    ("queries/relational.py", "ROUND(SUM(l_quantity)", "int-summand", "TPC-H integer quantities"),
+    ("queries/relational.py", 'F.round(F.sum("l_quantity")', "int-summand", "TPC-H integer quantities"),
+    ("queries/relational.py", "ROUND(SUM(DISTINCT l_quantity)", "int-summand", "TPC-H integer quantities"),
+    ("queries/relational.py", "F.sum(c_ep)", "pre-scaled-int", "money cents (money_cents upstream)"),
+    ("queries/relational.py", "F.sum(c_dp)", "pre-scaled-int", "money 1e-4 units (money_cents upstream)"),
+    ("queries/relational.py", "F.sum(c_ch)", "pre-scaled-int", "money 1e-6 units (money_cents upstream)"),
+    ("queries/relational.py", "sess_cents", "pre-scaled-int", "per-session money cents"),
+    ("queries/relational.py", 'F.sum("rev_e4")', "pre-scaled-int", "revenue 1e-4 units, gridded upstream"),
+]
+
+# a SUM line with one of these markers is exact by construction
+SUM_EXEMPT = re.compile(
+    r"CAST\(ROUND\(|FLOOR\(|floor\(|money_cents|decimal\(38,0\)|HUGEINT"
+    r"|DECIMAL\(18,6\)|decimal\(18,6\)"
+)
+
+
 def extract() -> list[tuple[str, int, str]]:
     sites = []
     for f in sorted(PKG.rglob("*.py")):
@@ -140,6 +183,22 @@ def extract() -> list[tuple[str, int, str]]:
                 lines[i + 1]
             ):
                 sites.append((rel, i + 1, (line + " " + lines[i + 1]).strip()))
+    return sites
+
+
+def extract_sums() -> list[tuple[str, int, str]]:
+    """ROUND(SUM(...)) sites WITHOUT an in-line exactness marker."""
+    sites = []
+    for f in sorted(PKG.rglob("*.py")):
+        rel = f.relative_to(PKG.parent).as_posix()
+        if rel.endswith("queries/__init__.py"):
+            continue
+        for i, line in enumerate(f.read_text().splitlines()):
+            if (
+                re.search(r"ROUND\(SUM\(", line, re.IGNORECASE)
+                or re.search(r"F\.round\(\s*F\.sum\(", line)
+            ) and not SUM_EXEMPT.search(line):
+                sites.append((rel, i + 1, line.strip()))
     return sites
 
 
@@ -160,17 +219,36 @@ def main() -> int:
             print(f"  ?? {rel}:{ln}  UNAUDITED")
         else:
             print(f"  [{hit[1]:>18}] {rel}:{ln}")
+    sums = extract_sums()
+    matched_sum = set()
+    print(f"\n{len(sums)} ROUND-of-SUM sites lack an in-line exactness marker:\n")
+    for rel, ln, text in sums:
+        hit = None
+        for idx, (fsuf, sub, cls, note) in enumerate(AUDIT_SUM):
+            if rel.endswith(fsuf) and sub in text:
+                hit = (idx, cls, note)
+                matched_sum.add(idx)
+                break
+        if hit is None:
+            errors.append(f"UNAUDITED SUM site {rel}:{ln}: {text[:100]}")
+            print(f"  ?? {rel}:{ln}  UNAUDITED")
+        else:
+            print(f"  [{hit[1]:>18}] {rel}:{ln}")
     stale = [
         f"STALE audit entry #{i} ({e[0]} / {e[1][:60]!r}) matches no site"
         for i, e in enumerate(AUDIT)
         if i not in matched_entries
+    ] + [
+        f"STALE SUM audit entry #{i} ({e[0]} / {e[1][:60]!r}) matches no site"
+        for i, e in enumerate(AUDIT_SUM)
+        if i not in matched_sum
     ]
     for msg in errors + stale:
         print("ERROR:", msg, file=sys.stderr)
     if errors or stale:
         return 1
-    print(f"\nOK: all {len(sites)} sites audited "
-          f"({len({i for i in matched_entries})} entries, fail-closed).")
+    print(f"\nOK: {len(sites)} AVG sites + {len(sums)} unmarked SUM sites audited "
+          f"({len(matched_entries)} + {len(matched_sum)} entries, fail-closed).")
     return 0
 
 
