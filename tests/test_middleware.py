@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import logging
+import time
 import urllib.error
 import urllib.request
 
@@ -313,6 +314,16 @@ def test_access_log_line_emitted(cors_api):
     logger.setLevel(logging.INFO)
     try:
         _raw(base, "GET", "/api/v1/files/", {})
+        # the access-log record is emitted from the server thread AFTER
+        # the response body is written, so under host load it can land
+        # a beat after _raw returns — poll briefly instead of racing
+        # the handler removal (observed flaky once under two concurrent
+        # full oracle sweeps; passes instantly when idle)
+        deadline = time.time() + 5.0
+        while time.time() < deadline and not any(
+            "GET /api/v1/files/ -> 200" in msg for msg in records
+        ):
+            time.sleep(0.05)
     finally:
         logger.removeHandler(handler)
     assert any("GET /api/v1/files/ -> 200" in msg for msg in records)
