@@ -6450,3 +6450,97 @@ def q_dedup_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ari"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch frequency audit (completes the sketch inventory)
+# ---------------------------------------------------------------------------
+
+
+def _cms_oracle() -> str:
+    """SQL mirror of llm/cms.py: same md5 base hash, same affine
+    constants (inlined from minhash.hash_params), same D×W sketch as a
+    (row, bucket, COUNT(*)) table, MIN across rows per probed word."""
+    from duva_spark.llm.cms import CMS_D, CMS_W
+
+    params = minhash.hash_params(CMS_D)
+    bh = "CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 2147483647"
+    rows = " UNION ALL ".join(
+        f"SELECT ({bh}) * {a} + {b} AS z, {i} AS row FROM w"
+        for i, (a, b) in enumerate(params)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT word, {i} AS row, (({bh}) * {a} + {b}) % 2147483647 % {CMS_W}"
+        f" AS bucket FROM hh"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+    hh AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM w, t
+      GROUP BY word
+      HAVING COUNT(*) > MAX(n) / 32.0
+    ),
+    sk AS (
+      SELECT row, z % 2147483647 % {CMS_W} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ({rows})
+      GROUP BY row, bucket
+    ),
+    est AS (
+      SELECT p.word, CAST(MIN(sk.c) AS BIGINT) AS cms_est
+      FROM ({probes}) p
+      JOIN sk ON sk.row = p.row AND sk.bucket = p.bucket
+      GROUP BY p.word
+    )
+    SELECT hh.word AS word, hh.exact_cnt AS exact_cnt, est.cms_est AS cms_est,
+           est.cms_est - hh.exact_cnt AS overestimate,
+           (est.cms_est - hh.exact_cnt) * {CMS_W} <= 3 * t.n AS within_3n_w
+    FROM hh JOIN est USING (word) CROSS JOIN t
+    """
+
+
+@register(
+    "q_cms_frequency_audit",
+    oracle=_cms_oracle(),
+    description=(
+        "Count-Min Sketch frequency audit (Cormode & Muthukrishnan "
+        "2005) — the sketch inventory's point-query member next to "
+        "HLL/Bloom/MinHash: a D=4 × W=1024 sketch built over the full "
+        "token stream in ONE bounded shuffle (map-side combine onto a "
+        "FIXED D·W key universe, so the exchange is ≤4096 rows per "
+        "task at ANY corpus size — the word count it approximates "
+        "shuffles its near-unique tail), then every exact heavy "
+        "hitter (> n/32, the verified q_heavy_hitter_words contract) "
+        "is point-queried as MIN across rows. Reports the one-sided "
+        "overestimate (never negative, the CMS guarantee) and the "
+        "eps·N bound check at the integer-exact 3N/W relaxation of "
+        "e·N/W. All counts exact, hashes shared with the MinHash "
+        "family — bit-identical across engines."
+    ),
+)
+def q_cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import cms
+    from duva_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    hh = heavy_hitters(words, "word", k=32).withColumnRenamed("cnt", "exact_cnt")
+    sk = cms.cms_sketch(words, "word")
+    est = cms.cms_estimate(sk, hh.select("word"), "word")
+    n = words.agg(F.count("*").cast("long").alias("n"))
+    return (
+        hh.join(est, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "word",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+            (
+                (F.col("cms_est") - F.col("exact_cnt")) * cms.CMS_W
+                <= 3 * F.col("n")
+            ).alias("within_3n_w"),
+        )
+    )

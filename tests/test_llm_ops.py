@@ -2785,3 +2785,24 @@ def test_compression_pareto_tiers_are_ordered(spark, sf_dir):
     assert rows["sq8"]["bytes_per_vector"] == 64
     for v in ("sq8", "pq", "ivfpq", "ivfpq_residual"):
         assert rows[v]["mean_recall_at_5"] <= 1.0
+
+
+def test_cms_never_undercounts_and_stays_bounded(spark):
+    """The CMS one-sided guarantee on a constructed stream: every point
+    estimate >= its exact count, the sketch table never exceeds D*W
+    rows, and a key absent from the stream estimates at most the
+    collision mass (never negative)."""
+    from duva_spark.llm import cms
+
+    rows = [("alpha",)] * 500 + [("beta",)] * 120 + [(f"tail{i}",) for i in range(300)]
+    toks = spark.createDataFrame(rows, "word string")
+    sk = cms.cms_sketch(toks, "word").localCheckpoint()
+    assert sk.count() <= cms.CMS_D * cms.CMS_W
+    keys = spark.createDataFrame(
+        [("alpha", 500), ("beta", 120), ("tail7", 1)], "word string, exact int"
+    )
+    got = {r["word"]: r["cms_est"] for r in cms.cms_estimate(sk, keys, "word").collect()}
+    for w, exact in (("alpha", 500), ("beta", 120), ("tail7", 1)):
+        assert got[w] >= exact, (w, got[w], exact)
+    # total stream mass bounds any single estimate
+    assert max(got.values()) <= len(rows)
