@@ -26,7 +26,8 @@ from duva_spark.session import get_spark  # noqa: E402
 # leaned on BASELINE.md's ±30% host-variance note; replaying the old
 # HEAD in the SAME session removes the host from the comparison).
 # r9: bumped from 7669d30 (r7) to the r8 code HEAD.
-_REF_COMMIT = "b77d83b"
+# r10: bumped to the r9 code HEAD.
+_REF_COMMIT = "c5f824d"
 
 # The round-1 10-query headline set: the driver's self-baseline
 # (BASELINE.md, 10.639 s at sf0.1). Its subtotal is emitted as its own
@@ -164,6 +165,12 @@ def main() -> None:
                 "shared_total_sec": ref_shared,
                 "this_shared_total_sec": this_shared,
                 "ratio": round(this_shared / ref_shared, 3) if ref_shared else None,
+                # Per-query replay timings on the STDOUT line (r9 verdict
+                # item 2): the driver's bounded capture truncated the
+                # stderr BENCH_DETAIL in r9 and the cross-round per-query
+                # ratios had to be reconstructed from a fragment. The
+                # shared map is ~1 KB — small enough for the compact line.
+                "queries": shared,
                 "note": (
                     f"{_REF_COMMIT} (previous round HEAD) replayed "
                     "same-session, own JVM, parent stopped first; "

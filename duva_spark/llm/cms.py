@@ -33,6 +33,11 @@ from duva_spark.llm.minhash import MERSENNE_P, base_hash, hash_params
 CMS_D = 4  # hash rows (δ = e^-4 ≈ 1.8%)
 CMS_W = 1024  # buckets per row (eps = e/1024 ≈ 0.27% of stream length)
 
+# Width grid for the sketch-config error curve: small enough that the
+# corpus vocabulary actually collides (the regime where conservative
+# update visibly beats plain CMS).
+CU_WIDTHS = (4, 8, 16, 32)
+
 
 def cms_bucket(col: Column, i: int, w: int = CMS_W) -> Column:
     """Row-``i`` bucket of a string key: affine hash over the shared
@@ -93,4 +98,109 @@ def cms_estimate(
         probes.join(sketch, ["row", "bucket"])
         .groupBy(key_col)
         .agg(F.min("c").cast("long").alias("cms_est"))
+    )
+
+
+def cms_sketch_widths(
+    word_counts: DataFrame,
+    word_col: str = "word",
+    cnt_col: str = "c",
+    widths: tuple[int, ...] = CU_WIDTHS,
+    d: int = CMS_D,
+) -> DataFrame:
+    """(width, row, bucket, v): plain CMS sketches for EVERY width in one
+    pass over the (key, count) table — the q_lsh_band_load config-sweep
+    pattern. Each bucket value is the exact integer sum of the counts of
+    the keys hashing into it, so the table is order-free and bounded by
+    ``d * sum(widths)`` rows regardless of key-set size."""
+    t = F.col(word_col)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("width"),
+                F.lit(i).alias("row"),
+                cms_bucket(t, i, w).alias("bucket"),
+            )
+            for w in widths
+            for i in range(d)
+        ]
+    )
+    return (
+        word_counts.select(F.col(cnt_col).alias("_c"), F.explode(entries).alias("e"))
+        .groupBy(
+            F.col("e.width").alias("width"),
+            F.col("e.row").alias("row"),
+            F.col("e.bucket").alias("bucket"),
+        )
+        .agg(F.sum("_c").cast("long").alias("v"))
+    )
+
+
+def cms_cu_sketch(
+    word_counts: DataFrame,
+    word_col: str = "word",
+    cnt_col: str = "c",
+    widths: tuple[int, ...] = CU_WIDTHS,
+    d: int = CMS_D,
+) -> DataFrame:
+    """(width, row, bucket, v): conservative-update CMS (Estan &
+    Varghese 2002, "New directions in traffic measurement") under the
+    CANONICAL BATCH ORDER — keys ascending, each key's full count as one
+    consecutive batch.
+
+    Conservative update increments only the buckets currently at the
+    key's minimum, so it is inherently sequential; to make the sketch
+    deterministic across runs AND engines we pin the stream order. For
+    ``c`` consecutive updates of one key the sequential rule collapses
+    to a closed form (each update raises the current minimum by exactly
+    1): ``M = min_i v[i][b_i] + c; v[i][b_i] <- max(v[i][b_i], M)`` —
+    which is what the fold applies per key. The DuckDB oracle replays
+    the identical fold as a recursive CTE; all arithmetic is integer.
+
+    Scale posture: the fold runs as ONE Arrow task per width over the
+    aggregated (key, count) table — bounded by the DISTINCT-key count,
+    not the corpus (the corpus-sized work is the upstream word count,
+    a map-side-combined aggregation). For open-vocabulary corpora where
+    the key table itself is huge, conservative update is a
+    streaming-ingest construct; the batch engine's job is this AUDIT of
+    a sketch configuration's error on a bounded key universe, and the
+    kernel raises if the contract is violated rather than spilling.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    params = hash_params(d)
+    max_keys = 2_000_000  # fail-closed bound: audit contract, not a spill path
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_keys:
+            raise ValueError(
+                f"cms_cu_sketch: {len(pdf)} keys exceeds the {max_keys} audit bound"
+            )
+        w = int(pdf["width"].iloc[0])
+        st = [[0] * w for _ in range(d)]
+        for word, c in sorted(zip(pdf[word_col], pdf[cnt_col])):
+            base = (
+                int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15], 16)
+                % MERSENNE_P
+            )
+            bs = [(base * a + b) % MERSENNE_P % w for a, b in params]
+            m = min(st[i][bs[i]] for i in range(d)) + int(c)
+            for i in range(d):
+                if st[i][bs[i]] < m:
+                    st[i][bs[i]] = m
+        out = [
+            (w, i, b, st[i][b])
+            for i in range(d)
+            for b in range(w)
+            if st[i][b] > 0
+        ]
+        return pd.DataFrame(out, columns=["width", "row", "bucket", "v"])
+
+    widened = word_counts.select(
+        word_col, F.col(cnt_col).cast("long").alias(cnt_col)
+    ).withColumn("width", F.explode(F.array(*[F.lit(w) for w in widths])))
+    return widened.groupBy("width").applyInPandas(
+        fold, schema="width int, row int, bucket int, v long"
     )

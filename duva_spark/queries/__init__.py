@@ -71,6 +71,42 @@ def exact_avg_sql(expr: str, dp_in: int, dp_out: int | None = None) -> str:
     )
 
 
+def exact_sum_round(col: Column, dp_in: int = 6, dp_out: int = 2) -> Column:
+    """Order-independent ``ROUND(SUM(float), dp_out)`` for NON-NEGATIVE
+    fixed-decimal summands, as a double.
+
+    Same exactness contract as the ``CAST(x AS DECIMAL(18,6))``
+    accumulation it replaces (the summand is on the ``dp_in`` grid, so
+    the floor-form recovers the grid integer exactly — money_cents'
+    argument), but the per-row conversion is pure-codegen FP instead of
+    a per-row BigDecimal allocation: measured 1.34× on q03 at sf0.1
+    (BASELINE.md round-10 A/B; same finding as the round-3 money_cents
+    A/B). The final HALF_UP round runs in the exact integer domain
+    (``(S + half) div step``), then one int→double divide — no
+    double-ROUND anywhere, so no Double.toString vs binary-round
+    cross-engine boundary risk. Floor-div equals HALF_UP only for
+    ``S >= 0``; negative-capable sums (acctbal) keep the decimal cast.
+    """
+    if dp_out >= dp_in:
+        raise ValueError("exact_sum_round: dp_out must be < dp_in")
+    step = 10 ** (dp_in - dp_out)
+    s = F.sum(money_cents(col, 10**dp_in).cast("decimal(38,0)"))
+    return (
+        F.floor((s + F.lit(step // 2)) / F.lit(step)).cast("double")
+        / F.lit(float(10**dp_out))
+    )
+
+
+def exact_sum_round_sql(expr: str, dp_in: int = 6, dp_out: int = 2) -> str:
+    """DuckDB twin of :func:`exact_sum_round` — identical grid, HUGEINT
+    accumulation, integer-domain HALF_UP, one int→double divide."""
+    step = 10 ** (dp_in - dp_out)
+    return (
+        f"CAST((SUM(CAST(FLOOR(({expr}) * 1e{dp_in} + 0.5) AS HUGEINT))"
+        f" + {step // 2}) // {step} AS DOUBLE) / 1e{dp_out}"
+    )
+
+
 @dataclass(frozen=True)
 class Query:
     name: str

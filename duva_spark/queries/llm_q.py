@@ -6544,3 +6544,173 @@ def q_cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_3n_w"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conservative-update CMS width curve (r9 verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+def _cms_cu_oracle() -> str:
+    """SQL mirror of the conservative-update width curve: identical
+    md5/affine hashes, identical canonical ascending-key batch order —
+    the sequential CU fold replayed as a DuckDB recursive CTE carrying
+    the flattened D×W sketch as a list column (index 1 + row*W + bucket,
+    1-based)."""
+    from duva_spark.llm.cms import CMS_D, CU_WIDTHS
+
+    params = minhash.hash_params(CMS_D)
+    P = minhash.MERSENNE_P
+    bh_k = f"CAST('0x' || substr(md5(k.word), 1, 15) AS BIGINT) % {P}"
+    bh_h = f"CAST('0x' || substr(md5(hh.word), 1, 15) AS BIGINT) % {P}"
+    bh_w = f"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % {P}"
+    widths_vals = ", ".join(f"({w})" for w in CU_WIDTHS)
+    # recursive-member helpers: bucket + flat index per hash row
+    idx = ", ".join(
+        f"1 + {i} * f.wd + (({bh_k}) * {a} + {b}) % {P} % f.wd AS i{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    least = "LEAST(" + ", ".join(f"st[i{i}]" for i in range(CMS_D)) + ") + c AS m"
+    in_list = " OR ".join(f"i = i{i}" for i in range(CMS_D))
+    plain_rows = " UNION ALL ".join(
+        f"SELECT wd, {i} AS row, (({bh_w}) * {a} + {b}) % {P} % wd AS bucket, c"
+        f" FROM wc CROSS JOIN widths"
+        for i, (a, b) in enumerate(params)
+    )
+    cu_probe = "LEAST(" + ", ".join(
+        f"fs.st[1 + {i} * fs.wd + (({bh_h}) * {a} + {b}) % {P} % fs.wd]"
+        for i, (a, b) in enumerate(params)
+    ) + ")"
+    plain_probes = " UNION ALL ".join(
+        f"SELECT hh.word, hh.exact_cnt, wd, {i} AS row,"
+        f" (({bh_h}) * {a} + {b}) % {P} % wd AS bucket"
+        f" FROM hh CROSS JOIN widths"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH RECURSIVE
+    w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY word),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wc),
+    hh AS (SELECT word, c AS exact_cnt FROM wc CROSS JOIN t WHERE c * 32 > n),
+    widths(wd) AS (VALUES {widths_vals}),
+    keys AS (SELECT word, c, ROW_NUMBER() OVER (ORDER BY word) AS rn FROM wc),
+    nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys),
+    fold AS (
+      SELECT wd, CAST(0 AS BIGINT) AS rn,
+             list_transform(range({CMS_D} * wd), x -> CAST(0 AS BIGINT)) AS st
+      FROM widths
+      UNION ALL
+      SELECT wd, rn,
+             list_transform(st, (x, i) -> CASE WHEN {in_list}
+                                          THEN GREATEST(x, m) ELSE x END)
+      FROM (
+        SELECT f.wd AS wd, k.rn AS rn, f.st AS st, k.c AS c, {idx}, {least}
+        FROM fold f JOIN keys k ON k.rn = f.rn + 1
+      )
+    ),
+    final AS (SELECT wd, st FROM fold JOIN nk ON fold.rn = nk.n_keys),
+    sk AS (
+      SELECT wd, row, bucket, CAST(SUM(c) AS BIGINT) AS v
+      FROM ({plain_rows}) GROUP BY wd, row, bucket
+    ),
+    est AS (
+      SELECT p.word, p.exact_cnt, p.wd, CAST(MIN(sk.v) AS BIGINT) AS cms_est
+      FROM ({plain_probes}) p
+      JOIN sk ON sk.wd = p.wd AND sk.row = p.row AND sk.bucket = p.bucket
+      GROUP BY p.word, p.exact_cnt, p.wd
+    ),
+    cue AS (
+      SELECT hh.word, fs.wd, CAST({cu_probe} AS BIGINT) AS cu_est
+      FROM hh CROSS JOIN final fs
+    )
+    SELECT est.wd AS width, est.word AS word, est.exact_cnt AS exact_cnt,
+           est.cms_est AS cms_est, cue.cu_est AS cu_est,
+           est.cms_est - est.exact_cnt AS cms_over,
+           cue.cu_est - est.exact_cnt AS cu_over,
+           cue.cu_est <= est.cms_est AS cu_le_cms,
+           cue.cu_est >= est.exact_cnt AS cu_ge_exact
+    FROM est JOIN cue ON cue.word = est.word AND cue.wd = est.wd
+    """
+
+
+@register(
+    "q_cms_width_curve",
+    oracle=_cms_cu_oracle(),
+    description=(
+        "Conservative-update CMS width curve (Estan & Varghese 2002) — "
+        "the standard overestimate reducer next to the plain "
+        "q_cms_frequency_audit sketch: for every width in the sweep "
+        "grid, both a plain CMS and a conservative-update CMS are built "
+        "from ONE shared word-count pass (bucket sums for plain CMS are "
+        "order-free; CU is inherently sequential, so the stream order "
+        "is pinned to the canonical ascending-key batch order and the "
+        "per-key batch collapses to the closed form v <- max(v, min+c), "
+        "replayed identically by the DuckDB oracle as a recursive CTE). "
+        "Every exact heavy hitter (> n/32) is point-queried under both "
+        "sketches at every width; the output pins the two CU guarantees "
+        "as booleans — cu_est never exceeds the plain CMS estimate and "
+        "never undercounts. All arithmetic integer-exact. Scale shape: "
+        "the corpus-sized work is the one map-side-combined word count; "
+        "both sketch builds and the fold are bounded by the distinct-"
+        "key table (fail-closed audit bound in cms.cms_cu_sketch), and "
+        "the plain multi-width build is a single config-tagged pass "
+        "(the q_lsh_band_load pattern)."
+    ),
+)
+def q_cms_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import cms
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    n = wc.agg(F.sum("c").cast("long").alias("n"))
+    hh = (
+        wc.crossJoin(F.broadcast(n))
+        .filter(F.col("c") * 32 > F.col("n"))
+        .select("word", F.col("c").alias("exact_cnt"))
+    )
+    plain = cms.cms_sketch_widths(wc, "word", "c")
+    cu = cms.cms_cu_sketch(wc, "word", "c")
+    width_lit = F.explode(F.array(*[F.lit(w) for w in cms.CU_WIDTHS])).alias("width")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                cms.cms_bucket(F.col("word"), i, F.col("width")).alias("bucket"),
+            )
+            for i in range(cms.CMS_D)
+        ]
+    )
+    probes = (
+        hh.select("word", "exact_cnt", width_lit)
+        .select("word", "exact_cnt", "width", F.explode(entries).alias("e"))
+        .select(
+            "word",
+            "exact_cnt",
+            "width",
+            F.col("e.row").alias("row"),
+            F.col("e.bucket").alias("bucket"),
+        )
+    )
+    est_plain = (
+        probes.join(F.broadcast(plain), ["width", "row", "bucket"])
+        .groupBy("word", "exact_cnt", "width")
+        .agg(F.min("v").cast("long").alias("cms_est"))
+    )
+    est_cu = (
+        probes.join(F.broadcast(cu), ["width", "row", "bucket"])
+        .groupBy("word", "width")
+        .agg(F.min("v").cast("long").alias("cu_est"))
+    )
+    return est_plain.join(est_cu, ["word", "width"]).select(
+        "width",
+        "word",
+        "exact_cnt",
+        "cms_est",
+        "cu_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("cms_over"),
+        (F.col("cu_est") - F.col("exact_cnt")).alias("cu_over"),
+        (F.col("cu_est") <= F.col("cms_est")).alias("cu_le_cms"),
+        (F.col("cu_est") >= F.col("exact_cnt")).alias("cu_ge_exact"),
+    )

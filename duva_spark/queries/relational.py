@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
 from duva_spark.operators.quantile import quantile_cont_row
-from duva_spark.queries import exact_avg, money_cents, register
+from duva_spark.queries import exact_avg, exact_sum_round, money_cents, register
 
 # ---------------------------------------------------------------------------
 # Aggregation spine
@@ -128,7 +128,7 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST((SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 5000) // 10000 AS DOUBLE) / 1e2 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -155,7 +155,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
+        .agg(exact_sum_round(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -165,7 +165,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_local_supplier_volume",
     oracle="""
-    SELECT n_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    SELECT n_name, CAST((SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 5000) // 10000 AS DOUBLE) / 1e2 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -197,7 +197,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
+        .agg(exact_sum_round(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -205,7 +205,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           CAST((SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 5000) // 10000 AS DOUBLE) / 1e2 AS revenue,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -234,7 +234,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").alias("revenue"))
+        .agg(exact_sum_round(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -1386,7 +1386,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     oracle="""
-    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+    SELECT CAST((SUM(CAST(FLOOR((l_extendedprice * l_discount) * 1e6 + 0.5) AS HUGEINT)) + 5000) // 10000 AS DOUBLE) / 1e2 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1407,7 +1407,7 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
+            exact_sum_round(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -38,17 +38,6 @@ def get_spark(app_name: str = "duva_spark", extra_conf: dict | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Big shuffles fan out to 16x the core count and AQE coalesces
-        # small ones back to the 64 MB advisory target — the standard
-        # cluster posture, adopted after the r9 dup-spans spill A/B
-        # (10M docs x ~23 gram rows/doc through this single host:
-        # 1M docs 31.2 s -> 24.5 s, 10M docs 281.1 s -> 274.6 s,
-        # never worse; the 10M residual is disk-bound spill volume,
-        # which partition count cannot remove on one machine).
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(16 * cores),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -57,6 +46,23 @@ def get_spark(app_name: str = "duva_spark", extra_conf: dict | None = None) -> S
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
+    # AQE fan-out posture — measured, r10 (r9 verdict item 1). r9 set
+    # initialPartitionNum = 16*cores globally off a dup-spans-only A/B;
+    # the r10 full-headline-set A/B at sf0.1 (tools/ab_ipn.py, fresh JVM
+    # per config, min-of-2; table in BASELINE.md) measured mult 0/4/16 at
+    # 56.7 / 62.8 / 61.6 s total — the global fan-out is a ~8% tax on the
+    # 36-query set and helps nothing at this SF; its real win (1M-doc
+    # dup-spans spill, 31.2->24.5 s) is re-scoped to those sweep cases
+    # via a runtime-scoped conf in tools/scale_sweep.py. Default is now
+    # Spark's own (initial = shuffle.partitions, AQE still coalesces);
+    # SPARK_GRAFT_IPN_MULT>0 re-enables the fan-out for A/Bs or
+    # spill-heavy deployments.
+    ipn_mult = int(os.environ.get("SPARK_GRAFT_IPN_MULT", "0"))
+    if ipn_mult > 0:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(ipn_mult * cores),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -61,9 +61,34 @@ def _embeddings(spark, n: int, dim: int = 64):
 
 
 def sweep(spark, sizes_small, sizes_big, only=None):
+    import contextlib
+
     from duva_spark.llm import bloom, kmeans, minhash
     from duva_spark.operators.prefix_sum import running_sum
     from duva_spark.operators.quantile import quantile_cont
+    from duva_spark.session import default_parallelism
+
+    @contextlib.contextmanager
+    def spill_fanout():
+        """Scoped 16x-cores AQE fan-out for the disk-spill-bound cases
+        (dup-spans family, KN trigram): the r9 A/B measured the win at
+        1M docs (dup_span_ratio 31.2 -> 24.5 s); the r10 full-headline
+        A/B (tools/ab_ipn.py, BASELINE.md) showed the same posture is a
+        ~8% tax on the sf0.1 headline set, so the fan-out now applies
+        only here, via runtime conf, restored on exit."""
+        key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = None
+        spark.conf.set(key, str(16 * default_parallelism()))
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
     cases = []
 
@@ -159,7 +184,8 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         # rows/doc travelling as 60-bit ints.
         from duva_spark.llm import dedup as _dedup
 
-        _force(_dedup.dup_span_counts(_docs(spark, n), "doc_id", "text", k=8))
+        with spill_fanout():
+            _force(_dedup.dup_span_counts(_docs(spark, n), "doc_id", "text", k=8))
 
     cases.append(("dup_span_ratio", sizes_big, dup_span))
 
@@ -172,11 +198,12 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         # count-only plan.
         from duva_spark.llm import dedup as _dedup
 
-        _force(
-            _dedup.dup_spans_exact(
-                _docs(spark, n), "doc_id", "text", k=8, min_span=16
+        with spill_fanout():
+            _force(
+                _dedup.dup_spans_exact(
+                    _docs(spark, n), "doc_id", "text", k=8, min_span=16
+                )
             )
-        )
 
     cases.append(("dup_spans_exact", sizes_big, dup_spans_exact))
 
@@ -187,11 +214,12 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         # over the report at the same corpus sizes.
         from duva_spark.llm import dedup as _dedup
 
-        _force(
-            _dedup.remove_dup_spans(
-                _docs(spark, n), "doc_id", "text", k=8, min_span=16
+        with spill_fanout():
+            _force(
+                _dedup.remove_dup_spans(
+                    _docs(spark, n), "doc_id", "text", k=8, min_span=16
+                )
             )
-        )
 
     cases.append(("dup_spans_removed", sizes_big, dup_spans_removed))
 
@@ -836,7 +864,8 @@ def sweep(spark, sizes_small, sizes_big, only=None):
                 ).alias("x"),
             )
         )
-        _force(scored.groupBy("doc_id").agg(F.avg("x")))
+        with spill_fanout():
+            _force(scored.groupBy("doc_id").agg(F.avg("x")))
 
     cases.append(("kneser_ney_trigram", sizes_big, kneser_ney_trigram_case))
 
@@ -908,7 +937,8 @@ def sweep(spark, sizes_small, sizes_big, only=None):
                 ).alias("x"),
             )
         )
-        _force(scored.groupBy("doc_id").agg(F.avg("x")))
+        with spill_fanout():
+            _force(scored.groupBy("doc_id").agg(F.avg("x")))
 
     cases.append(
         ("kneser_ney_trigram_pruned", sizes_big, kneser_ney_trigram_pruned_case)
