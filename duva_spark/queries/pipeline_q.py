@@ -4394,3 +4394,240 @@ def q_bpe_byte_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         "compression",
     )
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy-difference selection (r9 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_moore_lewis_selection",
+    headline=True,
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_target, {_BUCKET} AS bucket
+      FROM documents
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS r_cnt,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(r_cnt) AS DOUBLE) AS n_raw,
+                   CAST(SUM(t_cnt) AS DOUBLE) AS n_tgt FROM counts),
+    ratio AS (
+      SELECT bucket,
+             ln((t_cnt + 1) / (n_tgt + 4096.0))
+               - ln((r_cnt + 1) / (n_raw + 4096.0)) AS lr
+      FROM counts CROSS JOIN tot
+    ),
+    w AS (
+      SELECT doc_id, SUM(lr) AS log_w
+      FROM tok JOIN ratio USING (bucket) GROUP BY doc_id
+    ),
+    ml AS (
+      SELECT d.doc_id, d.source,
+             ROUND(-w.log_w / len(string_split(d.text, ' ')), 6) AS mls
+      FROM documents d JOIN w USING (doc_id)
+    ),
+    kept AS (SELECT * FROM ml ORDER BY mls ASC, doc_id ASC LIMIT 50),
+    ks AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             ROUND(MIN(mls), 6) AS best_score
+      FROM kept GROUP BY source
+    ),
+    tots AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM documents GROUP BY source
+    )
+    SELECT t.source AS source, t.n_total AS n_total,
+           CAST(COALESCE(ks.n_kept, 0) AS BIGINT) AS n_kept,
+           ROUND(COALESCE(ks.n_kept, 0) * 1.0 / t.n_total, 6) AS kept_share,
+           ks.best_score AS best_score
+    FROM tots t LEFT JOIN ks USING (source)
+    """,
+    description=(
+        "Moore-Lewis cross-entropy-difference selection (Moore & Lewis "
+        "2010, 'Intelligent Selection of Language Model Training "
+        "Data' — the CCNet/data-selection standard and the classic "
+        "companion to the shipped DSIR): each document is scored by "
+        "H_target(doc) - H_raw(doc), the per-token cross-entropy "
+        "difference under the SAME two Laplace-smoothed hashed-unigram "
+        "LMs q_dsir_selection already builds — algebraically "
+        "-log_w / n_tok, so the verified dsir_log_weights machinery is "
+        "reused unchanged. Low scores = target-like; the budget keeps "
+        "the k=50 best (rounded-score rank, doc_id tie-break, plans as "
+        "TakeOrderedAndProject — no global sort), reported as per-"
+        "source kept volume (n_total, n_kept, kept_share, best_score) "
+        "with zero-kept sources preserved by the totals left join. "
+        "100 TB shape: identical to DSIR — two model tables <= 4,096 "
+        "rows attach as broadcasts, the corpus-sized exchanges are two "
+        "map-side-combined count aggregations + the per-doc reduce, "
+        "and the final report is source-cardinality-sized."
+    ),
+)
+def q_moore_lewis_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    w = hashed_lm.dsir_log_weights(docs, "doc_id", "text", "is_target", n_buckets=4096)
+    ml = docs.join(w, "doc_id").select(
+        "doc_id",
+        "source",
+        F.round(
+            -F.col("log_w") / F.size(F.split(F.col("text"), " ")), 6
+        ).alias("mls"),
+    )
+    kept = ml.orderBy(F.col("mls").asc(), F.col("doc_id").asc()).limit(50)
+    ks = kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(F.min("mls"), 6).alias("best_score"),
+    )
+    tots = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_total"))
+    return tots.join(F.broadcast(ks), "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.round(
+            F.coalesce(F.col("n_kept"), F.lit(0)) * 1.0 / F.col("n_total"), 6
+        ).alias("kept_share"),
+        "best_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Likelihood-sensitive language-ID eval (r9 verdict item 4)
+# ---------------------------------------------------------------------------
+
+_MARKED_TEXT_SQL = (
+    "array_to_string(list_transform(string_split(text, ' '), "
+    "w -> CASE WHEN CAST('0x' || substr(md5(w || '|' || lang), 1, 15) AS BIGINT)"
+    " % 5 = 0 THEN lang || '_' || w ELSE w END), ' ')"
+)
+
+
+@register(
+    "q_nb_langid_synth",
+    oracle=f"""
+    WITH docs2 AS (
+      SELECT doc_id, lang, {_MARKED_TEXT_SQL} AS text FROM documents
+    ),
+    nbc AS ({_REG2["q_nb_lang_classifier"].oracle.replace("documents", "docs2")}),
+    test AS (SELECT lang, text FROM docs2 WHERE NOT ({_H60_DOCID} % 100 < 70)),
+    hx AS (SELECT lang, {_LANG_PRED} AS p FROM test),
+    maj AS (
+      SELECT lang AS m FROM docs2 WHERE {_H60_DOCID} % 100 < 70
+      GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+    ),
+    hrows AS (SELECT 'heuristic' AS method, lang,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN p = lang THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_correct
+              FROM hx GROUP BY lang),
+    mrows AS (SELECT 'majority' AS method, t.lang,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN t.lang = maj.m THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_correct
+              FROM test t CROSS JOIN maj GROUP BY t.lang),
+    nrows AS (SELECT 'nb' AS method, true_lang AS lang,
+                     CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                     CAST(SUM(CASE WHEN pred_lang = true_lang THEN n_docs
+                              ELSE 0 END) AS BIGINT) AS n_correct
+              FROM nbc GROUP BY true_lang),
+    u AS (SELECT * FROM hrows UNION ALL SELECT * FROM mrows
+          UNION ALL SELECT * FROM nrows),
+    tot AS (SELECT method, '_all' AS lang,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_correct) AS BIGINT) AS n_correct
+            FROM u GROUP BY method)
+    SELECT method, lang, n_docs, n_correct,
+           ROUND(n_correct * 1.0 / n_docs, 6) AS accuracy
+    FROM (SELECT * FROM u UNION ALL SELECT * FROM tot)
+    """,
+    description=(
+        "Likelihood-sensitive language-ID eval — the r9 verdict's "
+        "successor to q_nb_langid_confusion, whose head-to-head could "
+        "only measure class priors because the synthetic corpus draws "
+        "every language from ONE shared vocabulary. This query derives "
+        "a SYNTHETIC LEXICAL SIGNAL inside its prep stage, documented "
+        "as such: each token is deterministically re-keyed to "
+        "'<lang>_<token>' when md5(token|lang) % 5 == 0 — a per-"
+        "language ~20% sub-vocabulary simulating loanwords/function "
+        "words, derived only from columns the row already carries and "
+        "applied identically on both engines and both splits. Three "
+        "predictors run on the SAME deterministic 30% held-out slice: "
+        "the count-trained NB (verified q_nb_lang_classifier oracle "
+        "text reused verbatim over the marked docs), the stopword "
+        "heuristic, and the train-split majority class (the prior "
+        "ceiling both baselines degenerate to on unmarked text). With "
+        "the lexical signal present the NB's per-language likelihoods "
+        "separate and its accuracy clears the prior ceiling decisively "
+        "(~0.99 vs ~0.44 at sf0.01) — the eval now exercises the "
+        "classifier, not the class skew. Cost shape unchanged: one "
+        "codegen token-transform projection + two training "
+        "aggregations + a broadcast-model scoring join."
+    ),
+)
+def q_nb_langid_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import hashed_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.when(
+                hashed_lm.md5_hash60(F.concat(w, F.lit("|"), F.col("lang"))) % 5
+                == 0,
+                F.concat(F.col("lang"), F.lit("_"), w),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    docs2 = docs.select("doc_id", "lang", marked.alias("text"))
+    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = docs2.withColumn("is_train", h100 < 70)
+    train = split.filter("is_train")
+    test = split.filter(~F.col("is_train"))
+    nbp = hashed_lm.nb_langid(test, train, "doc_id", "text")
+    nb_cells = nbp.join(docs2.select("doc_id", "lang"), "doc_id").select(
+        F.lit("nb").alias("method"),
+        "lang",
+        (F.col("lang_pred") == F.col("lang")).alias("ok"),
+    )
+    heur_cells = test.select(
+        F.lit("heuristic").alias("method"),
+        "lang",
+        (textstats.predicted_lang(F.col("text")) == F.col("lang")).alias("ok"),
+    )
+    maj = (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("m"))
+    )
+    maj_cells = test.crossJoin(F.broadcast(maj)).select(
+        F.lit("majority").alias("method"),
+        "lang",
+        (F.col("lang") == F.col("m")).alias("ok"),
+    )
+    cells = nb_cells.unionByName(heur_cells).unionByName(maj_cells)
+    per_lang = cells.groupBy("method", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_correct"),
+    )
+    tot = per_lang.groupBy("method").agg(
+        F.lit("_all").alias("lang"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_correct").cast("long").alias("n_correct"),
+    )
+    return per_lang.unionByName(tot).select(
+        "method",
+        "lang",
+        "n_docs",
+        "n_correct",
+        F.round(F.col("n_correct") * 1.0 / F.col("n_docs"), 6).alias("accuracy"),
+    )

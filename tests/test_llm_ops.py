@@ -2806,3 +2806,58 @@ def test_cms_never_undercounts_and_stays_bounded(spark):
         assert got[w] >= exact, (w, got[w], exact)
     # total stream mass bounds any single estimate
     assert max(got.values()) <= len(rows)
+
+
+def test_cms_cu_matches_sequential_reference_and_dominates(spark):
+    """The conservative-update sketch equals a straight sequential CU
+    replay (key-at-a-time, update-at-a-time — NOT the batched closed
+    form, so the closed-form collapse in cms_cu_sketch is itself under
+    test), and every bucket value is <= the plain-CMS bucket and >= the
+    max key count in the bucket."""
+    import hashlib
+
+    from duva_spark.llm import cms
+    from duva_spark.llm.minhash import MERSENNE_P, hash_params
+
+    counts = {"alpha": 500, "beta": 120, "gamma": 7, "delta": 1, "eps": 33}
+    wc = spark.createDataFrame(list(counts.items()), "word string, c long")
+    got = {
+        (r["width"], r["row"], r["bucket"]): r["v"]
+        for r in cms.cms_cu_sketch(wc, "word", "c", widths=(4, 8)).collect()
+    }
+    params = hash_params(cms.CMS_D)
+    for w in (4, 8):
+        # sequential reference: ascending keys, ONE increment at a time
+        st = [[0] * w for _ in range(cms.CMS_D)]
+        plain = [[0] * w for _ in range(cms.CMS_D)]
+        for word in sorted(counts):
+            base = int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % MERSENNE_P
+            bs = [(base * a + b) % MERSENNE_P % w for a, b in params]
+            for _ in range(counts[word]):
+                m = min(st[i][bs[i]] for i in range(cms.CMS_D)) + 1
+                for i in range(cms.CMS_D):
+                    if st[i][bs[i]] < m:
+                        st[i][bs[i]] = m
+            for i in range(cms.CMS_D):
+                plain[i][bs[i]] += counts[word]
+        for i in range(cms.CMS_D):
+            for b in range(w):
+                assert got.get((w, i, b), 0) == st[i][b], (w, i, b)
+                assert st[i][b] <= plain[i][b]
+
+
+def test_exact_sum_round_equals_decimal_round(spark):
+    """The floor-grid exact sum is value-identical to the decimal(18,6)
+    accumulation it replaced, including boundary sums landing exactly on
+    a half-cent."""
+    from duva_spark.queries import exact_sum_round
+
+    rows = [(1.005,), (2.0,), (0.0025,), (0.0025,), (123456.789,), (0.115,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = df.agg(exact_sum_round(F.col("x")).alias("s")).collect()[0]["s"]
+    want = df.agg(
+        F.round(F.sum(F.col("x").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("s")
+    ).collect()[0]["s"]
+    assert got == want == 123459.91
