@@ -4141,13 +4141,28 @@ def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
         )
         + (d * F.col("n1p12") / F.col("cc12")) * pkn2
     )
+    # Model-table joins are explicitly broadcast (r9 verdict item 7, the
+    # trigram-side spill chase): mid/n1p2/cont are unigram-type-sized
+    # (AQE would convert them anyway), but ctx12/c23 are BIGRAM-type
+    # tables — Zipf-bounded yet past AQE's 10 MB auto-threshold at sweep
+    # scale (~994k rows at 997-vocab/10M docs), so without the hint the
+    # held-out stream re-shuffles for three separate sort-merge joins.
+    # With the hints the corpus-sized ho stream shuffles exactly ONCE
+    # (the irreducible t3cnt join). Measured (same-session interleaved
+    # A/B, r10): 1M docs pruned 23.5 -> 12.3 s (1.9x), unpruned
+    # 21.6 -> 17.5 s; 10M pruned 392 -> 377 s single-run — at 10M the
+    # t3cnt count shuffle's single-host spill dominates, so the join
+    # savings shrink to ~4% there (BASELINE.md round-10 section).
+    # Open-vocab 100 TB note: bigram-type tables can outgrow a driver;
+    # there the hint comes off and the plan degrades gracefully to the
+    # pre-r10 SMJ chain — the dial is this pair of F.broadcast calls.
     scored = (
         ho.join(t3cnt, ["w1", "w2", "w3"], "left")
-        .join(ctx12, ["w1", "w2"], "left")
-        .join(mid, "w2", "left")
-        .join(c23, ["w2", "w3"], "left")
-        .join(n1p2, "w2", "left")
-        .join(cont, "w3", "left")
+        .join(F.broadcast(ctx12), ["w1", "w2"], "left")
+        .join(F.broadcast(mid), "w2", "left")
+        .join(F.broadcast(c23), ["w2", "w3"], "left")
+        .join(F.broadcast(n1p2), "w2", "left")
+        .join(F.broadcast(cont), "w3", "left")
         .crossJoin(F.broadcast(btot))
         .crossJoin(F.broadcast(vtot))
         .select(
@@ -4630,4 +4645,87 @@ def q_nb_langid_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_correct",
         F.round(F.col("n_correct") * 1.0 / F.col("n_docs"), 6).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained effective-data decay (r9 verdict item 8c)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repeat_epochs_decay",
+    oracle="""
+    WITH t AS (SELECT source,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u
+               FROM documents GROUP BY source),
+    e AS (SELECT unnest(range(1, 7)) AS epoch),
+    g AS (
+      SELECT source, u, epoch,
+             u + u * 15.39 * (1 - exp(-(epoch - 1) / 15.39)) AS eff
+      FROM t CROSS JOIN e
+    ),
+    p AS (
+      SELECT source, u, epoch, eff,
+             u + u * 15.39 * (1 - exp(-(epoch - 2) / 15.39)) AS eff_prev
+      FROM g
+    )
+    SELECT source, CAST(epoch AS BIGINT) AS epoch, u AS unique_tokens,
+           ROUND(eff, 4) AS effective_tokens,
+           ROUND(CASE WHEN epoch = 1 THEN eff ELSE eff - eff_prev END, 4)
+             AS marginal_tokens,
+           ROUND(eff / (epoch * u), 6) AS value_per_served
+    FROM p
+    """,
+    description=(
+        "Data-constrained effective-data decay (Muennighoff et al. "
+        "2023, 'Scaling Data-Constrained Language Models'): the "
+        "published repeated-token value model D' = U + U*R*_D*(1 - "
+        "exp(-R_D/R*_D)) with the paper's fitted R*_D = 15.39, applied "
+        "per source over an epoch grid 1..6 on top of the repeat-"
+        "epochs plan's own unique-token counts — the planning table "
+        "that says WHAT each additional epoch is worth: "
+        "effective_tokens (the model's worth of the served stream), "
+        "marginal_tokens (this epoch's increment — monotonically "
+        "decaying by construction), and value_per_served (effective / "
+        "raw served, the decay share that rationalizes the 4-epoch "
+        "ceiling q_repeat_epochs_plan enforces: it falls below ~0.9 "
+        "past epoch 4). One token-count aggregation + an enum-sized "
+        "epoch-grid attach — scan-level at any corpus size; exp() "
+        "values cross-engine-pinned by the 4/6-dp rounds like every "
+        "other libm site in the registry."
+    ),
+)
+def q_repeat_epochs_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("u")
+    )
+    epochs = spark.range(1, 7).select(F.col("id").alias("epoch"))
+    rstar = F.lit(15.39)
+    u = F.col("u")
+    eff_at = lambda e: u + u * rstar * (  # noqa: E731
+        1 - F.exp(-(e - 1) / rstar)
+    )
+    g = t.crossJoin(F.broadcast(epochs)).select(
+        "source",
+        "u",
+        "epoch",
+        eff_at(F.col("epoch")).alias("eff"),
+        eff_at(F.col("epoch") - 1).alias("eff_prev"),
+    )
+    return g.select(
+        "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("u").alias("unique_tokens"),
+        F.round(F.col("eff"), 4).alias("effective_tokens"),
+        F.round(
+            F.when(F.col("epoch") == 1, F.col("eff")).otherwise(
+                F.col("eff") - F.col("eff_prev")
+            ),
+            4,
+        ).alias("marginal_tokens"),
+        F.round(F.col("eff") / (F.col("epoch") * F.col("u")), 6).alias(
+            "value_per_served"
+        ),
     )

@@ -852,9 +852,9 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         ho = tri(split.filter(~F.col("is_train")))
         scored = (
             ho.join(t3cnt, ["w1", "w2", "w3"], "left")
-            .join(ctx12, ["w1", "w2"], "left")
-            .join(c23, ["w2", "w3"], "left")
-            .join(cont, "w3", "left")
+            .join(F.broadcast(ctx12), ["w1", "w2"], "left")
+            .join(F.broadcast(c23), ["w2", "w3"], "left")
+            .join(F.broadcast(cont), "w3", "left")
             .select(
                 "doc_id",
                 (
@@ -925,9 +925,9 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         ho = tri(split.filter(~F.col("is_train")))
         scored = (
             ho.join(t3cnt, ["w1", "w2", "w3"], "left")
-            .join(ctx12, ["w1", "w2"], "left")
-            .join(c23, ["w2", "w3"], "left")
-            .join(cont, "w3", "left")
+            .join(F.broadcast(ctx12), ["w1", "w2"], "left")
+            .join(F.broadcast(c23), ["w2", "w3"], "left")
+            .join(F.broadcast(cont), "w3", "left")
             .select(
                 "doc_id",
                 (
