@@ -325,3 +325,109 @@ def encode_token_counts_arrow(
         .otherwise(F.lit(0.0))
         .alias("compression"),
     )
+
+
+def encode_dropout_counts(
+    docs: DataFrame,
+    rules: list[tuple[int, str, str, str, int]],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    alphabet: str = "char",
+    p_inv: int = 10,
+) -> DataFrame:
+    """(id_col, group_col, n_words, n_bpe_tokens, n_bpe_dropout): the
+    standard greedy encode next to BPE-DROPOUT (Provilkov et al. 2020,
+    "BPE-Dropout: Simple and Effective Subword Regularization") under a
+    DETERMINISTIC seed: during rule ``r``'s greedy left-to-right scan a
+    matching candidate at (1-based) position ``i`` of word ``w`` is
+    skipped when ``md5_60("w|r|i") % p_inv == 0`` (p = 1/p_inv). Because
+    the mask is a pure function of (word, rule, position) — not a
+    sequential RNG — absorbed positions' draws are irrelevant to the
+    outcome in any implementation order, which is exactly what lets the
+    DuckDB oracle replay the same segmentation with the window-function
+    merge chain plus one extra mask predicate. Same Arrow/memo shape as
+    encode_token_counts_arrow; one batched pass, zero exchanges before
+    the downstream aggregate."""
+    import hashlib
+
+    pairs = [(r, a, b, m) for r, a, b, m, _ in rules]
+
+    def kernel(batches):
+        import pandas as pd
+
+        memo: dict[str, tuple[int, int]] = {}
+
+        def split_syms(word: str) -> list[str]:
+            if alphabet == "byte":
+                h = word.encode("utf-8").hex().upper()
+                return [h[i : i + 2] for i in range(0, len(h), 2)]
+            return list(word)
+
+        def merge_pass(syms, a, b, m, drop_key=None):
+            out = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    if drop_key is not None:
+                        h = int(
+                            hashlib.md5(
+                                f"{drop_key}|{i + 1}".encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        if h % p_inv == 0:
+                            out.append(syms[i])
+                            i += 1
+                            continue
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        def counts(word: str) -> tuple[int, int]:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            std = split_syms(word)
+            drp = list(std)
+            for r, a, b, m in pairs:
+                std = merge_pass(std, a, b, m)
+                drp = merge_pass(drp, a, b, m, drop_key=f"{word}|{r}")
+            memo[word] = (len(std), len(drp))
+            return memo[word]
+
+        for pdf in batches:
+            ids, grp, nw, ns, nd = [], [], [], [], []
+            for did, g, text in zip(pdf[id_col], pdf[group_col], pdf[text_col]):
+                ws = [w for w in text.split(" ") if w]
+                s = d = 0
+                for w in ws:
+                    cs, cd = counts(w)
+                    s += cs
+                    d += cd
+                ids.append(did)
+                grp.append(g)
+                nw.append(len(ws))
+                ns.append(s)
+                nd.append(d)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    group_col: grp,
+                    "n_words": nw,
+                    "n_bpe_tokens": ns,
+                    "n_bpe_dropout": nd,
+                }
+            )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    g_type = docs.schema[group_col].dataType.simpleString()
+    return docs.select(id_col, group_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_type}, {group_col} {g_type},"
+        " n_words long, n_bpe_tokens long, n_bpe_dropout long",
+    )

@@ -4729,3 +4729,136 @@ def q_repeat_epochs_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_per_served"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-dropout (r9 verdict item 8b)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_dropout_oracle(n_merges: int = 8, p_inv: int = 10) -> str:
+    """Training chain (reused verbatim from _bpe_oracle) + a SECOND
+    application chain over the vocabulary with the deterministic
+    dropout mask: a candidate at 1-based position i of word w under
+    rule r is dropped when md5_60("w|r|i") % p_inv == 0 — the same
+    window-function greedy-merge replay, one extra predicate. The mask
+    is a pure function of (word, rule, position), so absorbed
+    positions' draws can't matter in either engine and the replay is
+    order-free."""
+    train = _bpe_oracle(n_merges, through_final_seqs=True)
+    ctes = [train, "dq_1 AS (SELECT * FROM sq_1)"]
+    for r in range(1, n_merges + 1):
+        mask = (
+            f"CAST('0x' || substr(md5(q.w || '|{r}|' || CAST(q.i AS VARCHAR)),"
+            f" 1, 15) AS BIGINT) % {p_inv} <> 0"
+        )
+        ctes.append(f"""dpos_{r} AS MATERIALIZED (
+      SELECT q.w, q.cnt, q.i, q.syms[q.i] AS s,
+             (q.i < len(q.syms) AND q.syms[q.i] = be.a
+              AND q.syms[q.i + 1] = be.b AND {mask}) AS cand
+      FROM (SELECT w, cnt, syms, unnest(range(1, len(syms) + 1)) AS i
+            FROM dq_{r}) q
+      CROSS JOIN best_{r} be
+    )""")
+        ctes.append(f"""dtk_{r} AS MATERIALIZED (
+      SELECT w, i FROM (
+        SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, g ORDER BY i) AS rn
+        FROM (SELECT w, i, i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS g
+              FROM dpos_{r} WHERE cand)
+      ) WHERE rn % 2 = 1
+    )""")
+        ctes.append(f"""dq_{r + 1} AS MATERIALIZED (
+      SELECT o.w, any_value(o.cnt) AS cnt, list(o.tok ORDER BY o.i) AS syms
+      FROM (
+        SELECT p.w, p.cnt, p.i,
+               CASE WHEN t.i IS NOT NULL
+                    THEN (SELECT a || b FROM best_{r}) ELSE p.s END AS tok
+        FROM dpos_{r} p
+        LEFT JOIN dtk_{r} t ON p.w = t.w AND p.i = t.i
+        LEFT JOIN dtk_{r} t2 ON p.w = t2.w AND p.i = t2.i + 1
+        WHERE t2.i IS NULL
+      ) o
+      GROUP BY o.w
+    )""")
+    f = n_merges + 1
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    dw AS MATERIALIZED (
+      SELECT source, w
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ),
+    ag AS (
+      SELECT dw.source,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(len(d.syms)) AS BIGINT) AS n_bpe_dropout
+      FROM dw JOIN sq_{f} s ON s.w = dw.w JOIN dq_{f} d ON d.w = dw.w
+      GROUP BY dw.source
+    )
+    SELECT source, n_words, n_bpe_tokens, n_bpe_dropout,
+           ROUND(n_bpe_tokens * 1.0 / n_words, 6) AS fertility_std,
+           ROUND(n_bpe_dropout * 1.0 / n_words, 6) AS fertility_dropout,
+           ROUND(n_bpe_dropout * 1.0 / n_bpe_tokens, 6) AS dropout_ratio
+    FROM ag
+    """
+    )
+
+
+@register(
+    "q_bpe_dropout_fertility",
+    oracle=_bpe_dropout_oracle(8),
+    description=(
+        "BPE-dropout (Provilkov et al. 2020, 'BPE-Dropout: Simple and "
+        "Effective Subword Regularization') — the stochastic-"
+        "segmentation variant of the shipped encode kernel, under a "
+        "DETERMINISTIC seed so runs and engines agree: during each "
+        "rule's greedy left-to-right scan, a matching candidate at "
+        "position i of word w is skipped when md5_60('w|r|i') % 10 == 0 "
+        "(p = 0.1, the paper's recommended rate). The mask is a pure "
+        "function of (word, rule, position) — not a sequential RNG — "
+        "so absorbed positions' draws are outcome-irrelevant in any "
+        "implementation order, which is what makes the DuckDB replay "
+        "(the trainer's window-function merge chain run a second time "
+        "with one extra mask predicate) exact. Reports the per-source "
+        "fertility delta: dropped merges leave finer segmentations, so "
+        "dropout fertility runs above standard (the regularization "
+        "signal a trainer prices against robustness gains). Rules come "
+        "from the standard (non-dropout) trainer, per the paper. Cost "
+        "shape: the training loop (one corpus scan + vocab-bounded "
+        "rounds) + ONE Arrow encode pass computing both segmentations "
+        "off a shared per-task word memo — zero exchanges before the "
+        "source-level aggregate."
+    ),
+)
+def q_bpe_dropout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe.bpe_train(docs, "text", n_merges=8)
+    enc = bpe.encode_dropout_counts(docs, rules, "doc_id", "source", "text")
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_bpe_dropout").cast("long").alias("n_bpe_dropout"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            "n_bpe_dropout",
+            F.round(F.col("n_bpe_tokens") * 1.0 / F.col("n_words"), 6).alias(
+                "fertility_std"
+            ),
+            F.round(F.col("n_bpe_dropout") * 1.0 / F.col("n_words"), 6).alias(
+                "fertility_dropout"
+            ),
+            F.round(
+                F.col("n_bpe_dropout") * 1.0 / F.col("n_bpe_tokens"), 6
+            ).alias("dropout_ratio"),
+        )
+    )

@@ -2861,3 +2861,54 @@ def test_exact_sum_round_equals_decimal_round(spark):
         .alias("s")
     ).collect()[0]["s"]
     assert got == want == 123459.91
+
+
+def test_bpe_dropout_matches_sequential_reference(spark):
+    """The dropout encode kernel equals a brute-force sequential greedy
+    scan with the same (word, rule, position) mask, and dropout never
+    yields coarser segmentation than the per-rule merge count allows."""
+    import hashlib
+
+    from duva_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "s", "aaaa abab abcabc zq"), (2, "s", "abab aaaa aaaa")],
+        "doc_id long, source string, text string",
+    )
+    rules = bpe.bpe_train(docs, "text", n_merges=3)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_bpe_dropout"])
+        for r in bpe.encode_dropout_counts(docs, rules, "doc_id", "source").collect()
+    }
+
+    def ref_counts(word, dropout):
+        syms = list(word)
+        for r, a, b, m, _ in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    dropped = dropout and (
+                        int(
+                            hashlib.md5(f"{word}|{r}|{i + 1}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % 10
+                        == 0
+                    )
+                    if not dropped:
+                        out.append(m)
+                        i += 2
+                        continue
+                out.append(syms[i])
+                i += 1
+            syms = out
+        return len(syms)
+
+    for did, text in ((1, "aaaa abab abcabc zq"), (2, "abab aaaa aaaa")):
+        ws = text.split(" ")
+        want = (
+            len(ws),
+            sum(ref_counts(w, False) for w in ws),
+            sum(ref_counts(w, True) for w in ws),
+        )
+        assert got[did] == want, (did, got[did], want)
