@@ -6864,3 +6864,228 @@ def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.alias("rel_err"),
         (rel <= 0.195).alias("within_3sigma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window passage chunking (pretraining/RAG windowing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_passage_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source, n,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE CAST(CEIL((n - 32) / 16.0) AS BIGINT) + 1 END AS k
+      FROM t
+    ),
+    ch AS (SELECT doc_id, source, n, k, unnest(range(k)) AS i FROM p),
+    cc AS (
+      SELECT source, n, i,
+             CASE WHEN n <= 32 THEN n ELSE 32 END AS chunk_len
+      FROM ch
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN i = 0 THEN n ELSE 0 END) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens,
+           ROUND(SUM(chunk_len) * 1.0 /
+                 SUM(CASE WHEN i = 0 THEN n ELSE 0 END), 6) AS duplication_factor
+    FROM cc GROUP BY source
+    """,
+    description=(
+        "Sliding-window passage chunking — the windowing op every "
+        "pretraining/RAG loader runs before tokenization: window=32 "
+        "tokens, stride=16, with the standard full-coverage contract "
+        "(k = ceil((n-w)/stride)+1 chunks; the last start clamps to "
+        "n-w so the tail is always covered exactly once and no runt "
+        "chunks exist; short docs emit one whole-doc chunk). The chunk "
+        "table is a pure codegen posexplode of a per-doc sequence — "
+        "corpus-linear, zero shuffles before the census — and the "
+        "per-source census prices the chunker: duplication_factor = "
+        "chunk tokens / corpus tokens is the storage+compute "
+        "multiplier the stride buys (~1.6x here), the number a loader "
+        "budget needs. Each doc's token total enters the census once "
+        "via the i=0 row (no per-chunk double count)."
+    ),
+)
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, st = 32, 16
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+    )
+    k = (
+        F.when(F.col("n") <= w, F.lit(1).cast("long"))
+        .otherwise(F.ceil((F.col("n") - w) / F.lit(float(st))) + 1)
+        .alias("k")
+    )
+    ch = t.select("doc_id", "source", "n", k).select(
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("i"),
+    )
+    chunk_len = F.when(F.col("n") <= w, F.col("n")).otherwise(F.lit(w))
+    return (
+        ch.select("source", "n", "i", chunk_len.alias("chunk_len"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("i") == 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("i") == 0, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("total_tokens"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("chunk_tokens"),
+            F.round(
+                F.sum("chunk_len")
+                * 1.0
+                / F.sum(F.when(F.col("i") == 0, F.col("n")).otherwise(0)),
+                6,
+            ).alias("duplication_factor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Mean-Min debiased point queries (sketch-family depth)
+# ---------------------------------------------------------------------------
+
+
+def _cmm_oracle() -> str:
+    """SQL mirror of the Count-Mean-Min comparison: same wc/hh/widths
+    frame as the CU curve, per-row noise correction in EXACT scaled
+    integers (corrected_i = (W*cnt_i - N)/(W-1); the 4-row median's
+    middle-two sum is SUM - MIN - MAX, so no sort and no floats until
+    the final divides)."""
+    from duva_spark.llm.cms import CMS_D, CU_WIDTHS
+
+    params = minhash.hash_params(CMS_D)
+    P = minhash.MERSENNE_P
+    bh_w = f"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % {P}"
+    bh_h = f"CAST('0x' || substr(md5(hh.word), 1, 15) AS BIGINT) % {P}"
+    widths_vals = ", ".join(f"({w})" for w in CU_WIDTHS)
+    rows = " UNION ALL ".join(
+        f"SELECT wd, {i} AS row, (({bh_w}) * {a} + {b}) % {P} % wd AS bucket, c"
+        f" FROM wc CROSS JOIN widths"
+        for i, (a, b) in enumerate(params)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT hh.word, hh.exact_cnt, wd, {i} AS row,"
+        f" (({bh_h}) * {a} + {b}) % {P} % wd AS bucket"
+        f" FROM hh CROSS JOIN widths"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY word),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wc),
+    hh AS (SELECT word, c AS exact_cnt FROM wc CROSS JOIN t WHERE c * 32 > n),
+    widths(wd) AS (VALUES {widths_vals}),
+    sk AS (
+      SELECT wd, row, bucket, CAST(SUM(c) AS BIGINT) AS v
+      FROM ({rows}) GROUP BY wd, row, bucket
+    ),
+    pq AS (
+      SELECT p.word, p.exact_cnt, p.wd,
+             CAST(MIN(sk.v) AS BIGINT) AS cms_est,
+             CAST(SUM(p.wd * sk.v - t.n) - MIN(p.wd * sk.v - t.n)
+                  - MAX(p.wd * sk.v - t.n) AS BIGINT) AS mid2
+      FROM ({probes}) p
+      JOIN sk ON sk.wd = p.wd AND sk.row = p.row AND sk.bucket = p.bucket
+      CROSS JOIN t
+      GROUP BY p.word, p.exact_cnt, p.wd
+    )
+    SELECT wd AS width,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(SUM(ABS(cms_est - exact_cnt)) * 1.0 / COUNT(*), 6) AS cms_mae,
+           ROUND(SUM(ABS(2 * (wd - 1) * exact_cnt - mid2)) * 1.0
+                 / (COUNT(*) * 2 * (wd - 1)), 6) AS cmm_mae,
+           SUM(ABS(2 * (wd - 1) * exact_cnt - mid2))
+             <= SUM(ABS(cms_est - exact_cnt)) * 2 * (wd - 1) AS cmm_improves
+    FROM pq GROUP BY wd
+    """
+
+
+@register(
+    "q_cms_mean_min_bias",
+    oracle=_cmm_oracle(),
+    description=(
+        "Count-Mean-Min debiased point queries (Deng & Rafiei 2007, "
+        "'New Estimation Algorithms for Streaming Data: Count-min Can "
+        "Do More') — the third estimator in the sketch-error family "
+        "next to plain CMS (one-sided, q_cms_frequency_audit) and "
+        "conservative update (q_cms_width_curve): each row's bucket "
+        "count is corrected by its expected collision noise "
+        "(N - cnt_i)/(W-1) and the D-row MEDIAN taken, trading the "
+        "never-undercount guarantee for near-zero bias. Everything "
+        "stays integer-exact until the final divides: corrected_i = "
+        "(W*cnt_i - N)/(W-1) rides as the scaled integer W*cnt_i - N, "
+        "the 4-row median's middle-two sum is SUM - MIN - MAX (no "
+        "sort), and the per-width MAE comparison bool cross-multiplies "
+        "so it compares integers, not rounded doubles. Reports per "
+        "width: CMS MAE vs CMM MAE over the exact heavy hitters — CMM "
+        "wins at every collision-heavy width on this corpus. Same ONE "
+        "shared word-count pass + bounded-universe sketch exchanges as "
+        "the rest of the family."
+    ),
+)
+def q_cms_mean_min_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import cms
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").cast("long").alias("c"))
+    n = wc.agg(F.sum("c").cast("long").alias("n"))
+    hh = (
+        wc.crossJoin(F.broadcast(n))
+        .filter(F.col("c") * 32 > F.col("n"))
+        .select("word", F.col("c").alias("exact_cnt"))
+    )
+    sk = cms.cms_sketch_widths(wc, "word", "c")
+    width_lit = F.explode(F.array(*[F.lit(w) for w in cms.CU_WIDTHS])).alias("width")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                cms.cms_bucket(F.col("word"), i, F.col("width")).alias("bucket"),
+            )
+            for i in range(cms.CMS_D)
+        ]
+    )
+    probes = (
+        hh.select("word", "exact_cnt", width_lit)
+        .select("word", "exact_cnt", "width", F.explode(entries).alias("e"))
+        .select(
+            "word", "exact_cnt", "width",
+            F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"),
+        )
+    )
+    scaled = F.col("width") * F.col("v") - F.col("n")
+    pq = (
+        probes.join(F.broadcast(sk), ["width", "row", "bucket"])
+        .crossJoin(F.broadcast(n))
+        .groupBy("word", "exact_cnt", "width")
+        .agg(
+            F.min("v").cast("long").alias("cms_est"),
+            (F.sum(scaled) - F.min(scaled) - F.max(scaled))
+            .cast("long")
+            .alias("mid2"),
+        )
+    )
+    cmm_err = F.abs(2 * (F.col("width") - 1) * F.col("exact_cnt") - F.col("mid2"))
+    cms_err = F.abs(F.col("cms_est") - F.col("exact_cnt"))
+    return pq.groupBy("width").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.round(F.sum(cms_err) * 1.0 / F.count("*"), 6).alias("cms_mae"),
+        F.round(
+            F.sum(cmm_err) * 1.0 / (F.count("*") * 2 * (F.col("width") - 1)), 6
+        ).alias("cmm_mae"),
+        (F.sum(cmm_err) <= F.sum(cms_err) * 2 * (F.col("width") - 1)).alias(
+            "cmm_improves"
+        ),
+    )
