@@ -6899,9 +6899,11 @@ def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cc GROUP BY source
     """,
     description=(
-        "Sliding-window passage chunking — the windowing op every "
-        "pretraining/RAG loader runs before tokenization: window=32 "
-        "tokens, stride=16, with the standard full-coverage contract "
+        "Sliding-window passage chunking, CLAMPED-tail contract — the "
+        "budget-census sibling of q_doc_chunking (which emits the raw "
+        "chunk table under the plain strided contract, runt tail "
+        "chunks included): window=32 tokens, stride=16, with the "
+        "HF-style full-coverage contract "
         "(k = ceil((n-w)/stride)+1 chunks; the last start clamps to "
         "n-w so the tail is always covered exactly once and no runt "
         "chunks exist; short docs emit one whole-doc chunk). The chunk "

@@ -4916,11 +4916,13 @@ def q_bpe_dropout_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     description=(
-        "Heaps'-law vocabulary-growth fit V(n) = K*n^beta over distinct "
-        "word TRIGRAMS (the corpus-planning curve that predicts how "
-        "much NEW vocabulary/n-gram mass the next shard of data buys — "
-        "the other side of the q_gram_novelty diminishing-returns "
-        "audit): per-doc new-type counts come from the gram "
+        "Heaps'-law vocabulary-growth FIT V(n) = K*n^beta over distinct "
+        "word TRIGRAMS — the regression upgrade of q_heaps_law (which "
+        "reports the 10-point word-level curve with a per-point "
+        "ln-ratio, no fit; words saturate at this corpus's closed "
+        "vocabulary, so the fit runs on the still-growing trigram "
+        "space) and the other side of the q_gram_novelty diminishing-"
+        "returns audit: per-doc new-type counts come from the gram "
         "first-occurrence table (MIN doc per gram — one bounded "
         "shuffle), both cumulative curves ride the distributed two-"
         "pass prefix-sum operator (range partition + per-range window "
@@ -5120,3 +5122,4 @@ def q_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("alloc_tokens"),
         F.coalesce(sat_cond, F.lit(True)).alias("saturated"),
     )
+
