@@ -158,6 +158,15 @@ AUDIT_SUM: list[tuple[str, str, str, str]] = [
     ("queries/relational.py", "F.sum(c_ch)", "pre-scaled-int", "money 1e-6 units (money_cents upstream)"),
     ("queries/relational.py", "sess_cents", "pre-scaled-int", "per-session money cents"),
     ("queries/relational.py", 'F.sum("rev_e4")', "pre-scaled-int", "revenue 1e-4 units, gridded upstream"),
+    # r10 additions
+    ("queries/llm_q.py", "ROUND(SUM(chunk_len) * 1.0 /", "int-summand",
+     "chunk token lengths are integers (q_passage_chunks duplication factor)"),
+    ("queries/llm_q.py", "ROUND(SUM(ABS(cms_est - exact_cnt)) * 1.0 / COUNT(*), 6) AS cms_mae,", "int-summand",
+     "CMS absolute errors are exact integer counts (q_cms_mean_min_bias)"),
+    ("queries/llm_q.py", "ROUND(SUM(ABS(2 * (wd - 1) * exact_cnt - mid2)) * 1.0", "int-summand",
+     "CMM errors ride as exact scaled integers (q_cms_mean_min_bias)"),
+    ("queries/llm_q.py", 'F.round(F.sum(cms_err) * 1.0 / F.count("*"), 6).alias("cms_mae"),', "int-summand",
+     "CMS absolute errors are exact integer counts (q_cms_mean_min_bias)"),
 ]
 
 # a SUM line with one of these markers is exact by construction
