@@ -237,6 +237,86 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("dsir_weights", sizes_big, dsir_weights))
 
+    def hll_sketch(n):
+        # q_hll_distinct_audit's sketch stage: trigram stream -> (source,
+        # register) MAX(rho) — the exchange is bounded by 256 x sources
+        # at ANY corpus size (MAX is idempotent, no distinct shuffle).
+        # The registered query's exact-distinct BASELINE is deliberately
+        # excluded: the sweep measures the production sketch path.
+        from duva_spark.llm.minhash import md5_hash60
+
+        docs = _docs(spark, n).withColumn(
+            "source", (F.col("doc_id") % 20).cast("string")
+        )
+        grams = docs.select(
+            "source", F.split("text", " ").alias("ws")
+        ).select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        h = md5_hash60(F.col("g"))
+        v = F.shiftright(h, 8)
+        rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+        _force(
+            grams.select("source", (h % 256).alias("reg"), rho.alias("rho"))
+            .groupBy("source", "reg")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    cases.append(("hll_sketch", sizes_big, hll_sketch))
+
+    def cms_multi_width(n):
+        # q_cms_width_curve's plain multi-width build: word count (the
+        # corpus-sized pass) -> one config-tagged explode onto the fixed
+        # sum(widths) x D bucket universe. The CU fold is excluded: it
+        # is the vocab-bounded single-task audit kernel, not the
+        # corpus-scaling path.
+        from duva_spark.llm import cms
+
+        wc = (
+            _docs(spark, n)
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        _force(cms.cms_sketch_widths(wc, "word", "c"))
+
+    cases.append(("cms_multi_width", sizes_big, cms_multi_width))
+
+    def passage_chunk_census(n):
+        # q_passage_chunks' shape: per-doc chunk-count arithmetic + a
+        # codegen sequence explode -> source census. Corpus-linear.
+        w, st = 32, 16
+        docs = _docs(spark, n).withColumn(
+            "source", (F.col("doc_id") % 20).cast("string")
+        )
+        t = docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+        )
+        k = (
+            F.when(F.col("nt") <= w, F.lit(1).cast("long"))
+            .otherwise(F.ceil((F.col("nt") - w) / F.lit(float(st))) + 1)
+            .alias("k")
+        )
+        ch = t.select("source", "nt", k).select(
+            "source",
+            "nt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("i"),
+        )
+        _force(
+            ch.groupBy("source").agg(
+                F.count("*").alias("n_chunks"),
+                F.sum(F.when(F.col("i") == 0, F.col("nt")).otherwise(0)).alias("toks"),
+            )
+        )
+
+    cases.append(("passage_chunk_census", sizes_big, passage_chunk_census))
+
     def nb_classify(n):
         # q_nb_lang_classifier's train+score chain: counting train
         # (broadcast-sized model), broadcast-join scoring, per-doc
