@@ -42,8 +42,16 @@ CU_WIDTHS = (4, 8, 16, 32)
 def cms_bucket(col: Column, i: int, w: int = CMS_W) -> Column:
     """Row-``i`` bucket of a string key: affine hash over the shared
     60-bit md5 base hash, mod P mod w — ``(a_i·h + b_i)`` stays under
-    2^63 because both factors are < P = 2^31 − 1."""
-    a, b = hash_params(CMS_D)[i]
+    2^63 because both factors are < P = 2^31 − 1.
+
+    The parameter family is prefix-stable (``hash_params(n)[i]`` is a
+    pure function of ``i``), so deriving row ``i``'s pair as
+    ``hash_params(i + 1)[i]`` is value-identical to the old
+    ``hash_params(CMS_D)[i]`` for ``i < CMS_D`` while staying valid for
+    ANY row index — callers passing ``d > CMS_D`` to the sketch
+    builders no longer hit an IndexError at plan-build time (r10
+    ADVICE)."""
+    a, b = hash_params(i + 1)[i]
     return (base_hash(col) * a + b) % MERSENNE_P % w
 
 

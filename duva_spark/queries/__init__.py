@@ -90,6 +90,19 @@ def exact_sum_round(col: Column, dp_in: int = 6, dp_out: int = 2) -> Column:
     if dp_out >= dp_in:
         raise ValueError("exact_sum_round: dp_out must be < dp_in")
     step = 10 ** (dp_in - dp_out)
+    # Non-negativity is load-bearing (floor-div == HALF_UP only for
+    # S >= 0) — under DUVA_ASSERT_NONNEG=1 the contract is enforced
+    # per-row so a future negative-capable call site fails loudly
+    # instead of drifting off the DuckDB oracle by a cent (r10 ADVICE).
+    # Off by default: assert_true blocks codegen fusion in the hot path.
+    import os
+
+    if os.environ.get("DUVA_ASSERT_NONNEG"):
+        guard = F.assert_true(
+            col.isNull() | (col >= 0),
+            F.lit("exact_sum_round requires non-negative summands"),
+        )
+        col = F.when(guard.isNull(), col)
     s = F.sum(money_cents(col, 10**dp_in).cast("decimal(38,0)"))
     return (
         F.floor((s + F.lit(step // 2)) / F.lit(step)).cast("double")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from duva_spark.catalog import load_table
 from duva_spark.llm import dedup, minhash, textstats
@@ -4153,14 +4154,22 @@ def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
     # 21.6 -> 17.5 s; 10M pruned 392 -> 377 s single-run — at 10M the
     # t3cnt count shuffle's single-host spill dominates, so the join
     # savings shrink to ~4% there (BASELINE.md round-10 section).
-    # Open-vocab 100 TB note: bigram-type tables can outgrow a driver;
-    # there the hint comes off and the plan degrades gracefully to the
-    # pre-r10 SMJ chain — the dial is this pair of F.broadcast calls.
+    # Open-vocab fail-closed gate (r10 ADVICE): bigram-type tables grow
+    # with vocabulary squared and can outgrow a driver, so the hints are
+    # applied only after counting both tables against
+    # spark.duva.kn.maxBroadcastTypes (default 4M rows ≈ low hundreds
+    # of MB). t3cnt is persisted first so the gate's two counts and the
+    # five downstream marginals all reuse ONE materialization of the
+    # corpus-sized trigram aggregation; an oversized model degrades
+    # automatically to the pre-r10 sort-merge chain instead of OOMing.
+    t3cnt = t3cnt.persist(StorageLevel.MEMORY_AND_DISK)
+    max_types = int(spark.conf.get("spark.duva.kn.maxBroadcastTypes", "4000000"))
+    big = F.broadcast if max(ctx12.count(), c23.count()) <= max_types else (lambda df: df)
     scored = (
         ho.join(t3cnt, ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(ctx12), ["w1", "w2"], "left")
+        .join(big(ctx12), ["w1", "w2"], "left")
         .join(F.broadcast(mid), "w2", "left")
-        .join(F.broadcast(c23), ["w2", "w3"], "left")
+        .join(big(c23), ["w2", "w3"], "left")
         .join(F.broadcast(n1p2), "w2", "left")
         .join(F.broadcast(cont), "w3", "left")
         .crossJoin(F.broadcast(btot))

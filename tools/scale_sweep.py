@@ -253,9 +253,14 @@ def sweep(spark, sizes_small, sizes_big, only=None):
         ).select(
             "source",
             F.explode(
+                # same size(ws) >= 3 guard as the registered query —
+                # the swept workload must match the production shape
+                # and survive sub-3-token synthetic docs (r10 ADVICE)
                 F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN "
                     "transform(sequence(0, size(ws) - 3),"
-                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) "
+                    "ELSE array() END"
                 )
             ).alias("g"),
         )
