@@ -240,3 +240,137 @@ def sample_frames(
             yield sample_frames_batch(pdf, id_col, every_nth_byte, fake, fallback, loader)
 
     return df.select(id_col, "payload").mapInPandas(run, out_schema)
+
+
+def dhash_batch(
+    pdf: pd.DataFrame, id_col: str, fake: bool, fallback: str, loader
+) -> pd.DataFrame:
+    """Per-batch dHash kernel (difference hash, Krawetz's perceptual
+    image hash): decode to an 8x8 grayscale grid, then bit j = r*7+c is
+    set iff grid[r][c] < grid[r][c+1] — 56 bits, kept under 2^63 so the
+    hash rides as a plain signed BIGINT on both engines.
+
+    Real path: pillow grayscale -> resize((8, 8)) -> pixel bytes. Fake
+    path (deterministic, oracle-replayable): nearest-neighbor
+    DOWNSAMPLE of the payload bytes — pixel i = payload[(i*n)//64] —
+    i.e. the same resize semantics applied to the byte stream, so
+    near-duplicate payloads yield near-equal grids and the hash behaves
+    perceptually (unlike an md5-derived fake, which would only ever
+    match exact duplicates)."""
+    image_mod = None if fake else loader()
+    if not fake and image_mod is None and fallback != "fake":
+        raise _unavailable("perceptual hashing", "pillow")
+
+    def grid(payload: bytes) -> list[int]:
+        if image_mod is None:
+            n = len(payload)
+            if n == 0:
+                return [0] * 64
+            return [payload[(i * n) // 64] for i in range(64)]
+        import io  # noqa: PLC0415
+
+        img = image_mod.open(io.BytesIO(bytes(payload))).convert("L").resize((8, 8))
+        return list(img.getdata())
+
+    def dhash(payload: bytes) -> int:
+        g = grid(bytes(payload))
+        h = 0
+        for r in range(8):
+            for c in range(7):
+                if g[r * 8 + c] < g[r * 8 + c + 1]:
+                    h |= 1 << (r * 7 + c)
+        return h
+
+    return pd.DataFrame(
+        {id_col: pdf[id_col], "dhash": [dhash(p) for p in pdf["payload"]]}
+    )
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str,
+    fake: bool = False,
+    fallback: str = "raise",
+    loader=import_pillow,
+) -> DataFrame:
+    """Arrow-batched perceptual hash over binary payloads: (id, dhash
+    long). Same task-level decoder selection as the other multimodal
+    ops."""
+    out_schema = f"{id_col} long, dhash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield dhash_batch(pdf, id_col, fake, fallback, loader)
+
+    return df.select(id_col, "payload").mapInPandas(run, out_schema)
+
+
+def ahash_batch(
+    pdf: pd.DataFrame, id_col: str, fake: bool, fallback: str, loader
+) -> pd.DataFrame:
+    """Per-batch aHash kernel (average hash, the pHash family member
+    suited to SPARSE grids): decode to an 8x8 grid, then bit i (i < 63)
+    is set iff grid[i]*64 > sum(grid) — the above-the-mean test kept in
+    exact cross-multiplied integers so both engines decide identically.
+    63 bits (pixel 63 unused) so the packed hash stays positive in a
+    signed BIGINT.
+
+    Real path: pillow grayscale -> resize((8, 8)) pixels. Fake path
+    (deterministic, oracle-replayable): the grid is a 64-bin histogram
+    of the payload's word-BIGRAM hashes (split on 0x20; bin =
+    md5-60bit % 64). Bigram bins are the perceptual choice for text
+    payloads over a small shared vocabulary: unigram occupancy is
+    near-identical across ALL docs (every doc draws the same words) so
+    any unigram-bag grid collapses — measured hamming ~0-8 for
+    unrelated pairs — while bigram occupancy separates cleanly
+    (near-dup pairs <= 1 bit, unrelated pairs >= 9 bits on the sf0.01
+    corpus)."""
+    image_mod = None if fake else loader()
+    if not fake and image_mod is None and fallback != "fake":
+        raise _unavailable("perceptual hashing", "pillow")
+
+    def grid(payload: bytes) -> list[int]:
+        if image_mod is None:
+            toks = bytes(payload).split(b" ")
+            g = [0] * 64
+            for i in range(len(toks) - 1):
+                bg = toks[i] + b" " + toks[i + 1]
+                h = int(hashlib.md5(bg).hexdigest()[:15], 16)
+                g[h % 64] += 1
+            return g
+        import io  # noqa: PLC0415
+
+        img = image_mod.open(io.BytesIO(bytes(payload))).convert("L").resize((8, 8))
+        return list(img.getdata())
+
+    def ahash(payload: bytes) -> int:
+        g = grid(payload)
+        tot = sum(g)
+        h = 0
+        for i in range(63):
+            if g[i] * 64 > tot:
+                h |= 1 << i
+        return h
+
+    return pd.DataFrame(
+        {id_col: pdf[id_col], "ahash": [ahash(p) for p in pdf["payload"]]}
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str,
+    fake: bool = False,
+    fallback: str = "raise",
+    loader=import_pillow,
+) -> DataFrame:
+    """Arrow-batched average-hash over binary payloads: (id, ahash
+    long). Same task-level decoder selection as the other multimodal
+    ops."""
+    out_schema = f"{id_col} long, ahash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield ahash_batch(pdf, id_col, fake, fallback, loader)
+
+    return df.select(id_col, "payload").mapInPandas(run, out_schema)

@@ -58,44 +58,43 @@ def hamming_distance(a: Column, b: Column, n_bits: int = 32) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def near_duplicate_pairs(
-    df: DataFrame,
+def hash_banded_pairs(
+    sig: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    n_bits: int = 32,
-    n_chunks: int = 4,
-    max_hamming: int = 3,
+    hash_col: str,
+    n_bits: int,
+    n_chunks: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """SimHash near-dup pairs via chunk-banded LSH.
+    """Chunk-banded LSH over ANY packed bit-hash column — the candidate
+    machinery shared by SimHash text near-dup and perceptual-hash image
+    near-dup.
 
     Pigeonhole: two hashes within `max_hamming` (< n_chunks) bits must
     agree exactly on at least one of n_chunks bit-chunks — so candidates
     come from equi-joins on (chunk_idx, chunk_value), linear like
     MinHash banding, and are verified with an exact popcount. Returns
-    (id_a, id_b, hamming).
-    """
+    (id_a, id_b, hamming)."""
     chunk = n_bits // n_chunks
     mask = (1 << chunk) - 1
-    sig = with_simhash(df.select(id_col, text_col), text_col, "sh", n_bits).select(
-        id_col, "sh"
-    )
+    sh = F.col(hash_col)
     chunks_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
-                F.shiftright(F.col("sh"), i * chunk).bitwiseAND(mask).alias("chunk_val"),
+                F.shiftright(sh, i * chunk).bitwiseAND(mask).alias("chunk_val"),
             )
             for i in range(n_chunks)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.col("sh"), F.explode(chunks_arr).alias("c")).select(
-        id_col, "sh", "c.chunk_idx", "c.chunk_val"
+    buckets = sig.select(F.col(id_col), sh.alias("_sh"), F.explode(chunks_arr).alias("c")).select(
+        id_col, "_sh", "c.chunk_idx", "c.chunk_val"
     )
     a = buckets.select(
-        "chunk_idx", "chunk_val", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        "chunk_idx", "chunk_val", F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")
     )
     b = buckets.select(
-        "chunk_idx", "chunk_val", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+        "chunk_idx", "chunk_val", F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")
     )
     return (
         a.join(b, ["chunk_idx", "chunk_val"])
@@ -104,3 +103,19 @@ def near_duplicate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_bits: int = 32,
+    n_chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk-banded LSH (hash_banded_pairs
+    over the SimHash signature). Returns (id_a, id_b, hamming)."""
+    sig = with_simhash(df.select(id_col, text_col), text_col, "sh", n_bits).select(
+        id_col, "sh"
+    )
+    return hash_banded_pairs(sig, id_col, "sh", n_bits, n_chunks, max_hamming)

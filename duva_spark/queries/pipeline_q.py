@@ -5132,3 +5132,81 @@ def q_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(sat_cond, F.lit(True)).alias("saturated"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Span-family hash-collision honesty (r10 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_span_hash_collision_audit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g0 AS (SELECT doc_id, unnest({_GRAM8}) AS gram
+           FROM d WHERE len(ws) >= 8),
+    g AS (SELECT doc_id, gram,
+                 CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gh
+          FROM g0),
+    cand AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    ver AS (SELECT gh, COUNT(DISTINCT gram) AS n_strings
+            FROM g SEMI JOIN cand USING (gh) GROUP BY gh)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_keys,
+           CAST(COALESCE(SUM(CASE WHEN n_strings > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_collision_keys,
+           CAST(COALESCE(MAX(n_strings), 0) AS BIGINT) AS max_strings_per_key,
+           COALESCE(SUM(CASE WHEN n_strings > 1 THEN 1 ELSE 0 END), 0) = 0
+             AS collision_free
+    FROM ver
+    """,
+    description=(
+        "Exact-string verify leg for the duplicated-span family (r10 "
+        "verdict item 5, hash-collision honesty): the span queries key "
+        "word 8-grams by 60-bit md5-derived hashes, so two DIFFERENT "
+        "grams colliding on a key would be falsely counted as "
+        "duplicates. This audit re-attaches the gram TEXT to exactly "
+        "the CANDIDATE keys (doc-frequency >= 2 — the only keys the "
+        "span pass ever acts on) via a semi-join hash probe, and "
+        "counts distinct strings per key: n_collision_keys = 0 proves "
+        "the span family's dup marks are string-exact on this corpus. "
+        "Cost shape at 100 TB: the verify leg shuffles only the "
+        "DUPLICATED gram subset's strings (bounded by dup volume, not "
+        "the corpus — unique grams never re-attach), so it runs as an "
+        "occasional audit next to the hash-keyed production pass. The "
+        "quantified bound it certifies: with n distinct grams and "
+        "60-bit keys, expected colliding keys ~ n^2/2^61 — at the "
+        "100 TB scale of ~1e12 grams that is ~4e5 keys (0.4 ppm of "
+        "grams falsely marked); an ISOLATED false mark yields an "
+        "8-word extent, below the min_span=16 floor, so it can only "
+        "perturb span output when adjacent to a true span (extending "
+        "it by < 8 words) — see SCALE.md for the full adjudication."
+    ),
+)
+def q_span_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    g = docs.select(
+        "doc_id", F.explode(minhash.word_shingles(ws, 8)).alias("gram")
+    ).select("doc_id", "gram", minhash.md5_hash60(F.col("gram")).alias("gh"))
+    cand = (
+        g.groupBy("gh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("gh")
+    )
+    ver = (
+        g.join(cand, "gh", "left_semi")
+        .groupBy("gh")
+        .agg(F.countDistinct("gram").alias("n_strings"))
+    )
+    n_coll = F.coalesce(
+        F.sum(F.when(F.col("n_strings") > 1, 1).otherwise(0)), F.lit(0)
+    )
+    return ver.agg(
+        F.count("*").cast("long").alias("n_candidate_keys"),
+        n_coll.cast("long").alias("n_collision_keys"),
+        F.coalesce(F.max("n_strings"), F.lit(0)).cast("long").alias(
+            "max_strings_per_key"
+        ),
+        (n_coll == 0).alias("collision_free"),
+    )

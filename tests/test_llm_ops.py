@@ -2912,3 +2912,53 @@ def test_bpe_dropout_matches_sequential_reference(spark):
             sum(ref_counts(w, True) for w in ws),
         )
         assert got[did] == want, (did, got[did], want)
+
+
+def test_multimodal_perceptual_hash_kernels():
+    """aHash/dHash kernels: deterministic fake paths match a sequential
+    reference; real path consumes pillow-shaped pixels; raise path raises."""
+    import hashlib
+
+    import pandas as pd
+
+    from duva_spark.llm import multimodal as mm
+
+    payload = b"key agg row scan slow key agg fast table value"
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [payload]})
+
+    # fake aHash == sequential bigram-histogram reference
+    toks = payload.split(b" ")
+    g = [0] * 64
+    for i in range(len(toks) - 1):
+        h = int(hashlib.md5(toks[i] + b" " + toks[i + 1]).hexdigest()[:15], 16)
+        g[h % 64] += 1
+    tot = sum(g)
+    want = sum(1 << i for i in range(63) if g[i] * 64 > tot)
+    out = mm.ahash_batch(pdf, "doc_id", True, "raise", lambda: None)
+    assert int(out["ahash"][0]) == want
+    assert 0 <= want < 1 << 63
+
+    # fake dHash == nearest-neighbor byte-downsample reference
+    n = len(payload)
+    gd = [payload[(i * n) // 64] for i in range(64)]
+    want_d = sum(
+        1 << (r * 7 + c)
+        for r in range(8)
+        for c in range(7)
+        if gd[r * 8 + c] < gd[r * 8 + c + 1]
+    )
+    out_d = mm.dhash_batch(pdf, "doc_id", True, "raise", lambda: None)
+    assert int(out_d["dhash"][0]) == want_d
+
+    # real path: pillow-shaped module supplies the 8x8 pixel grid
+    real = mm.ahash_batch(pdf, "doc_id", False, "raise", lambda: _FakePILImage)
+    gp = [payload[i % n] for i in range(64)]
+    tp = sum(gp)
+    assert int(real["ahash"][0]) == sum(
+        1 << i for i in range(63) if gp[i] * 64 > tp
+    )
+    # no decoder importable + fallback='raise' -> loud failure
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.ahash_batch(pdf, "doc_id", False, "raise", lambda: None)
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.dhash_batch(pdf, "doc_id", False, "raise", lambda: None)
