@@ -5210,3 +5210,94 @@ def q_span_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (n_coll == 0).alias("collision_free"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chinchilla-style compute-optimal token allocation (r10 verdict item 8a)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chinchilla_alloc",
+    oracle="""
+    WITH t AS (SELECT source,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS u
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(u) AS BIGINT) AS tt FROM t),
+    k AS (SELECT unnest([0.5, 1.0, 2.0, 4.0, 8.0]) AS epochs),
+    g AS (
+      SELECT epochs, source, u, tt,
+             CAST(FLOOR(epochs * tt) AS BIGINT) AS d_opt
+      FROM t CROSS JOIN tot CROSS JOIN k
+    ),
+    m AS (
+      SELECT epochs, source, u, tt, d_opt,
+             d_opt // 20 AS n_params,
+             6 * (d_opt // 20) * d_opt AS compute_flops,
+             epochs * u AS alloc,
+             CASE WHEN epochs <= 1 THEN epochs * u
+                  ELSE u + u * 15.39 * (1 - exp(-(epochs - 1) / 15.39)) END AS eff
+      FROM g
+    )
+    SELECT epochs, source, u AS unique_tokens,
+           ROUND(alloc, 2) AS alloc_tokens,
+           ROUND(eff, 4) AS effective_tokens,
+           ROUND(eff / alloc, 6) AS utilization,
+           n_params, compute_flops
+    FROM m
+    """,
+    description=(
+        "Chinchilla-style compute-optimal token allocation (Hoffmann "
+        "et al. 2022 'Training Compute-Optimal Large Language Models', "
+        "via the 20-tokens-per-parameter rule D = 20N, C = 6ND) "
+        "crossed with the data-constrained decay of "
+        "q_repeat_epochs_decay (Muennighoff et al. 2023, R* = 15.39): "
+        "for a grid of data budgets expressed as corpus epochs k in "
+        "{0.5..8}, the compute-optimal model size n_params = D/20 and "
+        "its training cost 6ND are derived in EXACT integer arithmetic "
+        "from the measured corpus token total, and the budget is split "
+        "across sources proportional to their unique tokens (k epochs "
+        "of every source), each allocation priced by its effective "
+        "(decayed) token value and utilization — the table that says "
+        "WHICH budget tier stops being worth the compute on THIS "
+        "corpus. Pairs with q_budget_waterfill (capped per-source "
+        "split) and q_repeat_epochs_decay (the marginal-epoch view). "
+        "Scale shape: one token-count aggregation per source (the only "
+        "corpus-sized pass), one 1-row total, an enum-sized budget "
+        "grid attach — everything after the scan is broadcast-sized "
+        "at any corpus scale."
+    ),
+)
+def q_chinchilla_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("u")
+    )
+    tot = t.agg(F.sum("u").cast("long").alias("tt"))
+    ks = F.explode(F.array(*[F.lit(v) for v in (0.5, 1.0, 2.0, 4.0, 8.0)])).alias(
+        "epochs"
+    )
+    grid = spark.range(1).select(ks)
+    g = t.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(grid)).select(
+        "epochs",
+        "source",
+        "u",
+        "tt",
+        F.floor(F.col("epochs") * F.col("tt")).cast("long").alias("d_opt"),
+    )
+    rstar = F.lit(15.39)
+    u, k = F.col("u"), F.col("epochs")
+    eff = F.when(k <= 1, k * u).otherwise(
+        u + u * rstar * (1 - F.exp(-(k - 1) / rstar))
+    )
+    n_params = F.expr("d_opt DIV 20")
+    return g.select(
+        "epochs",
+        "source",
+        F.col("u").alias("unique_tokens"),
+        F.round(k * u, 2).alias("alloc_tokens"),
+        F.round(eff, 4).alias("effective_tokens"),
+        F.round(eff / (k * u), 6).alias("utilization"),
+        n_params.alias("n_params"),
+        (F.lit(6) * n_params * F.col("d_opt")).alias("compute_flops"),
+    )
