@@ -7335,7 +7335,13 @@ def _image_ahash_pairs_sql(n_chunks: int = 9, max_hamming: int = 8) -> str:
         "one Arrow pass over the payload column (no shuffle), "
         "candidates one equi-join on (chunk_idx, chunk_val) — the "
         "same linear band-join as MinHash-LSH, never all-pairs; "
-        "real-decoder deployments swap the loader, nothing else."
+        "real-decoder deployments swap the loader, nothing else. The "
+        "chunk width is the scale dial: 7-bit chunks (128 bucket "
+        "values per band) are the tight-threshold DEMO config for this "
+        "SF; at millions of docs the bands widen (e.g. 3 x 21-bit, 2M "
+        "values per band, exact-complete for hamming <= 2) so band "
+        "buckets stay small — that config is what the 1M/10M sweep "
+        "row measures (tools/scale_sweep.py image_phash_pairs)."
     ),
 )
 def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

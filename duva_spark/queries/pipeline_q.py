@@ -1201,11 +1201,13 @@ def q_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
 
 
-def _rrf_sql() -> str:
+def _rrf_ctes() -> str:
+    """Shared CTE chain ending in the fused top-10 (``rrf``) — used by
+    q_rrf_hybrid_search and composed further by the cross-encoder
+    rerank oracle so the two cannot drift."""
     from duva_spark.queries.llm_q import _COS_QC, _bm25_sql
 
-    return f"""
-    WITH bm AS ({_bm25_sql()}),
+    return f"""bm AS ({_bm25_sql()}),
     lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
             FROM bm),
     qv_t AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1217,13 +1219,20 @@ def _rrf_sql() -> str:
             FROM s
             QUALIFY vec_rank <= 20),
     f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank
-          FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
-    SELECT doc_id, lex_rank, vec_rank,
-           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
-                 + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf_score
-    FROM f
-    ORDER BY rrf_score DESC, doc_id
-    LIMIT 10
+          FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id),
+    rrf AS (SELECT doc_id, lex_rank, vec_rank,
+                   ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+                         + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6)
+                     AS rrf_score
+            FROM f
+            ORDER BY rrf_score DESC, doc_id
+            LIMIT 10)"""
+
+
+def _rrf_sql() -> str:
+    return f"""
+    WITH {_rrf_ctes()}
+    SELECT doc_id, lex_rank, vec_rank, rrf_score FROM rrf
     """
 
 
@@ -5300,4 +5309,121 @@ def q_chinchilla_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eff / (k * u), 6).alias("utilization"),
         n_params.alias("n_params"),
         (F.lit(6) * n_params * F.col("d_opt")).alias("compute_flops"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder rerank over the RRF top-k (r10 verdict item 8c)
+# ---------------------------------------------------------------------------
+
+
+def _ce_rerank_sql() -> str:
+    from duva_spark.queries.llm_q import _BM25_TERMS, _COS_QC
+
+    tf_cols = ", ".join(
+        f"len(list_filter(d2.ws, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    nz = " + ".join(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(3))
+    tfsum = " + ".join(f"tf{i}" for i in range(3))
+    return f"""
+    WITH {_rrf_ctes()},
+    d2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    feat AS (SELECT r.doc_id, r.rrf_score, len(d2.ws) AS n_tok, {tf_cols}
+             FROM rrf r JOIN d2 ON r.doc_id = d2.doc_id),
+    cosf AS (SELECT r.doc_id, ROUND({_COS_QC}, 6) AS cos
+             FROM rrf r
+             JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+               ON c.vec_id = r.doc_id, qv_t),
+    z AS (SELECT f.doc_id, f.rrf_score,
+                 2.0 * (({nz}) / 3.0)
+               + 8.0 * (({tfsum}) * 1.0 / n_tok)
+               + 3.0 * cos
+               + 50.0 * f.rrf_score AS z
+          FROM feat f JOIN cosf ON f.doc_id = cosf.doc_id),
+    sc AS (SELECT doc_id, rrf_score,
+                  ROUND(1.0 / (1.0 + exp(-z)), 6) AS ce_score FROM z),
+    rk AS (SELECT doc_id, rrf_score, ce_score,
+                  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rrf_rank,
+                  ROW_NUMBER() OVER (ORDER BY ce_score DESC, doc_id) AS ce_rank
+           FROM sc)
+    SELECT doc_id, rrf_rank, rrf_score, ce_rank, ce_score,
+           rrf_rank - ce_rank AS rank_delta
+    FROM rk
+    """
+
+
+@register(
+    "q_crossencoder_rerank",
+    oracle=_ce_rerank_sql(),
+    description=(
+        "Cross-encoder rerank over the RRF top-k (r10 verdict item 8c "
+        "— completes the retrieval story: lexical leg + vector leg -> "
+        "RRF fusion -> pairwise rerank): the fused top-10 candidates "
+        "are re-scored by a deterministic cross-encoder stand-in that "
+        "sees the (query, document) PAIR jointly — logistic of a fixed "
+        "linear head over pair features (query-term coverage, "
+        "query-term density, query-candidate embedding cosine, and the "
+        "retriever prior), i.e. exactly the late-interaction shape a "
+        "real cross-encoder distills into, with the learned weights "
+        "replaced by pinned constants so the DuckDB oracle replays it "
+        "bit-for-bit (all feature inputs integer or pre-rounded; the "
+        "one exp() is pinned by the 6-dp round like every other libm "
+        "site). Reports old rank, new rank, and the rank delta per "
+        "candidate. The 100 TB shape is the POINT of the two-stage "
+        "pattern: the corpus-scale work is the retriever legs (scan-"
+        "level scoring + TakeOrderedAndProject); the expensive pairwise "
+        "scorer touches exactly k=10 rows — windows, joins, and the "
+        "feature projection all run on a broadcast-sized frame, which "
+        "is why production rerankers can afford a transformer there."
+    ),
+)
+def q_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from duva_spark.llm import similarity
+    from duva_spark.queries.llm_q import _BM25_TERMS
+
+    cand = q_rrf_hybrid_search(spark, sf_dir).select("doc_id", "rrf_score")
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    def _tf(term: str):
+        # closure, NOT a defaulted lambda arg: F.filter treats a 2-arg
+        # lambda as (element, index) and would bind the term to the index
+        return F.size(F.filter(ws, lambda w: w == F.lit(term))).cast("long")
+
+    tfs = [_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)]
+    feat = docs.select(
+        "doc_id", F.size(ws).cast("long").alias("n_tok"), *tfs
+    ).join(F.broadcast(cand), "doc_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    withcos = feat.join(
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")),
+        "doc_id",
+    ).crossJoin(F.broadcast(qv))
+    cos = F.round(similarity.cosine(F.col("qv"), F.col("cv")), 6)
+    nz = sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0) for i in range(3))
+    tfsum = sum(F.col(f"tf{i}") for i in range(3))
+    z = (
+        F.lit(2.0) * (nz / F.lit(3.0))
+        + F.lit(8.0) * (tfsum * F.lit(1.0) / F.col("n_tok"))
+        + F.lit(3.0) * cos
+        + F.lit(50.0) * F.col("rrf_score")
+    )
+    ce = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    sc = withcos.select("doc_id", "rrf_score", ce.alias("ce_score"))
+    w_rrf = W.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    w_ce = W.orderBy(F.desc("ce_score"), F.asc("doc_id"))
+    return (
+        sc.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("long"))
+        .withColumn("ce_rank", F.row_number().over(w_ce).cast("long"))
+        .select(
+            "doc_id",
+            "rrf_rank",
+            "rrf_score",
+            "ce_rank",
+            "ce_score",
+            (F.col("rrf_rank") - F.col("ce_rank")).alias("rank_delta"),
+        )
     )

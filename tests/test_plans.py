@@ -232,6 +232,8 @@ _UNPARTITIONED_WINDOW_OK: set[str] = {
     "q_heaps_law",
     # rank fusion over the two top-k result lists (k rows each)
     "q_rrf_hybrid_search",
+    # rerank windows over the fused top-10 candidate frame (10 rows)
+    "q_crossencoder_rerank",
 }
 
 

@@ -80,7 +80,7 @@ def main() -> int:
     args = ap.parse_args()
     spark = get_spark("ab-t3cnt")
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    spark.conf.set(key, str(16 * default_parallelism(spark)))
+    spark.conf.set(key, str(16 * default_parallelism()))
 
     forms = {"A_baseline": form_a, "B_two_level": form_b, "C_hash_keyed": form_c}
     # warm

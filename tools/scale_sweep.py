@@ -1101,6 +1101,30 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("rplsh_multiprobe", sizes_small, multiprobe_case))
 
+    def image_phash_case(n):
+        # q_image_phash_near_dup's shape at its SCALE config: one Arrow
+        # aHash pass over the payload column (no shuffle) + the banded
+        # candidate equi-join + popcount verify. The chunk width is the
+        # scale dial: the registered query's 9x7-bit demo config has
+        # only 128 bucket values per band (fine at the 500-doc SF,
+        # quadratic at millions of docs), so at sweep scale the bands
+        # widen to 3x21 bits (2M bucket values per band; pigeonhole
+        # still exact-complete for hamming <= 2, which covers the
+        # exact-dup tail the generator plants). Candidate volume is
+        # then governed by the dup rate — expected ~linear per 10x.
+        from duva_spark.llm import multimodal, simhash
+
+        docs = _docs(spark, n)
+        media = multimodal.to_media_table(docs, "doc_id", "text")
+        sig = multimodal.image_ahash(media, "doc_id", fake=True)
+        _force(
+            simhash.hash_banded_pairs(
+                sig, "doc_id", "ahash", n_bits=63, n_chunks=3, max_hamming=2
+            )
+        )
+
+    cases.append(("image_phash_pairs", sizes_big, image_phash_case))
+
     results = {}
     for name, sizes, fn in cases:
         if only and name not in only:
