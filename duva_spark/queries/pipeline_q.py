@@ -16,7 +16,7 @@ from pyspark.storagelevel import StorageLevel
 
 from duva_spark.catalog import load_table
 from duva_spark.llm import dedup, minhash, textstats
-from duva_spark.queries import exact_avg, register
+from duva_spark.queries import exact_avg, exact_avg_sql, register
 from duva_spark.queries.llm_q import _LANG_PRED, _NTOK, _QUALITY, _sql_in_list
 
 # ---------------------------------------------------------------------------
@@ -5426,4 +5426,117 @@ def q_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ce_score",
             (F.col("rrf_rank") - F.col("ce_rank")).alias("rank_delta"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (r10 verdict item 8b)
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_sql() -> str:
+    avg_s = exact_avg_sql("ln(n * 1.0 / cnt)", 9, 6)
+    return f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM wc),
+    diff AS (SELECT doc_id, {avg_s} AS d, CAST(COUNT(*) AS BIGINT) AS n_tok
+             FROM w JOIN wc USING (word) CROSS JOIN tot
+             GROUP BY doc_id),
+    mm AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM diff),
+    b AS (SELECT doc_id, n_tok,
+                 LEAST(9, CAST(FLOOR((d - mn) / (mx - mn) * 10) AS BIGINT))
+                   AS bucket
+          FROM diff CROSS JOIN mm),
+    e AS (SELECT unnest(range(1, 5)) AS epoch),
+    g AS (SELECT epoch, bucket,
+                 bucket < CAST(CEIL(epoch * 10 / 4.0) AS BIGINT) AS included,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM b CROSS JOIN e
+          GROUP BY epoch, bucket),
+    srv AS (SELECT epoch,
+                   CAST(SUM(CASE WHEN included THEN n_tokens ELSE 0 END)
+                        AS BIGINT) AS epoch_served_tokens
+            FROM g GROUP BY epoch)
+    SELECT CAST(g.epoch AS BIGINT) AS epoch, bucket, included,
+           n_docs, n_tokens, epoch_served_tokens
+    FROM g JOIN srv ON g.epoch = srv.epoch
+    """
+
+
+@register(
+    "q_curriculum_schedule",
+    oracle=_curriculum_sql(),
+    description=(
+        "Competence-based curriculum ordering (Platanios et al. 2019 "
+        "shape, r10 verdict item 8b): per-doc DIFFICULTY is the mean "
+        "token surprisal ln(N/count(w)) under the corpus's own unigram "
+        "statistics (the signal perplexity curricula actually sort by, "
+        "computed with the registry's exact_avg gridding so the "
+        "bucket-boundary floor decides identically on both engines), "
+        "docs land in 10 equal-width difficulty buckets between the "
+        "observed min/max, and the deterministic schedule grows the "
+        "served prefix per epoch (epoch e of 4 serves buckets < "
+        "ceil(10e/4): 3, 5, 8, then all 10 — easy-to-hard). Reports "
+        "per (epoch, bucket): inclusion, doc/token mass, and the "
+        "epoch's total served tokens — the loader-side table that "
+        "turns a difficulty signal into a batch schedule. Scale shape: "
+        "one word-count pass, one doc-keyed surprisal aggregation, "
+        "1-row min/max broadcast, enum-sized epoch grid — no window "
+        "over the corpus, no sort; the bucketing is a codegen "
+        "projection."
+    ),
+)
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = w.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    tot = wc.agg(F.sum("cnt").cast("long").alias("n"))
+    diff = (
+        w.join(wc, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            exact_avg(F.log(F.col("n") * 1.0 / F.col("cnt")), 9, 6).alias("d"),
+            F.count("*").cast("long").alias("n_tok"),
+        )
+    )
+    mm = diff.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    b = diff.crossJoin(F.broadcast(mm)).select(
+        "doc_id",
+        "n_tok",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("d") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 10),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    epochs = spark.range(1, 5).select(F.col("id").alias("epoch"))
+    g = (
+        b.crossJoin(F.broadcast(epochs))
+        .groupBy("epoch", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "included",
+            F.col("bucket") < F.ceil(F.col("epoch") * 10 / F.lit(4.0)).cast("long"),
+        )
+    )
+    srv = g.groupBy("epoch").agg(
+        F.sum(F.when(F.col("included"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("epoch_served_tokens")
+    )
+    return g.join(F.broadcast(srv), "epoch").select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "bucket",
+        "included",
+        "n_docs",
+        "n_tokens",
+        "epoch_served_tokens",
     )
