@@ -11,6 +11,7 @@ tests/test_streaming.py where a memory sink can be observed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
 from duva_spark.queries import money_cents, register
@@ -626,3 +627,123 @@ def _quality_stream_oracle() -> str:
 _REG["q_stream_true_quality_filter"] = _dc.replace(
     _REG["q_stream_true_quality_filter"], oracle=_quality_stream_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# TRUE streaming HLL sketch build (round 11 — the ingest path of
+# q_hll_merge_rollup's mergeable-sketch story)
+# ---------------------------------------------------------------------------
+
+
+def _stream_hll_oracle() -> str:
+    from duva_spark.queries.llm_q import _HLL_K, _HLL_LC_CUTOFF, _HLL_M
+
+    bh = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
+    return f"""
+    WITH g AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+      FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+      WHERE len(ws) >= 3
+    ),
+    r AS (
+      SELECT source, ({bh}) % {_HLL_M} AS reg,
+             CASE WHEN ({bh}) // {_HLL_M} = 0 THEN 53
+                  ELSE 53 - length(bin(({bh}) // {_HLL_M})) END AS rho
+      FROM g
+    ),
+    sk AS (SELECT source, reg, MAX(rho) AS m FROM r GROUP BY source, reg),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS f,
+             SUM(CAST(POWER(2, 64 - m) AS HUGEINT)) AS s_filled
+      FROM sk GROUP BY source
+    ),
+    s AS (
+      SELECT source, f,
+             CAST(s_filled + ({_HLL_M} - f) * CAST(POWER(2, 64) AS HUGEINT)
+                  AS DOUBLE) AS sd
+      FROM agg
+    )
+    SELECT source, f AS n_regs,
+           ROUND(CASE WHEN ({_HLL_M} - f) > 0 AND {_HLL_K} / sd <= {_HLL_LC_CUTOFF}
+                      THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - f))
+                      ELSE {_HLL_K} / sd END, 4) AS hll_est
+    FROM s
+    """
+
+
+@register(
+    "q_stream_true_hll_sketch",
+    oracle=_stream_hll_oracle(),
+    description=(
+        "TRUE streaming HLL sketch build under the value-hash gate — "
+        "the INGEST path of the mergeable-sketch story "
+        "(q_hll_merge_rollup proves batch shard-merge; this proves the "
+        "streaming build): documents arrive through a real readStream "
+        "file source, the per-(source, register) MAX(rho) aggregation "
+        "runs as a streaming complete-mode agg — state bounded by "
+        "256 registers x sources at ANY stream length, the textbook "
+        "use of a mergeable summary in a stream — through "
+        "Trigger.AvailableNow into a memory sink, and the final "
+        "register table is priced into per-source estimates with the "
+        "same exact-integer arithmetic as the batch audit. MAX is "
+        "idempotent and associative, so the micro-batch replay is "
+        "bit-identical to the batch sketch — which is exactly what the "
+        "DuckDB oracle checks. 100 TB: this is how a continuous "
+        "pipeline maintains distinct-gram telemetry without ever "
+        "running a COUNT(DISTINCT) — bounded state, bounded exchange, "
+        "estimates on demand."
+    ),
+)
+def q_stream_true_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.llm import minhash
+    from duva_spark.queries.llm_q import _HLL_K, _HLL_LC_CUTOFF, _HLL_M
+    from duva_spark.streaming.jobs import read_documents_stream, run_available_now
+
+    stream = read_documents_stream(spark, sf_dir)
+    grams = stream.select(
+        "source", F.split(F.col("text"), " ").alias("ws")
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN "
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    h = minhash.md5_hash60(F.col("g"))
+    v = F.shiftright(h, 8)
+    rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+    sk = (
+        grams.select("source", (h % _HLL_M).alias("reg"), rho.alias("rho"))
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    regs = run_available_now(sk, "q_true_hll")
+    agg = regs.groupBy("source").agg(
+        F.count("*").cast("long").alias("f"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(64) - F.col("m")).cast("decimal(38,0)")
+        ).alias("s_filled"),
+    )
+    two64 = F.pow(F.lit(2.0), F.lit(64)).cast("decimal(38,0)")
+    s = agg.select(
+        "source",
+        "f",
+        (F.col("s_filled") + (F.lit(_HLL_M) - F.col("f")) * two64)
+        .cast("double")
+        .alias("sd"),
+    )
+    raw = F.lit(_HLL_K) / F.col("sd")
+    est = F.when(
+        ((F.lit(_HLL_M) - F.col("f")) > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("f"))),
+    ).otherwise(raw)
+    return s.select(
+        "source", F.col("f").alias("n_regs"), F.round(est, 4).alias("hll_est")
+    )
