@@ -188,6 +188,9 @@ def main() -> None:
             k: v for k, v in timings.items() if k in _R1_SUBSET
         }
         payload["queries_note"] = "full map in bench_detail_last.json"
+        # keep the summary scalars LAST even after adding the note
+        for k in ("r1_subset_sec", "value"):
+            payload[k] = payload.pop(k)
         line = json.dumps(payload)
     print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
     try:

@@ -6731,6 +6731,70 @@ _HLL_K = 8.683382835009324e23
 _HLL_LC_CUTOFF = 640.0  # 2.5 * m — the standard small-range switch
 
 
+def _hll_est_col(f, s_filled):
+    """Shared HLL pricing (r11 review: was triplicated): given the
+    filled-register count ``f`` and the exact decimal(38,0) sum of
+    2^(64-m) over filled registers, return the rounded-4dp estimate —
+    raw K/sd with the standard linear-counting switch below 2.5m when
+    empty registers exist. All three HLL queries (audit, merge rollup,
+    streaming build) and their oracles price registers through this one
+    formula."""
+    two64 = F.pow(F.lit(2.0), F.lit(64)).cast("decimal(38,0)")
+    sd = (s_filled + (F.lit(_HLL_M) - f) * two64).cast("double")
+    raw = F.lit(_HLL_K) / sd
+    return F.round(
+        F.when(
+            ((F.lit(_HLL_M) - f) > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)),
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - f)),
+        ).otherwise(raw),
+        4,
+    )
+
+
+def hll_price_registers(regs, m_col: str = "m"):
+    """(source, n_regs, hll_est) from a (source, reg, m) register table
+    — the regs-shaped wrapper over _hll_est_col used by the audit and
+    the streaming build."""
+    agg = regs.groupBy("source").agg(
+        F.count("*").cast("long").alias("f"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(64) - F.col(m_col)).cast("decimal(38,0)")
+        ).alias("s_filled"),
+    )
+    return agg.select(
+        "source",
+        F.col("f").alias("n_regs"),
+        _hll_est_col(F.col("f"), F.col("s_filled")).alias("hll_est"),
+    )
+
+
+def _hll_est_sql(f: str, sd: str) -> str:
+    """SQL twin of _hll_est_col's CASE (pre-ROUND): callers wrap in
+    ROUND(..., 4)."""
+    return (
+        f"CASE WHEN ({_HLL_M} - {f}) > 0 AND {_HLL_K} / {sd} <= {_HLL_LC_CUTOFF} "
+        f"THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - {f})) "
+        f"ELSE {_HLL_K} / {sd} END"
+    )
+
+
+def _hll_price_ctes() -> str:
+    """SQL twin of hll_price_registers: CTEs agg/s following a CTE named
+    sk(source, reg, m); expose (source, f, sd) for the final pricing."""
+    return f"""agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS f,
+             SUM(CAST(POWER(2, 64 - m) AS HUGEINT)) AS s_filled
+      FROM sk GROUP BY source
+    ),
+    s AS (
+      SELECT source, f,
+             CAST(s_filled + ({_HLL_M} - f) * CAST(POWER(2, 64) AS HUGEINT)
+                  AS DOUBLE) AS sd
+      FROM agg
+    )"""
+
+
 def _hll_oracle() -> str:
     bh = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
     return f"""
@@ -6748,22 +6812,9 @@ def _hll_oracle() -> str:
       FROM g
     ),
     sk AS (SELECT source, reg, MAX(rho) AS m FROM r GROUP BY source, reg),
-    agg AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS f,
-             SUM(CAST(POWER(2, 64 - m) AS HUGEINT)) AS s_filled
-      FROM sk GROUP BY source
-    ),
-    s AS (
-      SELECT source, f,
-             CAST(s_filled + ({_HLL_M} - f) * CAST(POWER(2, 64) AS HUGEINT)
-                  AS DOUBLE) AS sd
-      FROM agg
-    ),
+    {_hll_price_ctes()},
     fin AS (
-      SELECT source,
-             CASE WHEN ({_HLL_M} - f) > 0 AND {_HLL_K} / sd <= {_HLL_LC_CUTOFF}
-                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - f))
-                  ELSE {_HLL_K} / sd END AS e
+      SELECT source, {_hll_est_sql("f", "sd")} AS e
       FROM s
     ),
     ex AS (
@@ -6829,38 +6880,19 @@ def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "reg")
         .agg(F.max("rho").alias("m"))
     )
-    agg = sk.groupBy("source").agg(
-        F.count("*").cast("long").alias("f"),
-        F.sum(
-            F.pow(F.lit(2.0), F.lit(64) - F.col("m")).cast("decimal(38,0)")
-        ).alias("s_filled"),
-    )
-    two64 = F.pow(F.lit(2.0), F.lit(64)).cast("decimal(38,0)")
-    s = agg.select(
-        "source",
-        "f",
-        (F.col("s_filled") + (F.lit(_HLL_M) - F.col("f")) * two64)
-        .cast("double")
-        .alias("sd"),
-    )
-    raw = F.lit(_HLL_K) / F.col("sd")
-    est = F.when(
-        ((F.lit(_HLL_M) - F.col("f")) > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("f"))),
-    ).otherwise(raw)
-    fin = s.select("source", est.alias("e"))
+    fin = hll_price_registers(sk).select("source", "hll_est")
     ex = grams.groupBy("source").agg(
         F.countDistinct("g").cast("long").alias("exact_distinct")
     )
     rel = F.round(
-        F.abs(F.round(F.col("e"), 4) - F.col("exact_distinct"))
+        F.abs(F.col("hll_est") - F.col("exact_distinct"))
         / F.col("exact_distinct"),
         6,
     )
     return ex.join(F.broadcast(fin), "source").select(
         "source",
         "exact_distinct",
-        F.round(F.col("e"), 4).alias("hll_est"),
+        "hll_est",
         rel.alias("rel_err"),
         (rel <= 0.195).alias("within_3sigma"),
     )
@@ -7101,14 +7133,8 @@ def q_cms_mean_min_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hll_merge_oracle() -> str:
     bh = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
     two64 = "CAST(POWER(2, 64) AS HUGEINT)"
-    est_m = (
-        f"CASE WHEN (256 - f_m) > 0 AND {_HLL_K} / sd_m <= {_HLL_LC_CUTOFF} "
-        f"THEN 256.0 * ln(256.0 / (256 - f_m)) ELSE {_HLL_K} / sd_m END"
-    )
-    est_s = (
-        f"CASE WHEN (256 - f_s) > 0 AND {_HLL_K} / sd_s <= {_HLL_LC_CUTOFF} "
-        f"THEN 256.0 * ln(256.0 / (256 - f_s)) ELSE {_HLL_K} / sd_s END"
-    )
+    est_m = _hll_est_sql("f_m", "sd_m")
+    est_s = _hll_est_sql("f_s", "sd_s")
     return f"""
     WITH g AS (
       SELECT source, doc_id % 7 AS day,
@@ -7219,7 +7245,6 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("day").cast("long").alias("n_days")
     )
     j = merged.join(single, ["source", "reg"], "full_outer")
-    two64 = F.pow(F.lit(2.0), F.lit(64)).cast("decimal(38,0)")
     a = j.groupBy("source").agg(
         F.count("*").cast("long").alias("n_regs"),
         F.sum(
@@ -7235,25 +7260,13 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_fs"),
     )
 
-    def est(f: Column, s_filled: Column) -> Column:
-        sd = (s_filled + (F.lit(_HLL_M) - f) * two64).cast("double")
-        raw = F.lit(_HLL_K) / sd
-        return F.round(
-            F.when(
-                ((F.lit(_HLL_M) - f) > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)),
-                F.lit(float(_HLL_M))
-                * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - f)),
-            ).otherwise(raw),
-            4,
-        )
-
     fin = a.select(
         "source",
         "n_regs",
         "n_reg_mismatch",
         (F.col("n_reg_mismatch") == 0).alias("sketch_identical"),
-        est(F.col("f_m"), F.col("s_fm")).alias("merged_est"),
-        est(F.col("f_s"), F.col("s_fs")).alias("single_est"),
+        _hll_est_col(F.col("f_m"), F.col("s_fm")).alias("merged_est"),
+        _hll_est_col(F.col("f_s"), F.col("s_fs")).alias("single_est"),
     )
     return (
         fin.join(F.broadcast(days), "source")
@@ -7352,3 +7365,67 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, "doc_id", "ahash", n_bits=63, n_chunks=9, max_hamming=8
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _image_dhash_floor_sql(max_doc: int = 200, k: int = 5) -> str:
+    px = (
+        "list_transform(range(0, 64), "
+        "i -> ascii(substr(text, 1 + (i * length(text)) // 64, 1)))"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN g[{r * 8 + c + 1}] < g[{r * 8 + c + 2}] "
+        f"THEN CAST(1 AS BIGINT) << {r * 7 + c} ELSE CAST(0 AS BIGINT) END)"
+        for r in range(8)
+        for c in range(7)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= {max_doc}),
+    px AS (SELECT doc_id, {px} AS g FROM d),
+    h AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS dh FROM px)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    ORDER BY hamming, id_a, id_b
+    LIMIT {k}
+    """
+
+
+@register(
+    "q_image_dhash_floor",
+    oracle=_image_dhash_floor_sql(),
+    description=(
+        "dHash hamming floor — the honest NEGATIVE companion to "
+        "q_image_phash_near_dup that wires the second perceptual-hash "
+        "kernel (multimodal.image_dhash: pillow 9x8 gradient hash on "
+        "the real path, nearest-neighbor byte-downsample grid as the "
+        "deterministic fake) end to end: all pairs over a bounded "
+        "200-doc slice, exact popcount hamming, closest five by "
+        "(hamming, ids) via TakeOrderedAndProject. The result "
+        "DOCUMENTS why the aHash/bigram-histogram variant is the "
+        "production choice on byte-shifting payloads: position-based "
+        "dHash grids misalign under small insertions (every grid slot "
+        "samples a shifted byte), so even true near-duplicate pairs "
+        "floor at hamming ~12 here — the measured fact that drove the "
+        "aHash design, kept as a regression-checked query rather than "
+        "a code comment. Bounded all-pairs by construction (the demo "
+        "slice); the kernel itself is one Arrow pass, no shuffle."
+    ),
+)
+def q_image_dhash_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    sig = multimodal.image_dhash(media, "doc_id", fake=True)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("dhash").alias("hb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(5)
+    )

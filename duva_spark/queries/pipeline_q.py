@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from duva_spark.catalog import load_table
 from duva_spark.llm import dedup, minhash, textstats
@@ -4167,13 +4166,25 @@ def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
     # with vocabulary squared and can outgrow a driver, so the hints are
     # applied only after counting both tables against
     # spark.duva.kn.maxBroadcastTypes (default 4M rows ≈ low hundreds
-    # of MB). t3cnt is persisted first so the gate's two counts and the
-    # five downstream marginals all reuse ONE materialization of the
-    # corpus-sized trigram aggregation; an oversized model degrades
-    # automatically to the pre-r10 sort-merge chain instead of OOMing.
-    t3cnt = t3cnt.persist(StorageLevel.MEMORY_AND_DISK)
+    # of MB); an oversized model degrades automatically to the pre-r10
+    # sort-merge chain instead of OOMing. Both type counts come from
+    # ONE eager aggregation job (two multi-column countDistincts over
+    # the trigram-TYPE table — no per-value sketch state, so the
+    # r11 approx-distinct expand hazard does not apply), deliberately
+    # WITHOUT persisting t3cnt: a persist here would outlive the query
+    # in any session that does not clearCache between queries (r11
+    # review), and the one extra trigram aggregation the gate costs is
+    # the price of a leak-free automatic bound.
     max_types = int(spark.conf.get("spark.duva.kn.maxBroadcastTypes", "4000000"))
-    big = F.broadcast if max(ctx12.count(), c23.count()) <= max_types else (lambda df: df)
+    cnts = t3cnt.agg(
+        F.countDistinct("w1", "w2").alias("c12t"),
+        F.countDistinct("w2", "w3").alias("c23t"),
+    ).first()
+    big = (
+        F.broadcast
+        if max(cnts["c12t"], cnts["c23t"]) <= max_types
+        else (lambda df: df)
+    )
     scored = (
         ho.join(t3cnt, ["w1", "w2", "w3"], "left")
         .join(big(ctx12), ["w1", "w2"], "left")
@@ -5242,7 +5253,7 @@ def q_span_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT epochs, source, u, tt, d_opt,
              d_opt // 20 AS n_params,
-             6 * (d_opt // 20) * d_opt AS compute_flops,
+             6.0 * (d_opt // 20) * d_opt AS compute_flops,
              epochs * u AS alloc,
              CASE WHEN epochs <= 1 THEN epochs * u
                   ELSE u + u * 15.39 * (1 - exp(-(epochs - 1) / 15.39)) END AS eff
@@ -5262,9 +5273,11 @@ def q_span_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crossed with the data-constrained decay of "
         "q_repeat_epochs_decay (Muennighoff et al. 2023, R* = 15.39): "
         "for a grid of data budgets expressed as corpus epochs k in "
-        "{0.5..8}, the compute-optimal model size n_params = D/20 and "
-        "its training cost 6ND are derived in EXACT integer arithmetic "
-        "from the measured corpus token total, and the budget is split "
+        "{0.5..8}, the compute-optimal model size n_params = D/20 is "
+        "derived in EXACT integer arithmetic from the measured corpus "
+        "token total (the training cost 6ND rides as a double — the "
+        "IEEE product of exact ints, identical on both engines and "
+        "overflow-safe where 19.2T^2 would pass 2^63), and the budget is split "
         "across sources proportional to their unique tokens (k epochs "
         "of every source), each allocation priced by its effective "
         "(decayed) token value and utilization — the table that says "
@@ -5308,7 +5321,11 @@ def q_chinchilla_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eff, 4).alias("effective_tokens"),
         F.round(eff / (k * u), 6).alias("utilization"),
         n_params.alias("n_params"),
-        (F.lit(6) * n_params * F.col("d_opt")).alias("compute_flops"),
+        # double, not BIGINT: 19.2*T^2 overflows signed 64-bit past
+        # ~7e8 corpus tokens, where DuckDB errors and Spark wraps
+        # (r11 review); the IEEE product of exact ints is identical
+        # on both engines
+        (F.lit(6.0) * n_params * F.col("d_opt")).alias("compute_flops"),
     )
 
 

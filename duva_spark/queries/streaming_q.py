@@ -636,7 +636,7 @@ _REG["q_stream_true_quality_filter"] = _dc.replace(
 
 
 def _stream_hll_oracle() -> str:
-    from duva_spark.queries.llm_q import _HLL_K, _HLL_LC_CUTOFF, _HLL_M
+    from duva_spark.queries.llm_q import _HLL_M, _hll_est_sql, _hll_price_ctes
 
     bh = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
     return f"""
@@ -654,21 +654,9 @@ def _stream_hll_oracle() -> str:
       FROM g
     ),
     sk AS (SELECT source, reg, MAX(rho) AS m FROM r GROUP BY source, reg),
-    agg AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS f,
-             SUM(CAST(POWER(2, 64 - m) AS HUGEINT)) AS s_filled
-      FROM sk GROUP BY source
-    ),
-    s AS (
-      SELECT source, f,
-             CAST(s_filled + ({_HLL_M} - f) * CAST(POWER(2, 64) AS HUGEINT)
-                  AS DOUBLE) AS sd
-      FROM agg
-    )
+    {_hll_price_ctes()}
     SELECT source, f AS n_regs,
-           ROUND(CASE WHEN ({_HLL_M} - f) > 0 AND {_HLL_K} / sd <= {_HLL_LC_CUTOFF}
-                      THEN {_HLL_M}.0 * ln({_HLL_M}.0 / ({_HLL_M} - f))
-                      ELSE {_HLL_K} / sd END, 4) AS hll_est
+           ROUND({_hll_est_sql("f", "sd")}, 4) AS hll_est
     FROM s
     """
 
@@ -698,7 +686,7 @@ def _stream_hll_oracle() -> str:
 )
 def q_stream_true_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duva_spark.llm import minhash
-    from duva_spark.queries.llm_q import _HLL_K, _HLL_LC_CUTOFF, _HLL_M
+    from duva_spark.queries.llm_q import _HLL_M, hll_price_registers
     from duva_spark.streaming.jobs import read_documents_stream, run_available_now
 
     stream = read_documents_stream(spark, sf_dir)
@@ -724,26 +712,4 @@ def q_stream_true_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("m"))
     )
     regs = run_available_now(sk, "q_true_hll")
-    agg = regs.groupBy("source").agg(
-        F.count("*").cast("long").alias("f"),
-        F.sum(
-            F.pow(F.lit(2.0), F.lit(64) - F.col("m")).cast("decimal(38,0)")
-        ).alias("s_filled"),
-    )
-    two64 = F.pow(F.lit(2.0), F.lit(64)).cast("decimal(38,0)")
-    s = agg.select(
-        "source",
-        "f",
-        (F.col("s_filled") + (F.lit(_HLL_M) - F.col("f")) * two64)
-        .cast("double")
-        .alias("sd"),
-    )
-    raw = F.lit(_HLL_K) / F.col("sd")
-    est = F.when(
-        ((F.lit(_HLL_M) - F.col("f")) > 0) & (raw <= F.lit(_HLL_LC_CUTOFF)),
-        F.lit(float(_HLL_M))
-        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("f"))),
-    ).otherwise(raw)
-    return s.select(
-        "source", F.col("f").alias("n_regs"), F.round(est, 4).alias("hll_est")
-    )
+    return hll_price_registers(regs)
