@@ -192,6 +192,16 @@ def main() -> None:
         for k in ("r1_subset_sec", "value"):
             payload[k] = payload.pop(k)
         line = json.dumps(payload)
+    if len(line) > 1900:
+        # Still over budget after the r1-subset shrink (r11 ADVICE: ref
+        # block or r1-key growth could reproduce the bounded-parse
+        # failure) — drop the per-query map entirely; scalars + note
+        # alone always fit.
+        payload.pop("queries", None)
+        payload["queries_note"] = "dropped (line budget); full map in bench_detail_last.json"
+        for k in ("r1_subset_sec", "value"):
+            payload[k] = payload.pop(k)
+        line = json.dumps(payload)
     print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
     try:
         (Path(__file__).resolve().parent / "bench_detail_last.json").write_text(

@@ -75,6 +75,22 @@ def hash_banded_pairs(
     come from equi-joins on (chunk_idx, chunk_value), linear like
     MinHash banding, and are verified with an exact popcount. Returns
     (id_a, id_b, hamming)."""
+    # Fail-closed guards (r11 ADVICE): uneven chunking would silently
+    # drop the top n_bits % n_chunks bits from every band, and
+    # max_hamming >= n_chunks voids the pigeonhole guarantee — either
+    # way "exact-complete" would quietly become "approximate".
+    if n_bits % n_chunks != 0:
+        raise ValueError(
+            f"n_bits ({n_bits}) must be divisible by n_chunks ({n_chunks}): "
+            "uneven chunks would ignore the top bits and break the "
+            "pigeonhole completeness guarantee"
+        )
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_chunks ({n_chunks}) "
+            "for the pigeonhole guarantee (a pair differing in every "
+            "chunk would be missed)"
+        )
     chunk = n_bits // n_chunks
     mask = (1 << chunk) - 1
     sh = F.col(hash_col)

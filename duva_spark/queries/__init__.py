@@ -98,11 +98,21 @@ def exact_sum_round(col: Column, dp_in: int = 6, dp_out: int = 2) -> Column:
     import os
 
     if os.environ.get("DUVA_ASSERT_NONNEG"):
-        guard = F.assert_true(
-            col.isNull() | (col >= 0),
-            F.lit("exact_sum_round requires non-negative summands"),
+        # Direct conditional shape (r11 ADVICE): the otherwise-branch
+        # only evaluates assert_true when the predicate actually fails,
+        # so no optimizer rule can constant-fold the assertion away (the
+        # previous isnull(assert_true(...)) wrapper relied on Catalyst
+        # never simplifying it). Firing is unit-tested in
+        # tests/test_llm_ops.py::test_assert_nonneg_guard_fires.
+        # No cast on the otherwise branch: assert_true is NullType, which
+        # coerces to col's own type, so the guarded column's dtype (and
+        # the money-grid math) is identical with the flag on or off.
+        col = F.when(col.isNull() | (col >= 0), col).otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.lit("exact_sum_round requires non-negative summands"),
+            )
         )
-        col = F.when(guard.isNull(), col)
     s = F.sum(money_cents(col, 10**dp_in).cast("decimal(38,0)"))
     return (
         F.floor((s + F.lit(step // 2)) / F.lit(step)).cast("double")

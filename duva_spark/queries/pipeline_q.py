@@ -4078,6 +4078,24 @@ def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KN_GATE_CACHE: dict = {}
 
 
+def _data_fingerprint(sf_dir: str) -> tuple:
+    """Cheap (mtime_ns, size) fingerprint of the documents parquet under
+    sf_dir — stat() only, no data read. Used to invalidate the memoized
+    KN broadcast-gate verdict if the input is regenerated in-process."""
+    import os
+    from pathlib import Path
+
+    target = Path(sf_dir) / "documents.parquet"
+    try:
+        if target.is_dir():
+            parts = sorted(p for p in target.iterdir() if p.suffix == ".parquet")
+            return tuple((p.name, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in parts)
+        st = os.stat(target)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
 def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
     from duva_spark.llm import hashed_lm
 
@@ -4179,7 +4197,12 @@ def _kn3_frame(spark: SparkSession, sf_dir: str, min_count: int) -> DataFrame:
     # review), and the one extra trigram aggregation the gate costs is
     # the price of a leak-free automatic bound.
     max_types = int(spark.conf.get("spark.duva.kn.maxBroadcastTypes", "4000000"))
-    gate_key = (sf_dir, min_count, max_types)
+    # The cache key includes a cheap data fingerprint (mtime+size of the
+    # documents parquet tree) so regenerating the data under the same
+    # path in one process invalidates the memoized verdict — a stale
+    # True would broadcast bigram tables sized for the OLD data and turn
+    # the fail-closed OOM gate fail-open (r11 ADVICE).
+    gate_key = (sf_dir, _data_fingerprint(sf_dir), min_count, max_types)
     if gate_key not in _KN_GATE_CACHE:
         # one eager aggregation job; memoized per (input, prune, bound)
         # so repeated invocations in a session (bench min-of-N, repeated

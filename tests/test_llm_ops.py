@@ -2863,6 +2863,21 @@ def test_exact_sum_round_equals_decimal_round(spark):
     assert got == want == 123459.91
 
 
+def test_assert_nonneg_guard_fires(spark, monkeypatch):
+    """Under DUVA_ASSERT_NONNEG=1 a negative summand actually raises
+    (the r11 ADVICE hazard was an optimizer rule silently folding the
+    guard away), and a non-negative sum still returns the exact value."""
+    from duva_spark.queries import exact_sum_round
+
+    monkeypatch.setenv("DUVA_ASSERT_NONNEG", "1")
+    neg = spark.createDataFrame([(1.5,), (-0.25,)], "x double")
+    with pytest.raises(Exception, match="non-negative"):
+        neg.agg(exact_sum_round(F.col("x")).alias("s")).collect()
+    ok = spark.createDataFrame([(1.005,), (2.0,), (None,)], "x double")
+    got = ok.agg(exact_sum_round(F.col("x")).alias("s")).collect()[0]["s"]
+    assert got == 3.01
+
+
 def test_bpe_dropout_matches_sequential_reference(spark):
     """The dropout encode kernel equals a brute-force sequential greedy
     scan with the same (word, rule, position) mask, and dropout never
