@@ -5586,3 +5586,110 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "epoch_served_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle + shard manifest (round 12,
+# verdict item 4 — the loader-side step between q_token_shard_packing
+# and an actual training run)
+# ---------------------------------------------------------------------------
+
+
+_SHUFFLE_SEED = "duva-r12"
+_SHUFFLE_SHARD_TOKENS = 1024
+
+
+@register(
+    "q_training_order_shuffle",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens, h,
+             SUM(n_tokens) OVER (ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    ),
+    s AS (
+      SELECT *, CAST(FLOOR((cum - n_tokens) / {_SHUFFLE_SHARD_TOKENS}.0) AS BIGINT)
+                AS shard_id
+      FROM c
+    ),
+    ps AS (SELECT shard_id, source, CAST(COUNT(*) AS BIGINT) AS sc
+           FROM s GROUP BY 1, 2),
+    mix AS (SELECT shard_id, CAST(MAX(sc) AS BIGINT) AS max_source_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM ps GROUP BY 1),
+    man AS (SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   MIN(h) AS first_h
+            FROM s GROUP BY 1)
+    SELECT man.shard_id AS shard_id, man.n_docs AS n_docs,
+           man.n_tokens AS n_tokens, mix.n_sources AS n_sources,
+           mix.max_source_docs AS max_source_docs, man.first_h AS first_h
+    FROM man JOIN mix USING (shard_id)
+    """,
+    description=(
+        "Deterministic training-order shuffle + shard manifest (r11 "
+        "verdict item 4) — the loader-side step between "
+        "q_token_shard_packing and an actual training run: every "
+        "document gets a seed-keyed 60-bit hash rank "
+        "(md5('seed:' || doc_id) — re-seeding is a one-string change "
+        "and reshuffles the whole corpus deterministically), the hash "
+        "order interleaves sources uniformly by construction (no "
+        "source-run clumping, the thing a sequential-by-source scan "
+        "would cause), and documents pack into fixed-token-budget "
+        "shards along the exact distributed prefix sum "
+        "(operators/prefix_sum.running_sum: range partition -> "
+        "per-range window + broadcast offsets — NO single-partition "
+        "stage and NO global sort; the hash rank IS the order, so the "
+        "range exchange on (h, doc_id) is the only corpus-wide "
+        "movement). Emits the shard manifest a loader consumes: "
+        "shard_id, n_docs, n_tokens, source mix (n_sources + "
+        "max_source_docs, exact integers — no float ratio to drift "
+        "cross-engine), and first_h (the resume cursor: a loader "
+        "seeking shard k starts at its first hash rank). Upstream "
+        "mixture weighting composes: run the epoch-capped mixture "
+        "query first and feed its kept set through this order. "
+        "100 TB: the seed-keyed hash is embarrassingly parallel, the "
+        "prefix sum is two bounded exchanges, and the manifest agg is "
+        "shard-keyed — nothing scales worse than a word count."
+    ),
+)
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duva_spark.operators.prefix_sum import running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        textstats.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        minhash.md5_hash60(
+            F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    c = running_sum(t, ["h", "doc_id"], "n_tokens", out_col="cum")
+    s = c.withColumn(
+        "shard_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / float(_SHUFFLE_SHARD_TOKENS)).cast(
+            "long"
+        ),
+    )
+    ps = s.groupBy("shard_id", "source").agg(F.count("*").alias("sc"))
+    mix = ps.groupBy("shard_id").agg(
+        F.max("sc").cast("long").alias("max_source_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    man = s.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("h").alias("first_h"),
+    )
+    return man.join(mix, "shard_id").select(
+        "shard_id", "n_docs", "n_tokens", "n_sources", "max_source_docs", "first_h"
+    )
