@@ -121,6 +121,53 @@ def hash_banded_pairs(
     )
 
 
+def banded_pair_explain(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    n_chunks: int,
+    max_hamming: int,
+    modality: str,
+) -> DataFrame:
+    """Near-dup EXPLANATION rows for every qualifying pair: which LSH
+    chunks matched (count + bitmap, bit i set = chunk i agreed — i.e.
+    which band(s) actually produced the candidate), the exact hamming,
+    and the margin to the threshold. The audit surface a production
+    dedup pipeline exposes so a reviewer can see WHY two items were
+    merged. Shuffle bounded by pair volume (the pairs frame joins back
+    to the signature table twice on the id key), never all-pairs."""
+    from functools import reduce
+
+    pairs = hash_banded_pairs(sig, id_col, hash_col, n_bits, n_chunks, max_hamming)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    chunk = n_bits // n_chunks
+    mask = (1 << chunk) - 1
+    matches = [
+        F.shiftright(F.col("_ha"), i * chunk).bitwiseAND(F.lit(mask))
+        == F.shiftright(F.col("_hb"), i * chunk).bitwiseAND(F.lit(mask))
+        for i in range(n_chunks)
+    ]
+    n_matched = reduce(
+        lambda x, y: x + y, [F.when(m, 1).otherwise(0) for m in matches]
+    )
+    mask_col = reduce(
+        lambda x, y: x + y,
+        [F.when(m, 1 << i).otherwise(0) for i, m in enumerate(matches)],
+    )
+    return j.select(
+        F.lit(modality).alias("modality"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+        (F.lit(max_hamming) - F.col("hamming")).cast("int").alias("margin"),
+        n_matched.cast("int").alias("n_chunks_matched"),
+        mask_col.cast("int").alias("matched_chunk_mask"),
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     id_col: str,

@@ -1029,7 +1029,34 @@ def q_embed_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 5)
 
 
-def _simhash_pairs_sql(n_bits: int, n_chunks: int, max_hamming: int) -> str:
+def _banded_explain_sql(
+    ha: str, hb: str, modality: str, n_chunks: int, chunk: int, max_hamming: int
+) -> str:
+    """Final-select columns of the near-dup EXPLANATION form: which
+    LSH chunks matched (count + bitmap) and the hamming margin to the
+    threshold — shared by the text-SimHash and image-aHash legs of
+    q_neardup_explain."""
+    mask = (1 << chunk) - 1
+    match = [
+        f"((({ha} >> {i * chunk}) & {mask}) = (({hb} >> {i * chunk}) & {mask}))"
+        for i in range(n_chunks)
+    ]
+    n_matched = " + ".join(f"(CASE WHEN {m} THEN 1 ELSE 0 END)" for m in match)
+    mask_expr = " + ".join(
+        f"(CASE WHEN {m} THEN {1 << i} ELSE 0 END)" for i, m in enumerate(match)
+    )
+    return (
+        f"'{modality}' AS modality, id_a, id_b,"
+        f" CAST(bit_count(xor({ha}, {hb})) AS INT) AS hamming,"
+        f" CAST({max_hamming} - bit_count(xor({ha}, {hb})) AS INT) AS margin,"
+        f" CAST({n_matched} AS INT) AS n_chunks_matched,"
+        f" CAST({mask_expr} AS INT) AS matched_chunk_mask"
+    )
+
+
+def _simhash_pairs_sql(
+    n_bits: int, n_chunks: int, max_hamming: int, explain: bool = False
+) -> str:
     h = "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)"
     bit_terms = " + ".join(
         f"(CASE WHEN list_aggregate(list_transform(ws, w -> (({h} >> {j}) & 1) * 2 - 1), 'sum') > 0 "
@@ -1051,7 +1078,8 @@ def _simhash_pairs_sql(n_bits: int, n_chunks: int, max_hamming: int) -> str:
       FROM buckets a JOIN buckets b
         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    SELECT {_banded_explain_sql('sh_a', 'sh_b', 'text', n_chunks, chunk, max_hamming) if explain
+            else "id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming"}
     FROM cand
     WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
@@ -7288,7 +7316,9 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _image_ahash_pairs_sql(n_chunks: int = 9, max_hamming: int = 8) -> str:
+def _image_ahash_pairs_sql(
+    n_chunks: int = 9, max_hamming: int = 8, explain: bool = False
+) -> str:
     hh = "CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT)"
     bgs = (
         "list_transform(range(1, len(string_split(text, ' '))), "
@@ -7321,7 +7351,8 @@ def _image_ahash_pairs_sql(n_chunks: int = 9, max_hamming: int = 8) -> str:
         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(ah_a, ah_b)) AS INT) AS hamming
+    SELECT {_banded_explain_sql('ah_a', 'ah_b', 'image', n_chunks, chunk, max_hamming) if explain
+            else "id_a, id_b, CAST(bit_count(xor(ah_a, ah_b)) AS INT) AS hamming"}
     FROM cand
     WHERE bit_count(xor(ah_a, ah_b)) <= {max_hamming}
     """
@@ -7429,3 +7460,60 @@ def q_image_dhash_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "id_a", "id_b")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup explanation (round 12, verdict item 8c): WHY each pair
+# merged — matched bands, exact distance, margin — across modalities
+# ---------------------------------------------------------------------------
+
+
+def _neardup_explain_oracle() -> str:
+    return (
+        "SELECT * FROM ("
+        + _simhash_pairs_sql(16, 4, 2, explain=True)
+        + ") UNION ALL SELECT * FROM ("
+        + _image_ahash_pairs_sql(explain=True)
+        + ")"
+    )
+
+
+@register(
+    "q_neardup_explain",
+    oracle=_neardup_explain_oracle(),
+    description=(
+        "Near-dup EXPLANATION query (r11 verdict item 8c) — the audit "
+        "surface a production dedup pipeline exposes so a human "
+        "reviewer (or an appeals process) can see WHY two items were "
+        "merged, not just that they were: for every qualifying "
+        "near-dup pair in BOTH modalities (text SimHash 16-bit/4-chunk "
+        "at hamming <= 2, image aHash 63-bit/9-chunk at hamming <= 8 — "
+        "the exact configs of q_simhash_near_dup and "
+        "q_image_phash_near_dup, shared machinery in "
+        "simhash.banded_pair_explain so the explanation can never "
+        "drift from the dedup decision), emit which LSH chunks/bands "
+        "agreed (n_chunks_matched + matched_chunk_mask bitmap: bit i "
+        "set = band i produced or corroborated the candidate), the "
+        "exact popcount hamming, and the margin to the decision "
+        "threshold (margin 0 = borderline merge, the rows a reviewer "
+        "looks at first). 100 TB: candidates still come from the "
+        "linear band equi-join; the explanation legs join the "
+        "PAIR table (dup-volume-bounded) back to the signature table "
+        "on the id key — nothing all-pairs, nothing corpus-shuffled "
+        "beyond the signature scan both dedup queries already do."
+    ),
+)
+def q_neardup_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig_t = simhash.with_simhash(
+        docs.filter(F.col("doc_id") <= 300).select("doc_id", "text"), "text", "sh", 16
+    ).select("doc_id", "sh")
+    text_leg = simhash.banded_pair_explain(
+        sig_t, "doc_id", "sh", n_bits=16, n_chunks=4, max_hamming=2, modality="text"
+    )
+    media = multimodal.to_media_table(docs, "doc_id", "text")
+    sig_i = multimodal.image_ahash(media, "doc_id", fake=True)
+    img_leg = simhash.banded_pair_explain(
+        sig_i, "doc_id", "ahash", n_bits=63, n_chunks=9, max_hamming=8, modality="image"
+    )
+    return text_leg.unionByName(img_leg)

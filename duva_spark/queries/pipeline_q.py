@@ -46,6 +46,57 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-k reservoir sample (round 12 — completes the sampling family
+# next to q_hash_sample's fixed-RATE sample)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_reservoir_sample",
+    oracle="""
+    SELECT doc_id, source, lang, h AS rank_h
+    FROM (
+      SELECT doc_id, source, lang,
+             CAST('0x' || substr(md5('rsv1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    ORDER BY h, doc_id
+    LIMIT 100
+    """,
+    description=(
+        "Fixed-k uniform reservoir sample (r11 verdict item 8b) — the "
+        "EXACT-SIZE companion to q_hash_sample's fixed-rate sample: "
+        "each row gets a salt-keyed 60-bit hash rank and the k=100 "
+        "smallest ranks are the sample. Distributionally identical to "
+        "Vitter's reservoir algorithm (any k-subset is equally likely "
+        "under the uniform hash) but deterministic, engine-independent "
+        "and MERGEABLE: top-k of a union is the top-k of per-partition "
+        "top-k's, which is exactly what Spark's TakeOrderedAndProject "
+        "physical operator computes — each task keeps a k-row heap, "
+        "the driver merges #partitions * k rows, and NO global sort or "
+        "single-partition stage ever exists (plan-asserted in "
+        "tests/test_plans.py). Re-salting draws a fresh independent "
+        "sample; rank_h is emitted so downstream stages can verify "
+        "membership without re-hashing. 100 TB: the scan is "
+        "embarrassingly parallel and the only cross-task traffic is "
+        "k rows per task — the canonical bounded-driver sample at any "
+        "corpus size."
+    ),
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = minhash.md5_hash60(
+        F.concat(F.lit("rsv1:"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select("doc_id", "source", "lang", h.alias("rank_h"))
+        .orderBy("rank_h", "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stopword-strip normalization
 # ---------------------------------------------------------------------------
 
@@ -1761,6 +1812,172 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_a, 6).alias("p_a"),
         F.round(p_b, 6).alias("p_b"),
         F.round((p_a - p_b) * F.log(p_a / p_b), 8).alias("psi_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier drift monitor (round 12, verdict item 8a): PSI/KS
+# of the trained LR's OWN score distribution between two corpus halves
+# ---------------------------------------------------------------------------
+
+
+def _quality_drift_oracle() -> str:
+    """The shared unrolled-GD chain's final scoring pass, decile-bucketed
+    per corpus half; PSI terms exactly as q_psi_drift, the KS statistic
+    kept in the exact integer domain (|cum_a*tot_b - cum_b*tot_a|) so no
+    float division ever crosses the engine boundary, and the PSI total
+    summed on the 1e-8 grid (order-free integer sum of the already-
+    rounded terms)."""
+    from duva_spark.queries.llm_q import _LR_ROUNDS, _lr_ctes
+
+    t = _LR_ROUNDS - 1
+    ctes = _lr_ctes()
+    ctes.append(
+        f"sb AS (SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,"
+        f" CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a FROM p{t})"
+    )
+    ctes.append(
+        "dc AS (SELECT bin, CAST(SUM(in_a) AS BIGINT) AS n_a,"
+        " CAST(SUM(1 - in_a) AS BIGINT) AS n_b FROM sb GROUP BY bin)"
+    )
+    ctes.append(
+        "dt AS (SELECT bin, n_a, n_b,"
+        " CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,"
+        " CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b,"
+        " COUNT(*) OVER () AS k,"
+        " CAST(SUM(n_a) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS BIGINT) AS cum_a,"
+        " CAST(SUM(n_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS BIGINT) AS cum_b"
+        " FROM dc)"
+    )
+    ctes.append(
+        "dd AS (SELECT bin, n_a, n_b,"
+        " ROUND((CAST(n_a AS DOUBLE) + 1) / (tot_a + k), 6) AS p_a,"
+        " ROUND((CAST(n_b AS DOUBLE) + 1) / (tot_b + k), 6) AS p_b,"
+        " ROUND(((CAST(n_a AS DOUBLE) + 1) / (tot_a + k)"
+        "        - (CAST(n_b AS DOUBLE) + 1) / (tot_b + k))"
+        "       * ln(((CAST(n_a AS DOUBLE) + 1) / (tot_a + k))"
+        "            / ((CAST(n_b AS DOUBLE) + 1) / (tot_b + k))), 8) AS psi_term,"
+        " CAST(ABS(cum_a * tot_b - cum_b * tot_a) AS BIGINT) AS ks_num"
+        " FROM dt)"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + """
+    SELECT bin, n_a, n_b, p_a, p_b, psi_term, ks_num,
+           CAST(SUM(CAST(FLOOR(psi_term * 1e8 + 0.5) AS BIGINT)) OVER ()
+                AS BIGINT) AS psi_total_e8,
+           CAST(MAX(ks_num) OVER () AS BIGINT) AS ks_stat_num,
+           (SUM(CAST(FLOOR(psi_term * 1e8 + 0.5) AS BIGINT)) OVER ())
+             > 20000000 AS drift_alert
+    FROM dd
+    """
+    )
+
+
+@register(
+    "q_quality_drift_monitor",
+    oracle=_quality_drift_oracle(),
+    description=(
+        "Quality-classifier drift monitor (r11 verdict item 8a) — the "
+        "deploy-time gate a production filter pipeline runs before "
+        "trusting yesterday's classifier on today's crawl: the "
+        "distilled LR (shared unrolled-GD oracle chain, final-round "
+        "weights — the SAME chain as q_lr_quality_distill so the "
+        "monitor audits the model the pipeline actually serves) scores "
+        "the whole corpus, the score distribution is decile-bucketed "
+        "per corpus half (doc_id parity = the stand-in for "
+        "yesterday-vs-today ingest windows), and the monitor reports "
+        "BOTH standard drift statistics per bin: Laplace-smoothed PSI "
+        "terms (q_psi_drift's exact form, totalled on the 1e-8 integer "
+        "grid so the sum is order-free) and the Kolmogorov-Smirnov "
+        "statistic kept in the exact integer domain "
+        "(ks_num = |cum_a*tot_b - cum_b*tot_a|; divide by "
+        "tot_a*tot_b off-engine to read the classic D statistic). "
+        "drift_alert fires at the standard PSI > 0.2 retrain trigger. "
+        "Differs from q_psi_drift in WHAT it monitors: not a raw "
+        "feature but the model's own output distribution — the signal "
+        "that catches feature drift, label drift and serving skew at "
+        "once. The windows run on the 10-row decile frame (bounded by "
+        "the statistic's definition, exemption-listed); everything "
+        "corpus-sized is the one scoring pass. 100 TB: score deciles "
+        "are map-side-combined, the monitor itself never shuffles the "
+        "corpus; at 1e12 docs swap the bigint KS cross-product to "
+        "decimal(38,0) — the query's only N-dependent arithmetic."
+    ),
+)
+def q_quality_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from duva_spark.llm import logreg
+    from duva_spark.queries.llm_q import _LR_B, _LR_ETA, _LR_HOLD, _LR_ROUNDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = textstats.gopher_flags(docs).select(
+        "doc_id",
+        "text",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("y"),
+    )
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    _, w = logreg.logreg_train(
+        lab, "doc_id", "y", "text",
+        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+        features=feat,
+    )
+    scored = logreg.logreg_score(
+        lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
+    )
+    sb = scored.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.when(F.col("_id") % 2 == 0, 1).otherwise(0).alias("in_a"),
+    )
+    dc = sb.groupBy("bin").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("n_b"),
+    )
+    whole = W.partitionBy()
+    cum = W.partitionBy().orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dt = dc.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(whole).alias("tot_a"),
+        F.sum("n_b").over(whole).alias("tot_b"),
+        F.count("*").over(whole).alias("k"),
+        F.sum("n_a").over(cum).alias("cum_a"),
+        F.sum("n_b").over(cum).alias("cum_b"),
+    )
+    p_a = (F.col("n_a").cast("double") + 1) / (F.col("tot_a") + F.col("k"))
+    p_b = (F.col("n_b").cast("double") + 1) / (F.col("tot_b") + F.col("k"))
+    dd = dt.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round((p_a - p_b) * F.log(p_a / p_b), 8).alias("psi_term"),
+        F.abs(
+            F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a")
+        ).cast("long").alias("ks_num"),
+    )
+    psi_e8 = F.sum(F.floor(F.col("psi_term") * 1e8 + 0.5).cast("long")).over(whole)
+    return dd.select(
+        "bin",
+        "n_a",
+        "n_b",
+        "p_a",
+        "p_b",
+        "psi_term",
+        "ks_num",
+        psi_e8.cast("long").alias("psi_total_e8"),
+        F.max("ks_num").over(whole).cast("long").alias("ks_stat_num"),
+        (psi_e8 > 20000000).alias("drift_alert"),
     )
 
 

@@ -228,6 +228,9 @@ _UNPARTITIONED_WINDOW_OK: set[str] = {
     "q_benford_digit_test",
     "q_chi2_independence",
     "q_psi_drift",
+    # windows over the 10-row score-decile frame (bounded by the
+    # statistic's definition, like q_psi_drift)
+    "q_quality_drift_monitor",
     # cumulative window over the ≤ n_buckets vocabulary-growth table
     "q_heaps_law",
     # rank fusion over the two top-k result lists (k rows each)
@@ -339,6 +342,16 @@ def test_repeated_ngrams_top50_is_take_ordered(spark, sf_dir):
     q = load_all()["q_repeated_ngrams"]
     plan = _plan(q.fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    """The fixed-k hash-rank sample must plan as TakeOrderedAndProject
+    (per-task k-row heaps merged on the driver) — a Sort + Limit global
+    materialization would serialize the corpus through one stage."""
+    q = load_all()["q_reservoir_sample"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
 
 
 def test_text_statistics_queries_stay_broadcast_and_bounded(spark, sf_dir):

@@ -1125,6 +1125,75 @@ def sweep(spark, sizes_small, sizes_big, only=None):
 
     cases.append(("image_phash_pairs", sizes_big, image_phash_case))
 
+    def hll_merge_case(n):
+        # q_hll_merge_rollup's shape (r11 verdict item 5): per-(source,
+        # day) shard sketches from the linear trigram pass, register-
+        # wise MAX merge — the merge exchange is bounded by 256 regs x
+        # 8 sources x 7 days = 14,336 rows at ANY n — and the null-safe
+        # full-outer register compare against the single-pass sketch.
+        # Expected ~linear per 10x: the two gram scans dominate; the
+        # merge leg's flat bound is exactly what keeps it so.
+        d = _docs(spark, n).select(
+            (F.col("doc_id") % 8).cast("string").alias("source"),
+            (F.col("doc_id") % 7).alias("day"),
+            F.split("text", " ").alias("ws"),
+        )
+        grams = d.select(
+            "source",
+            "day",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]))"
+                )
+            ).alias("g"),
+        )
+        h = minhash.md5_hash60(F.col("g"))
+        v = F.shiftright(h, 8)
+        rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+        r = grams.select("source", "day", (h % 256).alias("reg"), rho.alias("rho"))
+        shard = r.groupBy("source", "day", "reg").agg(F.max("rho").alias("m"))
+        merged = shard.groupBy("source", "reg").agg(F.max("m").alias("mm"))
+        single = r.groupBy("source", "reg").agg(F.max("rho").alias("ms"))
+        _force(merged.join(single, ["source", "reg"], "full_outer"))
+
+    cases.append(("hll_merge_rollup", sizes_big, hll_merge_case))
+
+    def span_audit_case(n):
+        # q_span_hash_collision_audit's shape (r11 verdict item 5): the
+        # hash-keyed positional 8-gram pass (linear), candidate keys at
+        # doc-frequency >= 2, then the exact-string verify leg — a
+        # semi-join probe whose shuffle carries only the DUPLICATED
+        # gram subset's strings (the generator's ~8% collapsed-seed dup
+        # rate), never the unique-gram tail. Expected ~linear per 10x
+        # with the verify leg a constant fraction set by the dup rate.
+        d = _docs(spark, n)
+        ws = F.split(F.col("text"), " ")
+        g = d.select(
+            "doc_id", F.explode(minhash.word_shingles(ws, 8)).alias("gram")
+        ).select("gram", minhash.md5_hash60(F.col("gram")).alias("gh"))
+        cand = (
+            g.groupBy("gh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") >= 2)
+            .select("gh")
+        )
+        ver = (
+            g.join(cand, "gh", "left_semi")
+            .groupBy("gh")
+            .agg(F.countDistinct("gram").alias("n_strings"))
+        )
+        _force(
+            ver.agg(
+                F.count("*").alias("n_candidate_keys"),
+                F.sum(F.when(F.col("n_strings") > 1, 1).otherwise(0)).alias(
+                    "n_collision_keys"
+                ),
+            )
+        )
+
+    cases.append(("span_hash_audit", sizes_big, span_audit_case))
+
     results = {}
     for name, sizes, fn in cases:
         if only and name not in only:
