@@ -66,7 +66,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     registry = load_all()
     seen = _previously_checked()
-    ordered = sorted(registry, key=lambda name: (name in seen, name))
+
+    def rank(name: str) -> int:
+        # 0 = never driver-checked (rotate into the sample first);
+        # 1 = previously green (rotate behind the unchecked);
+        # 2 = by-design rows-only AND already rows-only-checked — sort
+        #     LAST: it can never turn green, so inside the driver's
+        #     ~50-row sample window it would burn a slot every round
+        #     (r11 verdict item 1; seen-marking alone left it at
+        #     alphabetical position ~31, still inside the window).
+        if name in seen:
+            return 2 if registry[name].oracle is None else 1
+        return 0
+
+    ordered = sorted(registry, key=lambda name: (rank(name), name))
     return {name: registry[name].fn for name in ordered}
 
 

@@ -28,7 +28,8 @@ from duva_spark.session import get_spark  # noqa: E402
 # r9: bumped from 7669d30 (r7) to the r8 code HEAD.
 # r10: bumped to the r9 code HEAD.
 # r11: bumped to the r10 code HEAD.
-_REF_COMMIT = "13ec3c0"
+# r12: bumped to the r11 code HEAD.
+_REF_COMMIT = "1d579dc"
 
 # The round-1 10-query headline set: the driver's self-baseline
 # (BASELINE.md, 10.639 s at sf0.1). Its subtotal is emitted as its own
