@@ -136,9 +136,18 @@ def banded_pair_explain(
     and the margin to the threshold. The audit surface a production
     dedup pipeline exposes so a reviewer can see WHY two items were
     merged. Shuffle bounded by pair volume (the pairs frame joins back
-    to the signature table twice on the id key), never all-pairs."""
+    to the signature table twice on the id key), never all-pairs.
+
+    The signature frame feeds THREE consumers (the band join and both
+    explain re-joins), so it is localCheckpoint'ed first: signatures
+    can be an Arrow mapInPandas pass over the payload column (the
+    image-aHash leg), and without the checkpoint that corpus pass runs
+    three times — the blocks are freed with the result's lineage,
+    unlike a persist() that pins the session cache (ADVICE r3
+    discipline)."""
     from functools import reduce
 
+    sig = sig.select(id_col, hash_col).localCheckpoint()
     pairs = hash_banded_pairs(sig, id_col, hash_col, n_bits, n_chunks, max_hamming)
     a = sig.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"))
