@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from duva_spark.queries import exact_avg
@@ -190,51 +190,88 @@ def logreg_train(
     w = {b: 0.0 for b in range(-2, n_buckets)}
     metrics: list[tuple[int, float, float]] = []
     y1 = F.when(F.col("y"), 1.0).otherwise(0.0)
+    train = F.col("h") >= holdout_pct
+    # r12 optimization: the round previously ran THREE Spark actions
+    # (score + localCheckpoint, metrics collect, gradient join +
+    # collect — ~8 AQE stage-materialization jobs each round). Fused
+    # into ONE action: the margin attaches to every feature row via a
+    # window over the doc id (same exact decimal(38,0) term grid, so z
+    # is bit-identical to the _score groupBy), the weight table rides
+    # as a literal map instead of a broadcast-join frame (identical
+    # lookups, no per-round broadcast build job), and one
+    # groupBy(bucket) computes the gradient for every bucket AND the
+    # global metrics — the bucket -1 (bias) group holds exactly one
+    # row per document, so its group-local loss/accuracy aggregates
+    # ARE the per-doc metrics the old scored frame produced.
     for t in range(rounds):
-        scored = _score(feat, w).localCheckpoint()
-        m = scored.agg(
-            exact_avg(
-                F.when(
-                    F.col("h") >= holdout_pct,
-                    F.when(F.col("y"), F.log("p")).otherwise(F.log(1.0 - F.col("p"))),
+        order = sorted(w)
+        wmap = F.map_from_arrays(
+            F.array(*[F.lit(b) for b in order]),
+            F.array(*[F.lit(w[b]) for b in order]),
+        )
+        term = F.floor(
+            F.element_at(wmap, F.col("bucket").cast("int")) * F.col("x") * 1e9
+            + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        zw = Window.partitionBy("_id")
+        rows = feat.withColumn(
+            "z", F.round(F.sum(term).over(zw).cast("double") / 1e9, 6)
+        ).withColumn(
+            "p",
+            F.least(
+                F.greatest(
+                    F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6),
+                    F.lit(P_CLAMP),
                 ),
-                9,
-                6,
-                negate=True,
-            ).alias("train_loss"),
-            F.round(
-                F.avg(
-                    F.when(
-                        F.col("h") < holdout_pct,
-                        F.when((F.col("z") > 0) == F.col("y"), 1.0).otherwise(0.0),
-                    )
-                ),
-                6,
-            ).alias("holdout_acc"),
-        ).collect()[0]
-        metrics.append((t, float(m["train_loss"]), float(m["holdout_acc"])))
-        if t == rounds - 1:
-            break
+                F.lit(1.0 - P_CLAMP),
+            ),
+        )
+        gterm = F.when(
+            train,
+            F.floor(
+                (F.col("p") - y1) * F.col("x") * 1e9 + F.lit(0.5)
+            ).cast("decimal(38,0)"),
+        )
         g_rows = (
-            feat.filter(F.col("h") >= holdout_pct)
-            .join(scored.select("_id", "p", (y1).alias("y1")), "_id")
-            .groupBy("bucket")
+            rows.groupBy("bucket")
             .agg(
                 F.round(
-                    F.sum(
-                        F.floor(
-                            (F.col("p") - F.col("y1")) * F.col("x") * 1e9
-                            + F.lit(0.5)
-                        ).cast("decimal(38,0)")
-                    ).cast("double")
-                    / 1e9
-                    / F.lit(float(n_train)),
+                    F.sum(gterm).cast("double") / 1e9 / F.lit(float(n_train)), 6
+                ).alias("g"),
+                exact_avg(
+                    F.when(
+                        train,
+                        F.when(F.col("y"), F.log("p")).otherwise(
+                            F.log(1.0 - F.col("p"))
+                        ),
+                    ),
+                    9,
                     6,
-                ).alias("g")
+                    negate=True,
+                ).alias("train_loss"),
+                F.round(
+                    F.avg(
+                        F.when(
+                            ~train,
+                            F.when((F.col("z") > 0) == F.col("y"), 1.0).otherwise(
+                                0.0
+                            ),
+                        )
+                    ),
+                    6,
+                ).alias("holdout_acc"),
             )
             .collect()
         )
-        grad = {r["bucket"]: float(r["g"]) for r in g_rows}
+        bias = next(r for r in g_rows if int(r["bucket"]) == -1)
+        metrics.append((t, float(bias["train_loss"]), float(bias["holdout_acc"])))
+        if t == rounds - 1:
+            break
+        # a bucket with no train rows sums to NULL here (the old
+        # filtered groupBy simply omitted it) — same zero-gradient
+        grad = {
+            int(r["bucket"]): float(r["g"]) for r in g_rows if r["g"] is not None
+        }
         w = {
             b: round_half_up(wv - eta * grad.get(b, 0.0), 9) for b, wv in w.items()
         }

@@ -327,6 +327,97 @@ def unigram_encode_counts_arrow(
     )
 
 
+def fertility_counts_arrow(
+    docs: DataFrame,
+    rules: list[tuple[int, str, str, str, int]],
+    lp: dict[str, float],
+    group_col: str = "lang",
+    text_col: str = "text",
+    word_cap: int = 16,
+    max_len: int = 4,
+) -> DataFrame:
+    """(group_col, nw, nc, nb, nu) per document — the trained-tokenizer
+    head-to-head census (BPE char merges AND unigram Viterbi count per
+    word) as ONE Arrow kernel pass with per-task word→count memos.
+
+    r12 optimization: q_tokenizer_fertility_trained previously encoded
+    every word occurrence through the nested greedy-merge folds plus
+    the Viterbi fold — higher-order-function lambdas are INTERPRETED
+    per element (the same construct the Gopher-repetition and
+    unigram-encode A/Bs measured at 10-15× slower than an Arrow
+    kernel), and the fold re-runs per OCCURRENCE where the memo runs
+    once per distinct word per task (Zipf). Semantics replicated
+    exactly: the BPE loop is the pinned-identical merge scan of
+    ``bpe.encode_token_counts_arrow`` (training-order, greedy
+    left-to-right merge-and-consume) and the unigram count is
+    ``_viterbi_count_py`` (pinned identical to the fold in tests);
+    word universe w != '' and len(w) <= word_cap, identical to the
+    fold projection. Pinned value-identical to the fold form by
+    tests/test_llm_ops.py::test_fertility_arrow_matches_fold."""
+    import pandas as pd
+
+    pairs = [(a, b, m) for _, a, b, m, _ in rules]
+    g_dt = docs.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {g_dt}, nw long, nc long, nb long, nu long"
+
+    def kernel(batches):
+        bmemo: dict[str, int] = {}
+        umemo: dict[str, int] = {}
+
+        def bpe_n(word: str) -> int:
+            hit = bmemo.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            for a, b, m in pairs:
+                out = []
+                i = 0
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            bmemo[word] = len(syms)
+            return len(syms)
+
+        def uni_n(word: str) -> int:
+            hit = umemo.get(word)
+            if hit is None:
+                hit = _viterbi_count_py(word, lp, max_len)
+                umemo[word] = hit
+            return hit
+
+        for pdf in batches:
+            rows = []
+            for g, text in zip(pdf[group_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    # NULL text: split(NULL) nulls the whole census in
+                    # the fold form — emit the same
+                    rows.append([g, None, None, None, None])
+                    continue
+                ws = [
+                    w for w in text.split(" ") if w != "" and len(w) <= word_cap
+                ]
+                rows.append(
+                    [
+                        g,
+                        len(ws),
+                        sum(len(w) for w in ws),
+                        sum(bpe_n(w) for w in ws),
+                        sum(uni_n(w) for w in ws),
+                    ]
+                )
+            yield pd.DataFrame(
+                rows, columns=[group_col, "nw", "nc", "nb", "nu"]
+            )
+
+    return docs.select(group_col, text_col).mapInPandas(kernel, schema=schema)
+
+
 def unigram_encode_counts(
     docs: DataFrame,
     lp: dict[str, float],

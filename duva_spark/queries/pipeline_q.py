@@ -1924,7 +1924,7 @@ def q_quality_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).persist()
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
@@ -3490,10 +3490,11 @@ def _fertility_oracle() -> str:
         "on a language = that language pays more sequence length per "
         "word, trains slower and truncates sooner; the XLM-R/NLLB "
         "tokenizer-audit step). Both models train as usual (8 BPE "
-        "merges; 3 unigram hard-EM rounds), then ONE scan projection "
-        "encodes every word both ways (nested greedy folds + the slim "
-        "Viterbi fold, vocab and merges inlined as literals — no UDF, "
-        "no join) and a language groupBy sums exact token counts; "
+        "merges; 3 unigram hard-EM rounds), then ONE Arrow-kernel scan "
+        "encodes every word both ways (per-task word→count memos — "
+        "Zipf makes most words repeats; pinned value-identical to the "
+        "interpreted-HOF fold form, no join) "
+        "and a language groupBy sums exact token counts; "
         "restricted to the unigram trainer's 16-char word universe so "
         "the comparison is apples-to-apples. The oracle nests BOTH "
         "verified training chains in one WITH (they share no CTE "
@@ -3513,27 +3514,13 @@ def q_tokenizer_fertility_trained(spark: SparkSession, sf_dir: str) -> DataFrame
         docs, "text", max_len=_UNI_L, n_seed=_UNI_SEED, rounds=_UNI_R,
         word_cap=_UNI_CAP,
     )
-    pieces = sorted(lp)
-    vocab_map = F.map_from_arrays(
-        F.array(*[F.lit(p) for p in pieces]),
-        F.array(*[F.lit(lp[p]) for p in pieces]),
-    )
-    ws = F.filter(
-        F.split(F.col("text"), " "),
-        lambda w: (w != "") & (F.length(w) <= _UNI_CAP),
-    )
-    per_bpe = F.transform(ws, lambda w: F.size(bpe.encode_word(w, rules)))
-    per_uni = F.transform(
-        ws, lambda w: unigram.viterbi_token_count(w, vocab_map, _UNI_L)
-    )
-    chars = F.transform(ws, lambda w: F.length(w))
-    zero = F.lit(0)
-    per_doc = docs.select(
-        "lang",
-        F.size(ws).alias("nw"),
-        F.aggregate(chars, zero, lambda a, v: a + v).alias("nc"),
-        F.aggregate(per_bpe, zero, lambda a, v: a + v).alias("nb"),
-        F.aggregate(per_uni, zero, lambda a, v: a + v).alias("nu"),
+    # Arrow kernel with per-task word->count memos instead of the
+    # per-occurrence interpreted HOF folds (r12 optimization; pinned
+    # value-identical to the fold form in tests) — the encode pass was
+    # ~23 s of this query's ~29 s at sf0.1.
+    per_doc = unigram.fertility_counts_arrow(
+        docs, rules, lp,
+        group_col="lang", text_col="text", word_cap=_UNI_CAP, max_len=_UNI_L,
     )
     ag = per_doc.groupBy("lang").agg(
         F.sum("nw").cast("long").alias("n_words"),

@@ -1268,6 +1268,72 @@ def test_bpe_encode_arrow_matches_fold(spark, sf_dir):
         assert fold == arrow, f"alphabet={alphabet}"
 
 
+def test_fertility_arrow_matches_fold(spark, sf_dir):
+    """The fused fertility Arrow kernel (BPE merges + unigram Viterbi
+    counts in one pass, per-task word memos) is pinned value-identical
+    to the interpreted-HOF fold projection it replaced
+    (q_tokenizer_fertility_trained, r12 optimization)."""
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import bpe, unigram
+
+    cap, max_len = 16, 4
+    docs = load_table(spark, sf_dir, "documents").limit(120).localCheckpoint()
+    rules = bpe.bpe_train(docs, "text", n_merges=4)
+    lp = unigram.unigram_trained_lp(
+        docs, "text", max_len=max_len, n_seed=24, rounds=2, word_cap=cap
+    )
+    pieces = sorted(lp)
+    vocab_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in pieces]),
+        F.array(*[F.lit(lp[p]) for p in pieces]),
+    )
+    ws = F.filter(
+        F.split(F.col("text"), " "),
+        lambda w: (w != "") & (F.length(w) <= cap),
+    )
+    zero = F.lit(0)
+    fold = (
+        docs.select(
+            "lang",
+            F.size(ws).alias("nw"),
+            F.aggregate(
+                F.transform(ws, lambda w: F.length(w)), zero, lambda a, v: a + v
+            ).alias("nc"),
+            F.aggregate(
+                F.transform(ws, lambda w: F.size(bpe.encode_word(w, rules))),
+                zero,
+                lambda a, v: a + v,
+            ).alias("nb"),
+            F.aggregate(
+                F.transform(
+                    ws, lambda w: unigram.viterbi_token_count(w, vocab_map, max_len)
+                ),
+                zero,
+                lambda a, v: a + v,
+            ).alias("nu"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("nw").alias("nw"), F.sum("nc").alias("nc"),
+            F.sum("nb").alias("nb"), F.sum("nu").alias("nu"),
+        )
+    )
+    arrow = (
+        unigram.fertility_counts_arrow(
+            docs, rules, lp, group_col="lang", text_col="text",
+            word_cap=cap, max_len=max_len,
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("nw").alias("nw"), F.sum("nc").alias("nc"),
+            F.sum("nb").alias("nb"), F.sum("nu").alias("nu"),
+        )
+    )
+    got_f = {r["lang"]: r.asDict() for r in fold.collect()}
+    got_a = {r["lang"]: r.asDict() for r in arrow.collect()}
+    assert got_f == got_a
+
+
 def _unigram_python_reference(texts, max_len, n_seed, rounds):
     """Pure-python replay of the unigram_train spec: weighted substring
     seed vocab (singles + top-n_seed multis, count-desc piece-asc),

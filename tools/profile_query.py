@@ -37,6 +37,8 @@ def main() -> int:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     registry = load_all()
@@ -66,9 +68,17 @@ def main() -> int:
     if not logs:
         print("no event log found", file=sys.stderr)
         return 1
+    target = logs[-1]
+    # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_*)
+    files = (
+        sorted(p for p in target.iterdir() if p.name.startswith("events_"))
+        if target.is_dir()
+        else [target]
+    )
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    for line in logs[-1].open():
+    lines = (ln for f in files for ln in f.open())
+    for line in lines:
         try:
             ev = json.loads(line)
         except ValueError:
