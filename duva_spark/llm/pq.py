@@ -64,16 +64,26 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books: list[list] = []
-    for s in range(m):
+
+    def train_one(s: int) -> list:
         sub = emb.select(
             id_col, F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sub")
         )
         cen, _ = kmeans.lloyd(
             sub, k=ksub, iters=iters, dim=dsub, id_col=id_col, vec_col="sub", dp=dp
         )
-        books.append(sorted(cen.collect(), key=lambda r: r["cluster"]))
-    return books
+        return sorted(cen.collect(), key=lambda r: r["cluster"])
+
+    # The m subspace Lloyd chains are INDEPENDENT (each trains on its
+    # own slice; no chain reads another's output), so their per-round
+    # driver round-trips overlap via a small thread pool — guide §2.6:
+    # Spark schedules concurrent jobs FIFO and back-fills idle cores.
+    # Per-subspace values are untouched (same jobs, same arithmetic,
+    # just submitted concurrently); pool.map preserves subspace order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        return list(pool.map(train_one, range(m)))
 
 
 def pq_encode(

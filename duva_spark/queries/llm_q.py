@@ -3145,19 +3145,15 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     h = minhash.md5_hash60(F.col("vec_id").cast("string")) % 100
-    # the id window bounds the probe count absolutely — the broadcast
-    # contract of probe_topk requires a bounded probe set, not a rate
-    probes = emb.filter((h < 10) & (F.col("vec_id") < 4096)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_vec"),
-    )
-    top5 = similarity.probe_topk(
-        corpus, probes, 5, F.col("neighbor_id") != F.col("query_id")
-    )
+    # the id window bounds the probe count absolutely — the bounded
+    # probe-set contract of the broadcast/collect probe paths
+    probes = emb.filter((h < 10) & (F.col("vec_id") < 4096))
+    # Arrow/BLAS brute-force twin (pinned value-identical to the
+    # probe_topk fold): ~400 probes x corpus x dim through one numpy
+    # matmul per batch instead of the per-element interpreted fold —
+    # the fold leg was a single 5.0s job of this query's 6.4s at sf0.1
+    # (r12 optimization, guide §4.2).
+    top5 = similarity.brute_force_topk_arrow(emb, probes, k=5)
     nlab = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
     )
@@ -6259,9 +6255,21 @@ def q_embed_compression_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_PARETO_BYTES["fp32"]).alias("bytes_per_vector"),
         F.round(F.lit(1.0), 4).alias("mean_recall_at_5"),
     )
-    for v, fn in comps.items():
+    # The four component chains are independent and their fn() calls
+    # run training jobs (PQ/IVF Lloyd collects) at CONSTRUCTION time —
+    # build them in a small thread pool so those driver round-trips
+    # overlap (guide §2.6); each component's values are exactly the
+    # registered query's own (same fn, same arithmetic), and the union
+    # order below is fixed by the comps dict order as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(comps)) as pool:
+        frames = dict(
+            zip(comps, pool.map(lambda fn: fn(spark, sf_dir), comps.values()))
+        )
+    for v in comps:
         out = out.unionByName(
-            fn(spark, sf_dir).agg(
+            frames[v].agg(
                 F.lit(v).alias("variant"),
                 F.lit(_PARETO_BYTES[v]).alias("bytes_per_vector"),
                 F.round(

@@ -665,11 +665,10 @@ _BNLJ_SITES = [
     ("q_embed_cosine_topk", 1),
     ("q_embed_l2_topk", 1),
     ("q_epoch_capped_mixture", 1),
-    # r5 late addition: the KNN purity audit probes through probe_topk's
-    # broadcast crossJoin (same site class as q_hard_negatives), and the
+    # r5 late addition (r12: q_knn_label_purity's probe leg moved to the
+    # Arrow/BLAS brute-force twin — no crossJoin site remains there); the
     # cluster-size histogram attaches its singleton row via two 1-row
     # broadcast aggregates
-    ("q_knn_label_purity", 1),
     ("q_dedup_cluster_size_dist", 1),
     ("q_repeat_epochs_plan", 1),
     ("q_gram_novelty", 1),

@@ -123,7 +123,9 @@ AUDIT: list[tuple[str, str, str, str]] = [
     # the module docstring)
     ("llm/evals.py", 'F.avg(F.when(F.col(y_col), 1.0).otherwise(0.0)), 6', "indicator-0/1",
      "calibration-bin label fraction"),
-    ("llm/logreg.py", 'F.round(                 F.avg(', "indicator-0/1",
+    # substring deliberately whitespace-free: the r12 fused-round rewrite
+    # re-indented the site and the only F.avg left in logreg.py IS it
+    ("llm/logreg.py", 'F.avg(', "indicator-0/1",
      "holdout accuracy: 1.0/0.0 correctness flags"),
 ]
 
@@ -167,6 +169,11 @@ AUDIT_SUM: list[tuple[str, str, str, str]] = [
      "CMM errors ride as exact scaled integers (q_cms_mean_min_bias)"),
     ("queries/llm_q.py", 'F.round(F.sum(cms_err) * 1.0 / F.count("*"), 6).alias("cms_mae"),', "int-summand",
      "CMS absolute errors are exact integer counts (q_cms_mean_min_bias)"),
+    # r12 fused-LR-round rewrite: the margin z is summed over the per-doc
+    # window from FLOOR-gridded decimal(38,0) terms — exact integer sum
+    # under any order (the marker FLOOR( is on the term's own line above)
+    ("llm/logreg.py", "F.sum(term).over(zw)", "pre-scaled-int",
+     "margin z: FLOOR-gridded decimal(38,0) terms, exact under any order"),
 ]
 
 # a SUM line with one of these markers is exact by construction
