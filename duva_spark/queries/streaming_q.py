@@ -445,6 +445,9 @@ def q_stream_true_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         ).withColumn("pair_key", F.concat_ws("_", "new_id", "corpus_id"))
         merge_upsert(bdf.sparkSession, m, sink, "pair_key")
 
+    from duva_spark.streaming.jobs import _local_checkpoint_fastpath
+
+    _local_checkpoint_fastpath(spark)
     q = (
         stream.writeStream.outputMode("update")
         .foreachBatch(write_batch)
@@ -556,6 +559,9 @@ def q_stream_true_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merge_upsert(bdf.sparkSession, kept, sink, "doc_id")
 
+    from duva_spark.streaming.jobs import _local_checkpoint_fastpath
+
+    _local_checkpoint_fastpath(spark)
     q = (
         stream.writeStream.outputMode("update")
         .foreachBatch(write_batch)
