@@ -36,18 +36,30 @@ def connected_components(
     """(id, component) for every node in the pair graph; component is the
     minimum node id of the transitively connected group (deterministic —
     the fixpoint is unique, independent of iteration order)."""
+    from pyspark.sql import Observation
+
     sym = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = sym.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
-    ).localCheckpoint()
+    # Round 1 folds into the init: least(src, min(dst)) IS the label a
+    # full propagation round would produce from the identity labeling,
+    # so the loop starts one round ahead for the same fixpoint (saves a
+    # distinct pass plus one whole join round of jobs — guide §1.2).
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("_mn"), F.col("src")).alias("comp"),
+        )
+        .localCheckpoint()
+    )
     converged = False
     try:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             nbr_min = (
                 sym.join(labels, sym.dst == labels.id)
                 .groupBy("src")
@@ -55,7 +67,10 @@ def connected_components(
             )
             # the change flag is computed inside the update projection —
             # no second join of old vs new labels per round (labels only
-            # ever decrease, so `new < old` is the complete change test)
+            # ever decrease, so `new < old` is the complete change test);
+            # the flag reaches the driver as an observed metric of the
+            # checkpoint job itself, not a second per-round action.
+            obs = Observation(f"cc_chg_{i}")
             new_labels = (
                 labels.join(nbr_min, labels.id == nbr_min.src, "left")
                 .select(
@@ -67,9 +82,10 @@ def connected_components(
                         "_chg"
                     ),
                 )
+                .observe(obs, F.sum(F.col("_chg").cast("int")).alias("n_changed"))
                 .localCheckpoint()
             )
-            changed = not new_labels.filter(F.col("_chg")).isEmpty()
+            changed = (obs.get["n_changed"] or 0) > 0
             labels = new_labels.drop("_chg")
             if not changed:
                 converged = True

@@ -58,6 +58,12 @@ def _features(
     """(id, h, y, bucket, x): tf-hashed unigram features plus the
     bias (bucket -1, x = 1.0) and scaled-length (bucket -2,
     x = n_tokens/100) engineered rows for every doc."""
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
+    # The per-word md5 bucket hash is the dominant CPU of the feature
+    # pass; spread the doc scan first so it never runs on one task
+    # (no-op on any multi-split input — guide §2.5/§6).
+    df = ensure_min_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("_id"),
         (md5_hash60(F.col(id_col).cast("string")) % 100).alias("h"),
@@ -134,6 +140,31 @@ def features(
     return _features(df, id_col, label_col, text_col, n_buckets)
 
 
+def features_for_training(
+    df: DataFrame, id_col: str, label_col: str, text_col: str, n_buckets: int = 256
+) -> DataFrame:
+    """Feature table hash-partitioned by doc id and persisted (eager).
+
+    Every GD round windows over ``_id`` and every scoring pass groups by
+    it, so co-partitioning ONCE removes the per-round exchange of the
+    corpus-sized feature frame (guide §2.4 — iterate over a
+    co-partitioned frame). ``persist`` rather than ``localCheckpoint``
+    because only the InMemoryRelation keeps its outputPartitioning
+    visible to Catalyst — a checkpointed RDD scan loses it and every
+    round re-shuffles (measured 6.9 s → 4.1 s on the 6-round chain at
+    sf0.1, values identical). The partition count scales with the input
+    scan (the 100 TB case: thousands of splits stay thousands of
+    partitions) and never drops below a quarter of the cores nor 2, so
+    tiny local files neither freeze the loop at one task nor spread 6
+    rounds of ~100 ms jobs across 32 straggler-prone slivers."""
+    feat = _features(df, id_col, label_col, text_col, n_buckets)
+    sc = df.sparkSession.sparkContext
+    p = max(feat.rdd.getNumPartitions() // 4, sc.defaultParallelism // 4, 2)
+    feat = feat.repartition(p, F.col("_id")).persist()
+    feat.count()  # materialize eagerly, like the checkpoint it replaces
+    return feat
+
+
 def logreg_score(
     df: DataFrame,
     id_col: str,
@@ -170,10 +201,11 @@ def logreg_train(
     (round 0 = zero-weight baseline), each from one scoring pass; the
     per-round collects are bounded at ``n_buckets + 2`` gradient rows.
     """
+    own_feat = features is None
     feat = (
         features
         if features is not None
-        else _features(df, id_col, label_col, text_col, n_buckets).localCheckpoint()
+        else features_for_training(df, id_col, label_col, text_col, n_buckets)
     )
     split = feat.filter(F.col("bucket") == -1).agg(
         F.sum(F.when(F.col("h") >= holdout_pct, 1).otherwise(0)).alias("tr"),
@@ -196,25 +228,31 @@ def logreg_train(
     # collect — ~8 AQE stage-materialization jobs each round). Fused
     # into ONE action: the margin attaches to every feature row via a
     # window over the doc id (same exact decimal(38,0) term grid, so z
-    # is bit-identical to the _score groupBy), the weight table rides
-    # as a literal map instead of a broadcast-join frame (identical
-    # lookups, no per-round broadcast build job), and one
-    # groupBy(bucket) computes the gradient for every bucket AND the
-    # global metrics — the bucket -1 (bias) group holds exactly one
-    # row per document, so its group-local loss/accuracy aggregates
-    # ARE the per-doc metrics the old scored frame produced.
+    # is bit-identical to the _score groupBy), and one groupBy(bucket)
+    # computes the gradient for every bucket AND the global metrics —
+    # the bucket -1 (bias) group holds exactly one row per document, so
+    # its group-local loss/accuracy aggregates ARE the per-doc metrics
+    # the old scored frame produced. When ``feat`` comes from
+    # features_for_training (hash-partitioned by _id), the round's
+    # window reuses that partitioning and the only exchange left is the
+    # 258-row bucket aggregate.
+    spark = feat.sparkSession
     for t in range(rounds):
-        order = sorted(w)
-        wmap = F.map_from_arrays(
-            F.array(*[F.lit(b) for b in order]),
-            F.array(*[F.lit(w[b]) for b in order]),
+        # weights ride as a broadcast 258-row TABLE, not inlined
+        # literals: a map_from_arrays literal re-folds and re-compiles
+        # a 2(n_buckets+2)-literal expression tree EVERY round (the
+        # literals change, so codegen can never cache) — measured ~2 s
+        # of driver-side planning per round, dwarfing the job itself.
+        # The broadcast join keeps the plan shape byte-stable across
+        # rounds (weights are runtime data), so analysis+codegen are
+        # paid once; the join is the same lookup _score performs, so z
+        # stays bit-identical.
+        w_df = spark.createDataFrame(sorted(w.items()), "bucket int, w double")
+        term = F.floor(F.col("w") * F.col("x") * 1e9 + F.lit(0.5)).cast(
+            "decimal(38,0)"
         )
-        term = F.floor(
-            F.element_at(wmap, F.col("bucket").cast("int")) * F.col("x") * 1e9
-            + F.lit(0.5)
-        ).cast("decimal(38,0)")
         zw = Window.partitionBy("_id")
-        rows = feat.withColumn(
+        rows = feat.join(F.broadcast(w_df), "bucket").withColumn(
             "z", F.round(F.sum(term).over(zw).cast("double") / 1e9, 6)
         ).withColumn(
             "p",
@@ -275,6 +313,8 @@ def logreg_train(
         w = {
             b: round_half_up(wv - eta * grad.get(b, 0.0), 9) for b, wv in w.items()
         }
+    if own_feat:
+        feat.unpersist()
     return metrics, w
 
 

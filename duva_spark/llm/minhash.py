@@ -106,6 +106,12 @@ def with_signature(
     engines (the oracle hashes the same way, so the negligible collision
     behavior is shared).
     """
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
+    # The per-shingle md5 base hash dominates the signature pass;
+    # spread a single-split scan across cores first (no-op on any
+    # multi-split input — guide §2.5/§6).
+    df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
 
     def affine(a: int, b: int):

@@ -69,6 +69,11 @@ def prefix_filter_pairs(
     a stop token is missed (PPJoin's documented stop-word variant), so
     the default stays exact and the cap is an explicit opt-in for
     corpora where the prefix buckets would otherwise go quadratic."""
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
+    # Per-shingle md5 hashing dominates the doc pass; spread a
+    # single-split scan across cores first (no-op on multi-split input).
+    df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
     hs = F.array_distinct(
         F.transform(minhash.word_shingles(words, k), minhash.base_hash)

@@ -124,6 +124,13 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     Ellipses count in BOTH spellings the A1.1 rule is applied to: the
     U+2026 character and the ASCII '...' sequence (each '...' occurrence
     counts once — occurrence count via length-delta / 3)."""
+    from duva_spark.operators.parallel import ensure_min_parallelism
+
+    # The per-word rlike in alpha_frac is the battery's dominant CPU;
+    # spread a single-split scan across cores first (no-op on any
+    # multi-split input — the flags stay a scan-local projection at
+    # scale, just above a fan-out exchange on tiny local files).
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     ws = words_of(t)
     n = F.size(ws)

@@ -4649,7 +4649,7 @@ def q_lr_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
@@ -4745,7 +4745,7 @@ def q_lr_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
@@ -4890,7 +4890,7 @@ def q_lr_auc_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
@@ -5031,41 +5031,51 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
-    _, w = logreg.logreg_train(
-        lab, "doc_id", "y", "text",
-        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
-        features=feat,
-    )
-    lr_scored = logreg.logreg_score(
-        lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
-    ).filter(F.col("h") < _LR_HOLD)
-    lr_cal = evals.calibration_bins(lr_scored, "lr")
-
-    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
-    train = lab.filter(h100 >= _LR_HOLD)
-    test = lab.filter(h100 < _LR_HOLD)
-    lik, stats = hashed_lm.nb_train(train, "y", "text", n_buckets=_NB_CAL_B)
-    sc = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=_NB_CAL_B)
-    tt = sc.filter(F.col("label")).select("doc_id", F.col("score").alias("st"))
-    ff = sc.filter(~F.col("label")).select("doc_id", F.col("score").alias("sf"))
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     from duva_spark.llm.logreg import P_CLAMP
 
-    nbp = tt.join(ff, "doc_id").select(
-        "doc_id",
-        F.least(
-            F.greatest(
-                F.round(
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("sf") - F.col("st"))),
-                    6,
+    # LR and NB legs are independent until the final union — overlap
+    # their driver round-trips via two threads (guide §2.6; same jobs,
+    # same arithmetic, concurrent scheduling only).
+    def lr_leg():
+        _, w = logreg.logreg_train(
+            lab, "doc_id", "y", "text",
+            n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+            features=feat,
+        )
+        return logreg.logreg_score(
+            lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
+        ).filter(F.col("h") < _LR_HOLD)
+
+    def nb_leg():
+        h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+        train = lab.filter(h100 >= _LR_HOLD)
+        test = lab.filter(h100 < _LR_HOLD)
+        lik, stats = hashed_lm.nb_train(train, "y", "text", n_buckets=_NB_CAL_B)
+        sc = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=_NB_CAL_B)
+        tt = sc.filter(F.col("label")).select("doc_id", F.col("score").alias("st"))
+        ff = sc.filter(~F.col("label")).select("doc_id", F.col("score").alias("sf"))
+        nbp = tt.join(ff, "doc_id").select(
+            "doc_id",
+            F.least(
+                F.greatest(
+                    F.round(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("sf") - F.col("st"))),
+                        6,
+                    ),
+                    F.lit(P_CLAMP),
                 ),
-                F.lit(P_CLAMP),
-            ),
-            F.lit(1.0 - P_CLAMP),
-        ).alias("p"),
-    )
-    nb_scored = nbp.join(lab.select("doc_id", "y"), "doc_id")
-    nb_cal = evals.calibration_bins(nb_scored, "nb")
+                F.lit(1.0 - P_CLAMP),
+            ).alias("p"),
+        )
+        return nbp.join(lab.select("doc_id", "y"), "doc_id")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lr, f_nb = pool.submit(lr_leg), pool.submit(nb_leg)
+        lr_cal = evals.calibration_bins(f_lr.result(), "lr")
+        nb_cal = evals.calibration_bins(f_nb.result(), "nb")
     return lr_cal.unionByName(nb_cal)
 
 
@@ -5157,36 +5167,49 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
-    _, w = logreg.logreg_train(
-        lab, "doc_id", "y", "text",
-        n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
-        features=feat,
-    )
-    lr_scored = logreg.logreg_score(
-        lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
-    ).filter(F.col("h") < _LR_HOLD)
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
 
-    h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
-    train = lab.filter(h100 >= _LR_HOLD)
-    test = lab.filter(h100 < _LR_HOLD)
-    lik, stats = hashed_lm.nb_train(train, "y", "text", n_buckets=_NB_CAL_B)
-    sc = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=_NB_CAL_B)
-    tt = sc.filter(F.col("label")).select("doc_id", F.col("score").alias("st"))
-    ff = sc.filter(~F.col("label")).select("doc_id", F.col("score").alias("sf"))
-    nbp = tt.join(ff, "doc_id").select(
-        "doc_id",
-        F.least(
-            F.greatest(
-                F.round(
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("sf") - F.col("st"))), 6
+    # The LR GD chain and the NB counting chain are INDEPENDENT until
+    # the final union; overlap their driver round-trips (LR's per-round
+    # collects, NB's stats collect) via two threads — guide §2.6. Same
+    # jobs, same arithmetic, concurrent scheduling only.
+    def lr_leg():
+        _, w = logreg.logreg_train(
+            lab, "doc_id", "y", "text",
+            n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
+            features=feat,
+        )
+        return logreg.logreg_score(
+            lab, "doc_id", "y", "text", w, n_buckets=_LR_B, features=feat
+        ).filter(F.col("h") < _LR_HOLD)
+
+    def nb_leg():
+        h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
+        train = lab.filter(h100 >= _LR_HOLD)
+        test = lab.filter(h100 < _LR_HOLD)
+        lik, stats = hashed_lm.nb_train(train, "y", "text", n_buckets=_NB_CAL_B)
+        sc = hashed_lm.nb_score(test, "doc_id", "text", lik, stats, n_buckets=_NB_CAL_B)
+        tt = sc.filter(F.col("label")).select("doc_id", F.col("score").alias("st"))
+        ff = sc.filter(~F.col("label")).select("doc_id", F.col("score").alias("sf"))
+        nbp = tt.join(ff, "doc_id").select(
+            "doc_id",
+            F.least(
+                F.greatest(
+                    F.round(
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(F.col("sf") - F.col("st"))), 6
+                    ),
+                    F.lit(P_CLAMP),
                 ),
-                F.lit(P_CLAMP),
-            ),
-            F.lit(1.0 - P_CLAMP),
-        ).alias("p"),
-    )
-    nb_scored = nbp.join(lab.select("doc_id", "y"), "doc_id")
+                F.lit(1.0 - P_CLAMP),
+            ).alias("p"),
+        )
+        return nbp.join(lab.select("doc_id", "y"), "doc_id")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lr, f_nb = pool.submit(lr_leg), pool.submit(nb_leg)
+        lr_scored, nb_scored = f_lr.result(), f_nb.result()
     return evals.calibration_summary(lr_scored, "lr").unionByName(
         evals.calibration_summary(nb_scored, "nb")
     )
@@ -6010,12 +6033,20 @@ def q_lr_data_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     from duva_spark.llm import hashed_lm
 
     h100 = hashed_lm.md5_hash60(F.col("doc_id").cast("string")) % 100
-    out = []
-    for frac, hi in _LR_CURVE:
+
+    # The three budget chains are INDEPENDENT (each trains on its own
+    # hash window of the shared checkpointed feature table; none reads
+    # another's output), so their per-round driver round-trips overlap
+    # via a small thread pool — guide §2.6: Spark schedules concurrent
+    # jobs FIFO and back-fills idle cores. Per-budget values are
+    # untouched (same jobs, same arithmetic, concurrent scheduling
+    # only); pool.map preserves budget order.
+    def run_budget(frac_hi):
+        frac, hi = frac_hi
         sub = feat.filter(F.col("h") < hi)
         curve, wts = logreg.logreg_train(
             lab, "doc_id", "y", "text",
@@ -6027,7 +6058,12 @@ def q_lr_data_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             lab, "doc_id", "y", "text", wts, n_buckets=_LR_B, features=sub
         ).filter(F.col("h") < _LR_HOLD)
         auc = evals.auc_frame(scored).collect()[0]["auc"]
-        out.append((float(frac), n_train, float(curve[-1][2]), auc))
+        return (float(frac), n_train, float(curve[-1][2]), auc)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_LR_CURVE)) as pool:
+        out = list(pool.map(run_budget, _LR_CURVE))
     return spark.createDataFrame(
         out, "train_frac double, n_train long, holdout_acc double, auc double"
     )
@@ -6434,10 +6470,25 @@ def q_dedup_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duva_spark.llm.ppjoin import prefix_filter_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    lsh = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
-    exact = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
-    cc_l = connected_components(lsh.select("id_a", "id_b"))
-    cc_x = connected_components(exact.select("id_a", "id_b"))
+
+    # The LSH leg and the exact prefix-filter leg are fully independent
+    # up to the contingency join — each builds its own pair set and runs
+    # its own bounded component loop. Overlap the two legs' driver
+    # round-trips (per-iteration checkpoints/convergence checks) via two
+    # threads — guide §2.6; same jobs, same arithmetic.
+    def lsh_leg():
+        lsh = minhash.near_duplicates(docs, "doc_id", "text", threshold=0.5)
+        return connected_components(lsh.select("id_a", "id_b"))
+
+    def exact_leg():
+        exact = prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+        return connected_components(exact.select("id_a", "id_b"))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_l, f_x = pool.submit(lsh_leg), pool.submit(exact_leg)
+        cc_l, cc_x = f_l.result(), f_x.result()
     lab = (
         docs.select("doc_id")
         .join(cc_l.withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "ca"), "doc_id", "left")

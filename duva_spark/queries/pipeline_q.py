@@ -1924,7 +1924,7 @@ def q_quality_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).persist()
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,

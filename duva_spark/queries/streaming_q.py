@@ -527,7 +527,7 @@ def q_stream_true_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_alpha")
         ).alias("y"),
     )
-    feat = logreg.features(lab, "doc_id", "y", "text", n_buckets=_LR_B).localCheckpoint()
+    feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     _, w = logreg.logreg_train(
         lab, "doc_id", "y", "text",
         n_buckets=_LR_B, eta=_LR_ETA, rounds=_LR_ROUNDS, holdout_pct=_LR_HOLD,
