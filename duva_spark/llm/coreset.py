@@ -36,7 +36,10 @@ def _dist_to(vec_col: str, center: list[float]) -> F.Column:
     """L2 distance from ``vec_col`` to a literal center, as a codegen
     fold over zip_with (summation in index order, matching the oracle's
     list_aggregate)."""
-    lit = F.array(*[F.lit(float(x)) for x in center])
+    # one array Literal, not CreateArray over dim literal nodes — the
+    # optimizer re-walks every node per AQE re-optimization and k-center
+    # chains build one of these per center (values identical)
+    lit = F.lit([float(x) for x in center])
     return F.sqrt(
         F.aggregate(
             F.zip_with(

@@ -64,7 +64,11 @@ def hyperplane_code(vec: Column, dim: int, n_bits: int, seed: int = 0) -> Column
     codegen expression, no UDF, no shuffle."""
     code = F.lit(0).cast("long")
     for i in range(n_bits):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, i, seed)])
+        # one array Literal, not CreateArray over dim literal nodes: the
+        # grid queries build tables*bits of these, and the optimizer
+        # re-walks every node on each AQE re-optimization — measured
+        # seconds of driver time on the 64-dim grids (values identical)
+        plane = F.lit(_hyperplane(dim, i, seed))
         bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         code = code + F.shiftleft(bit, i)
     return code
@@ -531,8 +535,17 @@ def rplsh_topk_grid(
         F.col("bk.code").alias("q_code"),
         F.col("bk.code").bitwiseAND(F.lit(base_mask)).alias("b_low"),
     )
-    base = c.join(F.broadcast(q), ["tbl", "b_low"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    # localCheckpoint: base feeds BOTH the exact-sim leg and the
+    # per-grid-point candidate filter, and the two consumers' exchanges
+    # differ, so without it the corpus coding projection + collision
+    # join execute twice per run (and every AQE re-optimization walks
+    # the doubled tree). The checkpointed frame is the candidate
+    # sliver — bounded by bucket collisions at the smallest mask, never
+    # corpus-sized — so materializing it is safe at any scale.
+    base = (
+        c.join(F.broadcast(q), ["tbl", "b_low"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .localCheckpoint()
     )
     sims = (
         base.select("query_id", "neighbor_id", "q_vec", "c_vec")

@@ -436,9 +436,11 @@ def unigram_encode_counts(
     inlined as a map literal, each word runs the slim Viterbi fold,
     zero exchanges before the per-doc aggregate."""
     pieces = sorted(lp)
+    # two array Literals, not CreateArray over 2*vocab literal nodes:
+    # the optimizer re-walks the whole tree per AQE re-optimization and
+    # the vocab runs to thousands of pieces (values identical)
     vocab_map = F.map_from_arrays(
-        F.array(*[F.lit(p) for p in pieces]),
-        F.array(*[F.lit(lp[p]) for p in pieces]),
+        F.lit(list(pieces)), F.lit([lp[p] for p in pieces])
     )
     ws = F.filter(
         F.split(F.col(text_col), " "),
@@ -559,8 +561,7 @@ def unigram_train(
             rows = estep_counts_arrow(words, lp, max_len).collect()
         else:
             vocab_map = F.map_from_arrays(
-                F.array(*[F.lit(p) for p in pieces]),
-                F.array(*[F.lit(lp[p]) for p in pieces]),
+                F.lit(list(pieces)), F.lit([lp[p] for p in pieces])
             )
             seg = viterbi_segment(F.col("w"), vocab_map, max_len)
             rows = (
@@ -676,8 +677,7 @@ def unigram_prune_report(
         ).collect()[0]
     else:
         vocab_map = F.map_from_arrays(
-            F.array(*[F.lit(p) for p in sorted(lp_p)]),
-            F.array(*[F.lit(lp_p[p]) for p in sorted(lp_p)]),
+            F.lit(sorted(lp_p)), F.lit([lp_p[p] for p in sorted(lp_p)])
         )
         tot = words.select(
             F.sum(
