@@ -58,12 +58,9 @@ def _features(
     """(id, h, y, bucket, x): tf-hashed unigram features plus the
     bias (bucket -1, x = 1.0) and scaled-length (bucket -2,
     x = n_tokens/100) engineered rows for every doc."""
-    from duva_spark.operators.parallel import ensure_min_parallelism
-
-    # The per-word md5 bucket hash is the dominant CPU of the feature
-    # pass; spread the doc scan first so it never runs on one task
-    # (no-op on any multi-split input — guide §2.5/§6).
-    df = ensure_min_parallelism(df)
+    # No parallelism probe here: every caller hands in the
+    # gopher_flags projection, which already floors its parallelism,
+    # and the probe itself costs a physical-plan compile per call.
     toks = df.select(
         F.col(id_col).alias("_id"),
         (md5_hash60(F.col(id_col).cast("string")) % 100).alias("h"),

@@ -177,11 +177,9 @@ def candidate_pairs(
        surviving candidate pairs — Jaccard over hashes matches the
        oracle, which hashes identically.
     """
-    from duva_spark.operators.parallel import ensure_min_parallelism
-
-    # single-file inputs scan as one task; the signature stage is the
-    # compute-heavy leg, so floor its parallelism (no-op at scale)
-    src = ensure_min_parallelism(df.select(id_col, text_col))
+    # with_signature floors its own parallelism — probing again here
+    # would just re-compile the physical plan for a no-op
+    src = df.select(id_col, text_col)
     sig = with_signature(src, text_col, k, n_hashes).select(
         id_col, "_hs", *band_hashes(n_hashes, n_bands)
     )
@@ -276,9 +274,8 @@ def band_sensitivity(
     all-pairs at any grid point; the ground-truth job is the separate
     linear prefix-filter operator.
     """
-    from duva_spark.operators.parallel import ensure_min_parallelism
-
-    src = ensure_min_parallelism(df.select(id_col, text_col))
+    # with_signature floors its own parallelism (no second probe)
+    src = df.select(id_col, text_col)
     sig = with_signature(src, text_col, k, n_hashes).select(
         id_col, "_hs", *[f"mh_{i}" for i in range(n_hashes)]
     )
@@ -394,9 +391,8 @@ def corpus_index(
     tick joins against it WITHOUT recomputing corpus signatures. At
     100 TB this frame is written once to storage and appended to; here
     it is the checkpointed in-session equivalent."""
-    from duva_spark.operators.parallel import ensure_min_parallelism
-
-    src = ensure_min_parallelism(corpus_df.select(id_col, text_col))
+    # with_signature floors its own parallelism (no second probe)
+    src = corpus_df.select(id_col, text_col)
     return (
         with_signature(src, text_col, k, n_hashes)
         .select(id_col, "_hs", *band_hashes(n_hashes, n_bands))

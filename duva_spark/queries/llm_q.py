@@ -3216,12 +3216,9 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_lsh_band_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duva_spark.operators.parallel import ensure_min_parallelism
-
     docs = load_table(spark, sf_dir, "documents")
-    # same floor candidate_pairs applies: the 24-hash signature stage is
-    # the compute-heavy leg and must not serialize on a single-file scan
-    src = ensure_min_parallelism(docs.select("doc_id", "text"))
+    # with_signature floors its own parallelism (no second probe)
+    src = docs.select("doc_id", "text")
     sig = minhash.with_signature(src).filter(F.size("_hs") > 0)
     banded = sig.select("doc_id", *minhash.band_hashes())
     buckets = minhash.band_explode(banded, "doc_id", minhash.N_BANDS)
