@@ -5859,23 +5859,14 @@ def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = pl0.agg(*losses(raw_q)).collect()[0]
     rows = [(-1, None, None, float(raw["calib_loss"]), float(raw["test_loss"]))]
     a, b = 1.0, 0.0
-    # (a, b) ride as a broadcast 1-row frame, not literals: literal
-    # params re-compile the round's codegen all 16 rounds (the generated
-    # source changes), a stable plan compiles once — same float
-    # arithmetic, identical values (the logreg round-weights fix).
     for t in range(_PLATT_ROUNDS):
-        ab_df = spark.createDataFrame([(float(a), float(b))], "pa double, pb double")
         q = clamp(
             F.round(
-                F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(-F.round(F.col("pa") * F.col("z") + F.col("pb"), 6))
-                ),
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(a * F.col("z") + b, 6))),
                 6,
             )
         )
-        m = pl0.crossJoin(F.broadcast(ab_df)).agg(
+        m = pl0.agg(
             *losses(q),
             exact_avg(F.when(F.col("is_cal"), (q - F.col("y1")) * F.col("z")), 9, 6).alias("ga"),
             exact_avg(F.when(F.col("is_cal"), q - F.col("y1")), 9, 6).alias("gb"),
