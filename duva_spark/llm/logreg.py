@@ -233,23 +233,27 @@ def logreg_train(
     # features_for_training (hash-partitioned by _id), the round's
     # window reuses that partitioning and the only exchange left is the
     # 258-row bucket aggregate.
-    spark = feat.sparkSession
     for t in range(rounds):
-        # weights ride as a broadcast 258-row TABLE, not inlined
-        # literals: a map_from_arrays literal re-folds and re-compiles
-        # a 2(n_buckets+2)-literal expression tree EVERY round (the
-        # literals change, so codegen can never cache) — measured ~2 s
-        # of driver-side planning per round, dwarfing the job itself.
-        # The broadcast join keeps the plan shape byte-stable across
-        # rounds (weights are runtime data), so analysis+codegen are
-        # paid once; the join is the same lookup _score performs, so z
-        # stays bit-identical.
-        w_df = spark.createDataFrame(sorted(w.items()), "bucket int, w double")
-        term = F.floor(F.col("w") * F.col("x") * 1e9 + F.lit(0.5)).cast(
+        # weights ride as ONE array Literal indexed by element_at, not
+        # per-bucket inlined literal nodes: a map_from_arrays literal
+        # re-folds and re-compiles a 2(n_buckets+2)-literal expression
+        # tree EVERY round (measured ~2 s of driver planning per round,
+        # dwarfing the job), while a complex-typed Literal reaches the
+        # generated code through the references array — the source is
+        # byte-stable across rounds, so analysis and codegen are paid
+        # once. Buckets are the contiguous range [-2, n_buckets), so
+        # bucket+3 is the 1-based array index; the lookup value is the
+        # same float _score's join produces, and z stays on the exact
+        # decimal(38,0) grid. (A broadcast 258-row join measured ~30%
+        # slower per round — the extra broadcast-exchange job outweighs
+        # the join-free projection; interleaved A/B, curves identical.)
+        warr = F.lit([w[b] for b in range(-2, n_buckets)])
+        wcol = F.element_at(warr, (F.col("bucket") + 3).cast("int"))
+        term = F.floor(wcol * F.col("x") * 1e9 + F.lit(0.5)).cast(
             "decimal(38,0)"
         )
         zw = Window.partitionBy("_id")
-        rows = feat.join(F.broadcast(w_df), "bucket").withColumn(
+        rows = feat.withColumn(
             "z", F.round(F.sum(term).over(zw).cast("double") / 1e9, 6)
         ).withColumn(
             "p",
