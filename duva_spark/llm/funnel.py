@@ -79,17 +79,16 @@ def funnel_features(
     stage STRUCTURE, never in feature semantics."""
     from duva_spark.llm import minhash, textstats
 
-    # gopher_flags is a pure scan projection, so the quality verdict is
-    # carried inline on the base frame instead of joined back by doc id
-    # (r12 optimization: one fewer corpus self-join; values identical —
-    # same expressions over the same rows).
-    # Structural subset: the per-language stopword rule is excluded
-    # (it zeroes a multilingual corpus; production gates it per lang).
-    pass_gopher = (
-        F.col("pass_word_count")
-        & F.col("pass_mean_len")
-        & F.col("pass_symbol_ratio")
-        & F.col("pass_alpha")
+    qual = textstats.gopher_flags(docs, text_col=text_col).select(
+        id_col,
+        # structural subset: the per-language stopword rule is excluded
+        # (it zeroes a multilingual corpus; production gates it per lang)
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha")
+        ).alias("pass_gopher"),
     )
     # Arrow kernel: the r8 A/B measured it 15x faster than the codegen
     # HOF form at sf0.1 (interpreted lambdas dominate); value-identical
@@ -111,8 +110,8 @@ def funnel_features(
         .withColumn("contaminated", F.lit(True))
     )
     base = (
-        textstats.gopher_flags(docs, text_col=text_col)
-        .select(id_col, text_col, h.alias("h"), pass_gopher.alias("pass_gopher"))
+        docs.select(id_col, text_col, h.alias("h"))
+        .join(qual, id_col)
         .join(rep, id_col)
         .join(cont, id_col, "left")
     )
