@@ -74,6 +74,89 @@ def hyperplane_code(vec: Column, dim: int, n_bits: int, seed: int = 0) -> Column
     return code
 
 
+def rplsh_codes_arrow(
+    df: DataFrame,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+    out_vec: str = "c_vec",
+    tbl_col: str = "tbl",
+    code_col: str = "code",
+) -> DataFrame:
+    """Exploded sign-bit codes — one row per (vector, table) with that
+    table's ``n_bits`` code — as an Arrow/numpy kernel: the vectorized
+    twin of the ``hyperplane_code`` projection + explode the RP-LSH
+    family used to build in JVM expressions.
+
+    Why a kernel: ``n_tables × n_bits`` higher-order-function folds are
+    CodegenFallback, so every ROW paid tables·bits·dim interpreted
+    lambda evaluations (~3k per row on the 8×6 grid — the per-row cost
+    that scales with corpus size), and the tables·bits fold trees made
+    first-run planning/codegen of the grid queries cost seconds of
+    driver time. One mapInPandas pass computes every bit of every table
+    as dim vectorized numpy ops per (table, bit) over the whole batch.
+
+    Bit-exact with the JVM fold BY CONSTRUCTION, not just pinned: each
+    dot product accumulates plane terms in index order — one IEEE
+    double multiply and one add per element, ``((0+x0·p0)+x1·p1)+…`` —
+    the same operation sequence as ``F.aggregate(zip_with(...))`` and
+    the DuckDB oracle's ``list_aggregate`` fold, so the ``>= 0`` sign
+    test sees the identical double. (A matmul would re-associate the
+    sum and could flip a near-zero sign.) A pin test asserts row-set
+    equality against the JVM path on real data anyway.
+
+    Only (id, vec) cross the Python boundary, and codes return as ONE
+    array column per row (the table explode stays in the JVM), so the
+    Arrow roundtrip carries no duplication.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [_hyperplane(dim, i, seed + t) for i in range(n_bits)]
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (n_tables, n_bits, dim)
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_schema = f"{out_id} {id_t}, {out_vec} {vec_t}, _codes array<long>"
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = V.shape[0]
+            codes = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                code_t = np.zeros(n, dtype=np.int64)
+                for i in range(n_bits):
+                    acc = np.zeros(n, dtype=np.float64)
+                    p = planes[t, i]
+                    for j in range(dim):
+                        acc = acc + V[:, j] * p[j]  # index-order fold
+                    code_t |= (acc >= 0).astype(np.int64) << i
+                codes[:, t] = code_t
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(),
+                    out_vec: pdf[vec_col],
+                    "_codes": list(codes),
+                }
+            )
+
+    coded = df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    return coded.select(
+        out_id, out_vec, F.posexplode("_codes").alias(tbl_col, code_col)
+    )
+
+
 def probe_topk(
     c: DataFrame, q: DataFrame, k: int, exclude: Column
 ) -> DataFrame:
@@ -344,27 +427,14 @@ def rplsh_topk(
     |corpus| * T / 2^bits per query before dedup.
     """
 
-    def codes(c):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_code(c, dim, n_bits, seed + t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(codes(F.col(vec_col))).alias("bk"),
-    ).select("neighbor_id", "c_vec", "bk.tbl", "bk.bucket")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(codes(F.col(vec_col))).alias("bk"),
-    ).select("query_id", "q_vec", "bk.tbl", "bk.bucket")
+    c = rplsh_codes_arrow(
+        corpus, dim, n_bits, n_tables, seed, id_col, vec_col,
+        out_id="neighbor_id", out_vec="c_vec", code_col="bucket",
+    )
+    q = rplsh_codes_arrow(
+        queries, dim, n_bits, n_tables, seed, id_col, vec_col,
+        out_id="query_id", out_vec="q_vec", code_col="bucket",
+    )
     sims = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -502,39 +572,14 @@ def rplsh_topk_grid(
     max_tables = max(t for t, _ in grid)
     base_mask = (1 << min(b for _, b in grid)) - 1
 
-    def codes(c):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_code(c, dim, max_bits, seed + t).alias("code"),
-                )
-                for t in range(max_tables)
-            ]
-        )
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(codes(F.col(vec_col))).alias("bk"),
-    ).select(
-        "neighbor_id",
-        "c_vec",
-        "bk.tbl",
-        F.col("bk.code").alias("c_code"),
-        F.col("bk.code").bitwiseAND(F.lit(base_mask)).alias("b_low"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(codes(F.col(vec_col))).alias("bk"),
-    ).select(
-        "query_id",
-        "q_vec",
-        "bk.tbl",
-        F.col("bk.code").alias("q_code"),
-        F.col("bk.code").bitwiseAND(F.lit(base_mask)).alias("b_low"),
-    )
+    c = rplsh_codes_arrow(
+        corpus, dim, max_bits, max_tables, seed, id_col, vec_col,
+        out_id="neighbor_id", out_vec="c_vec", code_col="c_code",
+    ).withColumn("b_low", F.col("c_code").bitwiseAND(F.lit(base_mask)))
+    q = rplsh_codes_arrow(
+        queries, dim, max_bits, max_tables, seed, id_col, vec_col,
+        out_id="query_id", out_vec="q_vec", code_col="q_code",
+    ).withColumn("b_low", F.col("q_code").bitwiseAND(F.lit(base_mask)))
     # localCheckpoint: base feeds BOTH the exact-sim leg and the
     # per-grid-point candidate filter, and the two consumers' exchanges
     # differ, so without it the corpus coding projection + collision
@@ -637,22 +682,10 @@ def rplsh_multiprobe_cands(
     """
     masks = probe_masks(n_bits, max_radius)
 
-    def codes(c):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    hyperplane_code(c, dim, n_bits, seed + t).alias("code"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(codes(F.col(vec_col))).alias("bk"),
-    ).select("neighbor_id", "c_vec", "bk.tbl", F.col("bk.code").alias("c_code"))
+    c = rplsh_codes_arrow(
+        corpus, dim, n_bits, n_tables, seed, id_col, vec_col,
+        out_id="neighbor_id", out_vec="c_vec", code_col="c_code",
+    )
     mask_df = F.explode(
         F.array(
             *[
@@ -662,12 +695,10 @@ def rplsh_multiprobe_cands(
         )
     ).alias("mk")
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(codes(F.col(vec_col))).alias("bk"),
+        rplsh_codes_arrow(
+            queries, dim, n_bits, n_tables, seed, id_col, vec_col,
+            out_id="query_id", out_vec="q_vec", code_col="q_code",
         )
-        .select("query_id", "q_vec", "bk.tbl", F.col("bk.code").alias("q_code"))
         .select("query_id", "q_vec", "tbl", "q_code", mask_df)
         .select(
             "query_id",

@@ -462,6 +462,41 @@ def test_hyperplane_code_deterministic_and_bounded(spark):
     assert 0 <= c3 < 64
 
 
+def test_rplsh_codes_arrow_matches_jvm_fold(spark, sf_dir):
+    """The Arrow/numpy RP-LSH coding kernel must be bit-identical to the
+    JVM hyperplane_code fold on real embeddings (the oracle replays the
+    fold, so a single flipped sign bit is an oracle failure). The kernel
+    accumulates plane terms in index order — the same IEEE op sequence
+    as the fold — so equality is by construction; this pins it on data
+    at every grid shape the registered queries use."""
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for n_tables, n_bits in ((8, 6), (8, 4), (2, 6)):
+        jvm = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            sim.hyperplane_code(
+                                F.col("embedding"), 64, n_bits, seed=t
+                            ).alias("code"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("neighbor_id", "bk.tbl", "bk.code")
+        ker = sim.rplsh_codes_arrow(emb, 64, n_bits, n_tables, 0).select(
+            "neighbor_id", "tbl", "code"
+        )
+        assert jvm.exceptAll(ker).count() == 0
+        assert ker.exceptAll(jvm).count() == 0
+
+
 class _FakePILImage:
     """Minimal PIL.Image-shaped module: open().convert().resize().getdata()."""
 
