@@ -29,7 +29,8 @@ from duva_spark.session import get_spark  # noqa: E402
 # r10: bumped to the r9 code HEAD.
 # r11: bumped to the r10 code HEAD.
 # r12: bumped to the r11 code HEAD.
-_REF_COMMIT = "1d579dc"
+# r13: bumped to the r12 final HEAD (code identical to 3ddfd6b).
+_REF_COMMIT = "dfc6c5c"
 
 # The round-1 10-query headline set: the driver's self-baseline
 # (BASELINE.md, 10.639 s at sf0.1). Its subtotal is emitted as its own
@@ -205,9 +206,19 @@ def main() -> None:
         line = json.dumps(payload)
     print("BENCH_DETAIL " + json.dumps(detail), file=sys.stderr)
     try:
-        (Path(__file__).resolve().parent / "bench_detail_last.json").write_text(
-            json.dumps({"payload": payload, "detail": detail}, indent=1)
-        )
+        root = Path(__file__).resolve().parent
+        blob = json.dumps({"payload": payload, "detail": detail}, indent=1)
+        root.joinpath("bench_detail_last.json").write_text(blob)
+        # r13 (r12 verdict "what's wrong" #5): bench_detail_last.json is
+        # overwritten by every run, so the driver's second (low-core) run
+        # clobbers the primary run's per-query replay map. Also write a
+        # per-run file keyed by core count + a timestamp-free counter so
+        # every run of a round stays auditable.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 0))
+        n = 0
+        while root.joinpath(f"bench_detail_c{cpus}_{n}.json").exists():
+            n += 1
+        root.joinpath(f"bench_detail_c{cpus}_{n}.json").write_text(blob)
     except OSError:
         pass
     print(line)

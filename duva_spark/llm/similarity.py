@@ -112,6 +112,13 @@ def rplsh_codes_arrow(
     Only (id, vec) cross the Python boundary, and codes return as ONE
     array column per row (the table explode stays in the JVM), so the
     Arrow roundtrip carries no duplication.
+
+    Null and wrong-length (ragged) vectors code to 0 in every table —
+    the JVM fold's behavior (``zip_with`` pads with NULL, the aggregate
+    goes NULL, and every ``>= 0`` sign test then falls to the otherwise
+    branch), replicated here instead of letting ``np.stack`` raise on
+    the whole stage (r12 ADVICE). Vector ELEMENTS are assumed non-null
+    finite numerics, the embedding-table contract every caller scans.
     """
     import numpy as np
     import pandas as pd
@@ -131,22 +138,32 @@ def rplsh_codes_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            n = V.shape[0]
-            codes = np.zeros((n, n_tables), dtype=np.int64)
-            for t in range(n_tables):
-                code_t = np.zeros(n, dtype=np.int64)
-                for i in range(n_bits):
-                    acc = np.zeros(n, dtype=np.float64)
-                    p = planes[t, i]
-                    for j in range(dim):
-                        acc = acc + V[:, j] * p[j]  # index-order fold
-                    code_t |= (acc >= 0).astype(np.int64) << i
-                codes[:, t] = code_t
+            vecs = pdf[vec_col].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
+            codes = np.zeros((len(vecs), n_tables), dtype=np.int64)
+            if ok.any():
+                V = np.stack(vecs[ok]).astype(np.float64)
+                n = V.shape[0]
+                sub = np.zeros((n, n_tables), dtype=np.int64)
+                for t in range(n_tables):
+                    code_t = np.zeros(n, dtype=np.int64)
+                    for i in range(n_bits):
+                        acc = np.zeros(n, dtype=np.float64)
+                        p = planes[t, i]
+                        for j in range(dim):
+                            acc = acc + V[:, j] * p[j]  # index-order fold
+                        code_t |= (acc >= 0).astype(np.int64) << i
+                    sub[:, t] = code_t
+                codes[ok] = sub
+            # all columns positional (numpy / plain list): mixing in the
+            # index-carrying Series pdf[vec_col] was only correct while
+            # batches arrived with a default RangeIndex (r12 ADVICE)
             yield pd.DataFrame(
                 {
                     out_id: pdf[id_col].to_numpy(),
-                    out_vec: pdf[vec_col],
+                    out_vec: vecs,
                     "_codes": list(codes),
                 }
             )

@@ -521,6 +521,7 @@ def unigram_train(
     dp: int = 6,
     word_cap: int = 16,
     impl: str = "arrow",
+    words: DataFrame | None = None,
 ) -> tuple[list[str], dict[str, int], int, int]:
     """Train the unigram LM; returns (vocab pieces, final E-step counts,
     final total piece count T, vocab size V).
@@ -533,12 +534,19 @@ def unigram_train(
 
     Driver state is the ≤(n_seed + alphabet) piece table per round (one
     bounded collect each — the kmeans contract); the corpus is scanned
-    once, every round operates on the checkpointed word table."""
-    words = (
-        word_vocab(docs, text_col)
-        .filter(F.length("w") <= word_cap)
-        .localCheckpoint(eager=False)
-    )
+    once, every round operates on the checkpointed word table.
+
+    ``words`` (optional) is a prebuilt word-vocab frame — (w, cnt) with
+    the SAME ``word_cap`` filter already applied. Grid callers that
+    train several vocab sizes over one corpus (q_unigram_vocab_curve)
+    build it once and share it, so the corpus word-count scan runs once
+    instead of once per grid point (r12 verdict item 5)."""
+    if words is None:
+        words = (
+            word_vocab(docs, text_col)
+            .filter(F.length("w") <= word_cap)
+            .localCheckpoint(eager=False)
+        )
     sc = substring_counts(words, max_len)
     singles = sc.filter(F.length("piece") == 1)
     multis = (

@@ -6370,15 +6370,31 @@ def q_unigram_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duva_spark.llm.hashed_lm import round_half_up
 
     docs = load_table(spark, sf_dir, "documents")
-    words = word_vocab(docs, "text").filter(F.length("w") <= _UNI_CAP)
+    # r13 (r12 verdict item 5): ONE corpus word-count pass shared by the
+    # wocc denominator and all three seed chains (each previously
+    # rebuilt word_vocab + the substring seed pass from docs), and the
+    # three independent EM chains run in a thread pool so their bounded
+    # per-round collects overlap (guide §2.6 — the pareto pattern).
+    # Values identical: each chain's arithmetic is untouched and the
+    # output rows assemble in _UNI_SEEDS order as before.
+    words = (
+        word_vocab(docs, "text")
+        .filter(F.length("w") <= _UNI_CAP)
+        .localCheckpoint()
+    )
     wocc = int(words.agg(F.sum("cnt").alias("w")).collect()[0]["w"])
-    rows = []
-    for ns in _UNI_SEEDS:
+
+    def chain(ns: int):
         _, _, tt, vsz = unigram.unigram_train(
             docs, "text", max_len=_UNI_L, n_seed=ns, rounds=_UNI_R + 1,
-            word_cap=_UNI_CAP,
+            word_cap=_UNI_CAP, words=words,
         )
-        rows.append((ns, vsz, int(tt), round_half_up(tt * 1.0 / wocc, 6)))
+        return ns, vsz, int(tt), round_half_up(tt * 1.0 / wocc, 6)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_UNI_SEEDS)) as pool:
+        rows = list(pool.map(chain, _UNI_SEEDS))
     return spark.createDataFrame(
         rows,
         "n_seed int, vocab_size long, total_tokens long, tokens_per_word double",

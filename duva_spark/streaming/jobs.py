@@ -97,7 +97,20 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str]) -> DataFrame:
     return stream.dropDuplicatesWithinWatermark(keys)
 
 
-def _local_checkpoint_fastpath(spark: SparkSession) -> None:
+def _checkpoint_scheme(spark: SparkSession, location: str | None) -> str:
+    """URI scheme of the effective checkpoint root: the explicit sink
+    checkpoint if given, else the session default checkpoint dir, else
+    the local temp dir Spark falls back to — i.e. ``file``."""
+    loc = location or spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+    if not loc:
+        return "file"
+    head, sep, _ = loc.partition("://")
+    return head.lower() if sep else "file"
+
+
+def _local_checkpoint_fastpath(
+    spark: SparkSession, checkpoint_location: str | None = None
+) -> None:
     """Point streaming checkpoint IO at the implementations that do not
     fork subprocesses on a local filesystem (r12 optimization).
 
@@ -116,20 +129,39 @@ def _local_checkpoint_fastpath(spark: SparkSession) -> None:
 
     Scale posture: these are LOCAL-FILESYSTEM settings, not tuning — on
     HDFS/S3 the FileContext manager never forks (renames are RPCs) and
-    the checksum sidecars guard real long-lived checkpoints, so
-    production deployments set SPARK_GRAFT_STREAM_CKPT_FASTPATH=0 to
-    keep Spark's defaults. Values are unaffected either way: both
-    managers implement the same atomic-rename contract."""
+    the checksum sidecars guard real long-lived checkpoints. r13 (r12
+    verdict item 7): the polarity is now AUTO-DETECTED from the
+    effective checkpoint root's URI scheme — the fastpath engages only
+    when checkpoints resolve to the local filesystem (``file`` scheme,
+    including Spark's temp-dir fallback), and any remote scheme
+    (hdfs://, s3a://, abfss://, ...) keeps Spark's defaults, so a
+    production deployment no longer has to REMEMBER an env var to keep
+    its checkpoint checksums. SPARK_GRAFT_STREAM_CKPT_FASTPATH=0/1
+    still forces it off/on explicitly. Values are unaffected either
+    way: both managers implement the same atomic-rename contract."""
     import os
 
-    if os.environ.get("SPARK_GRAFT_STREAM_CKPT_FASTPATH", "1") != "1":
-        return
-    spark.conf.set(
-        "spark.sql.streaming.checkpointFileManagerClass",
-        "org.apache.spark.sql.execution.streaming.checkpointing."
-        "FileSystemBasedCheckpointFileManager",
-    )
-    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    force = os.environ.get("SPARK_GRAFT_STREAM_CKPT_FASTPATH", "")
+    if force == "0":
+        on = False
+    elif force == "1":
+        on = True
+    else:
+        on = _checkpoint_scheme(spark, checkpoint_location) == "file"
+    if on:
+        spark.conf.set(
+            "spark.sql.streaming.checkpointFileManagerClass",
+            "org.apache.spark.sql.execution.streaming.checkpointing."
+            "FileSystemBasedCheckpointFileManager",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+        )
+    else:
+        # the session is shared: a remote-checkpoint stream must not
+        # inherit the fastpath a local-checkpoint stream set earlier
+        spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+        spark.conf.unset("spark.sql.streaming.checkpoint.fileChecksum.enabled")
 
 
 def run_available_now(
@@ -176,7 +208,7 @@ def stream_upsert_sink(
     """
     from duva_spark.sinks import merge_upsert
 
-    _local_checkpoint_fastpath(result.sparkSession)
+    _local_checkpoint_fastpath(result.sparkSession, checkpoint)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         merge_upsert(batch_df.sparkSession, batch_df, path, key)

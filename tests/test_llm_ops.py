@@ -473,7 +473,11 @@ def test_rplsh_codes_arrow_matches_jvm_fold(spark, sf_dir):
     from duva_spark.llm import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    for n_tables, n_bits in ((8, 6), (8, 4), (2, 6)):
+    # (n_tables, n_bits, base_seed): the three registered grid shapes at
+    # seed 0 plus one nonzero base seed, so the seed-offset plumbing
+    # (seed + t inside the kernel vs hyperplane_code(seed + t)) is
+    # pinned too (r12 ADVICE)
+    for n_tables, n_bits, seed in ((8, 6, 0), (8, 4, 0), (2, 6, 0), (2, 4, 7)):
         jvm = emb.select(
             F.col("vec_id").alias("neighbor_id"),
             F.explode(
@@ -482,7 +486,7 @@ def test_rplsh_codes_arrow_matches_jvm_fold(spark, sf_dir):
                         F.struct(
                             F.lit(t).alias("tbl"),
                             sim.hyperplane_code(
-                                F.col("embedding"), 64, n_bits, seed=t
+                                F.col("embedding"), 64, n_bits, seed=seed + t
                             ).alias("code"),
                         )
                         for t in range(n_tables)
@@ -490,11 +494,41 @@ def test_rplsh_codes_arrow_matches_jvm_fold(spark, sf_dir):
                 )
             ).alias("bk"),
         ).select("neighbor_id", "bk.tbl", "bk.code")
-        ker = sim.rplsh_codes_arrow(emb, 64, n_bits, n_tables, 0).select(
+        ker = sim.rplsh_codes_arrow(emb, 64, n_bits, n_tables, seed).select(
             "neighbor_id", "tbl", "code"
         )
         assert jvm.exceptAll(ker).count() == 0
         assert ker.exceptAll(jvm).count() == 0
+
+
+def test_rplsh_codes_arrow_null_and_ragged_code_to_zero(spark):
+    """Null and wrong-length vectors must code to 0 in every table —
+    the JVM fold's NULL-propagation outcome — rather than crashing the
+    Arrow kernel's np.stack (r12 ADVICE)."""
+    from duva_spark.llm import similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 0.75, 1.0]),   # well-formed
+            (2, None),                       # null vector
+            (3, [0.5, -0.25]),               # too short
+            (4, [0.5, -0.25, 0.75, 1.0, 2.0]),  # too long
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ker = sim.rplsh_codes_arrow(df, 4, 6, 2, 0, out_id="nid").select(
+        "nid", "tbl", "code"
+    )
+    got = {(r.nid, r.tbl): r.code for r in ker.collect()}
+    jvm_ok = df.filter("vec_id = 1").select(
+        *[
+            sim.hyperplane_code(F.col("embedding"), 4, 6, seed=t).alias(f"c{t}")
+            for t in range(2)
+        ]
+    ).collect()[0]
+    assert got[(1, 0)] == jvm_ok.c0 and got[(1, 1)] == jvm_ok.c1
+    for bad in (2, 3, 4):
+        assert got[(bad, 0)] == 0 and got[(bad, 1)] == 0
 
 
 class _FakePILImage:
