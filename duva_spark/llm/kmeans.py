@@ -128,6 +128,16 @@ def lloyd(
     if iters < 1:
         raise ValueError("lloyd requires iters >= 1 (no assignment exists otherwise)")
     train = train_df if train_df is not None else emb
+    if train_df is not None and iters > 1:
+        # r13 (r12 verdict item 1): materialize the training sample ONCE
+        # — every Lloyd round otherwise re-reads the full corpus and
+        # re-applies the sample hash just to feed the assignment UDF, so
+        # `iters` rounds cost `iters` corpus scans where one sample
+        # materialization suffices (the standard train-on-a-sample
+        # recipe). localCheckpoint, not persist: the blocks free with
+        # the RDD (r3 ADVICE pattern), and trajectory/values are
+        # untouched — the rounds see the identical rows.
+        train = train.select(id_col, vec_col).localCheckpoint()
     cen = init_centroids(emb, k, id_col, vec_col, dp)
     assigned = rows_used = None
     for _ in range(iters):

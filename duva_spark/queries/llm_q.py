@@ -5018,6 +5018,12 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duva_spark.llm import evals, hashed_lm, logreg
 
     docs = load_table(spark, sf_dir, "documents")
+    # r13 (r12 verdict item 4): materialize the gopher label battery
+    # ONCE — without this the NB leg re-ran the whole rule battery
+    # (per-word rlike over the corpus) three more times in the final
+    # action (train filter, test filter, label join). localCheckpoint
+    # rather than persist so the blocks free with the RDD (r3 ADVICE
+    # pattern); one battery pass at any corpus size instead of four.
     lab = textstats.gopher_flags(docs).select(
         "doc_id",
         "text",
@@ -5027,7 +5033,7 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_symbol_ratio")
             & F.col("pass_alpha")
         ).alias("y"),
-    )
+    ).localCheckpoint()
     feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
     from duva_spark.llm.logreg import P_CLAMP
 
@@ -5154,6 +5160,8 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duva_spark.llm.logreg import P_CLAMP
 
     docs = load_table(spark, sf_dir, "documents")
+    # One materialized gopher label pass instead of four — see
+    # q_classifier_calibration (r12 verdict item 4).
     lab = textstats.gopher_flags(docs).select(
         "doc_id",
         "text",
@@ -5163,7 +5171,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_symbol_ratio")
             & F.col("pass_alpha")
         ).alias("y"),
-    )
+    ).localCheckpoint()
     feat = logreg.features_for_training(lab, "doc_id", "y", "text", n_buckets=_LR_B)
 
     # The LR GD chain and the NB counting chain are INDEPENDENT until
@@ -6178,18 +6186,33 @@ def q_embed_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = emb.filter(
         minhash.md5_hash60(F.col("vec_id").cast("string")) % 5 < 1
     )
-    cen, _ = kmeans.lloyd(
-        emb, k=_IVF_TR_K, iters=_KM_ITERS, dim=_KM_DIM, dp=_KM_DP,
-        train_df=train,
-    )
-    cent_t = cen.select("cluster", F.col("cen").alias("centroid"))
-    ivf_t = similarity.ivf_topk(
-        emb, queries, cent_t, k=5, nprobe=_IVF_TR_NPROBE, label_col="cluster"
-    )
-    cent_l = similarity.label_centroids(emb)
-    ivf_l = similarity.ivf_topk(
-        emb, queries, cent_l, k=5, nprobe=_IVF_TR_NPROBE
-    )
+
+    # r13 (r12 verdict item 1): the trained chain (Lloyd rounds + the
+    # trained-centroid collect) and the label chain (label_centroids
+    # collect) are independent until the final union — overlap their
+    # bounded driver round-trips in two threads (guide §2.6; same jobs,
+    # same arithmetic, concurrent scheduling only).
+    def trained_leg() -> DataFrame:
+        cen, _ = kmeans.lloyd(
+            emb, k=_IVF_TR_K, iters=_KM_ITERS, dim=_KM_DIM, dp=_KM_DP,
+            train_df=train,
+        )
+        cent_t = cen.select("cluster", F.col("cen").alias("centroid"))
+        return similarity.ivf_topk(
+            emb, queries, cent_t, k=5, nprobe=_IVF_TR_NPROBE, label_col="cluster"
+        )
+
+    def label_leg() -> DataFrame:
+        cent_l = similarity.label_centroids(emb)
+        return similarity.ivf_topk(
+            emb, queries, cent_l, k=5, nprobe=_IVF_TR_NPROBE
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_t, f_l = pool.submit(trained_leg), pool.submit(label_leg)
+        ivf_t, ivf_l = f_t.result(), f_l.result()
 
     def recall(appx: DataFrame, variant: str) -> DataFrame:
         a2 = appx.select(
