@@ -163,8 +163,14 @@ def candidate_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket_size: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    ``sig`` (optional): a prebuilt, already-materialized signature frame
+    (id_col, _hs, mh_0..mh_{n-1}); the band keys are derived from its mh
+    columns and no second corpus scan/hash pass runs — for callers that
+    share one signature checkpoint across several consumers.
 
     Plan shape, tuned for scale:
     1. signature stage computed ONCE and persisted (it feeds the band
@@ -177,15 +183,21 @@ def candidate_pairs(
        surviving candidate pairs — Jaccard over hashes matches the
        oracle, which hashes identically.
     """
-    # with_signature floors its own parallelism — probing again here
-    # would just re-compile the physical plan for a no-op
-    src = df.select(id_col, text_col)
-    sig = with_signature(src, text_col, k, n_hashes).select(
-        id_col, "_hs", *band_hashes(n_hashes, n_bands)
-    )
-    # localCheckpoint: consumed by the band explode and both verify
-    # sides; blocks are freed with the result's lifetime (ADVICE r3).
-    sig = sig.localCheckpoint()
+    if sig is not None:
+        # derive the band keys from the shared checkpoint's mh columns
+        # (a handful of md5s per row — recomputing them per consumer is
+        # far cheaper than a second shingle-hash corpus pass)
+        sig = sig.select(id_col, "_hs", *band_hashes(n_hashes, n_bands))
+    else:
+        # with_signature floors its own parallelism — probing again here
+        # would just re-compile the physical plan for a no-op
+        src = df.select(id_col, text_col)
+        sig = with_signature(src, text_col, k, n_hashes).select(
+            id_col, "_hs", *band_hashes(n_hashes, n_bands)
+        )
+        # localCheckpoint: consumed by the band explode and both verify
+        # sides; blocks are freed with the result's lifetime (ADVICE r3).
+        sig = sig.localCheckpoint()
     # Docs shorter than k words have an EMPTY shingle set: every mh_i is
     # null and concat_ws skips nulls, so they'd all share the md5('')
     # band key in every band — a corpus with many short rows (titles,
@@ -232,12 +244,16 @@ def near_duplicates(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     max_bucket_size: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 
     Returns (id_a, id_b, jaccard) — jaccard rounded to 6 places.
+    ``sig`` passes through to candidate_pairs (shared signature frame).
     """
-    cand = candidate_pairs(df, id_col, text_col, k, n_hashes, n_bands, max_bucket_size)
+    cand = candidate_pairs(
+        df, id_col, text_col, k, n_hashes, n_bands, max_bucket_size, sig=sig
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / union
@@ -257,6 +273,7 @@ def band_sensitivity(
     k: int = 3,
     n_hashes: int = N_HASHES,
     grid: tuple[tuple[int, int], ...] = ((4, 6), (8, 3), (12, 2)),
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Banding sensitivity curve: per (n_bands, rows_per_band) grid
     point, the LSH candidate volume and the precision/recall of its
@@ -274,12 +291,17 @@ def band_sensitivity(
     all-pairs at any grid point; the ground-truth job is the separate
     linear prefix-filter operator.
     """
-    # with_signature floors its own parallelism (no second probe)
-    src = df.select(id_col, text_col)
-    sig = with_signature(src, text_col, k, n_hashes).select(
-        id_col, "_hs", *[f"mh_{i}" for i in range(n_hashes)]
-    )
-    sig = sig.localCheckpoint()
+    # ``sig`` (optional): a prebuilt, already-materialized signature
+    # frame (id_col, _hs, mh_0..mh_{n-1}) — callers that also need the
+    # hashed shingle sets elsewhere (the band-curve query feeds them to
+    # the prefix-filter ground truth) build it once and share it.
+    if sig is None:
+        # with_signature floors its own parallelism (no second probe)
+        src = df.select(id_col, text_col)
+        sig = with_signature(src, text_col, k, n_hashes).select(
+            id_col, "_hs", *[f"mh_{i}" for i in range(n_hashes)]
+        )
+        sig = sig.localCheckpoint()
     entries = []
     for nb, rows in grid:
         for b in range(nb):

@@ -55,6 +55,7 @@ def prefix_filter_pairs(
     threshold: float,
     k: int = 3,
     stop_token_df_cap: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold —
     exact when ``stop_token_df_cap`` is None. Returns (id_a, id_b,
@@ -68,25 +69,37 @@ def prefix_filter_pairs(
     token. The trade is recall: a pair whose prefixes overlap ONLY on
     a stop token is missed (PPJoin's documented stop-word variant), so
     the default stays exact and the cap is an explicit opt-in for
-    corpora where the prefix buckets would otherwise go quadratic."""
+    corpora where the prefix buckets would otherwise go quadratic.
+
+    ``sets`` (optional) is a prebuilt, already-materialized hashed
+    shingle-set frame — (_id, hs) with hs the DISTINCT base-hash set
+    over k-shingles, i.e. exactly the ``_hs`` column the MinHash
+    signature pipeline computes. Callers that already paid the
+    per-shingle md5 pass (q_minhash_band_curve's signature checkpoint)
+    hand it in so the ground-truth join does not re-scan and re-hash
+    the corpus (r12 verdict item 5)."""
     from duva_spark.operators.parallel import ensure_min_parallelism
 
-    # Per-shingle md5 hashing dominates the doc pass; spread a
-    # single-split scan across cores first (no-op on multi-split input).
-    df = ensure_min_parallelism(df)
-    words = F.split(F.col(text_col), " ")
-    hs = F.array_distinct(
-        F.transform(minhash.word_shingles(words, k), minhash.base_hash)
-    )
-    # localCheckpoint, not persist: consumed by the token explode and
-    # both verify sides; checkpoint blocks free themselves with the
-    # result's lifetime instead of leaking a CacheManager entry
-    # (ADVICE r3).
-    docs = (
-        df.select(F.col(id_col).alias("_id"), hs.alias("hs"))
-        .filter(F.size("hs") > 0)
-        .localCheckpoint()
-    )
+    if sets is not None:
+        docs = sets.filter(F.size("hs") > 0)
+    else:
+        # Per-shingle md5 hashing dominates the doc pass; spread a
+        # single-split scan across cores first (no-op on multi-split
+        # input).
+        df = ensure_min_parallelism(df)
+        words = F.split(F.col(text_col), " ")
+        hs = F.array_distinct(
+            F.transform(minhash.word_shingles(words, k), minhash.base_hash)
+        )
+        # localCheckpoint, not persist: consumed by the token explode and
+        # both verify sides; checkpoint blocks free themselves with the
+        # result's lifetime instead of leaking a CacheManager entry
+        # (ADVICE r3).
+        docs = (
+            df.select(F.col(id_col).alias("_id"), hs.alias("hs"))
+            .filter(F.size("hs") > 0)
+            .localCheckpoint()
+        )
     toks = docs.select("_id", F.explode("hs").alias("h"))
     freq = toks.groupBy("h").agg(F.count("*").alias("cnt"))
     ordered = (

@@ -174,6 +174,83 @@ def rplsh_codes_arrow(
     )
 
 
+def cosine_pairs_arrow(
+    pairs: DataFrame,
+    dim: int,
+    keep: tuple[str, ...] = ("query_id", "neighbor_id"),
+    q_col: str = "q_vec",
+    c_col: str = "c_vec",
+    out: str = "cosine_sim",
+) -> DataFrame:
+    """Rounded-6dp exact cosine over a candidate-pair sliver as an
+    Arrow/numpy kernel — the vectorized twin of the
+    ``F.round(cosine(q, c), 6)`` JVM fold projection (r12 verdict item
+    8: the sliver verification was the RP-LSH family's last interpreted
+    CodegenFallback fold, and the sliver grows linearly with corpus
+    size at fixed bits/tables, so its per-row interpreted cost is a
+    scale term, not a constant).
+
+    Bit-exact with the fold BY CONSTRUCTION (the rplsh_codes_arrow
+    discipline): dot and both norms accumulate per-element terms in
+    INDEX ORDER — one IEEE double multiply + add per element, the same
+    operation sequence as ``F.aggregate(zip_with(...))`` and the DuckDB
+    oracle's ``list_aggregate`` — then ``sqrt``/division/round run on
+    the identical doubles (IEEE sqrt is correctly rounded in numpy and
+    the JVM alike). Null / wrong-length vectors yield a NULL cosine
+    (the fold's NULL propagation). A zero-norm vector yields NULL too —
+    the JVM fold under Spark 4's default ANSI mode would RAISE on that
+    division by zero, so NULL is the kernel's graceful superset (no
+    embedding table here carries zero-norm rows).
+    A pin test asserts row-set equality against the fold on real data.
+
+    Only ``keep`` + the two vector columns cross the boundary; callers
+    select the sliver down to those first (§4.1 column pruning).
+    """
+    import numpy as np
+    import pandas as pd
+
+    keep_t = [(c, pairs.schema[c].dataType.simpleString()) for c in keep]
+    schema = ", ".join([f"{c} {t}" for c, t in keep_t] + [f"{out} double"])
+    cols = list(keep) + [q_col, c_col]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = pdf[q_col].to_numpy()
+            cv = pdf[c_col].to_numpy()
+            n = len(pdf)
+            ok = np.array(
+                [
+                    q is not None and c is not None and len(q) == dim and len(c) == dim
+                    for q, c in zip(qv, cv)
+                ],
+                dtype=bool,
+            )
+            res = np.full(n, np.nan)
+            if ok.any():
+                Q = np.stack(qv[ok]).astype(np.float64)
+                C = np.stack(cv[ok]).astype(np.float64)
+                m = Q.shape[0]
+                dot = np.zeros(m, dtype=np.float64)
+                nq = np.zeros(m, dtype=np.float64)
+                nc = np.zeros(m, dtype=np.float64)
+                for j in range(dim):  # index-order folds
+                    dot = dot + Q[:, j] * C[:, j]
+                    nq = nq + Q[:, j] * Q[:, j]
+                    nc = nc + C[:, j] * C[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = dot / (np.sqrt(nq) * np.sqrt(nc))
+                res[ok] = np.round(s, 6)
+            data = {c: pdf[c].to_numpy() for c, _ in keep_t}
+            # non-finite -> NaN -> Arrow null, matching the fold's NULL
+            res[~np.isfinite(res)] = np.nan
+            data[out] = res
+            yield pd.DataFrame(data)
+
+    return pairs.select(*cols).mapInPandas(gen, schema)
+
+
 def probe_topk(
     c: DataFrame, q: DataFrame, k: int, exclude: Column
 ) -> DataFrame:
@@ -452,16 +529,17 @@ def rplsh_topk(
         queries, dim, n_bits, n_tables, seed, id_col, vec_col,
         out_id="query_id", out_vec="q_vec", code_col="bucket",
     )
-    sims = (
+    # dedup BEFORE the cosine (a pair colliding in several tables used
+    # to pay the verification once per collision), then verify the
+    # distinct sliver through the index-order Arrow kernel instead of
+    # the interpreted fold — values identical per pair either way
+    cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    sims = cosine_pairs_arrow(cand, dim)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
@@ -609,14 +687,11 @@ def rplsh_topk_grid(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .localCheckpoint()
     )
-    sims = (
-        base.select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
+    sims = cosine_pairs_arrow(
+        base.select("query_id", "neighbor_id", "q_vec", "c_vec").dropDuplicates(
+            ["query_id", "neighbor_id"]
+        ),
+        dim,
     )
     spark = corpus.sparkSession
     grid_df = spark.createDataFrame(
@@ -725,7 +800,7 @@ def rplsh_multiprobe_cands(
             F.col("mk.radius").alias("radius"),
         )
     )
-    pairs = (
+    pairs = cosine_pairs_arrow(
         c.join(F.broadcast(q), (c.tbl == q.tbl) & (c.c_code == q.probe))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
@@ -733,13 +808,9 @@ def rplsh_multiprobe_cands(
             F.min("radius").alias("min_r"),
             F.first("q_vec").alias("q_vec"),
             F.first("c_vec").alias("c_vec"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            "min_r",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
+        ),
+        dim,
+        keep=("query_id", "neighbor_id", "min_r"),
     )
     spark = corpus.sparkSession
     lvl = spark.createDataFrame([(r,) for r in range(max_radius + 1)], "radius int")

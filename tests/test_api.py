@@ -42,6 +42,7 @@ def api(spark, tmp_path):
     server.shutdown()
 
 
+@pytest.mark.slow
 def test_create_and_immediate_sync(api, spark, tmp_path):
     base, store = api
     code, body = _req(base, "POST", "/api/v1/files/", {"form_id": 7, "sync_immediately": True})

@@ -16,6 +16,7 @@ def _keys(spark, prefix, n):
     )
 
 
+@pytest.mark.slow
 def test_no_false_negatives(spark):
     build = _keys(spark, "key-", 500)
     bits = bloom.build_bits(build, "k", m_bits=1 << 14, k_hashes=5)
@@ -32,6 +33,7 @@ def test_fp_rate_within_theory(spark):
     assert fp / 4000 < max(5 * theory, 0.02)
 
 
+@pytest.mark.slow
 def test_prefilter_semi_join_is_exact(spark):
     # overlapping ranges: probe 0..999, build 500..1499 → matches 500..999
     probe = spark.range(1000).select(F.col("id").cast("string").alias("k"), F.col("id"))
@@ -43,6 +45,7 @@ def test_prefilter_semi_join_is_exact(spark):
     assert want.select("k").subtract(got.select("k")).count() == 0
 
 
+@pytest.mark.slow
 def test_prefilter_anti_join_is_exact(spark):
     probe = spark.range(1000).select(F.col("id").cast("string").alias("k"), F.col("id"))
     build = spark.range(500, 1500).select(F.col("id").cast("string").alias("k"))
@@ -54,6 +57,7 @@ def test_prefilter_anti_join_is_exact(spark):
     assert want.select("k").subtract(got.select("k")).count() == 0
 
 
+@pytest.mark.slow
 def test_probe_columns_named_like_temps_survive(spark):
     """Probe frames owning columns named _h1/_h2/_maybe must pass
     through untouched — the previous implementation staged the hash and

@@ -53,6 +53,7 @@ def test_near_duplicates_finds_planted_pair(docs):
     assert all(a < b for a, b in pairs)
 
 
+@pytest.mark.slow
 def test_minhash_band_curve_candidates_nest(spark):
     """With 24 shared hashes the grid's band structures REFINE each
     other — a (4,6) band equality implies both covered (8,3) bands
@@ -367,6 +368,7 @@ def test_bounded_jaccard_overflow_is_subquadratic(spark):
     assert planted <= pairs
 
 
+@pytest.mark.slow
 def test_bounded_containment_overflow_and_exact_parity(spark):
     """metric='containment' on the bounded machinery (r4 verdict item
     3): under the cap it equals the unbounded exact operator; with a
@@ -462,6 +464,7 @@ def test_hyperplane_code_deterministic_and_bounded(spark):
     assert 0 <= c3 < 64
 
 
+@pytest.mark.slow
 def test_rplsh_codes_arrow_matches_jvm_fold(spark, sf_dir):
     """The Arrow/numpy RP-LSH coding kernel must be bit-identical to the
     JVM hyperplane_code fold on real embeddings (the oracle replays the
@@ -499,6 +502,73 @@ def test_rplsh_codes_arrow_matches_jvm_fold(spark, sf_dir):
         )
         assert jvm.exceptAll(ker).count() == 0
         assert ker.exceptAll(jvm).count() == 0
+
+
+@pytest.mark.slow
+def test_cosine_pairs_arrow_matches_jvm_fold(spark, sf_dir):
+    """The Arrow sliver-cosine kernel must be bit-identical to the
+    ``F.round(cosine(q, c), 6)`` JVM fold on real embeddings (the
+    oracle replays the fold) — index-order accumulation, same sqrt,
+    same division, same rounding grid."""
+    from duva_spark.catalog import load_table
+    from duva_spark.llm import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    b = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    pairs = a.crossJoin(b).filter(F.col("query_id") != F.col("neighbor_id"))
+    jvm = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(sim.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    )
+    ker = sim.cosine_pairs_arrow(pairs, 64)
+    assert jvm.exceptAll(ker).count() == 0
+    assert ker.exceptAll(jvm).count() == 0
+
+
+def test_cosine_pairs_arrow_null_and_ragged_yield_null(spark):
+    """Null / wrong-length vectors must yield a NULL cosine — the JVM
+    fold's NULL propagation. A zero-norm vector yields NULL too: under
+    Spark 4's default ANSI mode the JVM fold would RAISE on that
+    division by zero (no embedding table here carries zero-norm rows),
+    so NULL is the kernel's graceful superset of the fold's behavior —
+    asserted kernel-side only."""
+    from duva_spark.llm import similarity as sim
+
+    rows = [
+        (1, 10, [1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0]),  # well-formed
+        (2, 20, None, [4.0, 3.0, 2.0, 1.0]),                   # null q
+        (3, 30, [1.0, 2.0], [4.0, 3.0, 2.0, 1.0]),             # ragged q
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "query_id long, neighbor_id long, q_vec array<double>, c_vec array<double>",
+    )
+    jvm = {
+        (r.query_id, r.neighbor_id): r.cs
+        for r in pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cs"),
+        ).collect()
+    }
+    ker = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in sim.cosine_pairs_arrow(pairs, 4).collect()
+    }
+    assert ker == jvm
+    assert ker[(2, 20)] is None and ker[(3, 30)] is None
+    zpairs = spark.createDataFrame(
+        [(4, 40, [1.0, 2.0, 3.0, 4.0], [0.0, 0.0, 0.0, 0.0])],
+        "query_id long, neighbor_id long, q_vec array<double>, c_vec array<double>",
+    )
+    zk = sim.cosine_pairs_arrow(zpairs, 4).collect()
+    assert len(zk) == 1 and zk[0].cosine_sim is None
 
 
 def test_rplsh_codes_arrow_null_and_ragged_code_to_zero(spark):
@@ -730,6 +800,7 @@ def test_kmeans_assignment_tie_breaks_by_cluster_id(spark):
     assert got[2] == 0  # equidistant → lower cluster id wins
 
 
+@pytest.mark.slow
 def test_semdedup_hot_cluster_overflow_engages(spark):
     """A cluster above the cap must route through the hyperplane-LSH
     overflow and still find its prunes. Corpus: one hot blob of 25
@@ -1563,6 +1634,7 @@ def test_unigram_encode_census_shape(spark):
     assert got[3]["n_words"] == 0 and got[3]["compression"] == 0.0
 
 
+@pytest.mark.slow
 def test_unigram_arrow_and_fold_paths_are_value_identical(spark):
     """The Arrow kernels (the r9 A/B winner and default) must equal the
     interpreted-fold Column form row-for-row across train, encode and
@@ -1707,6 +1779,7 @@ def test_residuals_subtract_assigned_centroid(spark):
     assert got[2]["bucket"] == 0 and got[2]["resid"] == [3.0, -1.0]
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_recovers_fine_structure(spark):
     """With coarse buckets at 0/100 and fine sub-clusters at +0/+5
     inside each bucket, residual PQ must be lossless: every probe's
@@ -1790,6 +1863,7 @@ def _doremi_python_reference(rows, n_buckets, eta, smoothing, rounds):
     return [(d, base[d], excess[d], alpha[d]) for d in domains]
 
 
+@pytest.mark.slow
 def test_doremi_weights_match_python_reference(spark):
     from duva_spark.llm import hashed_lm
 
@@ -1840,6 +1914,7 @@ def test_doremi_upweights_worst_modeled_domain(spark):
     assert got["c"] > 1 / 3  # above uniform
 
 
+@pytest.mark.slow
 def test_doremi_weight_curve_prefix_of_trajectory(spark):
     """The sensitivity curve runs ONE EG trajectory and snapshots it, so
     its rounds=3 slice must equal a standalone doremi_weights(rounds=3)
@@ -1929,6 +2004,7 @@ def test_sentences_of_boundary_edges(spark):
     assert out[2] == (0, 0.0)
 
 
+@pytest.mark.slow
 def test_rplsh_grid_matches_single_runs(spark):
     """One-pass grid vs independent rplsh_topk runs at each (tables,
     bits) point — the prefix-mask/prefix-table nesting must reproduce
@@ -1998,6 +2074,7 @@ def test_bpe_encode_is_scan_only_and_matches_python(spark):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
+@pytest.mark.slow
 def test_ivfpq_candidates_respect_probed_buckets(spark):
     """IVF-PQ must rank ONLY members of the query's nprobe nearest
     buckets: with two well-separated clusters and nprobe=1, every
@@ -2028,6 +2105,7 @@ def test_ivfpq_candidates_respect_probed_buckets(spark):
     }
 
 
+@pytest.mark.slow
 def test_gopher_repetition_matches_python_reference(spark):
     """The repetition battery vs a brute-force reference: top-n-gram
     char fraction (count-desc, lexicographic-gram tie), overlap-safe
@@ -2098,6 +2176,7 @@ def test_gopher_repetition_matches_python_reference(spark):
             assert g[k] == v, (doc_id, k, g[k], v)
 
 
+@pytest.mark.slow
 def test_logreg_train_matches_python_reference(spark):
     """Full GD replay in pure python with the identical rounding spec
     (6-dp margins/gradients, 9-dp half-up weights, clamped sigmoid,
@@ -2165,6 +2244,7 @@ def test_logreg_train_matches_python_reference(spark):
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_bpe_encode_oracle_survives_early_vocab_exhaustion(spark):
     """When the vocabulary fully merges before 8 rounds, the operator
     breaks early; the oracle's chr(1) sentinel rounds must behave as
@@ -2196,6 +2276,7 @@ def test_bpe_encode_oracle_survives_early_vocab_exhaustion(spark):
     assert [(m[0], m[1], m[2]) for m in merges] == [(1, "a", "b"), (2, "c", "d")]
 
 
+@pytest.mark.slow
 def test_auc_known_values(spark):
     """Tie-averaged Mann-Whitney AUC against hand-computed cases:
     perfect ranking -> 1.0, anti-ranking -> 0.0, all-tied -> 0.5."""
@@ -2253,6 +2334,7 @@ def test_logreg_degenerate_split_raises(spark):
         logreg.logreg_train(docs, "doc_id", "y", "text", holdout_pct=0)
 
 
+@pytest.mark.slow
 def test_gopher_repetition_arrow_equals_codegen(spark):
     """The Arrow kernel and the codegen HOF form must be value-identical
     on adversarial docs (ties between grams, overlapping duplicate
@@ -2337,6 +2419,7 @@ def _kn_python_reference(docs, d_disc=0.75):
     }
 
 
+@pytest.mark.slow
 def test_kneser_ney_matches_python_reference(spark, sf_dir):
     from duva_spark.queries import load_all
 
@@ -2402,6 +2485,7 @@ def test_kneser_ney_discount_conserves_mass(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_multiprobe_shells_nest_and_recall_monotone(spark, sf_dir):
     """Each radius level's candidate set must contain every smaller
     level's (whole Hamming shells nest by construction), so per-query
@@ -2461,6 +2545,7 @@ def test_auc_by_group_matches_auc_frame_per_group(spark):
         assert grouped[g] == (single.n_pos, single.n_neg, single.auc), g
 
 
+@pytest.mark.slow
 def test_lr_auc_cv_summary_row(spark, sf_dir):
     from duva_spark.queries import load_all
 
@@ -2540,6 +2625,7 @@ def test_spearman_constant_signal_null_rho(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_domain_divergence_information_inequalities(spark, sf_dir):
     """Gibbs' inequality end-to-end: KL(a||b) >= 0 with equality only
     on the diagonal; cross-entropy(a,b) >= entropy(a) (= the diagonal
@@ -2561,6 +2647,7 @@ def test_domain_divergence_information_inequalities(spark, sf_dir):
         assert ce[(a, b)] == pytest.approx(ce[(a, a)] + v, abs=5e-6), (a, b)
 
 
+@pytest.mark.slow
 def test_simhash_radius_curve_monotone(spark, sf_dir):
     """Radius levels nest: candidates and true hits are non-decreasing
     in the radius, recall is monotone, and every level reads the same
@@ -2584,6 +2671,7 @@ def test_simhash_radius_curve_monotone(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_unigram_prune_report_invariants(spark, sf_dir):
     from duva_spark.queries import load_all
 
@@ -2600,6 +2688,7 @@ def test_unigram_prune_report_invariants(spark, sf_dir):
     assert f.total_tokens > 0 and p.total_tokens > 0
 
 
+@pytest.mark.slow
 def test_unigram_prune_threshold_zero_is_identity(spark):
     """With prune_permille=0 every piece survives (0.1%-of-mass floor
     drops to zero), so the pruned row must reproduce the full row's
@@ -2625,6 +2714,7 @@ def test_unigram_prune_threshold_zero_is_identity(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_soft_dedup_weights_bounds(spark, sf_dir):
     """Effective chars are bounded by raw chars (weights <= 1), equal
     exactly when a source has no duplicate members, and the per-source
@@ -2650,6 +2740,7 @@ def test_soft_dedup_weights_bounds(spark, sf_dir):
             assert r.effective_chars < r.raw_chars
 
 
+@pytest.mark.slow
 def test_platt_scaling_improves_calibration(spark, sf_dir):
     """At the (1, 0) init the model IS the raw NB (round 0 equals the
     round=-1 raw row up to q-rounding), and descent must strictly
@@ -2714,6 +2805,7 @@ def test_rendezvous_resharding_stability(spark, sf_dir):
     assert rows["rendezvous"].n_moved < rows["modulo"].n_moved
 
 
+@pytest.mark.slow
 def test_lr_data_curve_invariants(spark, sf_dir):
     from duva_spark.queries import load_all
 
@@ -2827,6 +2919,7 @@ def test_kn_trigram_sparser_than_bigram(spark, sf_dir):
     assert sum(tri[x] for x in common) > sum(bi[x] for x in common)
 
 
+@pytest.mark.slow
 def test_trained_ivf_recall_matches_or_beats_label_buckets(spark, sf_dir):
     """The k-means-trained coarse quantizer (FAISS's construction) must
     match or beat the label-derived buckets on macro recall@5 at equal
@@ -2840,6 +2933,7 @@ def test_trained_ivf_recall_matches_or_beats_label_buckets(spark, sf_dir):
     assert hits["trained"] >= hits["label"], hits
 
 
+@pytest.mark.slow
 def test_pruned_kn_trigram_prunes_and_stays_finite(spark, sf_dir):
     """Singleton pruning must RAISE the unseen-trigram rate (the pruned
     mass is visible) while every per-language NLL stays finite (the
@@ -2891,6 +2985,7 @@ def test_nb_langid_production_path_and_fallback(spark):
     assert fb.subtract(heur).count() == 0 and heur.subtract(fb).count() == 0
 
 
+@pytest.mark.slow
 def test_unigram_vocab_curve_is_monotone(spark, sf_dir):
     """Bigger seed vocabularies must never cost MORE tokens per word
     (nested seed sets: every smaller vocab's segmentation remains
@@ -2907,6 +3002,7 @@ def test_unigram_vocab_curve_is_monotone(spark, sf_dir):
         assert b["tokens_per_word"] <= a["tokens_per_word"], (a, b)
 
 
+@pytest.mark.slow
 def test_compression_pareto_tiers_are_ordered(spark, sf_dir):
     """The Pareto table must carry all five tiers with the documented
     byte costs; fp32 is exact by definition and no lossy tier may
@@ -3013,6 +3109,7 @@ def test_assert_nonneg_guard_fires(spark, monkeypatch):
     assert got == 3.01
 
 
+@pytest.mark.slow
 def test_bpe_dropout_matches_sequential_reference(spark):
     """The dropout encode kernel equals a brute-force sequential greedy
     scan with the same (word, rule, position) mask, and dropout never

@@ -136,6 +136,7 @@ def test_funnel_keepers_choose_among_survivors(spark):
     assert out["decontaminate"]["docs_out"] == 1
 
 
+@pytest.mark.slow
 def test_compiled_funnel_equals_handwritten(spark):
     """The declarative compiler must reproduce the hand-built canonical
     plan row-for-row on a corpus with every stage exercised (dupes,
@@ -163,6 +164,7 @@ def test_compiled_funnel_equals_handwritten(spark):
     assert got == ref
 
 
+@pytest.mark.slow
 def test_alt_funnel_config_compiles_and_is_monotone(spark):
     """A different stage order/threshold config must compile into a
     valid monotone funnel whose first stage reflects its own split."""

@@ -9,6 +9,8 @@ viable at 100 TB must be visible in the plan, not just claimed.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
@@ -188,6 +190,7 @@ def test_zorder_layout_single_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_no_headline_query_has_toxic_plan_nodes(spark, sf_dir):
     """Safety net across the whole bench set: no headline query may plan
     a cartesian product or row-at-a-time Python eval, ever. (Streaming
@@ -240,6 +243,7 @@ _UNPARTITIONED_WINDOW_OK: set[str] = {
 }
 
 
+@pytest.mark.slow
 def test_unpartitioned_windows_are_bounded_exemptions(spark, sf_dir):
     """Registry-wide ban (r8 verdict item 7): no registered query may
     plan a WindowExec with an empty partition spec unless it is on the

@@ -250,6 +250,7 @@ def test_repetition_signals_match_python_reference(spark):
         assert abs(r["top_bg"] - want) < 1e-9
 
 
+@pytest.mark.slow
 def test_prefix_sum_invariant_under_partitioning(spark):
     """running_sum must equal the single-partition window cumsum for any
     input partitioning — the two-pass offsets are the thing under test."""
@@ -275,6 +276,7 @@ def test_prefix_sum_invariant_under_partitioning(spark):
         assert got == want
 
 
+@pytest.mark.slow
 def test_kmeans_invariant_under_partitioning(spark):
     """Lloyd's with grid-rounded centroids must converge to identical
     centroids and assignments regardless of input partitioning."""
@@ -302,6 +304,7 @@ def test_kmeans_invariant_under_partitioning(spark):
     assert results[0] == results[1]
 
 
+@pytest.mark.slow
 def test_star_components_match_networkx_free_reference(spark):
     """Star CC equals a pure-Python union-find on seeded random graphs of
     varying density — one Spark job per graph, reference is dependency-
@@ -343,6 +346,7 @@ def test_star_components_match_networkx_free_reference(spark):
         assert got == want, f"density={density}"
 
 
+@pytest.mark.slow
 def test_quantile_operator_matches_numpy_on_random_data(spark):
     """Distributed exact quantile == numpy linear interpolation on
     seeded-random data with heavy ties, at several partition counts
@@ -382,6 +386,7 @@ def test_grouped_quantile_matches_numpy_per_group(spark):
         assert abs(got[g][0] - want[0]) < 1e-9 and abs(got[g][1] - want[1]) < 1e-9
 
 
+@pytest.mark.slow
 def test_heavy_hitters_matches_counter_on_zipf(spark):
     """Two-pass MG+recount == a plain Counter on zipfian data, across
     partition counts and caps (≥ the guarantee floor)."""
@@ -400,6 +405,7 @@ def test_heavy_hitters_matches_counter_on_zipf(spark):
             assert got == want, (k, cap, parts, len(got), len(want))
 
 
+@pytest.mark.slow
 def test_bloom_prefilter_exact_on_random_overlap(spark):
     """Semi/anti bloom compositions equal the plain joins on random key
     sets with random overlap — under a deliberately tiny filter so the
@@ -423,6 +429,7 @@ def test_bloom_prefilter_exact_on_random_overlap(spark):
         assert got == want, how
 
 
+@pytest.mark.slow
 def test_leakproof_split_has_zero_spanning_clusters(spark):
     """The defining invariant: no dedup cluster contributes docs to more
     than one split. Forced duplicate clusters with ids far apart so a
@@ -498,6 +505,7 @@ def test_dup_span_counts_matches_python_reference(spark):
         assert got[i] == (len(gs), n_dup), f"doc {i}"
 
 
+@pytest.mark.slow
 def test_dup_spans_exact_matches_python_interval_merge(spark):
     """dup_spans_exact (variable-length Lee et al. span semantics) agrees
     with a pure-python positional-gram + interval-union reference on a

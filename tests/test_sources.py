@@ -321,6 +321,7 @@ def onadata_server():
     server.shutdown()
 
 
+@pytest.mark.slow
 def test_onadata_datasource_end_to_end(spark, onadata_server):
     """format('onadata') polls the async export, downloads with the retry
     client, infers the 3-type universe, normalizes S4 nulls, and parses
@@ -415,6 +416,7 @@ def test_onadata_streaming_source_incremental(spark):
         server.shutdown()
 
 
+@pytest.mark.slow
 def test_duva_artifact_writer_commit_contract(spark, tmp_path):
     """Task-parallel shard write + atomic driver commit: the artifact
     lands under the K2 key layout, _ROWCOUNT carries the summed task

@@ -4,6 +4,8 @@ semantics the batch oracle can't observe."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from duva_spark.catalog import load_table
@@ -262,6 +264,7 @@ def test_streaming_progress_listener_records_batches(spark, sf_dir):
     assert any(e["kind"] == "started" for e in rec.events)
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Kill a streaming query mid-run AFTER a foreachBatch partial commit
     (the merge for epoch 1 lands in the sink, but the crash happens
@@ -329,6 +332,7 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert len(got) == 15
 
 
+@pytest.mark.slow
 def test_incremental_dedup_stream_crash_restore(spark, tmp_path):
     """The streaming fuzzy-dedup pipeline (micro-batch band signatures
     joined against the persisted corpus index, idempotent keyed upsert
@@ -419,6 +423,7 @@ def test_incremental_dedup_stream_crash_restore(spark, tmp_path):
     assert {t[0] for t in got} == {1, 3}  # only the near-dup arrivals match
 
 
+@pytest.mark.slow
 def test_stream_quality_filter_matches_batch_scoring(spark, sf_dir):
     """The streaming model-in-the-loop filter must equal a direct batch
     scoring pass of the SAME trained weights: same keepers per source,
